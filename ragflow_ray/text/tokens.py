@@ -1,0 +1,65 @@
+"""Deterministic token counting.
+
+The reference budgets chunks by tiktoken ``cl100k_base`` token counts
+(/root/reference/rag/utils/__init__.py:84-89).  tiktoken (and its
+network-fetched BPE vocabulary) is not available in this environment,
+so we use a deterministic, vocabulary-free approximation with the same
+qualitative behavior:
+
+* runs of letters ≈ one token per ~5 characters (BPE-ish): cost
+  ``1 + (len-1)//5``;
+* runs of digits cost one token per 3 digits (cl100k groups digits
+  in threes);
+* each CJK character costs one token;
+* every other non-space character (punctuation, symbol) costs one.
+
+Chunk boundaries in goldens/tests are derived from THIS counter, so
+the engine is self-consistent; swapping in a real BPE later only
+requires replacing :func:`token_count`.
+"""
+
+from __future__ import annotations
+
+import re
+
+_CJK = "一-鿿぀-ヿ가-힯"
+_PIECE = re.compile(
+    rf"[^\W\d_]+"          # unicode word chars minus digits/underscore (letters)
+    rf"|[0-9]+"            # digit run
+    rf"|[^\s\w]|_"         # punctuation / symbol / underscore
+)
+_CJK_RE = re.compile(rf"[{_CJK}]")
+
+
+def _piece_cost(piece: str) -> int:
+    c = piece[0]
+    if c.isdigit():
+        return (len(piece) + 2) // 3
+    if c.isalpha():
+        # CJK letters tokenize ~1/char; latin-ish words ~1 per 5 chars
+        cjk = len(_CJK_RE.findall(piece))
+        latin = len(piece) - cjk
+        return cjk + (1 + (latin - 1) // 5 if latin else 0)
+    return 1
+
+
+def token_count(text: str) -> int:
+    """Approximate BPE token count of ``text`` (deterministic)."""
+    if not text:
+        return 0
+    return sum(_piece_cost(m.group()) for m in _PIECE.finditer(text))
+
+
+def truncate_tokens(text: str, max_tokens: int) -> str:
+    """Trim ``text`` so ``token_count(result) <= max_tokens``.
+
+    Mirrors the reference's ``truncate`` (rag/utils/__init__.py:92-94)
+    at the granularity of our token pieces.
+    """
+    n = 0
+    for m in _PIECE.finditer(text):
+        cost = _piece_cost(m.group())
+        if n + cost > max_tokens:
+            return text[: m.start()]
+        n += cost
+    return text
