@@ -1,0 +1,31 @@
+"""Template-chunker registry.
+
+The engine analogue of the reference's ``FACTORY`` dispatch table
+(/root/reference/rag/svr/task_executor.py:70-87): template name →
+chunker callable ``(doc, ChunkConfig) -> list[span dict]``.
+"""
+
+from __future__ import annotations
+
+from .book import chunk_book
+from .common import ChunkConfig
+from .laws import chunk_laws
+from .naive import chunk_naive
+from .one import chunk_one
+from .paper import chunk_paper
+
+CHUNKERS = {
+    "naive": chunk_naive,
+    "book": chunk_book,
+    "laws": chunk_laws,
+    "paper": chunk_paper,
+    "one": chunk_one,
+}
+
+
+def chunk_document(doc: dict, template: str = "naive", cfg: ChunkConfig | None = None) -> list[dict]:
+    """Run one template chunker over one document dict
+    ``{doc_id, fmt, spans}`` → ordered output span dicts."""
+    if template not in CHUNKERS:
+        raise KeyError(f"unknown chunker template: {template!r}")
+    return CHUNKERS[template](doc, cfg or ChunkConfig())

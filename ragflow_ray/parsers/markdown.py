@@ -37,13 +37,21 @@ _HTML_TABLE = re.compile(
 _DIVIDER_ROW = re.compile(r"^\s*\|?(?:\s*:?-+:?\s*\|)+\s*:?-*:?\s*\|?\s*$")
 
 
-def _cut_matches(text: str, pattern: re.Pattern, sink: list[str], keep: bool) -> str:
+def _cut_matches(
+    text: str, pattern: re.Pattern, sink: list[str], keep: bool, render: bool = False
+) -> str:
     out: list[str] = []
     last = 0
     for m in pattern.finditer(text):
         sink.append(m.group())
         out.append(text[last : m.start()])
-        out.append((m.group() + "\n\n") if keep else "\n\n")
+        if keep:
+            # the reference leaves a *rendered HTML* copy inline for pipe
+            # tables and the raw markup for already-HTML tables
+            inline = md_table_to_html(m.group()) if render else m.group()
+            out.append(inline + "\n\n")
+        else:
+            out.append("\n\n")
         last = m.end()
     out.append(text[last:])
     return "".join(out)
@@ -61,11 +69,12 @@ def extract_tables_and_remainder(
     """
     tables: list[str] = []
     working = markdown_text
+    keep = not separate_tables
     if "|" in markdown_text:
-        working = _cut_matches(working, _BORDER_TABLE, tables, keep=not separate_tables)
-        working = _cut_matches(working, _BORDERLESS_TABLE, tables, keep=not separate_tables)
+        working = _cut_matches(working, _BORDER_TABLE, tables, keep, render=True)
+        working = _cut_matches(working, _BORDERLESS_TABLE, tables, keep, render=True)
     if "<table>" in working.lower():
-        working = _cut_matches(working, _HTML_TABLE, tables, keep=not separate_tables)
+        working = _cut_matches(working, _HTML_TABLE, tables, keep, render=False)
     return working, tables
 
 

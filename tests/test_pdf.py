@@ -1,0 +1,202 @@
+"""Unit tests: geometry kernels, layout assignment, box pipeline, tables."""
+
+import json
+
+from ragflow_ray.pdf import (
+    DocBoxes,
+    assign_layouts,
+    construct_table,
+    find_max_overlap,
+    find_overlap_above,
+    overlap_ratio,
+    page_from_payload,
+    sort_y_first,
+)
+from ragflow_ray.pdf.boxpipe import proj_match
+from ragflow_ray.pdf.page_model import Page
+
+
+def box(x0, top, x1, bottom, text="", pn=1, **kw):
+    d = {"x0": x0, "top": top, "x1": x1, "bottom": bottom, "text": text, "page_number": pn}
+    d.update(kw)
+    return d
+
+
+class TestGeometry:
+    def test_sort_y_tolerance(self):
+        a = box(100, 10, 200, 20, "right")
+        b = box(10, 12, 90, 22, "left")
+        out = sort_y_first([a, b], threshold=5)
+        assert [o["text"] for o in out] == ["left", "right"]
+
+    def test_sort_y_no_tolerance(self):
+        a = box(100, 10, 200, 20, "first")
+        b = box(10, 12, 90, 22, "second")
+        out = sort_y_first([a, b], threshold=0)
+        assert [o["text"] for o in out] == ["first", "second"]
+
+    def test_overlap_ratio(self):
+        a = box(0, 0, 10, 10)
+        b = box(5, 0, 15, 10)
+        assert overlap_ratio(a, b) == 0.5
+        assert overlap_ratio(a, box(20, 20, 30, 30)) == 0
+
+    def test_find_max_overlap(self):
+        grid = [box(0, i * 10, 100, i * 10 + 9) for i in range(10)]
+        probe = box(10, 42, 60, 47)
+        assert find_max_overlap(probe, grid) == 4
+
+    def test_find_overlap_above_threshold(self):
+        rows = [box(0, 0, 100, 10), box(0, 12, 100, 22)]
+        probe = box(0, 13, 50, 21)
+        assert find_overlap_above(probe, rows, thr=0.3) == 1
+        assert find_overlap_above(box(0, 200, 10, 210), rows, thr=0.3) is None
+
+
+class TestLayoutAssignment:
+    def _page(self):
+        boxes = [
+            {"x0": 10, "x1": 500, "top": 50, "bottom": 62, "text": "body line one", "page_number": 1},
+            {"x0": 10, "x1": 500, "top": 20, "bottom": 30, "text": "Running Header", "page_number": 1},
+            {"x0": 250, "x1": 350, "top": 770, "bottom": 780, "text": "3 / 9", "page_number": 1},
+        ]
+        layouts = [
+            {"type": "text", "score": 0.9, "x0": 5, "x1": 505, "top": 45, "bottom": 66, "page_number": 1},
+            {"type": "header", "score": 0.9, "x0": 5, "x1": 505, "top": 15, "bottom": 35, "page_number": 1},
+        ]
+        return Page(1, 612, 792, boxes, layouts, [])
+
+    def test_text_box_tagged(self):
+        bxs, _ = assign_layouts([self._page()])
+        tagged = [b for b in bxs if b["text"] == "body line one"]
+        assert tagged and tagged[0]["layout_type"] == "text"
+        assert tagged[0]["layoutno"].startswith("text-")
+
+    def test_header_dropped(self):
+        bxs, _ = assign_layouts([self._page()])
+        assert all(b["text"] != "Running Header" for b in bxs)
+
+    def test_garbage_text_dropped(self):
+        bxs, _ = assign_layouts([self._page()])
+        assert all(b["text"] != "3 / 9" for b in bxs)
+
+    def test_drop_false_keeps_header(self):
+        bxs, _ = assign_layouts([self._page()], drop=False)
+        assert any(b["text"] == "Running Header" for b in bxs)
+
+    def test_repeated_garbage_removed_globally(self):
+        pages = [self._page(), self._page()]
+        for p in pages:
+            p.boxes = [dict(b) for b in p.boxes]
+        bxs, _ = assign_layouts(pages)
+        assert all(b["text"] != "Running Header" for b in bxs)
+
+
+class TestConstructTable:
+    def _table_boxes(self):
+        # 2x3 grid with a header row; R tags present, C absent (live-path parity)
+        bxs = []
+        headers = ["name", "qty", "price"]
+        for ci, h in enumerate(headers):
+            bxs.append(box(ci * 100, 0, ci * 100 + 90, 10, h, R=0, H=0,
+                           R_top=0, R_bott=10, layout_type="table"))
+        for ri in range(2):
+            for ci in range(3):
+                bxs.append(box(ci * 100, 20 + ri * 20, ci * 100 + 90, 30 + ri * 20,
+                               f"v{ri}{ci}", R=ri + 1, R_top=20 + ri * 20,
+                               R_bott=30 + ri * 20, layout_type="table"))
+        return bxs
+
+    def test_html_table(self):
+        html = construct_table(self._table_boxes(), is_english=True, html=True)
+        assert html.startswith("<table>")
+        assert "<th" in html and "name" in html
+        assert "v00" in html and "v12" in html
+
+    def test_desc_rows(self):
+        rows = construct_table(self._table_boxes(), is_english=True, html=False)
+        assert isinstance(rows, list)
+        assert any("name：v00" in r or "name：v10" in r for r in rows)
+
+    def test_caption_extracted(self):
+        bxs = self._table_boxes()
+        bxs.insert(0, box(0, -20, 300, -10, "Table 1: results",
+                          layout_type="table caption"))
+        html = construct_table(bxs, is_english=True, html=True)
+        assert "<caption>Table 1: results</caption>" in html
+
+
+class TestProjMatch:
+    def test_ladder(self):
+        assert proj_match("第一章 总则") == 1
+        assert proj_match("1. Introduction here") == 5
+        assert proj_match("1.2 Details follow") == 6
+        assert proj_match("plain body text") is None
+        assert proj_match("123 456.78%") is False
+
+
+class TestDocBoxes:
+    def _doc(self, payload_pages):
+        pages = [page_from_payload(json.dumps(p)) for p in payload_pages]
+        return DocBoxes("doc-test", pages, is_english=True)
+
+    def _simple_page(self, pn=1, lines=None):
+        lines = lines or ["first line of text", "second line of text"]
+        boxes = [
+            {"x0": 20, "x1": 500, "top": 50 + 18 * i, "bottom": 62 + 18 * i, "text": t}
+            for i, t in enumerate(lines)
+        ]
+        layouts = [
+            {"type": "text", "score": 0.9, "x0": 15, "x1": 505,
+             "top": 45, "bottom": 62 + 18 * len(lines)}
+        ]
+        return {"page_no": pn, "width": 612, "height": 792, "boxes": boxes,
+                "layouts": layouts, "tables": []}
+
+    def test_cumulative_page_offset(self):
+        doc = self._doc([self._simple_page(1), self._simple_page(2)])
+        doc.run_layouts()
+        p2 = [b for b in doc.boxes if b["page_number"] == 2]
+        assert p2 and all(b["top"] > 792 for b in p2)
+
+    def test_line_tag_roundtrip(self):
+        doc = self._doc([self._simple_page(1)])
+        doc.run_layouts()
+        tag = doc.line_tag(doc.boxes[0])
+        assert tag.startswith("@@1\t") and tag.endswith("##")
+        from ragflow_ray.text.merge import strip_position_tags
+
+        assert strip_position_tags(doc.boxes[0]["text"] + tag) == doc.boxes[0]["text"]
+
+    def test_horizontal_merge(self):
+        page = self._simple_page(1)
+        # two fragments on the same visual row, same layout
+        page["boxes"] = [
+            {"x0": 20, "x1": 200, "top": 50, "bottom": 62, "text": "left part "},
+            {"x0": 210, "x1": 400, "top": 50, "bottom": 62, "text": "right part"},
+        ]
+        doc = self._doc([page])
+        doc.run_layouts()
+        doc.merge_horizontal()
+        assert len(doc.boxes) == 1
+        assert doc.boxes[0]["text"] == "left part right part"
+
+    def test_vertical_merge_joins_continuation(self):
+        page = self._simple_page(1, ["this line ends with a comma,", "and this one continues it."])
+        doc = self._doc([page])
+        doc.run_layouts()
+        doc.merge_vertical()
+        assert len(doc.boxes) == 1
+
+    def test_vertical_merge_respects_sentence_end(self):
+        page = self._simple_page(1, ["This sentence ends here.", "A new one starts."])
+        doc = self._doc([page])
+        doc.run_layouts()
+        doc.merge_vertical()
+        assert len(doc.boxes) == 2
+
+    def test_assemble_text_blocks_tags(self):
+        doc = self._doc([self._simple_page(1)])
+        doc.run_layouts()
+        text = doc.assemble_text_blocks()
+        assert "@@" in text and "##" in text

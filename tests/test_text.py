@@ -1,0 +1,215 @@
+"""Unit tests: token counter, delimiters, bullets, merge library."""
+
+from ragflow_ray.text import (
+    bullets_category,
+    delimiter_pattern,
+    greedy_merge,
+    hierarchical_merge,
+    is_chinese_text,
+    is_english_text,
+    strip_toc_sections,
+    title_frequency,
+    token_count,
+)
+from ragflow_ray.text.delimiters import decode_escaped_delimiters, split_dropping_delimiters
+from ragflow_ray.text.merge import promote_colon_titles, strip_position_tags
+from ragflow_ray.text.tokens import truncate_tokens
+
+
+class TestTokens:
+    def test_empty(self):
+        assert token_count("") == 0
+
+    def test_words(self):
+        assert token_count("hello world") == 2
+
+    def test_long_word_costs_more(self):
+        assert token_count("extraordinarily") > 1
+
+    def test_digits_grouped_by_three(self):
+        assert token_count("123456") == 2
+
+    def test_cjk_per_char(self):
+        assert token_count("第一章") == 3
+
+    def test_punctuation(self):
+        assert token_count("a,b") == 3
+
+    def test_deterministic(self):
+        s = "The quick brown fox, 12345 第一条 jumps!"
+        assert token_count(s) == token_count(s)
+
+    def test_truncate(self):
+        s = "one two three four five six seven eight"
+        t = truncate_tokens(s, 3)
+        assert token_count(t) <= 3
+        assert s.startswith(t)
+
+
+class TestDelimiters:
+    def test_single_chars(self):
+        import re
+
+        pat = re.compile(delimiter_pattern("\n。"))
+        assert pat.fullmatch("\n") and pat.fullmatch("。") and not pat.fullmatch("x")
+
+    def test_backtick_multichar_wins(self):
+        pat = delimiter_pattern("a`||`b")
+        assert pat.startswith(r"\|\|")
+
+    def test_escape_roundtrip(self):
+        assert decode_escaped_delimiters(r"\n!") == "\n!"
+
+    def test_split_drops_delimiters(self):
+        assert split_dropping_delimiters("a\nb。c", "\n。") == ["a", "b", "c"]
+
+    def test_multichar_split(self):
+        assert split_dropping_delimiters("a||b", "`||`") == ["a", "b"]
+
+
+class TestBullets:
+    def test_cn_legal_family(self):
+        assert bullets_category(["第一章 总则", "第一条 abc", "第二条 def"]) == 0
+
+    def test_en_family(self):
+        secs = ["PART ONE intro", "Chapter I start", "Section 1 here", "Article 1 text"]
+        assert bullets_category(secs) == 3
+
+    def test_no_bullets(self):
+        assert bullets_category(["plain text", "more plain text"]) == -1
+
+    def test_false_bullets_excluded(self):
+        # "12 items" style data lines must not look like bullets
+        assert bullets_category(["3 个苹果", "5 只猫"]) == -1
+
+    def test_title_frequency_pivot(self):
+        secs = [
+            ("Chapter I alpha", "title"),
+            ("body text one", "text"),
+            ("Chapter II beta", "title"),
+            ("body text two", "text"),
+        ]
+        bull = bullets_category([t for t, _ in secs])
+        most, levels = title_frequency(bull, secs)
+        assert len(levels) == len(secs)
+        assert levels[0] == levels[2] == most
+
+
+class TestGreedyMerge:
+    def test_empty(self):
+        assert greedy_merge([]) == []
+
+    def test_leading_empty_seed_chunk(self):
+        out = greedy_merge([("hello", "")], 128)
+        assert out[0] == ""
+        assert out[1] == "hello"
+
+    def test_packing_respects_budget(self):
+        secs = [(f"word{i} " * 10, "") for i in range(20)]
+        out = [c for c in greedy_merge(secs, 50) if c]
+        assert len(out) > 1
+        # every chunk except possibly the last stops soon after budget
+        for ck in out[:-1]:
+            assert token_count(ck) <= 50 + 25
+
+    def test_oversized_section_split_on_delimiters(self):
+        big = "。".join("字" * 30 for _ in range(20))
+        out = [c for c in greedy_merge([(big, "")], 32, "\n。；！？") if c]
+        assert len(out) > 2
+        assert all("。" not in c for c in out)
+
+    def test_pos_tag_appended_once(self):
+        secs = [("a sentence of enough words to pass", "@@1\t0\t1\t2\t3##")]
+        out = [c for c in greedy_merge(secs, 128) if c]
+        assert out[0].count("@@1") == 1
+
+    def test_overlap(self):
+        secs = [("alpha beta gamma delta " * 4, ""), ("second section here now", ""),
+                ("third section text goes here", "")]
+        out = [c for c in greedy_merge(secs, 16, "\n", overlapped_percent=20) if c]
+        assert len(out) >= 2
+        # second chunk starts with the tail of the first
+        assert out[1].startswith(out[0][int(len(out[0]) * 0.8):])
+
+
+class TestHierarchicalMerge:
+    SECTIONS = [
+        ("Chapter I Introduction", "title"),
+        ("Article 1 first rule body", ""),
+        ("some plain paragraph follows here", ""),
+        ("Chapter II Details", "title"),
+        ("Article 2 second rule body", ""),
+    ]
+
+    def test_negative_family_empty(self):
+        assert hierarchical_merge(-1, self.SECTIONS, 5) == []
+
+    def test_chunks_cover_headings(self):
+        out = hierarchical_merge(3, self.SECTIONS, 5)
+        joined = "\n".join("\n".join(ck) for ck in out)
+        assert "Chapter I Introduction" in joined
+        assert "Article 2 second rule body" in joined
+
+    def test_ancestors_precede_children(self):
+        out = hierarchical_merge(3, self.SECTIONS, 5)
+        for ck in out:
+            if any(t.startswith("Article 1") for t in ck):
+                chap = [i for i, t in enumerate(ck) if t.startswith("Chapter I")]
+                art = [i for i, t in enumerate(ck) if t.startswith("Article 1")]
+                if chap and art:
+                    assert chap[0] < art[0]
+
+    def test_deterministic(self):
+        a = hierarchical_merge(3, list(self.SECTIONS), 5)
+        b = hierarchical_merge(3, list(self.SECTIONS), 5)
+        assert a == b
+
+
+class TestTocStrip:
+    def test_removes_toc_block(self):
+        secs = [
+            "Contents",
+            "Chapter I ........ 3",
+            "Chapter II ........ 9",
+            "Chapter I The Beginning",
+            "body text here",
+        ]
+        strip_toc_sections(secs, eng=True)
+        assert "Contents" not in secs
+        assert "Chapter I The Beginning" in secs
+        assert "body text here" in secs
+
+    def test_no_toc_untouched(self):
+        secs = ["hello", "world"]
+        strip_toc_sections(secs, eng=True)
+        assert secs == ["hello", "world"]
+
+    def test_cn_toc(self):
+        secs = ["目录", "第一章 ...... 1", "第二章 ...... 5", "第一章 正文开始", "正文内容"]
+        strip_toc_sections(secs, eng=False)
+        assert "目录" not in secs
+        assert "正文内容" in secs
+
+
+class TestMisc:
+    def test_strip_position_tags(self):
+        assert strip_position_tags("text@@1\t1.0\t2.0\t3.0\t4.0##more") == "textmore"
+
+    def test_promote_colon_titles_is_inert(self):
+        secs = [("A Title: " + "body " * 20, "")]
+        before = list(secs)
+        promote_colon_titles(secs)
+        assert secs == before
+
+    def test_is_english(self):
+        # string input is scanned per character (the reference's
+        # single-char class has no quantifier, rag/nlp/__init__.py:232-245)
+        assert is_english_text("hello there plain ascii")
+        assert not is_english_text("第一章第二章全是中文")
+        # reference quirk kept: lists of multi-char strings never
+        # fullmatch the single-char class
+        assert not is_english_text(["hello there", "plain ascii text"])
+
+    def test_is_chinese(self):
+        assert is_chinese_text("这是中文文本")
+        assert not is_chinese_text("pure english")
