@@ -1,44 +1,218 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the ragflow_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module —
+nothing here (or in the library) initializes or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``       — flagship extraction over /root/testdata/sf0.001
+* ``queries()``     — one callable per implemented operator (SURVEY.md §2
+                      + corpus-scale data ops); each takes ``sf_dir``
+* ``oracle_sql()``  — DuckDB-equivalent SQL for every query with
+                      SQL-expressible semantics (column names match the
+                      Ray results exactly); extraction-template and
+                      sketch-based queries are rows-only by design
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: adapt sf0.001 documents into interleaved span
+    rows, extract with the naive template, and also run every template
+    over the synthetic corpus; returns the combined output Dataset."""
+    import ray.data as rd
+
+    from ragflow_ray.chunkers import ChunkConfig
+    from ragflow_ray.pipelines.flagship import corpus_from_documents_table
+    from ragflow_ray.stages.extract import extract_dataset
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    adapted = docs.map_batches(corpus_from_documents_table, batch_format="pyarrow")
+    out = extract_dataset(adapted, template="naive", cfg=ChunkConfig(chunk_token_num=128))
+
+    from ragflow_ray.pipelines import flagship_pipeline
+
+    synth = flagship_pipeline(n_docs=180, batch_size=32)
+    return out.union(synth)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ragflow_ray.ops import ann, dedup, extract_queries, multimodal, relational, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def media_meta(sf_dir: str):
+        df = multimodal.media_features(sf_dir).to_pandas()
+        return df[["doc_id", "payload_bytes", "payload_md5"]]
+
+    def media_features_full(sf_dir: str):
+        return multimodal.media_features(sf_dir).to_pandas()
+
+    return {
+        # --- text analysis (oracled) ---
+        "token_stats": textstats.token_stats,
+        "quality_scores": lambda d: textstats.quality_scores(d).to_pandas(),
+        "lang_id": textstats.lang_id,
+        "fingerprints": lambda d: textstats.fingerprints(d).to_pandas(),
+        # --- dedup family ---
+        "exact_dedup": dedup.exact_dedup,
+        "token_set_dedup": dedup.token_set_dedup,
+        "embedding_near_dups": dedup.embedding_near_dups,
+        "minhash_near_dups": lambda d: dedup.minhash_near_dups(d).to_pandas(),
+        "simhash_signatures": lambda d: dedup.simhash_signatures(d).to_pandas(),
+        "simhash_near_dups": lambda d: dedup.simhash_near_dups(d).to_pandas(),
+        # --- similarity search ---
+        "ann_topk": ann.brute_force_topk,
+        "ann_ivf_topk": ann.ivf_topk,
+        # --- multimodal plumbing ---
+        "media_meta": media_meta,
+        "media_features": media_features_full,
+        # --- relational / streaming-shaped ---
+        "pricing_summary": relational.pricing_summary,
+        "top_customers": relational.top_customers,
+        "event_type_stats": relational.event_type_stats,
+        "user_sessions": relational.user_sessions,
+        # --- extraction (roundtrip-oracled) ---
+        "txt_chunk_roundtrip": lambda d: extract_queries.txt_chunk_roundtrip(d).to_pandas(),
+        "html_extract_roundtrip": lambda d: extract_queries.html_extract_roundtrip(d).to_pandas(),
+        # --- extraction templates over the interleaved corpus (rows-only) ---
+        "extract_naive": lambda d: extract_queries.corpus_extract(d, "naive"),
+        "extract_book": lambda d: extract_queries.corpus_extract(d, "book"),
+        "extract_laws": lambda d: extract_queries.corpus_extract(d, "laws"),
+        "extract_paper": lambda d: extract_queries.corpus_extract(d, "paper"),
+        "extract_one": lambda d: extract_queries.corpus_extract(d, "one"),
+        "extract_all_templates": lambda d: extract_queries.corpus_extract(d, None),
+    }
+
+
+_STOP = "the|a|of|to|and"
+_PUNCT = r"[.,!?;:]"
+_TXT_DELIMS = r"[\n!?;。；！？]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_stats": f"""
+            SELECT lang,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(array_length(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tokens,
+                   SUM(length(text))::BIGINT AS n_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   array_length(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+                   (length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')))::BIGINT AS n_punct,
+                   length(regexp_extract_all(text, '\\b(?:{_STOP})\\b'))::BIGINT AS n_stopwords,
+                   ((length(regexp_replace(text, '\\s', '', 'g')) * 100)
+                      // array_length(string_split_regex(trim(text), '\\s+')))::BIGINT AS mean_wordlen_x100
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id": """
+            SELECT CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 5
+                             > length(text)
+                        THEN 'zh' ELSE 'latin' END AS pred_lang,
+                   COUNT(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash,
+                   MIN(doc_id)::BIGINT AS keeper_doc_id,
+                   COUNT(*)::BIGINT AS n_copies
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "token_set_dedup": """
+            SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS token_set_hash,
+                   MIN(doc_id)::BIGINT AS keeper_doc_id,
+                   COUNT(*)::BIGINT AS n_members
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+                   a.label::BIGINT AS label
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.25
+            ORDER BY vec_a, vec_b
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS q_vec_id, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+            scored AS (
+                SELECT q.q_vec_id, e.vec_id,
+                       round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS score
+                FROM q CROSS JOIN embeddings e),
+            ranked AS (
+                SELECT q_vec_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                          ORDER BY score DESC, vec_id) AS rank
+                FROM scored)
+            SELECT q_vec_id::BIGINT AS q_vec_id, vec_id::BIGINT AS vec_id,
+                   rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 10 ORDER BY q_vec_id, rank
+        """,
+        "media_meta": """
+            SELECT doc_id,
+                   (7 + octet_length(encode(text)))::BIGINT AS payload_bytes,
+                   md5('RFIMG1:' || text) AS payload_md5
+            FROM documents ORDER BY doc_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))::BIGINT AS sum_qty,
+                   SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_base_price_cents,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))::BIGINT AS sum_disc_price_c4,
+                   COUNT(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_customers": """
+            WITH per AS (
+                SELECT o_custkey,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_cents,
+                       COUNT(*)::BIGINT AS n_orders
+                FROM orders GROUP BY 1)
+            SELECT p.o_custkey, c.c_name, p.revenue_cents, p.n_orders
+            FROM per p JOIN customer c ON c.c_custkey = p.o_custkey
+            ORDER BY revenue_cents DESC, o_custkey LIMIT 10
+        """,
+        "event_type_stats": """
+            SELECT event_type,
+                   COUNT(*)::BIGINT AS n_events,
+                   SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_value_micros,
+                   MIN(user_id)::BIGINT AS min_user,
+                   MAX(user_id)::BIGINT AS max_user
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "user_sessions": """
+            SELECT user_id::BIGINT AS user_id,
+                   COUNT(*)::BIGINT AS n_events,
+                   (1 + SUM(CASE WHEN prev_ts IS NOT NULL
+                                      AND ts - prev_ts > INTERVAL 30 MINUTE
+                                 THEN 1 ELSE 0 END))::BIGINT AS n_sessions
+            FROM (SELECT user_id, ts,
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events)
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "txt_chunk_roundtrip": f"""
+            SELECT doc_id,
+                   regexp_replace(text, '{_TXT_DELIMS}', '', 'g') AS extracted
+            FROM documents ORDER BY doc_id
+        """,
+        "html_extract_roundtrip": """
+            SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
+        """,
+    }

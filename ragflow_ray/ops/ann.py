@@ -1,0 +1,164 @@
+"""Similarity search over the ``embeddings`` table.
+
+* :func:`brute_force_topk` — exact cosine top-k per query: the query
+  matrix is broadcast once (``ray.put``), every batch does one
+  float64 matmul, per-batch top-k partials are merged in a final
+  small reduction.  DuckDB-oracled (integer ranks, deterministic
+  vec_id tiebreak).
+* :func:`ivf_topk` — the scale path: coarse k-means-style centroids
+  from a deterministic sample, search only the ``n_probe`` nearest
+  inverted lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """The first ``n_queries`` vec_ids (ordered) are the query set —
+    deterministic and reproducible from SQL."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    return df["vec_id"].to_numpy(), q
+
+
+class TopKScorer:
+    """Actor-pool stage: per-batch cosine top-k against the broadcast
+    query matrix (one matmul per batch)."""
+
+    def __init__(self, query_ref, query_ids, k: int):
+        import ray
+
+        self.queries = ray.get(query_ref)  # (nq, dim) unit vectors
+        self.query_ids = query_ids
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = self.queries @ mat.T  # (nq, batch)
+        k = min(self.k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            out_q.extend([self.query_ids[qi]] * k)
+            out_v.extend(ids[idx])
+            out_s.extend(sims[qi][idx])
+        return pd.DataFrame(
+            {"q_vec_id": out_q, "vec_id": out_v, "score": out_s}
+        )
+
+
+def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=None):
+    """Exact cosine top-k: → (q_vec_id, vec_id, rank), rank 1..k, ties
+    broken by ascending vec_id.  Scores are excluded from the result so
+    the comparison is float-robust; ordering uses them internally."""
+    import ray
+
+    query_ids, queries = _load_queries(sf_dir, n_queries)
+    qref = ray.put(queries)
+
+    partials = _embeddings(sf_dir).map_batches(
+        TopKScorer,
+        fn_constructor_kwargs={"query_ref": qref, "query_ids": query_ids, "k": k},
+        batch_format="pandas",
+        concurrency=concurrency or 2,
+        batch_size=4096,
+    )
+    # final merge: the partial top-k set is tiny (nq × k × n_blocks)
+    df = partials.to_pandas()
+    df["score_r"] = df["score"].round(9)
+    df = df.sort_values(["q_vec_id", "score_r", "vec_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("q_vec_id", as_index=False).head(k)
+    df["rank"] = df.groupby("q_vec_id").cumcount() + 1
+    return df[["q_vec_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
+             n_probe: int = 4, concurrency=None):
+    """IVF approximate top-k: centroid list from a deterministic sample,
+    per-vector list assignment inside map_batches, search only the
+    n_probe nearest lists per query."""
+    import ray
+
+    query_ids, queries = _load_queries(sf_dir, n_queries)
+
+    # deterministic "training": centroids = normalized vectors of the
+    # first n_lists * 4 ids, k-means-lite (one assignment+mean round)
+    import pyarrow.parquet as pq
+
+    seed_df = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(n_lists * 4)
+    )
+    seeds = np.stack(seed_df["embedding"].to_numpy()).astype(np.float64)
+    seeds /= np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
+    centroids = seeds[:n_lists].copy()
+    assign = np.argmax(seeds @ centroids.T, axis=1)
+    for c in range(n_lists):
+        members = seeds[assign == c]
+        if len(members):
+            centroids[c] = members.mean(axis=0)
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    probe_lists = np.argsort(-(queries @ centroids.T), axis=1)[:, :n_probe]
+    wanted: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probe_lists):
+        for li in lists:
+            wanted.setdefault(int(li), []).append(qi)
+
+    cref = ray.put((centroids, queries, query_ids, wanted))
+
+    class IvfScorer:
+        def __init__(self):
+            self.centroids, self.queries, self.query_ids, self.wanted = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            lists = np.argmax(mat @ self.centroids.T, axis=1)
+            rows_q, rows_v, rows_s = [], [], []
+            for li, qis in self.wanted.items():
+                mask = lists == li
+                if not mask.any():
+                    continue
+                sub, sub_ids = mat[mask], ids[mask]
+                sims = self.queries[qis] @ sub.T
+                for row, qi in enumerate(qis):
+                    kk = min(k, sims.shape[1])
+                    idx = np.argpartition(-sims[row], kk - 1)[:kk]
+                    rows_q.extend([self.query_ids[qi]] * kk)
+                    rows_v.extend(sub_ids[idx])
+                    rows_s.extend(sims[row][idx])
+            return pd.DataFrame({"q_vec_id": rows_q, "vec_id": rows_v, "score": rows_s})
+
+    partials = _embeddings(sf_dir).map_batches(
+        IvfScorer, batch_format="pandas", concurrency=concurrency or 2, batch_size=4096
+    )
+    df = partials.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"q_vec_id": [], "vec_id": [], "rank": []})
+    df["score_r"] = df["score"].round(9)
+    df = df.sort_values(["q_vec_id", "score_r", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("q_vec_id", as_index=False).head(k)
+    df["rank"] = df.groupby("q_vec_id").cumcount() + 1
+    return df[["q_vec_id", "vec_id", "rank"]].reset_index(drop=True)

@@ -1,0 +1,111 @@
+"""Multimodal (binary-payload) stages.
+
+The engine treats image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool ``map_batches`` stages
+(decode / feature-extract / resize / frame-sample).  The actual codec
+libraries are not present in this container, so the decode kernel is
+STUBBED: ``decode_image``/``decode_audio`` raise ``NotImplementedError``
+unless a deterministic fake decoder is requested — but the Ray-side
+plumbing (schema, batch sizing for wide rows, actor signature, output
+layout) is real and tested.
+
+``media_payloads``/``media_features`` synthesize deterministic binary
+payloads from the documents table and run the feature actor over them,
+giving the multimodal path a DuckDB-checkable oracle (payload size,
+md5 digest).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+# text-safe magic header so the DuckDB oracle can rebuild payloads
+# with plain string concatenation
+MAGIC = b"RFIMG1:"
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to an HxWx3 array.
+
+    Real decoding needs an image codec (PIL/libjpeg) that is not in
+    this container — STUB.  With ``fake=True`` returns a deterministic
+    8×8 gray image derived from the payload digest (stable across
+    processes), which is what tests and the feature stage use.
+    """
+    if not fake:
+        raise NotImplementedError("image codecs unavailable in this environment")
+    digest = hashlib.sha256(payload).digest()
+    arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
+    return arr.reshape(8, 8, 3).copy()
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an audio payload to a float32 waveform — STUB (see
+    :func:`decode_image`)."""
+    if not fake:
+        raise NotImplementedError("audio codecs unavailable in this environment")
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((digest * 32)[:1024], dtype=np.uint8)
+    return (raw.astype(np.float32) - 127.5) / 127.5
+
+
+class MediaFeatureStage:
+    """Actor-pool stage for binary media rows.
+
+    Small ``batch_size`` is mandatory here — rows are wide (binary
+    payloads), so batch_size × concurrency must fit the worker heap
+    (SURVEY.md §7.4 'wide records').
+    """
+
+    def __init__(self, fake_decode: bool = True):
+        self.fake_decode = fake_decode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sizes, digests, means = [], [], []
+        for payload in batch["payload"]:
+            payload = bytes(payload)
+            sizes.append(len(payload))
+            digests.append(hashlib.md5(payload).hexdigest())
+            img = decode_image(payload, fake=self.fake_decode)
+            means.append(int(img.mean() * 100))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "payload_bytes": pd.Series(sizes, dtype="int64"),
+                "payload_md5": digests,
+                "fake_pixel_mean_x100": pd.Series(means, dtype="int64"),
+            }
+        )
+
+
+def media_payloads(sf_dir: str):
+    """Synthesize a deterministic binary payload per document (the
+    text bytes behind a magic header) — the stand-in for a real media
+    column."""
+    import ray.data as rd
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": [MAGIC + t.encode() for t in batch["text"]],
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+def media_features(sf_dir: str, concurrency=None):
+    """Payload → (size, md5, fake feature); oracled on size and md5."""
+    ds = media_payloads(sf_dir)
+    out = ds.map_batches(
+        MediaFeatureStage,
+        batch_format="pandas",
+        batch_size=256,  # wide rows: keep batches small
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")

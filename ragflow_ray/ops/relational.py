@@ -1,0 +1,175 @@
+"""Relational pipelines over the TPC-H-ish testdata tables.
+
+The reference has no distributed relational layer (SURVEY.md §2.7);
+these operators demonstrate the engine's wide-operation discipline on
+the shared tables — partial aggregation before groupby, broadcast
+joins for small dimensions, windowed per-key computation — with exact
+DuckDB oracles.
+
+Monetary sums are computed in integer cents (per-element
+``floor(x*100 + 0.5)`` before summing) so Ray and DuckDB agree
+bit-exactly regardless of floating-point summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _cents(series: pd.Series, scale: int = 100) -> pd.Series:
+    return np.floor(series * scale + 0.5).astype("int64")
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary over lineitem (shipped on/before
+    1998-09-02), partial-aggregated per batch before the tiny final
+    groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        )
+        df = t.to_pandas()
+        df["sum_qty"] = _cents(df["l_quantity"], 1)
+        df["base_price_cents"] = _cents(df["l_extendedprice"])
+        df["disc_price_c4"] = _cents(
+            df["l_extendedprice"] * (1.0 - df["l_discount"]), 10_000
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_price_cents=("base_price_cents", "sum"),
+            sum_disc_price_c4=("disc_price_c4", "sum"),
+            count_order=("sum_qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+        Sum("sum_disc_price_c4", alias_name="sum_disc_price_c4"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    df = out.sort(["l_returnflag", "l_linestatus"]).to_pandas()
+    for c in ("sum_qty", "sum_base_price_cents", "sum_disc_price_c4", "count_order"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Revenue per customer via a broadcast join of the (small)
+    customer table into the orders aggregate; top-k by revenue with a
+    deterministic custkey tiebreak."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"],
+                "revenue_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    per_cust = orders.map_batches(to_cents, batch_format="pandas").groupby(
+        "o_custkey"
+    ).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Count(alias_name="n_orders"),
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def attach_name(batch: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(ref)
+        batch = batch.copy()
+        batch["c_name"] = batch["o_custkey"].map(names)
+        return batch
+
+    named = per_cust.map_batches(attach_name, batch_format="pandas")
+    df = named.sort("revenue_cents", descending=True).limit(k * 3).to_pandas()
+    df = df.sort_values(
+        ["revenue_cents", "o_custkey"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    df["revenue_cents"] = df["revenue_cents"].astype("int64")
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df[["o_custkey", "c_name", "revenue_cents", "n_orders"]]
+
+
+def event_type_stats(sf_dir: str):
+    """Per event-type counts + micro-scaled value sums over events."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]
+    )
+
+    def scale(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "value_micros": _cents(batch["value"], 1_000_000),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    out = ds.map_batches(scale, batch_format="pandas").groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_micros", alias_name="sum_value_micros"),
+        Min("user_id", alias_name="min_user"),
+        Max("user_id", alias_name="max_user"),
+    )
+    df = out.sort("event_type").to_pandas()
+    for c in ("n_events", "sum_value_micros", "min_user", "max_user"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user event count and session count with a
+    30-minute inactivity gap — ``groupby(user).map_groups`` over
+    ts-sorted groups (the Ray Data pattern for windowed state)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].sort_values()
+        breaks = (ts.diff() > gap).sum() + 1 if len(ts) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [group["user_id"].iloc[0]],
+                "n_events": [len(group)],
+                "n_sessions": [int(breaks)],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    df = out.sort("user_id").to_pandas()
+    for c in ("user_id", "n_events", "n_sessions"):
+        df[c] = df[c].astype("int64")
+    return df

@@ -1,0 +1,140 @@
+"""Behavior tests for the corpus-scale data ops: planted duplicates
+must be found by each dedup strategy; ANN exactness; multimodal stubs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """A tiny documents/embeddings testdata dir with planted dups."""
+    d = tmp_path_factory.mktemp("planted")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [
+        base,                                   # 0
+        base,                                   # 1: exact dup of 0
+        "dog lazy the over jumps fox brown quick the again and again",  # 2: permuted
+        base + " with a tiny trailing change",  # 3: near-dup of 0
+        "completely different content about ray data pipelines at scale",  # 4
+        "another unrelated document mentioning lance tables and arrow",   # 5
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["src0"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    rs = np.random.RandomState(7)
+    vecs = rs.randn(20, 16).astype(np.float32)
+    vecs[1] = vecs[0] + rs.randn(16).astype(np.float32) * 0.01  # near-dup pair
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(20), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * 20, type=pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact_dedup_groups_identical(self, planted_dir):
+        from ragflow_ray.ops.dedup import exact_dedup
+
+        df = exact_dedup(planted_dir)
+        dup = df[df["n_copies"] > 1]
+        assert len(dup) == 1
+        assert dup.iloc[0]["keeper_doc_id"] == 0
+        assert dup.iloc[0]["n_copies"] == 2
+
+    def test_token_set_dedup_catches_permutation(self, planted_dir):
+        from ragflow_ray.ops.dedup import token_set_dedup
+
+        df = token_set_dedup(planted_dir)
+        grp = df[df["n_members"] >= 3]
+        assert len(grp) == 1 and grp.iloc[0]["keeper_doc_id"] == 0
+
+    def test_minhash_finds_near_dup(self, planted_dir):
+        from ragflow_ray.ops.dedup import minhash_near_dups
+
+        pairs = minhash_near_dups(planted_dir).to_pandas()
+        found = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+        assert (0, 1) in found  # exact dup survives LSH + verify
+        assert all(4 not in p and 5 not in p for p in found)
+
+    def test_simhash_near_dups(self, planted_dir):
+        from ragflow_ray.ops.dedup import simhash_near_dups, simhash_signatures
+
+        sigs = simhash_signatures(planted_dir).to_pandas()
+        assert sigs.loc[sigs.doc_id == 0, "simhash"].iloc[0] == \
+               sigs.loc[sigs.doc_id == 1, "simhash"].iloc[0]
+        pairs = simhash_near_dups(planted_dir).to_pandas()
+        found = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+        assert (0, 1) in found
+
+    def test_embedding_near_dup_pair(self, planted_dir):
+        from ragflow_ray.ops.dedup import embedding_near_dups
+
+        pairs = embedding_near_dups(planted_dir, threshold=0.95)
+        found = set(map(tuple, pairs[["vec_a", "vec_b"]].values))
+        assert (0, 1) in found
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def test_self_is_rank_one(self, planted_dir):
+        from ragflow_ray.ops.ann import brute_force_topk
+
+        df = brute_force_topk(planted_dir, k=5, n_queries=3)
+        for q in (0, 1, 2):
+            top = df[(df.q_vec_id == q) & (df["rank"] == 1)]
+            assert top.iloc[0]["vec_id"] == q
+
+    def test_ivf_recall_on_top1(self, planted_dir):
+        from ragflow_ray.ops.ann import brute_force_topk, ivf_topk
+
+        exact = brute_force_topk(planted_dir, k=3, n_queries=3, )
+        approx = ivf_topk(planted_dir, k=3, n_queries=3, n_lists=4, n_probe=2)
+        # rank-1 of each query must be recalled by IVF (self vector)
+        for q in (0, 1, 2):
+            e1 = exact[(exact.q_vec_id == q) & (exact["rank"] == 1)]["vec_id"].iloc[0]
+            got = set(approx[approx.q_vec_id == q]["vec_id"])
+            assert e1 in got
+
+
+class TestMultimodal:
+    def test_decode_stub_raises_without_fake(self):
+        from ragflow_ray.ops.multimodal import decode_audio, decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"payload")
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"payload")
+
+    def test_fake_decode_deterministic(self):
+        from ragflow_ray.ops.multimodal import decode_image
+
+        a = decode_image(b"same bytes", fake=True)
+        b = decode_image(b"same bytes", fake=True)
+        assert a.shape == (8, 8, 3)
+        assert (a == b).all()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_feature_stage(self, planted_dir):
+        from ragflow_ray.ops.multimodal import media_features
+
+        df = media_features(planted_dir).to_pandas()
+        assert len(df) == 6
+        assert (df["payload_bytes"] > 7).all()
+        assert df["payload_md5"].str.len().eq(32).all()
