@@ -138,6 +138,9 @@ def _doc_is_english(pages: list[Page]) -> bool:
         text = "".join(b.get("text", "") for b in p.boxes)
         if not text:
             continue
+        if text.isascii():
+            votes += 1
+            continue
         ascii_chars = sum(1 for ch in text if ord(ch) < 128)
         if ascii_chars / len(text) > 0.8:
             votes += 1

@@ -68,16 +68,23 @@ def sort_by_row(boxes: list[dict], threshold: float = 0) -> list[dict]:
 def sort_two_column(boxes: list[dict], threshold: float) -> list[dict]:
     """Reading order for two-column pages: sort (page, x0, top) then
     bubble-restore vertical order within an x-threshold
-    (pdf_parser.py:182-195)."""
+    (pdf_parser.py:182-195).  The bubble pass runs on primitive arrays
+    (the dict-lookup version dominated the paper-chunker profile)."""
     arr = sorted(boxes, key=lambda b: (b["page_number"], b["x0"], b["top"]))
+    x0 = [b["x0"] for b in arr]
+    top = [b["top"] for b in arr]
+    pn = [b["page_number"] for b in arr]
     for i in range(len(arr) - 1):
         for j in range(i, -1, -1):
             if (
-                abs(arr[j + 1]["x0"] - arr[j]["x0"]) < threshold
-                and arr[j + 1]["top"] < arr[j]["top"]
-                and arr[j + 1]["page_number"] == arr[j]["page_number"]
+                abs(x0[j + 1] - x0[j]) < threshold
+                and top[j + 1] < top[j]
+                and pn[j + 1] == pn[j]
             ):
                 arr[j], arr[j + 1] = arr[j + 1], arr[j]
+                x0[j], x0[j + 1] = x0[j + 1], x0[j]
+                top[j], top[j + 1] = top[j + 1], top[j]
+                pn[j], pn[j + 1] = pn[j + 1], pn[j]
     return arr
 
 

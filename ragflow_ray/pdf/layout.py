@@ -23,7 +23,9 @@ import re
 from collections import Counter
 from copy import deepcopy
 
-from .geometry import cleanup_layouts, find_overlap_above, sort_y_first
+import numpy as np
+
+from .geometry import cleanup_layouts, sort_y_first
 from .page_model import Page
 
 GARBAGE_LAYOUTS = ("footer", "header", "reference")
@@ -49,6 +51,46 @@ def _is_garbage_text(box: dict) -> bool:
     return any(p.search(box["text"]) for p in _GARBAGE_TEXT)
 
 
+def _overlap_matrix(boxes: list[dict], lts: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized pairwise overlap: (n_boxes × n_layouts) forward
+    (∩/area_box) and backward (∩/area_layout) ratio matrices — the
+    batched form of ``geometry.overlap_ratio``."""
+    bx0 = np.array([b["x0"] for b in boxes])[:, None]
+    bx1 = np.array([b["x1"] for b in boxes])[:, None]
+    bt = np.array([b["top"] for b in boxes])[:, None]
+    bb = np.array([b["bottom"] for b in boxes])[:, None]
+    lx0 = np.array([lt["x0"] for lt in lts])[None, :]
+    lx1 = np.array([lt["x1"] for lt in lts])[None, :]
+    lt_ = np.array([lt["top"] for lt in lts])[None, :]
+    lb = np.array([lt["bottom"] for lt in lts])[None, :]
+    iw = np.minimum(bx1, lx1) - np.maximum(bx0, lx0)
+    ih = np.minimum(bb, lb) - np.maximum(bt, lt_)
+    inter = np.where((iw > 0) & (ih > 0), iw * ih, 0.0)
+    # zero-extent boxes overlap nothing (matches overlap_ratio)
+    area_b = (bx1 - bx0) * (bb - bt)
+    area_l = (lx1 - lx0) * (lb - lt_)
+    fwd = np.divide(inter, area_b, out=np.zeros_like(inter), where=area_b != 0)
+    bwd = np.divide(inter, area_l, out=np.zeros_like(inter), where=area_l != 0)
+    return fwd, bwd
+
+
+def _best_overlaps(fwd: np.ndarray, bwd: np.ndarray, thr: float) -> np.ndarray:
+    """Per box, the layout index maximizing (fwd, bwd) lexicographically
+    with last-index tie-break and fwd ≥ thr; −1 when none — the batched
+    form of ``geometry.find_overlap_above``."""
+    n, m = fwd.shape
+    if m == 0:
+        return np.full(n, -1, dtype=np.int64)
+    best = np.full(n, -1, dtype=np.int64)
+    # lexicographic argmax: sort keys (fwd, bwd, index); take the last
+    order = np.lexsort((np.broadcast_to(np.arange(m), (n, m)), bwd, fwd), axis=1)
+    cand = order[:, -1]
+    rows = np.arange(n)
+    ok = fwd[rows, cand] >= thr
+    best[ok] = cand[ok]
+    return best
+
+
 def assign_layouts(pages: list[Page], drop: bool = True) -> tuple[list[dict], list[list[dict]]]:
     """→ (flat tagged box list, per-page cleaned layouts).
 
@@ -72,21 +114,28 @@ def assign_layouts(pages: list[Page], drop: bool = True) -> tuple[list[dict], li
         lts = cleanup_layouts(bxs, lts)
         page_layouts.append(lts)
 
+        # garbage-text boxes are always consumed by the first type pass
+        # before any assignment can claim them — drop upfront
+        bxs = [b for b in bxs if not _is_garbage_text(b)]
+
+        keep_flags = [True] * len(bxs)
         for ty in _ASSIGN_ORDER:
             same_type = [lt for lt in lts if lt["type"] == ty]
-            i = 0
-            while i < len(bxs):
-                box = bxs[i]
-                if box.get("layout_type"):
-                    i += 1
+            if not bxs:
+                break
+            if not same_type:
+                for b, kept in zip(bxs, keep_flags):
+                    if kept and not b.get("layout_type"):
+                        b["layout_type"] = ""
+                continue
+            fwd, bwd = _overlap_matrix(bxs, same_type)
+            best = _best_overlaps(fwd, bwd, thr=0.4)
+            for i, box in enumerate(bxs):
+                if not keep_flags[i] or box.get("layout_type"):
                     continue
-                if _is_garbage_text(box):
-                    bxs.pop(i)
-                    continue
-                ii = find_overlap_above(box, same_type, thr=0.4)
-                if ii is None:
+                ii = int(best[i])
+                if ii < 0:
                     box["layout_type"] = ""
-                    i += 1
                     continue
                 same_type[ii]["visited"] = True
                 keep = (
@@ -100,7 +149,7 @@ def assign_layouts(pages: list[Page], drop: bool = True) -> tuple[list[dict], li
                     garbage_texts.setdefault(same_type[ii]["type"], []).append(
                         box["text"]
                     )
-                    bxs.pop(i)
+                    keep_flags[i] = False
                     continue
                 box["layoutno"] = f"{ty}-{ii}"
                 box["layout_type"] = (
@@ -108,7 +157,7 @@ def assign_layouts(pages: list[Page], drop: bool = True) -> tuple[list[dict], li
                     if same_type[ii]["type"] != "equation"
                     else "figure"
                 )
-                i += 1
+        bxs = [b for b, kept in zip(bxs, keep_flags) if kept]
 
         # figure/equation layouts with no box get a synthetic empty box
         fig_layouts = [lt for lt in lts if lt["type"] in ("figure", "equation")]

@@ -39,6 +39,8 @@ INPUT_SCHEMA = pa.schema(
         ("doc_id", pa.string()),
         ("fmt", pa.string()),
         ("template", pa.string()),
+        ("n_media", pa.int32()),  # media-span count: the cheap cost
+        # estimate used for heavy/light routing with parquet pushdown
         ("spans", pa.list_(SPAN_TYPE)),
     ]
 )
@@ -419,6 +421,7 @@ def generate_document(family: str, index: int, seed: int = 42, heavy: bool = Fal
         "doc_id": doc_id,
         "fmt": _FMT[family],
         "template": _TEMPLATE[family],
+        "n_media": sum(1 for s in spans if s["kind"] == "media" and s["text"]),
         "spans": spans,
     }
 

@@ -160,19 +160,70 @@ def extract_dataset(
     batch_size: int = 64,
     split_heavy: bool = False,
 ):
-    """Wire the extraction stages onto a Dataset of corpus rows."""
+    """Wire the extraction stages onto a Dataset of corpus rows.
+
+    ``concurrency``: None → stateless task pool; an int or (min, max)
+    tuple → actor pool (the class is instantiated once per actor).
+    """
+
+    def _stage(with_parts: bool) -> dict:
+        kwargs = {"template": template, "cfg": cfg, "with_parts": with_parts}
+        if concurrency is None:
+            return {"fn": ExtractStage(**kwargs)}
+        return {
+            "fn": ExtractStage,
+            "fn_constructor_kwargs": kwargs,
+            "concurrency": concurrency,
+        }
+
     if not split_heavy:
+        s = _stage(False)
         return ds.map_batches(
-            ExtractStage(template, cfg),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
+            s.pop("fn"), batch_format="pyarrow", batch_size=batch_size, **s
         )
     ds = ds.map_batches(split_heavy_docs, batch_format="pyarrow", batch_size=batch_size)
+    s = _stage(True)
     out = ds.map_batches(
-        ExtractStage(template, cfg, with_parts=True),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+        s.pop("fn"), batch_format="pyarrow", batch_size=batch_size, **s
     )
     return out.groupby("doc_id").map_groups(reassemble_parts, batch_format="pyarrow")
+
+
+def extract_parquet(
+    corpus_dir: str,
+    template: str | None = None,
+    cfg: ChunkConfig | None = None,
+    concurrency=None,
+    batch_size: int = 16,
+):
+    """Dual-path extraction from an on-disk corpus.
+
+    The reassembly ``groupby(doc_id)`` is an all-to-all exchange; at
+    corpus scale it must only touch the ~1% of documents that are big
+    enough to split.  Routing happens *at the read* via a parquet
+    predicate on the precomputed ``n_media`` column (row-group
+    pushdown):
+
+    * light docs  (n_media <= threshold) → extract, NO shuffle;
+    * heavy docs  (n_media  > threshold) → page-range split → extract
+      → per-doc reassembly groupby over that small subset only;
+    * the two branches union (no barrier).
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    light = rd.read_parquet(
+        corpus_dir, filter=(pc.field("n_media") <= HEAVY_PAGE_THRESHOLD)
+    )
+    heavy = rd.read_parquet(
+        corpus_dir, filter=(pc.field("n_media") > HEAVY_PAGE_THRESHOLD)
+    )
+    light_out = extract_dataset(
+        light, template, cfg, concurrency=concurrency,
+        batch_size=batch_size, split_heavy=False,
+    )
+    heavy_out = extract_dataset(
+        heavy, template, cfg, concurrency=concurrency,
+        batch_size=max(2, batch_size // 4), split_heavy=True,
+    )
+    return light_out.union(heavy_out)
