@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_laws": lambda d: extract_queries.corpus_extract(d, "laws"),
         "extract_paper": lambda d: extract_queries.corpus_extract(d, "paper"),
         "extract_one": lambda d: extract_queries.corpus_extract(d, "one"),
+        "extract_qa": lambda d: extract_queries.corpus_extract(d, "qa"),
+        "extract_table": lambda d: extract_queries.corpus_extract(d, "table"),
+        "extract_manual": lambda d: extract_queries.corpus_extract(d, "manual"),
+        "extract_presentation": lambda d: extract_queries.corpus_extract(d, "presentation"),
         "extract_all_templates": lambda d: extract_queries.corpus_extract(d, None),
     }
 

@@ -10,9 +10,13 @@ from __future__ import annotations
 from .book import chunk_book
 from .common import ChunkConfig
 from .laws import chunk_laws
+from .manual import chunk_manual
 from .naive import chunk_naive
 from .one import chunk_one
 from .paper import chunk_paper
+from .presentation import chunk_presentation
+from .qa import chunk_qa
+from .table import chunk_table
 
 CHUNKERS = {
     "naive": chunk_naive,
@@ -20,6 +24,10 @@ CHUNKERS = {
     "laws": chunk_laws,
     "paper": chunk_paper,
     "one": chunk_one,
+    "qa": chunk_qa,
+    "table": chunk_table,
+    "manual": chunk_manual,
+    "presentation": chunk_presentation,
 }
 
 

@@ -146,13 +146,15 @@ class MinHasher:
 
 
 def _verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, Jaccard-verified."""
+    """Candidate pairs within one LSH bucket, Jaccard-verified
+    (shingle sets computed once per doc, not per pair)."""
     docs = sorted(set(zip(group["doc_id"], group["text"])))
+    shingles = [set(_shingle_hashes(t).tolist()) for _, t in docs]
     out = []
     for i in range(len(docs)):
-        si = set(_shingle_hashes(docs[i][1]).tolist())
+        si = shingles[i]
         for j in range(i + 1, len(docs)):
-            sj = set(_shingle_hashes(docs[j][1]).tolist())
+            sj = shingles[j]
             inter = len(si & sj)
             union = len(si | sj) or 1
             jac = inter / union
@@ -211,7 +213,18 @@ def _join_fallback(bands, docs):
 
 class SimHasher:
     """Per-doc 64-bit simhash over word features (vectorized bit
-    accumulation)."""
+    accumulation).  Actor-pool stage: the word→hash cache persists
+    across batches (natural-language vocab repeats heavily)."""
+
+    def __init__(self) -> None:
+        self._word_hash: dict[str, int] = {}
+
+    def _hash_word(self, w: str) -> int:
+        h = self._word_hash.get(w)
+        if h is None:
+            h = zlib.crc32(w.encode()) + (zlib.crc32(w[::-1].encode()) << 32)
+            self._word_hash[w] = h
+        return h
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -221,8 +234,7 @@ class SimHasher:
                 out.append((doc_id, 0))
                 continue
             hashes = np.fromiter(
-                (zlib.crc32(w.encode()) + (zlib.crc32(w[::-1].encode()) << 32)
-                 for w in words),
+                (self._hash_word(w) for w in words),
                 dtype=np.uint64, count=len(words),
             )
             bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
@@ -251,12 +263,21 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None):
     sigs = simhash_signatures(sf_dir, concurrency)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, sim in zip(batch["doc_id"], batch["simhash"]):
-            u = int(sim) & ((1 << 64) - 1)
-            for band in range(4):
-                rows.append((band, (u >> (band * 16)) & 0xFFFF, doc_id, int(sim)))
-        return pd.DataFrame(rows, columns=["band_id", "band_key", "doc_id", "simhash"])
+        sims = batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = batch["doc_id"].to_numpy()
+        n = len(sims)
+        bands = np.tile(np.arange(4, dtype=np.int64), n)
+        keys = (
+            (sims[:, None] >> (np.arange(4, dtype=np.uint64) * 16)) & np.uint64(0xFFFF)
+        ).reshape(-1)
+        return pd.DataFrame(
+            {
+                "band_id": bands,
+                "band_key": keys.astype(np.int64),
+                "doc_id": np.repeat(ids, 4),
+                "simhash": np.repeat(sims.view(np.int64), 4),
+            }
+        )
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         rows = sorted(set(zip(group["doc_id"], group["simhash"])))

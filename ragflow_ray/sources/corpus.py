@@ -71,17 +71,23 @@ _WORDS = (
 
 _ZH_CHARS = "数据流合并排序表扫描过滤窗口批向量查询连接组顺序部分键哈希行列值快慢小大索引存储分片块缓存计划阶段布局页文本"
 
-FAMILIES = ("html", "txt", "markdown", "json", "book_txt", "laws_txt", "paper_pdf", "book_pdf", "docx")
+FAMILIES = (
+    "html", "txt", "markdown", "json", "book_txt", "laws_txt",
+    "paper_pdf", "book_pdf", "docx", "qa_txt", "table_tsv", "slides",
+    "manual_pdf",
+)
 
 _FMT = {
     "html": "html", "txt": "txt", "markdown": "markdown", "json": "json",
     "book_txt": "txt", "laws_txt": "txt", "paper_pdf": "pdf",
-    "book_pdf": "pdf", "docx": "docx",
+    "book_pdf": "pdf", "docx": "docx", "qa_txt": "txt",
+    "table_tsv": "txt", "slides": "slides", "manual_pdf": "pdf",
 }
 _TEMPLATE = {
     "html": "naive", "txt": "naive", "markdown": "naive", "json": "naive",
     "book_txt": "book", "laws_txt": "laws", "paper_pdf": "paper",
-    "book_pdf": "book", "docx": "naive",
+    "book_pdf": "book", "docx": "naive", "qa_txt": "qa",
+    "table_tsv": "table", "slides": "presentation", "manual_pdf": "manual",
 }
 
 
@@ -396,6 +402,46 @@ def _gen_docx(r: random.Random, doc_id: str) -> list[dict]:
     return spans
 
 
+def _gen_qa_txt(r: random.Random, doc_id: str) -> list[dict]:
+    lines = []
+    for i in range(r.randint(4, 12)):
+        q = f"Q: what about {' '.join(r.sample(_WORDS, 3))}?"
+        a = f"A: {_sentence(r, 10)}"
+        lines.append(f"{q}\t{a}")
+        if r.random() < 0.3:  # continuation line extends the answer
+            lines.append(_sentence(r, 8))
+    return [_span("text", "\n".join(lines), "", 0)]
+
+
+def _gen_table_tsv(r: random.Random, doc_id: str) -> list[dict]:
+    headers = ["name", "count", "ratio", "active", "note"]
+    lines = ["\t".join(headers)]
+    for _ in range(r.randint(4, 15)):
+        lines.append(
+            "\t".join(
+                [
+                    r.choice(_WORDS),
+                    str(r.randint(1, 999)),
+                    f"{r.random():.3f}".lstrip("0") or "0.5",
+                    r.choice(["yes", "no", "true", "false"]),
+                    _sentence(r, 5),
+                ]
+            )
+        )
+    return [_span("text", "\n".join(lines), "", 0)]
+
+
+def _gen_slides(r: random.Random, doc_id: str) -> list[dict]:
+    spans = []
+    for pn in range(1, r.randint(3, 8)):
+        payload = json.dumps(
+            {"page_no": pn, "text": f"{' '.join(r.sample(_WORDS, 3)).title()}\n"
+             + "\n".join("• " + _sentence(r, 6) for _ in range(r.randint(2, 5)))}
+        )
+        spans.append(_span("media", payload, f"media://{doc_id}/slide{pn}", pn - 1))
+    return spans
+
+
 _GENERATORS = {
     "html": _gen_html,
     "txt": _gen_txt,
@@ -406,6 +452,10 @@ _GENERATORS = {
     "paper_pdf": _gen_paper_pdf,
     "book_pdf": _gen_book_pdf,
     "docx": _gen_docx,
+    "qa_txt": _gen_qa_txt,
+    "table_tsv": _gen_table_tsv,
+    "slides": _gen_slides,
+    "manual_pdf": _gen_paper_pdf,  # manual runs over paper-style pages
 }
 
 
@@ -413,7 +463,7 @@ def generate_document(family: str, index: int, seed: int = 42, heavy: bool = Fal
     """One deterministic document row."""
     doc_id = f"doc-{family}-{index:08d}"
     r = _rng(seed, doc_id)
-    if heavy and family in ("paper_pdf", "book_pdf"):
+    if heavy and family in ("paper_pdf", "book_pdf", "manual_pdf"):
         spans = _GENERATORS[family](r, doc_id, n_pages=40)
     else:
         spans = _GENERATORS[family](r, doc_id)

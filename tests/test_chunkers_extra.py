@@ -1,0 +1,97 @@
+"""Tests for the qa / table / manual / presentation chunkers."""
+
+from ragflow_ray.chunkers import ChunkConfig, chunk_document
+from ragflow_ray.chunkers.qa import qa_pairs_from_lines, qa_pairs_from_markdown
+from ragflow_ray.chunkers.table import column_data_type
+from ragflow_ray.sources.corpus import generate_document
+
+
+class TestQa:
+    def test_tab_pairs(self):
+        pairs = qa_pairs_from_lines(["q one\ta one", "q two\ta two"])
+        assert pairs == [("q one", "a one"), ("q two", "a two")]
+
+    def test_continuation_extends_answer(self):
+        pairs = qa_pairs_from_lines(["q1\ta1", "more answer", "q2\ta2"])
+        assert pairs[0] == ("q1", "a1\nmore answer")
+
+    def test_comma_fallback(self):
+        pairs = qa_pairs_from_lines(["q one,a one", "q two,a two"])
+        assert len(pairs) == 2
+
+    def test_markdown_heading_stack(self):
+        lines = ["# Topic", "## Sub", "answer body", "## Sub2", "other body"]
+        pairs = qa_pairs_from_markdown(lines)
+        assert pairs[0][0] == "Topic\nSub"
+        assert "answer body" in pairs[0][1]
+        assert pairs[1][0] == "Topic\nSub2"
+
+    def test_code_fence_suspends_headings(self):
+        lines = ["# Q", "```", "# not a heading", "```", "real answer"]
+        pairs = qa_pairs_from_markdown(lines)
+        assert len(pairs) == 1
+        assert "# not a heading" in pairs[0][1]
+
+    def test_chunker_output(self):
+        doc = generate_document("qa_txt", 0)
+        spans = chunk_document(doc, "qa", ChunkConfig(lang="English"))
+        assert spans
+        assert all(s["kind"] == "qa" for s in spans)
+        assert all(s["text"].startswith("Question: ") for s in spans)
+        # role prefixes are stripped from pair bodies
+        assert all("Question: Q:" not in s["text"] for s in spans)
+
+
+class TestTable:
+    def test_column_typing(self):
+        vals, ty = column_data_type(["1", "2", "33"])
+        assert ty == "int" and vals == [1, 2, 33]
+        vals, ty = column_data_type(["1.5", "2.25", "3.125"])
+        assert ty == "float"
+        _, ty = column_data_type(["yes", "no", "yes"])
+        assert ty == "bool"
+        _, ty = column_data_type(["hello world", "more text", "and more"])
+        assert ty == "text"
+
+    def test_row_chunks(self):
+        doc = generate_document("table_tsv", 0)
+        spans = chunk_document(doc, "table")
+        assert spans
+        assert all(s["kind"] == "row" for s in spans)
+        assert all("name:" in s["text"] for s in spans)
+
+    def test_header_count_matches_rows(self):
+        doc = generate_document("table_tsv", 1)
+        n_rows = len(doc["spans"][0]["text"].split("\n")) - 1
+        spans = chunk_document(doc, "table")
+        assert len(spans) == n_rows
+
+
+class TestManual:
+    def test_runs_on_pdf_family(self):
+        doc = generate_document("manual_pdf", 0)
+        spans = chunk_document(doc, "manual")
+        assert spans
+        kinds = {s["kind"] for s in spans}
+        assert "text" in kinds and "table" in kinds
+
+    def test_no_position_tags_in_output(self):
+        doc = generate_document("manual_pdf", 0)
+        spans = chunk_document(doc, "manual")
+        assert all("@@" not in s["text"] for s in spans if s["kind"] == "text")
+
+
+class TestPresentation:
+    def test_one_chunk_per_slide(self):
+        doc = generate_document("slides", 0)
+        spans = chunk_document(doc, "presentation")
+        n_slides = len([s for s in doc["spans"] if s["kind"] == "media"])
+        assert len(spans) == n_slides
+        assert all(s["kind"] == "slide" for s in spans)
+        assert all(s["media_ref"].startswith("media://") for s in spans)
+
+    def test_pdf_pages_as_slides(self):
+        doc = generate_document("paper_pdf", 0)
+        spans = chunk_document(doc, "presentation")
+        n_pages = len([s for s in doc["spans"] if s["kind"] == "media"])
+        assert len(spans) == n_pages
