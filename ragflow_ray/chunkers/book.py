@@ -41,7 +41,12 @@ def chunk_book(doc: dict, cfg: ChunkConfig) -> list[dict]:
     out = SpanEmitter()
 
     if fmt == "pdf":
-        sections = _pdf_sections(doc, cfg, out)
+        if cfg.layout_mode == "plain":
+            from .common import plain_pdf_lines
+
+            sections = [(ln, "") for ln in plain_pdf_lines(doc) if ln]
+        else:
+            sections = _pdf_sections(doc, cfg, out)
     elif fmt == "docx":
         lines, tables = parse_docx_spans(doc["spans"], doc["doc_id"])
         sections = [(t, "") for t, _ref in lines if t]

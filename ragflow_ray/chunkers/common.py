@@ -23,6 +23,10 @@ class ChunkConfig:
     overlapped_percent: int = 0
     lang: str = "English"
     table_batch_size: int = 10
+    # "deepdoc" = full layout pipeline; "plain" = text layer only
+    # (reference parser_config["layout_recognize"]: DeepDOC | Plain Text)
+    layout_mode: str = "deepdoc"
+    html4excel: bool = False
 
     @property
     def is_english(self) -> bool:
@@ -117,6 +121,33 @@ def doc_pages(doc: dict) -> list[Page]:
                 lt["page_number"] = pn
             pages.append(page)
     return pages
+
+
+def plain_pdf_lines(doc: dict) -> list[str]:
+    """The "Plain Text" pdf path: raw text-layer lines, no layout model
+    (reference PlainParser, pdf_parser.py:1243-1269 — pypdf
+    ``extract_text`` per page split on newlines)."""
+    lines: list[str] = []
+    for page in doc_pages(doc):
+        for b in page.boxes:
+            if b.get("text"):
+                lines.append(b["text"])
+    return lines
+
+
+def doc_sheets(doc: dict) -> list[dict]:
+    """Sheet payloads of an excel-family document."""
+    import json as _json
+
+    for s in sorted(doc["spans"], key=lambda x: x["offset"]):
+        if s["kind"] == "text" and s["text"].startswith("{"):
+            try:
+                payload = _json.loads(s["text"])
+            except _json.JSONDecodeError:
+                continue
+            if "sheets" in payload:
+                return payload["sheets"]
+    return []
 
 
 def build_doc_boxes(doc: dict, drop: bool = True) -> DocBoxes:

@@ -96,9 +96,14 @@ def chunk_laws(doc: dict, cfg: ChunkConfig) -> list[dict]:
         return out.to_dicts()
 
     if fmt == "pdf":
-        boxes = build_doc_boxes(doc, drop=True)
-        boxes.merge_vertical()
-        sections = [b["text"] + boxes.line_tag(b) for b in boxes.boxes]
+        if cfg.layout_mode == "plain":
+            from .common import plain_pdf_lines
+
+            sections = [ln for ln in plain_pdf_lines(doc) if ln]
+        else:
+            boxes = build_doc_boxes(doc, drop=True)
+            boxes.merge_vertical()
+            sections = [b["text"] + boxes.line_tag(b) for b in boxes.boxes]
     elif fmt == "html":
         sections = [s for s in parse_html(doc_text(doc)) if s]
     else:  # txt

@@ -17,7 +17,10 @@ first then text chunks.  Format-specific paths:
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from ..parsers.docxlike import combine_refs, parse_docx_spans
+from ..parsers.excel import sheet_rows_to_html, sheet_rows_to_lines
 from ..parsers.html import parse_html
 from ..parsers.jsonp import parse_json
 from ..parsers.markdown import parse_markdown
@@ -25,7 +28,14 @@ from ..parsers.txt import parse_txt
 from ..text.delimiters import full_match_regex, split_regex
 from ..text.merge import greedy_merge
 from ..text.tokens import token_count
-from .common import ChunkConfig, SpanEmitter, build_doc_boxes, doc_text
+from .common import (
+    ChunkConfig,
+    SpanEmitter,
+    build_doc_boxes,
+    doc_sheets,
+    doc_text,
+    plain_pdf_lines,
+)
 
 
 def _merge_with_refs(
@@ -75,6 +85,13 @@ def chunk_naive(doc: dict, cfg: ChunkConfig) -> list[dict]:
         return out.to_dicts()
 
     if fmt == "pdf":
+        if cfg.layout_mode == "plain":
+            sections = [(ln, "") for ln in plain_pdf_lines(doc)]
+            chunks = greedy_merge(
+                sections, cfg.chunk_token_num, cfg.delimiter, cfg.overlapped_percent
+            )
+            out.emit_text_chunks(chunks)
+            return out.to_dicts()
         boxes = build_doc_boxes(doc, drop=True)
         boxes.run_table_structure()
         boxes.merge_horizontal()
@@ -86,6 +103,19 @@ def chunk_naive(doc: dict, cfg: ChunkConfig) -> list[dict]:
             sections, cfg.chunk_token_num, cfg.delimiter, cfg.overlapped_percent
         )
         out.emit_text_chunks(chunks, strip_tags=True)
+        return out.to_dicts()
+
+    if fmt == "excel":
+        sheets = doc_sheets(doc)
+        if cfg.html4excel:
+            sections = [(t, "") for t in sheet_rows_to_html(sheets, 12) if t]
+        else:
+            sections = [(t, "") for t in sheet_rows_to_lines(sheets) if t]
+        # reference bumps the budget so each row-line stays whole
+        # (rag/app/naive.py:493)
+        cfg = replace(cfg, chunk_token_num=12800)
+        chunks = greedy_merge(sections, cfg.chunk_token_num, cfg.delimiter)
+        out.emit_text_chunks(chunks)
         return out.to_dicts()
 
     if fmt == "markdown":

@@ -39,6 +39,11 @@ def chunk_one(doc: dict, cfg: ChunkConfig) -> list[dict]:
         lines, tables = parse_docx_spans(doc["spans"], doc["doc_id"])
         sections = [t for t, _ in lines if t]
         sections.extend(tables)
+    elif fmt == "excel":
+        from ..parsers.excel import sheet_rows_to_html
+        from .common import doc_sheets
+
+        sections = sheet_rows_to_html(doc_sheets(doc), 1_000_000_000)
     elif fmt == "html":
         sections = [s for s in parse_html(doc_text(doc)) if s]
     else:

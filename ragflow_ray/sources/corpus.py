@@ -74,7 +74,7 @@ _ZH_CHARS = "æ•°æ®æµåˆå¹¶æŽ’åºè¡¨æ‰«æè¿‡æ»¤çª—å£æ‰¹å‘é‡æŸ¥è¯¢è¿žæŽ¥ç»„é
 FAMILIES = (
     "html", "txt", "markdown", "json", "book_txt", "laws_txt",
     "paper_pdf", "book_pdf", "docx", "qa_txt", "table_tsv", "slides",
-    "manual_pdf",
+    "manual_pdf", "excel",
 )
 
 _FMT = {
@@ -82,12 +82,14 @@ _FMT = {
     "book_txt": "txt", "laws_txt": "txt", "paper_pdf": "pdf",
     "book_pdf": "pdf", "docx": "docx", "qa_txt": "txt",
     "table_tsv": "txt", "slides": "slides", "manual_pdf": "pdf",
+    "excel": "excel",
 }
 _TEMPLATE = {
     "html": "naive", "txt": "naive", "markdown": "naive", "json": "naive",
     "book_txt": "book", "laws_txt": "laws", "paper_pdf": "paper",
     "book_pdf": "book", "docx": "naive", "qa_txt": "qa",
     "table_tsv": "table", "slides": "presentation", "manual_pdf": "manual",
+    "excel": "naive",
 }
 
 
@@ -431,6 +433,18 @@ def _gen_table_tsv(r: random.Random, doc_id: str) -> list[dict]:
     return [_span("text", "\n".join(lines), "", 0)]
 
 
+def _gen_excel(r: random.Random, doc_id: str) -> list[dict]:
+    sheets = []
+    for sname in ["Data", r.choice(["metrics", "Sheet2", "totals"])]:
+        headers = r.sample(_WORDS, 4)
+        rows = [headers]
+        for _ in range(r.randint(3, 10)):
+            rows.append([r.choice(_WORDS), str(r.randint(0, 999)),
+                         str(r.randint(0, 99)), _sentence(r, 4)])
+        sheets.append({"name": sname, "rows": rows})
+    return [_span("text", json.dumps({"sheets": sheets}, ensure_ascii=False), "", 0)]
+
+
 def _gen_slides(r: random.Random, doc_id: str) -> list[dict]:
     spans = []
     for pn in range(1, r.randint(3, 8)):
@@ -456,6 +470,7 @@ _GENERATORS = {
     "table_tsv": _gen_table_tsv,
     "slides": _gen_slides,
     "manual_pdf": _gen_paper_pdf,  # manual runs over paper-style pages
+    "excel": _gen_excel,
 }
 
 

@@ -95,3 +95,42 @@ class TestPresentation:
         spans = chunk_document(doc, "presentation")
         n_pages = len([s for s in doc["spans"] if s["kind"] == "media"])
         assert len(spans) == n_pages
+
+
+class TestExcel:
+    def test_row_lines(self):
+        doc = generate_document("excel", 0)
+        spans = chunk_document(doc, "naive")
+        assert spans
+        assert "：" in spans[0]["text"]
+
+    def test_html4excel(self):
+        doc = generate_document("excel", 0)
+        spans = chunk_document(doc, "naive", ChunkConfig(html4excel=True))
+        assert spans and spans[0]["text"].startswith("<table><caption>")
+
+    def test_one_template(self):
+        doc = generate_document("excel", 0)
+        spans = chunk_document(doc, "one")
+        assert len(spans) == 1 and "<table>" in spans[0]["text"]
+
+
+class TestPlainLayoutMode:
+    def test_naive_plain_keeps_header_footer(self):
+        # PlainParser has no layout model: garbage survives by design
+        doc = generate_document("paper_pdf", 0)
+        spans = chunk_document(doc, "naive", ChunkConfig(layout_mode="plain"))
+        joined = "\n".join(s["text"] for s in spans)
+        assert "proc of synthetic conf" in joined
+
+    def test_book_laws_plain_run(self):
+        doc = generate_document("book_pdf", 0)
+        for t in ("book", "laws"):
+            spans = chunk_document(doc, t, ChunkConfig(layout_mode="plain"))
+            assert spans
+
+    def test_deepdoc_vs_plain_differ(self):
+        doc = generate_document("paper_pdf", 0)
+        a = chunk_document(doc, "naive")
+        b = chunk_document(doc, "naive", ChunkConfig(layout_mode="plain"))
+        assert a != b
