@@ -77,7 +77,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
         "event_type_stats": relational.event_type_stats,
+        "events_hourly": relational.events_hourly,
         "user_sessions": relational.user_sessions,
+        "nation_customer_counts": relational.nation_customer_counts,
+        "part_type_stats": relational.part_type_stats,
+        # --- pdf text-block assembly (rows-only; pdf_parser.__call__ path) ---
+        "pdf_text_blocks": extract_queries.pdf_text_blocks,
         # --- extraction (roundtrip-oracled) ---
         "txt_chunk_roundtrip": lambda d: extract_queries.txt_chunk_roundtrip(d).to_pandas(),
         "html_extract_roundtrip": lambda d: extract_queries.html_extract_roundtrip(d).to_pandas(),
@@ -199,6 +204,28 @@ def oracle_sql() -> dict[str, str]:
                    MIN(user_id)::BIGINT AS min_user,
                    MAX(user_id)::BIGINT AS max_user
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   event_type,
+                   COUNT(*)::BIGINT AS n_events,
+                   SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_value_micros
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "nation_customer_counts": """
+            SELECT c.c_nationkey::BIGINT AS c_nationkey,
+                   n.n_name,
+                   COUNT(*)::BIGINT AS n_customers,
+                   SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT))::BIGINT AS sum_acctbal_cents
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "part_type_stats": """
+            SELECT p_type,
+                   COUNT(*)::BIGINT AS n_parts,
+                   MAX(p_size)::BIGINT AS max_size,
+                   SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_price_cents
+            FROM part GROUP BY 1 ORDER BY 1
         """,
         "user_sessions": """
             SELECT user_id::BIGINT AS user_id,

@@ -99,6 +99,18 @@ def run_bench() -> dict:
         f"({n_docs / extract_sec:.1f} docs/s)")
 
     queries = {}
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        ray.shutdown()
+        return {
+            "metric": "extract_sec",
+            "value": round(extract_sec, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": os.path.basename(os.path.normpath(SF_DIR)),
+            "num_cpus": NUM_CPUS,
+            "corpus_docs": n_docs,
+            "docs_per_sec": round(n_docs / extract_sec, 2),
+        }
     from ragflow_ray.ops import ann, dedup, relational, textstats
     from ragflow_ray.ops.extract_queries import html_extract_roundtrip
 
@@ -149,7 +161,7 @@ def run_scaling() -> None:
     from statistics import median
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

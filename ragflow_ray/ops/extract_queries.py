@@ -82,6 +82,46 @@ def html_extract_roundtrip(sf_dir: str):
     return _docs(sf_dir).map_batches(run, batch_format="pandas").sort("doc_id")
 
 
+def pdf_text_blocks(sf_dir: str):
+    """The generic ``RAGFlowPdfParser.__call__`` path
+    (pdf_parser.py:1131-1140): layout → tables → horizontal merge →
+    Y-sort → TOC drop → table extraction → reading-order DFS block
+    assembly.  Returns per-doc block text stats (rows-only check;
+    exactness covered by pytest)."""
+    import ray.data as rd
+
+    from ..chunkers.common import build_doc_boxes
+    from ..sources.corpus import corpus_table, generate_corpus
+
+    n = max(36, _sf_doc_count(sf_dir) // 10)
+    docs = [d for d in generate_corpus(n) if d["fmt"] == "pdf"]
+    ds = rd.from_arrow(corpus_table(docs))
+
+    def run(batch):
+        import pyarrow as pa
+
+        rows = []
+        for doc in batch.to_pylist():
+            boxes = build_doc_boxes(doc, drop=True)
+            boxes.run_table_structure()
+            boxes.merge_horizontal()
+            boxes.sort_reading_order()
+            boxes.drop_toc_pages()
+            boxes.extract_tables_figures(need_figures=True, return_html=True)
+            text = boxes.assemble_text_blocks()
+            rows.append(
+                {
+                    "doc_id": doc["doc_id"],
+                    "n_blocks": len([b for b in text.split("\n\n") if b]),
+                    "n_chars": len(text),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    df = ds.map_batches(run, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _sf_doc_count(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 

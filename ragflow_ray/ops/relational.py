@@ -148,6 +148,119 @@ def event_type_stats(sf_dir: str):
     return df
 
 
+def nation_customer_counts(sf_dir: str):
+    """Customers per nation (name via broadcast of the tiny nation
+    dimension), with account-balance cents total."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": batch["c_nationkey"],
+                "acctbal_cents": _cents(batch["c_acctbal"]),
+            }
+        )
+
+    per_nation = cust.map_batches(to_cents, batch_format="pandas").groupby(
+        "c_nationkey"
+    ).aggregate(
+        Count(alias_name="n_customers"),
+        Sum("acctbal_cents", alias_name="sum_acctbal_cents"),
+    )
+
+    nations = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    ref = ray.put(dict(zip(nations["n_nationkey"], nations["n_name"])))
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(ref)
+        batch = batch.copy()
+        batch["n_name"] = batch["c_nationkey"].map(names)
+        return batch
+
+    df = per_nation.map_batches(attach, batch_format="pandas").sort("c_nationkey").to_pandas()
+    df["c_nationkey"] = df["c_nationkey"].astype("int64")
+    df["n_customers"] = df["n_customers"].astype("int64")
+    df["sum_acctbal_cents"] = df["sum_acctbal_cents"].astype("int64")
+    return df[["c_nationkey", "n_name", "n_customers", "sum_acctbal_cents"]]
+
+
+def part_type_stats(sf_dir: str):
+    """Parts per type: count, max size, retail-price cents total."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_type", "p_size", "p_retailprice"]
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_type": batch["p_type"],
+                "p_size": batch["p_size"].astype("int64"),
+                "price_cents": _cents(batch["p_retailprice"]),
+            }
+        )
+
+    df = (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("p_type")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Max("p_size", alias_name="max_size"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+        )
+        .sort("p_type")
+        .to_pandas()
+    )
+    for c in ("n_parts", "max_size", "sum_price_cents"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling one-hour window counts per event type — the
+    streaming-shaped aggregate expressed as a groupby over truncated
+    timestamps."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour": batch["ts"].dt.floor("h"),
+                "event_type": batch["event_type"],
+                "value_micros": _cents(batch["value"], 1_000_000),
+            }
+        )
+
+    df = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["hour", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_micros", alias_name="sum_value_micros"),
+        )
+        .sort(["hour", "event_type"])
+        .to_pandas()
+    )
+    df["hour"] = df["hour"].astype("datetime64[us]")
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value_micros"] = df["sum_value_micros"].astype("int64")
+    return df
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user event count and session count with a
     30-minute inactivity gap — ``groupby(user).map_groups`` over
