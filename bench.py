@@ -69,9 +69,17 @@ def run_bench() -> dict:
     # the shape a production run has
     tag = os.path.basename(os.path.normpath(SF_DIR))
     corpus_dir = f"/tmp/graft_bench_corpus/{tag}-{n_docs}"
-    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
-        log(f"preparing corpus at {corpus_dir} (untimed)")
-        corpus_dataset(n_docs, heavy_tail=0.01).write_parquet(corpus_dir)
+    if not os.path.isdir(os.path.join(corpus_dir, "light")):
+        log(f"preparing cost-partitioned corpus at {corpus_dir} (untimed)")
+        from ragflow_ray.stages.extract import HEAVY_PAGE_THRESHOLD
+
+        ds = corpus_dataset(n_docs, heavy_tail=0.01).materialize()
+        ds.filter(
+            expr=f"n_media <= {HEAVY_PAGE_THRESHOLD}"
+        ).write_parquet(os.path.join(corpus_dir, "light"))
+        ds.filter(
+            expr=f"n_media > {HEAVY_PAGE_THRESHOLD}"
+        ).write_parquet(os.path.join(corpus_dir, "heavy"))
 
     # stateless task pool: extraction state is module-level (compiled
     # regexes); Ray reuses warm worker processes across tasks. Pre-import

@@ -200,28 +200,47 @@ def extract_parquet(
 
     The reassembly ``groupby(doc_id)`` is an all-to-all exchange; at
     corpus scale it must only touch the ~1% of documents that are big
-    enough to split.  Routing happens *at the read* via a parquet
-    predicate on the precomputed ``n_media`` column (row-group
-    pushdown):
+    enough to split:
 
     * light docs  (n_media <= threshold) → extract, NO shuffle;
     * heavy docs  (n_media  > threshold) → page-range split → extract
       → per-doc reassembly groupby over that small subset only;
     * the two branches union (no barrier).
+
+    Routing prefers a corpus partitioned by cost class at ingest
+    (``{corpus}/light/``, ``{corpus}/heavy/`` — each branch reads only
+    its own files, real IO pruning).  An unpartitioned corpus falls
+    back to ``n_media`` read filters, which keep the semantics but
+    decode every row group that mixes cost classes — at 100 TB,
+    partition at ingest.
     """
+    import os
+
     import pyarrow.compute as pc
     import ray.data as rd
 
-    light = rd.read_parquet(
-        corpus_dir, filter=(pc.field("n_media") <= HEAVY_PAGE_THRESHOLD)
-    )
-    heavy = rd.read_parquet(
-        corpus_dir, filter=(pc.field("n_media") > HEAVY_PAGE_THRESHOLD)
-    )
+    light_dir = os.path.join(corpus_dir, "light")
+    heavy_dir = os.path.join(corpus_dir, "heavy")
+    if os.path.isdir(light_dir):
+        light = rd.read_parquet(light_dir)
+        has_heavy = os.path.isdir(heavy_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(heavy_dir)
+        )
+        heavy = rd.read_parquet(heavy_dir) if has_heavy else None
+    else:
+        light = rd.read_parquet(
+            corpus_dir, filter=(pc.field("n_media") <= HEAVY_PAGE_THRESHOLD)
+        )
+        heavy = rd.read_parquet(
+            corpus_dir, filter=(pc.field("n_media") > HEAVY_PAGE_THRESHOLD)
+        )
+
     light_out = extract_dataset(
         light, template, cfg, concurrency=concurrency,
         batch_size=batch_size, split_heavy=False,
     )
+    if heavy is None:
+        return light_out
     heavy_out = extract_dataset(
         heavy, template, cfg, concurrency=concurrency,
         batch_size=max(2, batch_size // 4), split_heavy=True,
