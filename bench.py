@@ -159,6 +159,32 @@ def run_bench() -> dict:
     }
 
 
+def _burn(_):
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    return s
+
+
+def hw_ceiling(lo: int, hi: int, tasks: int = 64) -> float:
+    """The machine's own lo→hi process-scaling ratio measured with a
+    pure-CPU burn (no Ray).  On this shared VM, CPU delivery
+    fluctuates; sampling the ceiling in the same window as the engine
+    runs lets efficiency be reported against what the hardware
+    actually offered."""
+    import time
+    from concurrent.futures import ProcessPoolExecutor
+
+    def tput(workers: int) -> float:
+        t0 = time.time()
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(_burn, range(tasks)))
+        return tasks / (time.time() - t0)
+
+    t_lo, t_hi = tput(lo), tput(hi)
+    return (t_hi / t_lo) / (hi / lo)
+
+
 def run_scaling() -> None:
     """Same job, fresh processes, two parallelism levels (N vs 4N CPUs
     standing in for N vs 4N nodes).  Default 4→16 stays within the
@@ -179,11 +205,17 @@ def run_scaling() -> None:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
-    runs_lo = [run(lo) for _ in range(reps)]
-    runs_hi = [run(hi) for _ in range(reps)]
+    # interleave engine runs with hardware-ceiling samples so both see
+    # the same contention window
+    runs_lo, runs_hi, ceilings = [], [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+        ceilings.append(hw_ceiling(lo, hi))
     tput_lo = median(r["docs_per_sec"] for r in runs_lo)
     tput_hi = median(r["docs_per_sec"] for r in runs_hi)
     eff = tput_hi / (tput_lo * (hi / lo))
+    hw = median(ceilings)
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -195,6 +227,8 @@ def run_scaling() -> None:
         "sec_hi": median(r["value"] for r in runs_hi),
         "docs_per_sec_lo": tput_lo,
         "docs_per_sec_hi": tput_hi,
+        "hw_ceiling": round(hw, 3),
+        "efficiency_vs_hw": round(min(1.0, eff / hw) if hw > 0 else 0.0, 3),
         "sf": runs_lo[0]["sf"],
     }))
 

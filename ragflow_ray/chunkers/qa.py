@@ -97,13 +97,97 @@ def qa_pairs_from_markdown(lines: list[str]) -> list[tuple[str, str]]:
     return pairs
 
 
+def qa_pairs_from_pdf(doc: dict) -> tuple[list[tuple[str, str]], list]:
+    """Question-bullet segmentation over the box pipeline (qa.Pdf,
+    qa.py:77-170): keep headers/footers (drop=False), detect the
+    question-numbering family, then walk boxes accumulating answers,
+    splicing table text in position order.
+
+    Raises ``ValueError`` when no Q&A structure is recognizable (the
+    reference behavior).
+    """
+    from ..text.qbullets import has_qbullet, qbullets_category
+    from .common import build_doc_boxes
+
+    boxes = build_doc_boxes(doc, drop=False)
+    boxes.run_table_structure()
+    boxes.merge_horizontal()
+    tbls = boxes.extract_tables_figures(need_figures=True, return_html=True)
+
+    sections = [b["text"] for b in boxes.boxes]
+    q_bull, reg = qbullets_category(sections)
+    if q_bull == -1:
+        raise ValueError("Unable to recognize Q&A structure.")
+
+    tbls = sorted(tbls, key=lambda el: (el[1][0][0], el[1][0][3]) if el[1] else (0, 0))
+
+    def tbl_info(idx: int):
+        if idx >= len(tbls):
+            return 1, 0.0, ""
+        (ref, content), poss = tbls[idx]
+        pn, _l, _r, top, _btm = poss[0]
+        text = content if isinstance(content, str) else "".join(content)
+        return pn + 1, top, text
+
+    pairs: list[tuple[str, str]] = []
+    last_q = last_a = ""
+    last_index = -1
+    last_box: dict = {"text": ""}
+    last_bull = None
+    bull_x0: list[float] = []
+    tbl_index = 0
+    last_pn, last_bottom = 0, 0.0
+    for box in boxes.boxes:
+        section = box["text"]
+        line_pn = box["page_number"]
+        line_top = box["top"] - boxes.page_cum_height[line_pn - 1]
+        bull, index = has_qbullet(reg, box, last_box, last_index, last_bull, bull_x0)
+        last_box, last_index, last_bull = box, index, bull
+        tbl_pn, tbl_top, tbl_text = tbl_info(tbl_index)
+
+        def table_due() -> bool:
+            after_last = (tbl_pn == last_pn and tbl_top >= last_bottom) or tbl_pn > last_pn
+            before_line = (tbl_pn == line_pn and tbl_top <= line_top) or tbl_pn < line_pn
+            return after_last and before_line
+
+        if not bull:
+            if not last_q:
+                if tbl_pn < line_pn or (tbl_pn == line_pn and tbl_top <= line_top):
+                    tbl_index += 1
+                continue
+            addition = section
+            while table_due():
+                addition = f"{tbl_text}{addition}"
+                tbl_index += 1
+                tbl_pn, tbl_top, tbl_text = tbl_info(tbl_index)
+            last_a = f"{last_a}{addition}"
+        else:
+            if last_q:
+                while table_due():
+                    last_a = f"{last_a}{tbl_text}"
+                    tbl_index += 1
+                    tbl_pn, tbl_top, tbl_text = tbl_info(tbl_index)
+                pairs.append((last_q, last_a))
+                last_q = last_a = ""
+            last_q = bull.group()
+            last_a = section[bull.span()[1] :]
+        last_bottom = box["bottom"] - boxes.page_cum_height[line_pn - 1]
+        last_pn = line_pn
+    if last_q:
+        pairs.append((last_q, last_a))
+    return pairs, tbls
+
+
 def chunk_qa(doc: dict, cfg: ChunkConfig) -> list[dict]:
     fmt = doc.get("fmt", "txt")
-    lines = doc_text(doc).split("\n")
-    if fmt == "markdown":
-        pairs = qa_pairs_from_markdown(lines)
+    if fmt == "pdf":
+        pairs, _tbls = qa_pairs_from_pdf(doc)
     else:
-        pairs = qa_pairs_from_lines(lines)
+        lines = doc_text(doc).split("\n")
+        if fmt == "markdown":
+            pairs = qa_pairs_from_markdown(lines)
+        else:
+            pairs = qa_pairs_from_lines(lines)
     out = SpanEmitter()
     for q, a in pairs:
         out.emit("qa", format_pair(q, a, cfg.is_english))

@@ -134,3 +134,68 @@ class TestPlainLayoutMode:
         a = chunk_document(doc, "naive")
         b = chunk_document(doc, "naive", ChunkConfig(layout_mode="plain"))
         assert a != b
+
+
+class TestQaPdf:
+    def _doc(self, n_questions=4):
+        import json
+
+        boxes, layouts = [], []
+        y = 50.0
+        for i in range(1, n_questions + 1):
+            boxes.append({"x0": 50, "x1": 400, "top": y, "bottom": y + 12,
+                          "text": f"{i}. What is topic {i}?"})
+            layouts.append({"type": "text", "score": .9, "x0": 45, "x1": 405,
+                            "top": y - 3, "bottom": y + 15})
+            y += 24
+            boxes.append({"x0": 70, "x1": 400, "top": y, "bottom": y + 12,
+                          "text": f"Answer body number {i}."})
+            layouts.append({"type": "text", "score": .9, "x0": 65, "x1": 405,
+                            "top": y - 3, "bottom": y + 15})
+            y += 24
+        payload = json.dumps({"page_no": 1, "width": 612, "height": 792,
+                              "boxes": boxes, "layouts": layouts, "tables": []})
+        return {"doc_id": "qa-pdf-t", "fmt": "pdf",
+                "spans": [{"kind": "media", "text": payload,
+                           "media_ref": "m", "offset": 0}]}
+
+    def test_pairs_extracted(self):
+        from ragflow_ray.chunkers.qa import qa_pairs_from_pdf
+
+        pairs, _ = qa_pairs_from_pdf(self._doc(4))
+        # reference quirk: the synthetic initial last_box adopts the
+        # first box's coords, so question 1 is always rejected by the
+        # indent heuristic (rag/nlp/__init__.py:96-103)
+        assert len(pairs) == 3
+        assert pairs[0][0].startswith("2.")
+        assert "Answer body number 2." in pairs[0][1]
+
+    def test_unrecognized_structure_raises(self):
+        import json
+
+        import pytest
+
+        from ragflow_ray.chunkers.qa import qa_pairs_from_pdf
+
+        payload = json.dumps({"page_no": 1, "width": 612, "height": 792,
+                              "boxes": [{"x0": 50, "x1": 400, "top": 50,
+                                         "bottom": 62, "text": "plain text"}],
+                              "layouts": [{"type": "text", "score": .9, "x0": 45,
+                                           "x1": 405, "top": 47, "bottom": 65}],
+                              "tables": []})
+        doc = {"doc_id": "x", "fmt": "pdf",
+               "spans": [{"kind": "media", "text": payload, "media_ref": "m",
+                          "offset": 0}]}
+        with pytest.raises(ValueError):
+            qa_pairs_from_pdf(doc)
+
+
+class TestNumbers:
+    def test_index_int_chain(self):
+        from ragflow_ray.text.numbers import index_int
+
+        assert index_int("17") == 17
+        assert index_int("SEVEN") == 7
+        assert index_int("二十一") == 21
+        assert index_int("XIV") == 14
+        assert index_int("junk") == -1
