@@ -145,67 +145,74 @@ class MinHasher:
         )
 
 
-def _verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, Jaccard-verified
-    (shingle sets computed once per doc, not per pair)."""
-    docs = sorted(set(zip(group["doc_id"], group["text"])))
-    shingles = [set(_shingle_hashes(t).tolist()) for _, t in docs]
-    out = []
-    for i in range(len(docs)):
-        si = shingles[i]
-        for j in range(i + 1, len(docs)):
-            sj = shingles[j]
-            inter = len(si & sj)
-            union = len(si | sj) or 1
-            jac = inter / union
-            if jac >= 0.8:
-                out.append((docs[i][0], docs[j][0], round(jac, 4)))
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (doc ids only — text is
+    not shipped through the shuffle)."""
+    ids = sorted(set(group["doc_id"]))
+    out = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
     if not out:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+                             "doc_b": pd.Series([], dtype="int64")})
+    return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
 
-def minhash_near_dups(sf_dir: str, concurrency=None):
-    """MinHash-LSH near-duplicate pairs (Jaccard ≥ 0.8), deduped."""
+def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 0.8):
+    """MinHash-LSH near-duplicate pairs (Jaccard ≥ threshold).
+
+    Shuffle discipline: only (band_id, band_hash, doc_id) rows move in
+    the LSH groupby; candidate pairs (few) dedupe in a second tiny
+    groupby; the text lookup for exact Jaccard verification is a
+    broadcast into the final small map_batches.  At corpus scale the
+    broadcast becomes a hash-partitioned join of the candidate ids
+    back to the documents table — candidates, not the corpus, are the
+    shuffled payload either way.
+    """
+    import ray
     import ray.data as rd
+    from ray.data.aggregate import Count
 
     docs = _docs(sf_dir)
     bands = docs.map_batches(
         MinHasher, batch_format="pandas", concurrency=concurrency or 2
     )
-    # re-attach text for in-bucket verification; the doc→text mapping is
-    # the small side at test scale, so broadcast it (ray.put once) —
-    # at corpus scale swap for a hash-partitioned Dataset.join on doc_id
-    joined = _join_fallback(bands, docs)
-    pairs = joined.groupby(["band_id", "band_hash"]).map_groups(
-        _verify_bucket, batch_format="pandas"
+    candidates = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
     )
-    # same pair can surface from several bands — dedup
-    from ray.data.aggregate import Max
+    unique_pairs = candidates.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands")
+    )
 
-    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
-    return out.sort(["doc_a", "doc_b"])
-
-
-def _join_fallback(bands, docs):
-    """Portable hash join: broadcast the doc→text mapping (small side)
-    into a map_batches lookup."""
-    import ray
-
-    texts = {}
+    texts: dict = {}
     for b in docs.iter_batches(batch_format="pandas"):
         texts.update(zip(b["doc_id"], b["text"]))
     ref = ray.put(texts)
 
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(ref)
-        batch = batch.copy()
-        batch["text"] = batch["doc_id"].map(lookup)
-        return batch
+        cache: dict[int, set] = {}
 
-    return bands.map_batches(attach, batch_format="pandas")
+        def sh(doc_id):
+            s = cache.get(doc_id)
+            if s is None:
+                s = set(_shingle_hashes(lookup[doc_id]).tolist())
+                cache[doc_id] = s
+            return s
+
+        rows = []
+        for a, b_ in zip(batch["doc_a"], batch["doc_b"]):
+            sa, sb = sh(a), sh(b_)
+            union = len(sa | sb) or 1
+            jac = len(sa & sb) / union
+            if jac >= jaccard_threshold:
+                rows.append((a, b_, round(jac, 4)))
+        if not rows:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    out = unique_pairs.map_batches(verify, batch_format="pandas")
+    return out.sort(["doc_a", "doc_b"])
 
 
 # -- SimHash -------------------------------------------------------------
