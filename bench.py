@@ -122,16 +122,18 @@ def run_bench() -> dict:
     from ragflow_ray.ops import ann, dedup, relational, textstats
     from ragflow_ray.ops.extract_queries import html_extract_roundtrip
 
+    # sketch/scoring stages are light: a small actor pool amortizes
+    # setup without paying 30-actor spin-up for seconds of work
+    pool = (2, min(8, max(2, NUM_CPUS // 2)))
     bench_queries = {
         "token_stats": textstats.token_stats,
         "fingerprints": lambda d: textstats.fingerprints(d).to_pandas(),
         "exact_dedup": dedup.exact_dedup,
         "minhash_near_dups": lambda d: dedup.minhash_near_dups(
-            d, concurrency=max(2, NUM_CPUS - 2)).count(),
+            d, concurrency=pool).count(),
         "simhash_near_dups": lambda d: dedup.simhash_near_dups(
-            d, concurrency=max(2, NUM_CPUS - 2)).count(),
-        "ann_topk": lambda d: ann.brute_force_topk(
-            d, concurrency=max(2, NUM_CPUS - 2)),
+            d, concurrency=pool).count(),
+        "ann_topk": lambda d: ann.brute_force_topk(d, concurrency=pool),
         "pricing_summary": relational.pricing_summary,
         "user_sessions": relational.user_sessions,
         "html_extract_roundtrip": lambda d: html_extract_roundtrip(d).count(),
