@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for core invariants."""
+
+import json
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ragflow_ray.parsers.jsonp import parse_json
+from ragflow_ray.parsers.txt import parse_txt
+from ragflow_ray.text.delimiters import split_dropping_delimiters
+from ragflow_ray.text.merge import greedy_merge
+from ragflow_ray.text.tokens import token_count, truncate_tokens
+
+TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Zs"), include_characters="\n。；！？"
+    ),
+    max_size=300,
+)
+
+
+class TestTokenCount:
+    @given(TEXT)
+    def test_non_negative(self, s):
+        assert token_count(s) >= 0
+
+    @given(TEXT, TEXT)
+    def test_subadditive(self, a, b):
+        assert token_count(a + b) <= token_count(a) + token_count(b)
+
+    @given(TEXT)
+    def test_deterministic(self, s):
+        assert token_count(s) == token_count(s)
+
+    @given(TEXT, st.integers(min_value=0, max_value=50))
+    def test_truncate_respects_budget(self, s, k):
+        t = truncate_tokens(s, k)
+        assert token_count(t) <= k
+        assert s.startswith(t)
+
+
+class TestDelimiterSplit:
+    @given(TEXT)
+    def test_roundtrip_minus_delimiters(self, s):
+        delims = "\n。；！？"
+        joined = "".join(split_dropping_delimiters(s, delims))
+        assert joined == re.sub(f"[{delims}]", "", s)
+
+    @given(TEXT)
+    def test_fragments_contain_no_delimiters(self, s):
+        for frag in split_dropping_delimiters(s, "\n。"):
+            # single-char delimiters never survive inside fragments
+            assert "\n" not in frag and "。" not in frag
+
+
+class TestTxtParser:
+    @given(TEXT, st.integers(min_value=1, max_value=64))
+    def test_roundtrip(self, s, budget):
+        out = parse_txt(s, budget, "\n!?;。；！？")
+        assert "".join(out) == re.sub(r"[\n!?;。；！？]", "", s)
+
+
+class TestGreedyMerge:
+    @given(st.lists(TEXT, max_size=12), st.integers(min_value=8, max_value=256))
+    def test_roundtrip_without_tags(self, sections, budget):
+        """With no position tags, concatenated chunks == concatenated
+        sections minus the delimiters removed by oversized splits."""
+        pairs = [(s, "") for s in sections]
+        chunks = greedy_merge(pairs, budget, "\n。；！？")
+        joined = "".join(chunks)
+        # sections under budget keep their delimiters; oversized ones
+        # lose them — joined text is the input with a subset of
+        # delimiter chars removed
+        original = "".join(sections)
+        assert re.sub(r"[\n。；！？]", "", joined) == re.sub(r"[\n。；！？]", "", original)
+
+    @given(st.lists(TEXT, min_size=1, max_size=12))
+    def test_leading_seed_chunk(self, sections):
+        chunks = greedy_merge([(s, "") for s in sections], 128)
+        assert chunks[0] == ""
+
+
+class TestJsonParser:
+    @given(
+        st.dictionaries(
+            st.text(min_size=1, max_size=8),
+            st.recursive(
+                st.one_of(st.integers(), st.text(max_size=20), st.booleans()),
+                lambda inner: st.lists(inner, max_size=4)
+                | st.dictionaries(st.text(min_size=1, max_size=6), inner, max_size=4),
+                max_leaves=12,
+            ),
+            max_size=6,
+        )
+    )
+    @settings(max_examples=40)
+    def test_chunks_merge_back(self, obj):
+        out = parse_json(json.dumps(obj), max_chunk_size=200)
+        if not obj:
+            assert out == []
+            return
+
+        def listify(data):
+            if isinstance(data, dict):
+                return {k: listify(v) for k, v in data.items()}
+            if isinstance(data, list):
+                return {str(i): listify(v) for i, v in enumerate(data)}
+            return data
+
+        def deep_merge(dst, src):
+            for k, v in src.items():
+                if k in dst and isinstance(dst[k], dict) and isinstance(v, dict):
+                    deep_merge(dst[k], v)
+                else:
+                    dst[k] = v
+
+        merged: dict = {}
+        for c in out:
+            deep_merge(merged, json.loads(c))
+        assert merged == listify(obj)
