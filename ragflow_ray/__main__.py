@@ -1,0 +1,134 @@
+"""Job entrypoints: ``python -m ragflow_ray <command>``.
+
+Designed as the ``ray job submit`` driver script
+(``ray job submit --working-dir . -- python -m ragflow_ray extract ...``).
+On a cluster, drop ``--address local``; in this sandbox everything
+runs against a local session.
+
+Commands:
+
+    synth    write a deterministic interleaved corpus (cost-partitioned)
+    extract  resumable partitioned extraction corpus → span parquet
+    show     print a few extracted documents from an output partition
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_synth(args: argparse.Namespace) -> None:
+    import os
+
+    _init_ray(args.num_cpus)
+    from .pipelines.flagship import corpus_dataset
+    from .stages.extract import HEAVY_PAGE_THRESHOLD
+
+    ds = corpus_dataset(args.n_docs, seed=args.seed, heavy_tail=args.heavy_tail)
+    ds = ds.materialize()
+    ds.filter(expr=f"n_media <= {HEAVY_PAGE_THRESHOLD}").write_parquet(
+        os.path.join(args.out, "light")
+    )
+    ds.filter(expr=f"n_media > {HEAVY_PAGE_THRESHOLD}").write_parquet(
+        os.path.join(args.out, "heavy")
+    )
+    print(json.dumps({"written": args.n_docs, "out": args.out}))
+
+
+def cmd_extract(args: argparse.Namespace) -> None:
+    _init_ray(args.num_cpus)
+    from .chunkers import ChunkConfig
+    from .state import run_partitioned_extract
+
+    cfg = ChunkConfig(
+        chunk_token_num=args.chunk_token_num,
+        delimiter=args.delimiter,
+        overlapped_percent=args.overlap,
+        lang=args.lang,
+        layout_mode=args.layout_mode,
+    )
+    summary = run_partitioned_extract(
+        args.corpus,
+        args.out,
+        template=args.template,
+        cfg=cfg,
+        batch_size=args.batch_size,
+        split_heavy=not args.no_split,
+    )
+    print(json.dumps(summary))
+
+
+def cmd_show(args: argparse.Namespace) -> None:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.path)
+    for row in ds.take(args.n):
+        spans = row["spans"]
+        print(f"== {row['doc_id']} [{row['template']}] {row['n_spans']} spans")
+        for s in list(spans)[: args.spans]:
+            text = s["text"][:100].replace("\n", "\\n")
+            print(f"   {s['order']:>3} {s['kind']:<8} {s['media_ref'] or '-':<28} {text}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(prog="ragflow_ray")
+    parser.add_argument("--num-cpus", type=int, default=None)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("synth", help="write a synthetic interleaved corpus")
+    p.add_argument("out")
+    p.add_argument("--n-docs", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--heavy-tail", type=float, default=0.01)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("extract", help="resumable partitioned extraction")
+    p.add_argument("corpus")
+    p.add_argument("out")
+    p.add_argument("--template", default=None,
+                   help="force one template (default: per-doc template column)")
+    p.add_argument("--chunk-token-num", type=int, default=128)
+    p.add_argument("--delimiter", default="\n!?。；！？")
+    p.add_argument("--overlap", type=int, default=0)
+    p.add_argument("--lang", default="English")
+    p.add_argument("--layout-mode", default="deepdoc", choices=["deepdoc", "plain"])
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--no-split", action="store_true",
+                   help="disable heavy-doc page-range splitting")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("show", help="inspect extracted output")
+    p.add_argument("path")
+    p.add_argument("-n", type=int, default=3)
+    p.add_argument("--spans", type=int, default=8)
+    p.set_defaults(fn=cmd_show)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

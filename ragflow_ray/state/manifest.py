@@ -37,6 +37,7 @@ class PartitionRecord:
     status: str = "pending"
     n_docs: int = 0
     n_spans: int = 0
+    n_errors: int = 0
     wall_sec: float = 0.0
     finished_at: float = 0.0
 
@@ -87,19 +88,31 @@ def run_partitioned_extract(
     manifest = Manifest(out_dir)
     done = manifest.completed()
 
-    files = sorted(
-        os.path.join(corpus_dir, f)
-        for f in os.listdir(corpus_dir)
-        if f.endswith(".parquet")
-    )
-    total_docs = total_spans = 0
+    def _list(d: str) -> list[str]:
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    # cost-partitioned corpus (light/ + heavy/) or flat directory
+    light_files = _list(os.path.join(corpus_dir, "light"))
+    if light_files:
+        files = [(p, False) for p in light_files] + [
+            (p, True) for p in _list(os.path.join(corpus_dir, "heavy"))
+        ]
+    else:
+        files = [(p, split_heavy) for p in _list(corpus_dir)]
+
+    total_docs = total_spans = total_errors = 0
     skipped = 0
-    for pid, path in enumerate(files):
+    for pid, (path, part_split_heavy) in enumerate(files):
         prior = done.get(pid)
         if prior and prior["digest"] == digest:
             skipped += 1
             total_docs += prior["n_docs"]
             total_spans += prior["n_spans"]
+            total_errors += prior.get("n_errors", 0)
             continue
         start = time.time()
         part_dir = os.path.join(out_dir, f"part-{pid:05d}")
@@ -110,20 +123,24 @@ def run_partitioned_extract(
         ds = rd.read_parquet(path)
         out = extract_dataset(
             ds, template, cfg, concurrency=concurrency,
-            batch_size=batch_size, split_heavy=split_heavy,
+            batch_size=batch_size, split_heavy=part_split_heavy,
         )
         out.write_parquet(tmp_dir)
         os.replace(tmp_dir, part_dir)
 
         import pyarrow.dataset as pads
+        import pyarrow.compute as pc
 
-        stats = pads.dataset(part_dir).to_table(columns=["n_spans"])
+        stats = pads.dataset(part_dir).to_table(columns=["n_spans", "error"])
         n_docs = stats.num_rows
-        n_spans = int(
-            sum(x.as_py() or 0 for x in stats.column("n_spans"))
+        n_spans = int(sum(x.as_py() or 0 for x in stats.column("n_spans")))
+        n_errors = int(
+            pc.sum(pc.cast(pc.not_equal(stats.column("error"), ""), "int64")).as_py()
+            or 0
         )
         total_docs += n_docs
         total_spans += n_spans
+        total_errors += n_errors
         manifest.append(
             PartitionRecord(
                 partition_id=pid,
@@ -132,6 +149,7 @@ def run_partitioned_extract(
                 status="done",
                 n_docs=n_docs,
                 n_spans=n_spans,
+                n_errors=n_errors,
                 wall_sec=time.time() - start,
                 finished_at=time.time(),
             )
@@ -141,5 +159,6 @@ def run_partitioned_extract(
         "skipped": skipped,
         "docs": total_docs,
         "spans": total_spans,
+        "errors": total_errors,
         "digest": digest,
     }
