@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": lambda d: textstats.fingerprints(d).to_pandas(),
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
+        "dedup_keepers": dedup.dedup_keepers,
         "token_set_dedup": dedup.token_set_dedup,
         "embedding_near_dups": dedup.embedding_near_dups,
         "minhash_near_dups": lambda d: dedup.minhash_near_dups(d).to_pandas(),
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
+        "label_vector_sums": ann.label_vector_sums,
         # --- multimodal plumbing ---
         "media_meta": media_meta,
         "media_features": media_features_full,
@@ -140,6 +142,19 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id)::BIGINT AS keeper_doc_id,
                    COUNT(*)::BIGINT AS n_copies
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "dedup_keepers": """
+            SELECT MIN(doc_id)::BIGINT AS doc_id
+            FROM documents GROUP BY md5(text) ORDER BY doc_id
+        """,
+        "label_vector_sums": """
+            WITH dims AS (SELECT UNNEST(range(1, 65)) AS d)
+            SELECT e.label::BIGINT AS label,
+                   (dims.d - 1)::BIGINT AS dim,
+                   SUM(CAST(FLOOR(CAST(e.embedding[dims.d] AS DOUBLE) * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_x1e6,
+                   COUNT(*)::BIGINT AS n_values
+            FROM embeddings e CROSS JOIN dims
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "token_set_dedup": """
             SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS token_set_hash,

@@ -90,6 +90,48 @@ def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=N
     return df[["q_vec_id", "vec_id", "rank"]].reset_index(drop=True)
 
 
+def label_vector_sums(sf_dir: str):
+    """Per-label element-wise vector aggregate: micro-scaled integer
+    sums per dimension (the exact form of a centroid computation that
+    a float-summation order cannot perturb) + member count."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        scaled = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+        n, dim = scaled.shape
+        # partial per-batch per-label sums — only (labels × dim) rows
+        # leave each batch
+        df = pd.DataFrame(
+            {
+                "label": np.repeat(batch["label"].to_numpy(), dim).astype("int64"),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), n),
+                "sum_x1e6": scaled.reshape(-1),
+                "n": np.repeat(1, n * dim).astype("int64"),
+            }
+        )
+        return df.groupby(["label", "dim"], as_index=False).agg(
+            sum_x1e6=("sum_x1e6", "sum"), n=("n", "sum")
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_x1e6", alias_name="sum_x1e6"), Sum("n", alias_name="n_values"))
+        .sort(["label", "dim"])
+        .to_pandas()
+    )
+    for c in ("label", "dim", "sum_x1e6", "n_values"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
              n_probe: int = 4, concurrency=None):
     """IVF approximate top-k: centroid list from a deterministic sample,

@@ -65,6 +65,28 @@ def exact_dedup(sf_dir: str):
     return df
 
 
+def dedup_keepers(sf_dir: str):
+    """The surviving document set after exact dedup: for every content
+    hash, the minimum doc_id (the rows a dedup *filter* would keep) —
+    hash-partitioned groupby, then the keeper ids sorted."""
+    import hashlib as _hashlib
+
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        digests = [
+            _hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"content_hash": pa.array(digests), "doc_id": batch["doc_id"]})
+
+    ds = _docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow")
+    out = ds.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    df = out.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
 # -- token-set signature -------------------------------------------------
 
 

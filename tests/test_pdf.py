@@ -200,3 +200,54 @@ class TestDocBoxes:
         doc.run_layouts()
         text = doc.assemble_text_blocks()
         assert "@@" in text and "##" in text
+
+
+class TestCrossPageTable:
+    def _doc(self):
+        """A table whose halves sit on adjacent pages (FIXTURES F7)."""
+        import json
+
+        from ragflow_ray.pdf.page_model import page_from_payload
+
+        def page(pn, rows, y0):
+            boxes, layouts, comps = [], [], []
+            layouts.append({"type": "table", "score": .9, "x0": 45, "x1": 355,
+                            "top": y0 - 5, "bottom": y0 + 16 * len(rows) + 5})
+            for ri, row in enumerate(rows):
+                comps.append({"label": "table row", "score": .9, "x0": 50,
+                              "x1": 350, "top": y0 + 16 * ri,
+                              "bottom": y0 + 16 * ri + 14})
+                for ci, cell in enumerate(row):
+                    boxes.append({"x0": 50 + 100 * ci, "x1": 140 + 100 * ci,
+                                  "top": y0 + 16 * ri + 1,
+                                  "bottom": y0 + 16 * ri + 13, "text": cell})
+            return {"page_no": pn, "width": 612, "height": 792,
+                    "boxes": boxes, "layouts": layouts, "tables": [comps]}
+
+        p1 = page(1, [["name", "qty"], ["alpha", "1"]], 760)   # bottom of page 1
+        p2 = page(2, [["beta", "2"], ["gamma", "3"]], 30)      # top of page 2
+        return [page_from_payload(json.dumps(p)) for p in (p1, p2)]
+
+    def test_halves_merge_into_one_table(self):
+        from ragflow_ray.pdf.boxpipe import DocBoxes
+
+        doc = DocBoxes("cross", self._doc(), is_english=True)
+        doc.run_layouts()
+        doc.run_table_structure()
+        doc.merge_horizontal()
+        tables = doc.extract_tables_figures(need_figures=True, return_html=True)
+        assert len(tables) == 1
+        (_ref, html), _poss = tables[0]
+        for cell in ("alpha", "beta", "gamma"):
+            assert cell in html
+
+
+class TestTwoColumnOrder:
+    def test_left_column_precedes_right(self):
+        from ragflow_ray.chunkers import chunk_document
+        from ragflow_ray.sources.corpus import generate_document
+
+        doc = generate_document("paper_pdf", 2)
+        spans = chunk_document(doc, "paper")
+        joined = "\n".join(s["text"] for s in spans if s["kind"] == "text")
+        assert joined  # two-column reorder produced readable text
