@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relational.top_customers,
         "event_type_stats": relational.event_type_stats,
         "events_hourly": relational.events_hourly,
+        "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
         "nation_customer_counts": relational.nation_customer_counts,
         "part_type_stats": relational.part_type_stats,
@@ -226,6 +227,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_events,
                    SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_value_micros
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "purchase_attribution": """
+            SELECT event_id::BIGINT AS event_id,
+                   user_id::BIGINT AS user_id,
+                   ts,
+                   last_click_ts
+            FROM (
+                SELECT event_id, user_id, ts, event_type,
+                       MAX(CASE WHEN event_type = 'click' THEN ts END)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS last_click_ts
+                FROM events)
+            WHERE event_type = 'purchase'
+            ORDER BY event_id
         """,
         "nation_customer_counts": """
             SELECT c.c_nationkey::BIGINT AS c_nationkey,

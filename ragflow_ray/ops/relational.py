@@ -261,6 +261,48 @@ def events_hourly(sf_dir: str):
     return df
 
 
+def purchase_attribution(sf_dir: str):
+    """As-of join within the events stream: for every purchase, the
+    timestamp of the same user's most recent *prior* click —
+    ``groupby(user).map_groups`` over ts-sorted groups with
+    ``pandas.merge_asof`` (the Ray Data as-of join pattern)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def attribute(group: pd.DataFrame) -> pd.DataFrame:
+        purchases = group[group["event_type"] == "purchase"].sort_values("ts")
+        clicks = group[group["event_type"] == "click"].sort_values("ts")
+        if purchases.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "last_click_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        merged = pd.merge_asof(
+            purchases[["event_id", "user_id", "ts"]],
+            clicks[["ts"]].rename(columns={"ts": "last_click_ts"}),
+            left_on="ts",
+            right_on="last_click_ts",
+            allow_exact_matches=False,
+        )
+        return merged[["event_id", "user_id", "ts", "last_click_ts"]]
+
+    df = ds.groupby("user_id").map_groups(attribute, batch_format="pandas").sort(
+        "event_id"
+    ).to_pandas()
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["last_click_ts"] = df["last_click_ts"].astype("datetime64[us]")
+    return df
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user event count and session count with a
     30-minute inactivity gap — ``groupby(user).map_groups`` over
