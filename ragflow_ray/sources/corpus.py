@@ -74,7 +74,7 @@ _ZH_CHARS = "æ•°æ®æµåˆå¹¶æŽ’åºè¡¨æ‰«æè¿‡æ»¤çª—å£æ‰¹å‘é‡æŸ¥è¯¢è¿žæŽ¥ç»„é
 FAMILIES = (
     "html", "txt", "markdown", "json", "book_txt", "laws_txt",
     "paper_pdf", "book_pdf", "docx", "qa_txt", "table_tsv", "slides",
-    "manual_pdf", "excel",
+    "manual_pdf", "excel", "qa_pdf",
 )
 
 _FMT = {
@@ -82,14 +82,14 @@ _FMT = {
     "book_txt": "txt", "laws_txt": "txt", "paper_pdf": "pdf",
     "book_pdf": "pdf", "docx": "docx", "qa_txt": "txt",
     "table_tsv": "txt", "slides": "slides", "manual_pdf": "pdf",
-    "excel": "excel",
+    "excel": "excel", "qa_pdf": "pdf",
 }
 _TEMPLATE = {
     "html": "naive", "txt": "naive", "markdown": "naive", "json": "naive",
     "book_txt": "book", "laws_txt": "laws", "paper_pdf": "paper",
     "book_pdf": "book", "docx": "naive", "qa_txt": "qa",
     "table_tsv": "table", "slides": "presentation", "manual_pdf": "manual",
-    "excel": "naive",
+    "excel": "naive", "qa_pdf": "qa",
 }
 
 
@@ -433,6 +433,32 @@ def _gen_table_tsv(r: random.Random, doc_id: str) -> list[dict]:
     return [_span("text", "\n".join(lines), "", 0)]
 
 
+def _gen_qa_pdf(r: random.Random, doc_id: str) -> list[dict]:
+    """Numbered-question pages: â‰¥24pt spacing (the reference's bullet
+    indent heuristic needs it) with indented answer lines."""
+    W, H = 612.0, 792.0
+    spans = []
+    qno = 0
+    for pn in range(1, r.randint(1, 3) + 1):
+        boxes, layouts = [], []
+        y = 50.0
+        while y < H - 100:
+            qno += 1
+            q = f"{qno}. What about {' '.join(r.sample(_WORDS, 2))}?"
+            boxes.append(_mkbox(50, y, 350, 12, q))
+            layouts.append(_mklayout("text", 45, y - 3, 405, y + 15))
+            y += 26
+            for _ in range(r.randint(1, 2)):
+                boxes.append(_mkbox(70, y, 330, 12, _sentence(r, 9)))
+                layouts.append(_mklayout("text", 65, y - 3, 405, y + 15))
+                y += 26
+        spans.append(
+            _span("media", _page_payload(pn, W, H, boxes, layouts, []),
+                  f"media://{doc_id}/page{pn}", pn - 1)
+        )
+    return spans
+
+
 def _gen_excel(r: random.Random, doc_id: str) -> list[dict]:
     sheets = []
     for sname in ["Data", r.choice(["metrics", "Sheet2", "totals"])]:
@@ -471,6 +497,7 @@ _GENERATORS = {
     "slides": _gen_slides,
     "manual_pdf": _gen_paper_pdf,  # manual runs over paper-style pages
     "excel": _gen_excel,
+    "qa_pdf": _gen_qa_pdf,
 }
 
 
