@@ -19,9 +19,12 @@ import json
 import sys
 
 
-def _init_ray(num_cpus: int | None) -> None:
+def _init_ray(num_cpus: int | None) -> bool:
+    """→ True when this call owned the ray.init (callers embedding the
+    CLI in an existing session keep their session alive)."""
     import ray
 
+    owned = False
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -30,15 +33,17 @@ def _init_ray(num_cpus: int | None) -> None:
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        owned = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return owned
 
 
 def cmd_synth(args: argparse.Namespace) -> None:
     import os
 
-    _init_ray(args.num_cpus)
+    args._owned_ray = _init_ray(args.num_cpus)
     from .pipelines.flagship import corpus_dataset
     from .stages.extract import HEAVY_PAGE_THRESHOLD
 
@@ -54,7 +59,7 @@ def cmd_synth(args: argparse.Namespace) -> None:
 
 
 def cmd_extract(args: argparse.Namespace) -> None:
-    _init_ray(args.num_cpus)
+    args._owned_ray = _init_ray(args.num_cpus)
     from .chunkers import ChunkConfig
     from .state import run_partitioned_extract
 
@@ -77,7 +82,7 @@ def cmd_extract(args: argparse.Namespace) -> None:
 
 
 def cmd_show(args: argparse.Namespace) -> None:
-    _init_ray(args.num_cpus)
+    args._owned_ray = _init_ray(args.num_cpus)
     import ray.data as rd
 
     ds = rd.read_parquet(args.path)
@@ -123,11 +128,13 @@ def main(argv: list[str] | None = None) -> None:
     p.set_defaults(fn=cmd_show)
 
     args = parser.parse_args(argv)
+    args._owned_ray = False
     args.fn(args)
 
-    import ray
+    if args._owned_ray:
+        import ray
 
-    ray.shutdown()
+        ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,44 @@
+"""CLI (python -m ragflow_ray) end-to-end tests."""
+
+import json
+import os
+
+import pytest
+
+from ragflow_ray.__main__ import main
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCli:
+    def test_synth_extract_resume(self, tmp_path, capsys):
+        corpus = str(tmp_path / "corpus")
+        out = str(tmp_path / "out")
+
+        main(["synth", corpus, "--n-docs", "60"])
+        synth = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert synth["written"] == 60
+        assert os.path.isdir(os.path.join(corpus, "light"))
+
+        main(["extract", corpus, out])
+        first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert first["docs"] == 60 and first["errors"] == 0
+        assert first["skipped"] == 0
+
+        main(["extract", corpus, out])
+        second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert second["skipped"] == second["partitions"]
+        assert second["spans"] == first["spans"]
+
+    def test_show(self, tmp_path, capsys):
+        corpus = str(tmp_path / "c2")
+        out = str(tmp_path / "o2")
+        main(["synth", corpus, "--n-docs", "30"])
+        capsys.readouterr()
+        main(["extract", corpus, out])
+        capsys.readouterr()
+        part = sorted(
+            d for d in os.listdir(out) if d.startswith("part-")
+        )[0]
+        main(["show", os.path.join(out, part), "-n", "1"])
+        shown = capsys.readouterr().out
+        assert shown.startswith("== doc-")

@@ -251,3 +251,33 @@ class TestTwoColumnOrder:
         spans = chunk_document(doc, "paper")
         joined = "\n".join(s["text"] for s in spans if s["kind"] == "text")
         assert joined  # two-column reorder produced readable text
+
+
+class TestSpanningCells:
+    def test_colspan_resolved(self):
+        """An SP-tagged cell whose span region (H_left..H_right) covers
+        two established columns gets colspan=2 (tsr.py:503-587).
+
+        Columns must be established by narrow cells *before* the
+        spanning box in x-order — a wide first-in-column cell instead
+        drags the running column edge and merges columns (reference
+        behavior, C tags never assigned on the live path)."""
+        bxs = []
+        # header row: three narrow cells with C geometry
+        for ci, h in enumerate(("a", "b", "c")):
+            bxs.append(box(ci * 100, 0, ci * 100 + 90, 10, h, R=0, H=0,
+                           R_top=0, R_bott=10, layout_type="table",
+                           C_left=ci * 100, C_right=ci * 100 + 90, C=ci))
+        # data row: narrow cell in col 0 whose span region covers cols 0-1
+        bxs.append(box(0, 20, 90, 30, "span cell", R=1, SP=0,
+                       R_top=20, R_bott=30, H_top=20, H_bott=30,
+                       H_left=0, H_right=190, layout_type="table"))
+        bxs.append(box(200, 20, 290, 30, "v2", R=1,
+                       R_top=20, R_bott=30, layout_type="table"))
+        # second data row fills all columns
+        for ci in range(3):
+            bxs.append(box(ci * 100, 40, ci * 100 + 90, 50, f"w{ci}", R=2,
+                           R_top=40, R_bott=50, layout_type="table"))
+        html = construct_table(bxs, is_english=True, html=True)
+        assert "colspan=" in html
+        assert "span cell" in html
