@@ -49,11 +49,13 @@ def cmd_synth(args: argparse.Namespace) -> None:
 
     ds = corpus_dataset(args.n_docs, seed=args.seed, heavy_tail=args.heavy_tail)
     ds = ds.materialize()
+    # coalesce output files (~2000 docs each): a corpus of thousands of
+    # tiny files turns every downstream read into fixed-cost soup
     ds.filter(expr=f"n_media <= {HEAVY_PAGE_THRESHOLD}").write_parquet(
-        os.path.join(args.out, "light")
+        os.path.join(args.out, "light"), min_rows_per_file=2000
     )
     ds.filter(expr=f"n_media > {HEAVY_PAGE_THRESHOLD}").write_parquet(
-        os.path.join(args.out, "heavy")
+        os.path.join(args.out, "heavy"), min_rows_per_file=2000
     )
     print(json.dumps({"written": args.n_docs, "out": args.out}))
 

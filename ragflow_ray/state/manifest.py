@@ -75,9 +75,17 @@ def run_partitioned_extract(
     concurrency=None,
     batch_size: int = 64,
     split_heavy: bool = True,
+    max_partitions: int = 64,
 ) -> dict:
     """Extract every input shard, skipping partitions already completed
-    with the same config digest.  Returns summary metrics."""
+    with the same config digest.  Returns summary metrics.
+
+    Input files bundle into at most ``max_partitions`` partitions —
+    the resume/checkpoint granularity.  Each partition is one
+    streaming Dataset execution; per-execution fixed costs make
+    thousands of single-file partitions pathological (measured: 889
+    file-partitions ran 35× slower than the same corpus in bundles).
+    """
     import ray.data as rd
 
     from ..chunkers import ChunkConfig
@@ -95,18 +103,26 @@ def run_partitioned_extract(
             os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
         )
 
+    def _bundle(paths: list[str], flag: bool, budget: int) -> list[tuple[list[str], bool]]:
+        if not paths:
+            return []
+        n_bundles = max(1, min(budget, len(paths)))
+        size = (len(paths) + n_bundles - 1) // n_bundles
+        return [(paths[i : i + size], flag) for i in range(0, len(paths), size)]
+
     # cost-partitioned corpus (light/ + heavy/) or flat directory
     light_files = _list(os.path.join(corpus_dir, "light"))
     if light_files:
-        files = [(p, False) for p in light_files] + [
-            (p, True) for p in _list(os.path.join(corpus_dir, "heavy"))
-        ]
+        heavy_files = _list(os.path.join(corpus_dir, "heavy"))
+        heavy_budget = max(1, max_partitions // 8) if heavy_files else 0
+        partitions = _bundle(light_files, False, max_partitions - heavy_budget)
+        partitions += _bundle(heavy_files, True, heavy_budget)
     else:
-        files = [(p, split_heavy) for p in _list(corpus_dir)]
+        partitions = _bundle(_list(corpus_dir), split_heavy, max_partitions)
 
     total_docs = total_spans = total_errors = 0
     skipped = 0
-    for pid, (path, part_split_heavy) in enumerate(files):
+    for pid, (paths, part_split_heavy) in enumerate(partitions):
         prior = done.get(pid)
         if prior and prior["digest"] == digest:
             skipped += 1
@@ -120,7 +136,7 @@ def run_partitioned_extract(
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(part_dir, ignore_errors=True)
 
-        ds = rd.read_parquet(path)
+        ds = rd.read_parquet(paths)
         out = extract_dataset(
             ds, template, cfg, concurrency=concurrency,
             batch_size=batch_size, split_heavy=part_split_heavy,
@@ -144,7 +160,7 @@ def run_partitioned_extract(
         manifest.append(
             PartitionRecord(
                 partition_id=pid,
-                input_file=path,
+                input_file=f"{paths[0]}(+{len(paths) - 1})" if len(paths) > 1 else paths[0],
                 digest=digest,
                 status="done",
                 n_docs=n_docs,
@@ -155,7 +171,7 @@ def run_partitioned_extract(
             )
         )
     return {
-        "partitions": len(files),
+        "partitions": len(partitions),
         "skipped": skipped,
         "docs": total_docs,
         "spans": total_spans,
