@@ -44,8 +44,30 @@ def chunk_manual(doc: dict, cfg: ChunkConfig) -> list[dict]:
         (b["text"], b.get("layoutno", ""), boxes.positions_of(b)) for b in boxes.boxes
     ]
 
-    bull = bullets_category([txt for txt, _, _ in sections])
-    most_level, levels = title_frequency(bull, [(t, l) for t, l, _ in sections])
+    outlines: list[tuple[str, int]] = []
+    for page in boxes.pages:
+        for t, d in page.outlines:
+            if (t, d) not in outlines:
+                outlines.append((t, d))
+
+    if sections and len(outlines) / len(sections) > 0.03:
+        # outline channel: level of each section = level of the first
+        # outline entry sharing >80% character bigrams (manual.py:199-212)
+        max_lvl = max(lvl for _, lvl in outlines)
+        most_level = max(0, max_lvl - 1)
+        levels = []
+        for txt, _, _ in sections:
+            for t, lvl in outlines:
+                tks = {t[i] + t[i + 1] for i in range(len(t) - 1)}
+                tks_ = {txt[i] + txt[i + 1] for i in range(min(len(t), len(txt) - 1))}
+                if len(tks & tks_) / max(len(tks), len(tks_), 1) > 0.8:
+                    levels.append(lvl)
+                    break
+            else:
+                levels.append(max_lvl + 1)
+    else:
+        bull = bullets_category([txt for txt, _, _ in sections])
+        most_level, levels = title_frequency(bull, [(t, l) for t, l, _ in sections])
     assert len(sections) == len(levels)
 
     sec_ids = []

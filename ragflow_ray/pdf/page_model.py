@@ -43,6 +43,7 @@ class Page:
     boxes: list[dict] = field(default_factory=list)
     layouts: list[dict] = field(default_factory=list)
     tables: list[list[dict]] = field(default_factory=list)  # TSR components per table
+    outlines: list[tuple[str, int]] = field(default_factory=list)  # (title, depth)
 
 
 def page_from_payload(payload: str | dict) -> Page:
@@ -86,6 +87,9 @@ def page_from_payload(payload: str | dict) -> Page:
         ]
         for tbl in payload.get("tables", [])
     ]
+    outlines = [
+        (str(o[0]), int(o[1])) for o in payload.get("outlines", [])
+    ]
     return Page(
         page_no=int(payload["page_no"]),
         width=float(payload.get("width", 612)),
@@ -93,4 +97,5 @@ def page_from_payload(payload: str | dict) -> Page:
         boxes=boxes,
         layouts=layouts,
         tables=tables,
+        outlines=outlines,
     )

@@ -199,3 +199,37 @@ class TestNumbers:
         assert index_int("二十一") == 21
         assert index_int("XIV") == 14
         assert index_int("junk") == -1
+
+
+class TestManualOutlines:
+    def test_outline_channel_sets_levels(self):
+        """When page payloads carry PDF outlines covering >3% of
+        sections, the manual chunker pivots on outline levels instead
+        of bullet voting."""
+        import json
+
+        boxes, layouts = [], []
+        headings = [("Overview of merges", 1), ("Details of sorting", 1)]
+        y = 50.0
+        outline = [[t, lvl] for t, lvl in headings]
+        for t, _ in headings:
+            boxes.append({"x0": 50, "x1": 400, "top": y, "bottom": y + 14, "text": t})
+            layouts.append({"type": "title", "score": .9, "x0": 45, "x1": 405,
+                            "top": y - 3, "bottom": y + 17})
+            y += 26
+            for _ in range(3):
+                boxes.append({"x0": 50, "x1": 450, "top": y, "bottom": y + 12,
+                              "text": "Body line with plain prose content here."})
+                layouts.append({"type": "text", "score": .9, "x0": 45, "x1": 455,
+                                "top": y - 3, "bottom": y + 15})
+                y += 24
+        payload = json.dumps({"page_no": 1, "width": 612, "height": 792,
+                              "boxes": boxes, "layouts": layouts, "tables": [],
+                              "outlines": outline})
+        doc = {"doc_id": "m-out", "fmt": "pdf",
+               "spans": [{"kind": "media", "text": payload, "media_ref": "m",
+                          "offset": 0}]}
+        spans = chunk_document(doc, "manual")
+        assert spans
+        joined = "\n".join(s["text"] for s in spans)
+        assert "Overview of merges" in joined and "Details of sorting" in joined
