@@ -60,6 +60,19 @@ def cmd_synth(args: argparse.Namespace) -> None:
     print(json.dumps({"written": args.n_docs, "out": args.out}))
 
 
+def cmd_ingest(args: argparse.Namespace) -> None:
+    import os
+
+    args._owned_ray = _init_ray(args.num_cpus)
+    from .sources.ingest import read_text_files
+
+    ds = read_text_files(args.src)
+    # text-family files are all "light" (no media spans): one corpus
+    # partition, resumable downstream like the synth output
+    ds.write_parquet(os.path.join(args.out, "light"), min_rows_per_file=2000)
+    print(json.dumps({"out": args.out}))
+
+
 def cmd_extract(args: argparse.Namespace) -> None:
     args._owned_ray = _init_ray(args.num_cpus)
     from .chunkers import ChunkConfig
@@ -107,6 +120,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--heavy-tail", type=float, default=0.01)
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("ingest", help="raw text-family files → corpus parquet")
+    p.add_argument("src", help="file or directory of txt/html/md/json files")
+    p.add_argument("out")
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("extract", help="resumable partitioned extraction")
     p.add_argument("corpus")

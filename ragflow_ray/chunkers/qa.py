@@ -9,11 +9,10 @@ Parity with /root/reference/rag/app/qa.py (text-format paths, qa.py:
 * markdown — ``#`` heading levels form a question stack; the answer is
   the text until the next heading at the same-or-higher level (code
   fences suspend heading detection);
+* pdf — question-bullet segmentation over the box pipeline
+  (:func:`qa_pairs_from_pdf`, qa.py:77-170);
 * each pair renders as ``"Question: q\\tAnswer: a"``
   (``问题：/回答：`` for Chinese), with role prefixes stripped.
-
-The PDF/docx/xlsx QA paths need qbullet geometry / office payloads and
-are out of scope for round 1 (SURVEY.md §2.6 marks qa "partial").
 """
 
 from __future__ import annotations

@@ -16,19 +16,50 @@ import numpy as np
 import pandas as pd
 
 
+import pyarrow as pa
+
+# declared scorer-output schema: identical hashable block schemas
+# across actors (silences Ray's block-schema dedup warning)
+_PARTIAL_SCHEMA = pa.schema(
+    [("q_vec_id", pa.int64()), ("vec_id", pa.int64()), ("score", pa.float64())]
+)
+
+
 def _embeddings(sf_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
-def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    """The first ``n_queries`` vec_ids (ordered) are the query set —
-    deterministic and reproducible from SQL."""
+def _head_rows(path: str, n: int, columns: list[str]):
+    """Read only the head of a parquet file: stream record batches and
+    stop as soon as ``n`` rows are in hand.  Never materializes the
+    table — at corpus scale the embeddings are many files and the
+    query/seed set is the first rows of the first (vec_id-sorted) file,
+    so the driver-side read stays O(n), not O(dataset)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    pf = pq.ParquetFile(path)
+    batches = []
+    got = 0
+    for rb in pf.iter_batches(batch_size=max(n, 256), columns=columns):
+        batches.append(rb)
+        got += rb.num_rows
+        if got >= n:
+            break
+    if not batches:
+        return pf.schema_arrow.empty_table().select(columns)
+    return pa.Table.from_batches(batches)
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """The first ``n_queries`` vec_ids (ordered) are the query set —
+    deterministic and reproducible from SQL.  The corpus writer emits
+    vec_id-sorted files, so the head of the file is the id-minimal set;
+    the head is re-sorted defensively."""
+    t = _head_rows(
+        f"{sf_dir}/embeddings.parquet", n_queries, ["vec_id", "embedding"]
     )
     df = t.to_pandas().sort_values("vec_id").head(n_queries)
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -47,7 +78,7 @@ class TopKScorer:
         self.query_ids = query_ids
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame):
         ids = batch["vec_id"].to_numpy()
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -59,8 +90,13 @@ class TopKScorer:
             out_q.extend([self.query_ids[qi]] * k)
             out_v.extend(ids[idx])
             out_s.extend(sims[qi][idx])
-        return pd.DataFrame(
-            {"q_vec_id": out_q, "vec_id": out_v, "score": out_s}
+        return pa.table(
+            {
+                "q_vec_id": np.asarray(out_q, dtype=np.int64),
+                "vec_id": np.asarray(out_v, dtype=np.int64),
+                "score": np.asarray(out_s, dtype=np.float64),
+            },
+            schema=_PARTIAL_SCHEMA,
         )
 
 
@@ -142,11 +178,10 @@ def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
     query_ids, queries = _load_queries(sf_dir, n_queries)
 
     # deterministic "training": centroids = normalized vectors of the
-    # first n_lists * 4 ids, k-means-lite (one assignment+mean round)
-    import pyarrow.parquet as pq
-
+    # first n_lists * 4 ids, k-means-lite (one assignment+mean round);
+    # head-only read — the full table never touches the driver
     seed_df = (
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        _head_rows(f"{sf_dir}/embeddings.parquet", n_lists * 4, ["vec_id", "embedding"])
         .to_pandas()
         .sort_values("vec_id")
         .head(n_lists * 4)
@@ -173,7 +208,7 @@ def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
         def __init__(self):
             self.centroids, self.queries, self.query_ids, self.wanted = ray.get(cref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, batch: pd.DataFrame):
             ids = batch["vec_id"].to_numpy()
             mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -191,7 +226,14 @@ def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
                     rows_q.extend([self.query_ids[qi]] * kk)
                     rows_v.extend(sub_ids[idx])
                     rows_s.extend(sims[row][idx])
-            return pd.DataFrame({"q_vec_id": rows_q, "vec_id": rows_v, "score": rows_s})
+            return pa.table(
+                {
+                    "q_vec_id": np.asarray(rows_q, dtype=np.int64),
+                    "vec_id": np.asarray(rows_v, dtype=np.int64),
+                    "score": np.asarray(rows_s, dtype=np.float64),
+                },
+                schema=_PARTIAL_SCHEMA,
+            )
 
     partials = _embeddings(sf_dir).map_batches(
         IvfScorer, batch_format="pandas", concurrency=concurrency or 2, batch_size=4096

@@ -109,10 +109,14 @@ def top_customers(sf_dir: str, k: int = 10):
         return batch
 
     named = per_cust.map_batches(attach_name, batch_format="pandas")
-    df = named.sort("revenue_cents", descending=True).limit(k * 3).to_pandas()
-    df = df.sort_values(
-        ["revenue_cents", "o_custkey"], ascending=[False, True]
-    ).head(k).reset_index(drop=True)
+    # the tiebreak is part of the distributed sort, so limit(k) is exact
+    # even when many customers tie at the boundary revenue
+    df = (
+        named.sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
     df["revenue_cents"] = df["revenue_cents"].astype("int64")
     df["n_orders"] = df["n_orders"].astype("int64")
     return df[["o_custkey", "c_name", "revenue_cents", "n_orders"]]
@@ -272,18 +276,25 @@ def purchase_attribution(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
-    def attribute(group: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    # declared output schema: every block hashes identically (no
+    # per-block pandas metadata), which keeps Ray's block-schema
+    # dedup warning-free and guards against schema drift
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("last_click_ts", pa.timestamp("us")),
+        ]
+    )
+
+    def attribute(group: pd.DataFrame) -> pa.Table:
         purchases = group[group["event_type"] == "purchase"].sort_values("ts")
         clicks = group[group["event_type"] == "click"].sort_values("ts")
         if purchases.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype="datetime64[us]"),
-                    "last_click_ts": pd.Series([], dtype="datetime64[us]"),
-                }
-            )
+            return schema.empty_table()
         merged = pd.merge_asof(
             purchases[["event_id", "user_id", "ts"]],
             clicks[["ts"]].rename(columns={"ts": "last_click_ts"}),
@@ -291,7 +302,10 @@ def purchase_attribution(sf_dir: str):
             right_on="last_click_ts",
             allow_exact_matches=False,
         )
-        return merged[["event_id", "user_id", "ts", "last_click_ts"]]
+        return pa.Table.from_pandas(
+            merged[["event_id", "user_id", "ts", "last_click_ts"]],
+            schema=schema, preserve_index=False,
+        )
 
     df = ds.groupby("user_id").map_groups(attribute, batch_format="pandas").sort(
         "event_id"
@@ -312,15 +326,22 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()), ("n_sessions", pa.int64())]
+    )
+
+    def sessions(group: pd.DataFrame) -> pa.Table:
         ts = group["ts"].sort_values()
         breaks = (ts.diff() > gap).sum() + 1 if len(ts) else 0
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": [group["user_id"].iloc[0]],
+                "user_id": [int(group["user_id"].iloc[0])],
                 "n_events": [len(group)],
                 "n_sessions": [int(breaks)],
-            }
+            },
+            schema=schema,
         )
 
     out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

@@ -1,0 +1,69 @@
+"""Raw-file ingestion: bytes on disk → interleaved corpus rows.
+
+The reference reads raw uploaded files and sniffs their charset before
+parsing (``get_text`` → ``find_codec``, /root/reference/rag/nlp/
+__init__.py:53-71, deepdoc/parser/utils.py); this module is the Ray
+Data analogue: ``read_binary_files`` → per-batch codec sniff + decode →
+INPUT_SCHEMA rows the extraction pipeline consumes directly.
+
+PDF/docx binary decoding needs the out-of-scope native parsers
+(SURVEY.md §7.1 M0); text-family formats (txt/html/markdown/json/csv)
+ingest for real here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..text.normalize import get_text
+from .corpus import INPUT_SCHEMA
+
+_EXT_FMT = {
+    ".txt": "txt",
+    ".text": "txt",
+    ".log": "txt",
+    ".csv": "txt",
+    ".tsv": "txt",
+    ".html": "html",
+    ".htm": "html",
+    ".md": "markdown",
+    ".markdown": "markdown",
+    ".json": "json",
+    ".py": "txt",
+    ".c": "txt",
+    ".java": "txt",
+}
+
+
+def fmt_of(path: str) -> str:
+    return _EXT_FMT.get(os.path.splitext(path)[1].lower(), "txt")
+
+
+def rows_from_files(batch: pa.Table) -> pa.Table:
+    """``read_binary_files(include_paths=True)`` batch → corpus rows."""
+    rows = []
+    for path, blob in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+        text = get_text(bytes(blob))
+        rows.append(
+            {
+                "doc_id": os.path.basename(path),
+                "fmt": fmt_of(path),
+                "template": "naive",
+                "n_media": 0,
+                "spans": [
+                    {"kind": "text", "text": text, "media_ref": "", "offset": 0}
+                ],
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+
+
+def read_text_files(paths: str | list[str]):
+    """→ Dataset[INPUT_SCHEMA] over raw text-family files (codec
+    sniffed per file, streamed — no driver-side reads)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(rows_from_files, batch_format="pyarrow")

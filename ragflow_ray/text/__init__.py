@@ -14,8 +14,14 @@ from .merge import (
     strip_toc_sections,
 )
 from .lang import is_english_text, is_chinese_text
+from .normalize import find_codec, get_text, rm_space, str_q2b, tradi2simp
 
 __all__ = [
+    "find_codec",
+    "get_text",
+    "rm_space",
+    "str_q2b",
+    "tradi2simp",
     "token_count",
     "delimiter_pattern",
     "decode_escaped_delimiters",
