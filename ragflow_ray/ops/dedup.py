@@ -167,31 +167,42 @@ class MinHasher:
         )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+def _bucket_pairs(group: pd.DataFrame):
     """Candidate pairs within one LSH bucket (doc ids only — text is
     not shipped through the shuffle)."""
-    ids = sorted(set(group["doc_id"]))
-    out = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-    if not out:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    ids = np.unique(group["doc_id"].to_numpy().astype(np.int64))
+    if len(ids) < 2:
+        return schema.empty_table()
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pa.table({"doc_a": ids[ii], "doc_b": ids[jj]}, schema=schema)
 
 
-def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 0.8):
+def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 0.8,
+                      join_partitions: int = 8):
     """MinHash-LSH near-duplicate pairs (Jaccard ≥ threshold).
 
-    Shuffle discipline: only (band_id, band_hash, doc_id) rows move in
-    the LSH groupby; candidate pairs (few) dedupe in a second tiny
-    groupby; the text lookup for exact Jaccard verification is a
-    broadcast into the final small map_batches.  At corpus scale the
-    broadcast becomes a hash-partitioned join of the candidate ids
-    back to the documents table — candidates, not the corpus, are the
-    shuffled payload either way.
+    Shuffle discipline — nothing corpus-sized ever reaches the driver:
+
+    1. only (band_id, band_hash, doc_id) rows move in the LSH groupby;
+    2. candidate pairs (few) dedupe in a tiny groupby;
+    3. the exact-Jaccard verify is **distributed**: only the distinct
+       candidate *ids* are collected (O(candidates), not O(corpus)),
+       broadcast once via ``ray.put``, shingle sets are recomputed for
+       candidate docs alone inside a filtering ``map_batches`` scan,
+       and the pair sides meet their shingle rows in a hash join +
+       per-pair ``map_groups`` — candidate shingles, never document
+       texts, are the shuffled payload.
     """
+    import pyarrow as pa
     import ray
-    import ray.data as rd
     from ray.data.aggregate import Count
+
+    pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+    )
 
     docs = _docs(sf_dir)
     bands = docs.map_batches(
@@ -200,40 +211,94 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
     candidates = bands.groupby(["band_id", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
-    unique_pairs = candidates.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands")
+    # candidate pairs are small (LSH survivors); materialize once so the
+    # id collection and the join side read the same blocks instead of
+    # re-executing the sketch+shuffle pipeline concurrently with the
+    # join's aggregator actors (a deadlock on small CPU budgets)
+    unique_pairs = (
+        candidates.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .materialize()
     )
 
-    texts: dict = {}
-    for b in docs.iter_batches(batch_format="pandas"):
-        texts.update(zip(b["doc_id"], b["text"]))
-    ref = ray.put(texts)
+    pair_ids = unique_pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+    if pair_ids.empty:
+        import ray.data as rd
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
-        cache: dict[int, set] = {}
+        return rd.from_arrow(pair_schema.empty_table())
+    cand_ids = np.unique(
+        np.concatenate([pair_ids["doc_a"].to_numpy(), pair_ids["doc_b"].to_numpy()])
+    )
+    id_ref = ray.put(frozenset(int(x) for x in cand_ids))
 
-        def sh(doc_id):
-            s = cache.get(doc_id)
-            if s is None:
-                s = set(_shingle_hashes(lookup[doc_id]).tolist())
-                cache[doc_id] = s
-            return s
+    # shingle vectors ride the join as binary blobs (Arrow's hash join
+    # rejects list-typed payload columns); int64-LE array bytes
+    shingle_schema = pa.schema(
+        [("doc_id", pa.int64()), ("shingles", pa.large_binary())]
+    )
 
-        rows = []
-        for a, b_ in zip(batch["doc_a"], batch["doc_b"]):
-            sa, sb = sh(a), sh(b_)
-            union = len(sa | sb) or 1
-            jac = len(sa & sb) / union
-            if jac >= jaccard_threshold:
-                rows.append((a, b_, round(jac, 4)))
-        if not rows:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    def candidate_shingles(batch: pd.DataFrame):
+        members = ray.get(id_ref)
+        ids, arrs = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if int(doc_id) in members:
+                ids.append(int(doc_id))
+                arrs.append(_shingle_hashes(text).tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shingles": pa.array(arrs, type=pa.large_binary()),
+            },
+            schema=shingle_schema,
+        )
 
-    out = unique_pairs.map_batches(verify, batch_format="pandas")
+    shingles = docs.map_batches(candidate_shingles, batch_format="pandas")
+
+    side_schema = pa.schema(
+        [("doc_id", pa.int64()), ("doc_a", pa.int64()), ("doc_b", pa.int64())]
+    )
+
+    def explode_sides(batch: pd.DataFrame):
+        a = batch["doc_a"].to_numpy().astype(np.int64)
+        b = batch["doc_b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": np.concatenate([a, b]),
+                "doc_a": np.concatenate([a, a]),
+                "doc_b": np.concatenate([b, b]),
+            },
+            schema=side_schema,
+        )
+
+    sides = unique_pairs.map_batches(explode_sides, batch_format="pandas")
+    # partitions sized to the candidate set (an empty join partition on
+    # tiny inputs yields a schema-less block that breaks the join)
+    n_parts = max(1, min(join_partitions, len(cand_ids) // 64 + 1))
+    joined = sides.join(
+        shingles, join_type="inner", num_partitions=n_parts, on=("doc_id",)
+    )
+
+    def jaccard_of_pair(group: pd.DataFrame):
+        if len(group) != 2:
+            return pair_schema.empty_table()
+        sa = set(np.frombuffer(group["shingles"].iloc[0], dtype=np.int64))
+        sb = set(np.frombuffer(group["shingles"].iloc[1], dtype=np.int64))
+        union = len(sa | sb) or 1
+        jac = len(sa & sb) / union
+        if jac < jaccard_threshold:
+            return pair_schema.empty_table()
+        return pa.table(
+            {
+                "doc_a": [int(group["doc_a"].iloc[0])],
+                "doc_b": [int(group["doc_b"].iloc[0])],
+                "jaccard": [round(jac, 4)],
+            },
+            schema=pair_schema,
+        )
+
+    out = joined.groupby(["doc_a", "doc_b"]).map_groups(
+        jaccard_of_pair, batch_format="pandas"
+    )
     return out.sort(["doc_a", "doc_b"])
 
 
@@ -285,10 +350,51 @@ def simhash_signatures(sf_dir: str, concurrency=None):
     return ds.sort("doc_id")
 
 
-def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None):
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over a uint64 array (numpy < 2 has no
+    ``bitwise_count``)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+_SIMHASH_PAIR_SCHEMA = None  # built lazily (pyarrow import stays local)
+
+
+def _simhash_pair_schema():
+    global _SIMHASH_PAIR_SCHEMA
+    if _SIMHASH_PAIR_SCHEMA is None:
+        import pyarrow as pa
+
+        _SIMHASH_PAIR_SCHEMA = pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+        )
+    return _SIMHASH_PAIR_SCHEMA
+
+
+def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
+                      max_bucket_sigs: int = 4096):
     """Near-dup pairs by simhash Hamming distance ≤ ``max_hamming``,
     found via 4 16-bit band tables (any pair within distance 3 shares
-    at least one exact band)."""
+    at least one exact band — the pigeonhole guarantee).
+
+    Scale discipline:
+
+    * in-bucket work runs over **unique signatures** (exact-duplicate
+      sigs collapse before the pairwise step) with a vectorized
+      XOR+popcount sweep in row blocks — no Python pair loops;
+    * each qualifying pair is emitted **only from its first shared
+      band**, so pairs are globally unique without a dedup shuffle;
+    * buckets larger than ``max_bucket_sigs`` unique signatures are
+      truncated (smallest signatures kept, deterministic) with the
+      drop **logged loudly** — the explicit approximation backstop for
+      pathological 16-bit-band skew at corpus scale.
+    """
+    import pyarrow as pa
+
     sigs = simhash_signatures(sf_dir, concurrency)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -308,38 +414,103 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None):
             }
         )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(group["doc_id"], group["simhash"])))
-        out = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin((int(rows[i][1]) ^ int(rows[j][1])) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    out.append((rows[i][0], rows[j][0], d))
-        if not out:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+    def verify(group: pd.DataFrame):
+        band = int(group["band_id"].iloc[0])
+        docs = group["doc_id"].to_numpy().astype(np.int64)
+        sims = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
 
-    from ray.data.aggregate import Min
+        usig, inv = np.unique(sims, return_inverse=True)
+        if len(usig) > max_bucket_sigs:
+            import logging
+
+            logging.getLogger("ragflow_ray.dedup").warning(
+                "simhash bucket (band=%d key=%d) truncated: %d -> %d unique "
+                "signatures (%d docs dropped from pair generation)",
+                band, int(group["band_key"].iloc[0]), len(usig), max_bucket_sigs,
+                int((inv >= max_bucket_sigs).sum()),
+            )
+            keep = inv < max_bucket_sigs  # usig is sorted: keep smallest
+            docs, inv = docs[keep], inv[keep]
+            usig = usig[:max_bucket_sigs]
+        n = len(usig)
+
+        # doc ids per unique signature, each list sorted
+        order = np.lexsort((docs, inv))
+        docs_s, inv_s = docs[order], inv[order]
+        starts = np.searchsorted(inv_s, np.arange(n + 1))
+
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+
+        # exact-duplicate signatures: all bands share them; emit from
+        # band 0 only
+        if band == 0:
+            for s in range(n):
+                grp = docs_s[starts[s] : starts[s + 1]]
+                if len(grp) > 1:
+                    ii, jj = np.triu_indices(len(grp), k=1)
+                    out_a.append(grp[ii])
+                    out_b.append(grp[jj])
+                    out_h.append(np.zeros(len(ii), dtype=np.int64))
+
+        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))
+        block = 512
+        for i0 in range(0, n, block):
+            xor = usig[i0 : i0 + block, None] ^ usig[None, :]
+            ham = _popcount64(xor).astype(np.int64)
+            # first shared band per pair (iterate descending: band 0 wins)
+            fb = np.full(xor.shape, 4, dtype=np.int64)
+            for b in range(3, -1, -1):
+                fb[((xor >> shifts[b]) & np.uint64(0xFFFF)) == 0] = b
+            rows = np.arange(i0, min(i0 + block, n))[:, None]
+            cols = np.arange(n)[None, :]
+            qual = (ham > 0) & (ham <= max_hamming) & (fb == band) & (cols > rows)
+            ri, ci = np.nonzero(qual)
+            for r, c, h in zip(rows[:, 0][ri], cols[0, ci], ham[ri, ci]):
+                ga = docs_s[starts[r] : starts[r + 1]]
+                gb = docs_s[starts[c] : starts[c + 1]]
+                aa = np.repeat(ga, len(gb))
+                bb = np.tile(gb, len(ga))
+                lo = np.minimum(aa, bb)
+                hi = np.maximum(aa, bb)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_h.append(np.full(len(lo), h, dtype=np.int64))
+
+        if not out_a:
+            return _simhash_pair_schema().empty_table()
+        return pa.table(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            },
+            schema=_simhash_pair_schema(),
+        )
 
     pairs = (
         sigs.map_batches(explode, batch_format="pandas")
         .groupby(["band_id", "band_key"])
         .map_groups(verify, batch_format="pandas")
     )
-    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
-    return out.sort(["doc_a", "doc_b"])
+    return pairs.sort(["doc_a", "doc_b"])
 
 
 # -- embedding cosine near-dup ------------------------------------------
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.25):
+def embedding_near_dups(sf_dir: str, threshold: float = 0.25,
+                        max_label_size: int = 20_000):
     """Cosine near-dup pairs within each ``label`` partition of the
     embeddings table (label = the natural blocking key; full-matrix
-    cosine inside the group via one matmul)."""
+    cosine inside the group via one matmul).
+
+    Label blocking is quadratic inside a group, so a hot label is
+    guarded: groups beyond ``max_label_size`` members are truncated to
+    the vec_id-smallest members with a loud log — the explicit
+    approximation backstop (at real scale a hot label should be
+    sub-blocked by an LSH of the vectors instead)."""
 
     import ray.data as rd
 
@@ -347,6 +518,15 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.25):
                          columns=["vec_id", "embedding", "label"])
 
     def pairs_in_label(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) > max_label_size:
+            import logging
+
+            logging.getLogger("ragflow_ray.dedup").warning(
+                "embedding label %s truncated: %d -> %d members for the "
+                "pairwise cosine sweep",
+                group["label"].iloc[0], len(group), max_label_size,
+            )
+            group = group.nsmallest(max_label_size, "vec_id")
         ids = group["vec_id"].to_numpy()
         mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)

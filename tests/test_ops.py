@@ -138,3 +138,92 @@ class TestMultimodal:
         assert len(df) == 6
         assert (df["payload_bytes"] > 7).all()
         assert df["payload_md5"].str.len().eq(32).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupScale:
+    """Scale-discipline tests added in round 2 (VERDICT.md tasks 1 & 5)."""
+
+    @pytest.fixture(scope="class")
+    def hot_dir(self, tmp_path_factory):
+        """A corpus engineered so one simhash band bucket is hot: many
+        docs share band 0 (low 16 bits) without being near-dups."""
+        d = tmp_path_factory.mktemp("hot")
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                 "eta", "theta", "iota", "kappa"]
+        rs = np.random.RandomState(3)
+        texts = []
+        for i in range(400):
+            n = 30 + int(rs.randint(0, 20))
+            texts.append(" ".join(words[j % 10] + str(rs.randint(0, 1000))
+                                  for j in range(n)))
+        # planted identical pair at the end (simhash hamming 0)
+        texts.append("one two three four five six seven eight nine ten " * 4)
+        texts.append(texts[-1])
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        )
+        pq.write_table(docs, str(d / "documents.parquet"))
+        return str(d)
+
+    def test_simhash_bucket_cap_drops_logged(self, hot_dir):
+        """With a tiny bucket cap the sweep stays bounded and still runs
+        to completion; with the default cap the planted pair is found."""
+        from ragflow_ray.ops.dedup import simhash_near_dups
+
+        capped = simhash_near_dups(hot_dir, max_bucket_sigs=4).to_pandas()
+        full = simhash_near_dups(hot_dir).to_pandas()
+        planted = full[(full.doc_a == 400) & (full.doc_b == 401)]
+        assert len(planted) == 1
+        # the cap can only remove pairs, never invent them
+        assert len(capped) <= len(full)
+
+    def test_simhash_pairs_unique_and_match_bruteforce(self, planted_dir):
+        """First-shared-band emission yields each pair exactly once and
+        the pair set equals the brute-force hamming<=3 sweep."""
+        from ragflow_ray.ops.dedup import simhash_near_dups, simhash_signatures
+
+        sigs = simhash_signatures(planted_dir).to_pandas()
+        sig_of = dict(zip(sigs.doc_id, sigs.simhash))
+        expected = set()
+        ids = sorted(sig_of)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                x = (int(sig_of[ids[i]]) ^ int(sig_of[ids[j]])) & ((1 << 64) - 1)
+                if bin(x).count("1") <= 3:
+                    expected.add((ids[i], ids[j]))
+        pairs = simhash_near_dups(planted_dir).to_pandas()
+        got = list(zip(pairs.doc_a, pairs.doc_b))
+        assert len(got) == len(set(got))  # no duplicate emissions
+        assert set(got) == expected
+
+    def test_minhash_distributed_verify_larger_corpus(self, tmp_path):
+        """MinHash at a few thousand docs with planted dups — exercises
+        the distributed join verify (no driver-side text dict)."""
+        from ragflow_ray.ops.dedup import minhash_near_dups
+
+        rs = np.random.RandomState(11)
+        vocab = [f"w{i}" for i in range(500)]
+        texts = [
+            " ".join(vocab[rs.randint(0, 500)] for _ in range(40))
+            for _ in range(3000)
+        ]
+        texts[100] = texts[50]  # exact dup
+        texts[200] = texts[60] + " xx"  # near dup
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        pairs = minhash_near_dups(str(tmp_path)).to_pandas()
+        found = set(zip(pairs.doc_a, pairs.doc_b))
+        assert (50, 100) in found
+        assert (60, 200) in found
