@@ -8,8 +8,11 @@ nothing here (or in the library) initializes or shuts down Ray.
                       + corpus-scale data ops); each takes ``sf_dir``
 * ``oracle_sql()``  — DuckDB-equivalent SQL for every query with
                       SQL-expressible semantics (column names match the
-                      Ray results exactly); extraction-template and
-                      sketch-based queries are rows-only by design
+                      Ray results exactly).  Every extraction template
+                      is value-hash oracled via a per-template roundtrip
+                      (ragflow_ray.ops.template_roundtrips); only the
+                      payload-corpus sweep and sketch-seeded queries
+                      remain rows-only.
 """
 
 from __future__ import annotations
@@ -45,7 +48,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ragflow_ray.ops import ann, dedup, extract_queries, multimodal, relational, textstats
+    from ragflow_ray.ops import (
+        ann,
+        dedup,
+        extract_queries,
+        multimodal,
+        relational,
+        template_roundtrips,
+        textstats,
+    )
 
     def media_meta(sf_dir: str):
         df = multimodal.media_features(sf_dir).to_pandas()
@@ -89,16 +100,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- extraction (roundtrip-oracled) ---
         "txt_chunk_roundtrip": lambda d: extract_queries.txt_chunk_roundtrip(d).to_pandas(),
         "html_extract_roundtrip": lambda d: extract_queries.html_extract_roundtrip(d).to_pandas(),
-        # --- extraction templates over the interleaved corpus (rows-only) ---
-        "extract_naive": lambda d: extract_queries.corpus_extract(d, "naive"),
-        "extract_book": lambda d: extract_queries.corpus_extract(d, "book"),
-        "extract_laws": lambda d: extract_queries.corpus_extract(d, "laws"),
-        "extract_paper": lambda d: extract_queries.corpus_extract(d, "paper"),
-        "extract_one": lambda d: extract_queries.corpus_extract(d, "one"),
-        "extract_qa": lambda d: extract_queries.corpus_extract(d, "qa"),
-        "extract_table": lambda d: extract_queries.corpus_extract(d, "table"),
-        "extract_manual": lambda d: extract_queries.corpus_extract(d, "manual"),
-        "extract_presentation": lambda d: extract_queries.corpus_extract(d, "presentation"),
+        # --- per-template roundtrips (value-hash oracled end-to-end) ---
+        "extract_naive": template_roundtrips.extract_naive,
+        "extract_book": template_roundtrips.extract_book,
+        "extract_laws": template_roundtrips.extract_laws,
+        "extract_paper": template_roundtrips.extract_paper,
+        "extract_one": template_roundtrips.extract_one,
+        "extract_qa": template_roundtrips.extract_qa,
+        "extract_table": template_roundtrips.extract_table,
+        "extract_manual": template_roundtrips.extract_manual,
+        "extract_presentation": template_roundtrips.extract_presentation,
+        # --- all templates over the interleaved payload corpus (rows-only:
+        #     exercises the pdf/docx/excel payload formats; exactness is
+        #     pinned by the pytest goldens) ---
         "extract_all_templates": lambda d: extract_queries.corpus_extract(d, None),
     }
 
@@ -277,4 +291,11 @@ def oracle_sql() -> dict[str, str]:
         "html_extract_roundtrip": """
             SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
         """,
+        **_template_oracles(),
     }
+
+
+def _template_oracles() -> dict[str, str]:
+    from ragflow_ray.ops.template_roundtrips import oracle_sql as template_sql
+
+    return template_sql()
