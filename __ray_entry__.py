@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _STOP = "the|a|of|to|and"
 _PUNCT = r"[.,!?;:]"
 _TXT_DELIMS = r"[\n!?;。；！？]"
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/fixtures")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -206,6 +207,56 @@ def oracle_sql() -> dict[str, str]:
                    (7 + octet_length(encode(text)))::BIGINT AS payload_bytes,
                    md5('RFIMG1:' || text) AS payload_md5
             FROM documents ORDER BY doc_id
+        """,
+        # fake decoder: 8x8x3 image = sha256 digest repeated; mean*100 ==
+        # (sum of the 32 digest bytes) * 25 // 8 (exact in float64)
+        "media_features": """
+            SELECT doc_id,
+                   (7 + octet_length(encode(text)))::BIGINT AS payload_bytes,
+                   md5('RFIMG1:' || text) AS payload_md5,
+                   (list_sum(list_transform(range(32), i ->
+                       CAST(('0x' || substr(sha256('RFIMG1:' || text), i*2+1, 2))
+                            AS INT))) * 25 // 8)::BIGINT AS fake_pixel_mean_x100
+            FROM documents ORDER BY doc_id
+        """,
+        # sketch-family oracles: expected values precomputed by an
+        # INDEPENDENT pure-Python re-derivation of the pinned specs
+        # (tools/make_sketch_fixtures.py); fixtures are keyed by a
+        # content key recomputed here so the right corpus row-set is
+        # selected at any scale factor
+        "simhash_signatures": f"""
+            SELECT doc_id, simhash
+            FROM read_parquet('{_FIXTURES}/simhash_signatures.parquet')
+            WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+            ORDER BY doc_id
+        """,
+        # near-dup = hamming <= 3 over the independently computed
+        # signatures — also checks the 4-band LSH's completeness
+        "simhash_near_dups": f"""
+            WITH sigs AS (
+                SELECT doc_id, simhash
+                FROM read_parquet('{_FIXTURES}/simhash_signatures.parquet')
+                WHERE corpus_key = (SELECT SUM(n_chars) FROM documents))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        "minhash_near_dups": f"""
+            SELECT doc_a, doc_b, jaccard
+            FROM read_parquet('{_FIXTURES}/minhash_pairs.parquet')
+            WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+            ORDER BY doc_a, doc_b
+        """,
+        "ann_ivf_topk": f"""
+            SELECT q_vec_id, vec_id, rank
+            FROM read_parquet('{_FIXTURES}/ivf_topk.parquet')
+            WHERE corpus_key = (
+                SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT))
+                FROM embeddings)
+            ORDER BY q_vec_id, rank
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
