@@ -11,6 +11,10 @@ Parity with /root/reference/rag/app/qa.py (text-format paths, qa.py:
   fences suspend heading detection);
 * pdf — question-bullet segmentation over the box pipeline
   (:func:`qa_pairs_from_pdf`, qa.py:77-170);
+* docx — heading-level question stack over paragraph payloads, tables
+  rendered first (qa.Docx.__call__, qa.py:184-260 + :453-460);
+* xlsx — per sheet row: question = first non-empty cell, answer =
+  second (qa.Excel, qa.py:36-76);
 * each pair renders as ``"Question: q\\tAnswer: a"``
   (``问题：/回答：`` for Chinese), with role prefixes stripped.
 """
@@ -177,17 +181,104 @@ def qa_pairs_from_pdf(doc: dict) -> tuple[list[tuple[str, str]], list]:
     return pairs, tbls
 
 
+def qa_pairs_from_excel(doc: dict) -> list[tuple[str, str]]:
+    """Per sheet row: q = first non-empty cell, a = second (qa.Excel,
+    qa.py:47-64).  The reference's ``if not cell.value`` skip also
+    drops falsy values (0, empty string) — quirk kept."""
+    from .common import doc_sheets
+
+    pairs: list[tuple[str, str]] = []
+    for sheet in doc_sheets(doc):
+        for row in sheet.get("rows", []):
+            q = a = ""
+            for cell in row:
+                if not cell:
+                    continue
+                if not q:
+                    q = str(cell)
+                elif not a:
+                    a = str(cell)
+                else:
+                    break
+            if q and a:
+                pairs.append((q, a))
+    return pairs
+
+
+def qa_pairs_from_docx_spans(doc: dict) -> tuple[list[tuple[str, str, str | None]],
+                                                 list[str]]:
+    """Heading-stack Q&A over docx paragraph payloads (qa.Docx.__call__,
+    qa.py:200-260): Heading-N paragraphs push questions, everything
+    else (including blank paragraphs, as bare newlines) extends the
+    pending answer; media spans attach as combined refs (the engine's
+    ``concat_img``).  Tables render to colspan-merged HTML."""
+    import json
+
+    from ..parsers.docxlike import combine_refs, table_rows_to_html
+    from .laws import _docx_question_level
+
+    pairs: list[tuple[str, str, str | None]] = []
+    tables: list[str] = []
+    last_answer = ""
+    last_ref: str | None = None
+    question_stack: list[str] = []
+    level_stack: list[int] = []
+
+    for span in sorted(doc["spans"], key=lambda s: s["offset"]):
+        if span["kind"] == "media":
+            last_ref = combine_refs(last_ref, span["media_ref"] or None)
+            continue
+        try:
+            payload = json.loads(span["text"])
+        except (json.JSONDecodeError, TypeError):
+            payload = {"t": span["text"], "style": ""}
+        if "table" in payload:
+            tables.append(table_rows_to_html(payload["table"]["rows"]))
+            continue
+        text = payload.get("t", "")
+        level, p_text = 0, ""
+        if text.strip():
+            level, p_text = _docx_question_level(text, payload.get("style", ""), -1)
+        if not level or level > 6:
+            last_answer = f"{last_answer}\n{p_text}"
+            continue
+        if last_answer or last_ref:
+            sum_question = "\n".join(question_stack)
+            if sum_question:
+                pairs.append((sum_question, last_answer, last_ref))
+            last_answer, last_ref = "", None
+        while question_stack and level <= level_stack[-1]:
+            question_stack.pop()
+            level_stack.pop()
+        question_stack.append(p_text)
+        level_stack.append(level)
+    if last_answer:
+        sum_question = "\n".join(question_stack)
+        if sum_question:
+            pairs.append((sum_question, last_answer, last_ref))
+    return pairs, tables
+
+
 def chunk_qa(doc: dict, cfg: ChunkConfig) -> list[dict]:
     fmt = doc.get("fmt", "txt")
+    out = SpanEmitter()
     if fmt == "pdf":
         pairs, _tbls = qa_pairs_from_pdf(doc)
+    elif fmt == "docx":
+        triples, tables = qa_pairs_from_docx_spans(doc)
+        # reference order: tables first (tokenize_table), then pairs
+        out.emit_tables([(("", t), "") for t in tables], cfg)
+        for q, a, ref in triples:
+            out.emit("qa", format_pair(q, a, cfg.is_english), ref or "")
+        return out.to_dicts()
+    elif fmt == "excel":
+        pairs = qa_pairs_from_excel(doc)
     else:
         lines = doc_text(doc).split("\n")
         if fmt == "markdown":
             pairs = qa_pairs_from_markdown(lines)
         else:
             pairs = qa_pairs_from_lines(lines)
-    out = SpanEmitter()
     for q, a in pairs:
         out.emit("qa", format_pair(q, a, cfg.is_english))
     return out.to_dicts()

@@ -233,3 +233,82 @@ class TestManualOutlines:
         assert spans
         joined = "\n".join(s["text"] for s in spans)
         assert "Overview of merges" in joined and "Details of sorting" in joined
+
+
+class TestQaDocxExcel:
+    """Round-2 qa paths (reference qa.py:36-76 Excel, :184-260 Docx)."""
+
+    @staticmethod
+    def _para(t, style="", offset=0):
+        import json
+
+        return {"kind": "text", "text": json.dumps({"t": t, "style": style}),
+                "media_ref": "", "offset": offset}
+
+    def test_docx_heading_stack(self):
+        from ragflow_ray.chunkers import ChunkConfig
+        from ragflow_ray.chunkers.qa import chunk_qa
+
+        spans = [
+            self._para("What is Ray?", "Heading 1", 0),
+            self._para("A distributed runtime.", "", 1),
+            self._para("What is Ray Data?", "Heading 2", 2),
+            self._para("Datasets on Ray.", "", 3),
+            self._para("What is Arrow?", "Heading 1", 4),
+            self._para("A columnar format.", "", 5),
+        ]
+        doc = {"doc_id": "d1", "fmt": "docx", "spans": spans}
+        out = chunk_qa(doc, ChunkConfig())
+        texts = [s["text"] for s in out]
+        # "A " is stripped by the role-prefix regex (reference rmPrefix quirk)
+        assert texts[0] == "Question: What is Ray?\tAnswer: distributed runtime."
+        # nested question keeps its ancestor in the stack
+        assert texts[1] == ("Question: What is Ray?\nWhat is Ray Data?"
+                            "\tAnswer: Datasets on Ray.")
+        assert texts[2] == "Question: What is Arrow?\tAnswer: columnar format."
+
+    def test_docx_tables_first_and_media_ref(self):
+        import json
+
+        from ragflow_ray.chunkers import ChunkConfig
+        from ragflow_ray.chunkers.qa import chunk_qa
+
+        spans = [
+            self._para("Setup heading", "Heading 1", 0),
+            {"kind": "media", "text": "", "media_ref": "media://d/img1", "offset": 1},
+            self._para("the answer text", "", 2),
+            {"kind": "text",
+             "text": json.dumps({"table": {"rows": [["a", "b"], ["1", "1"]]}}),
+             "media_ref": "", "offset": 3},
+        ]
+        doc = {"doc_id": "d2", "fmt": "docx", "spans": spans}
+        out = chunk_qa(doc, ChunkConfig())
+        assert out[0]["kind"] == "table"
+        assert "<td colspan='2'>1</td>" in out[0]["text"]
+        assert out[1]["kind"] == "qa"
+        assert out[1]["media_ref"] == "media://d/img1"
+        assert out[1]["text"] == "Question: Setup heading\tAnswer: the answer text"
+
+    def test_excel_pairs(self):
+        import json
+
+        from ragflow_ray.chunkers import ChunkConfig
+        from ragflow_ray.chunkers.qa import chunk_qa
+
+        payload = {"sheets": [{"name": "Sheet1", "rows": [
+            ["What is X?", "X is a thing."],
+            ["", "orphan answer"],            # no question -> dropped
+            [None, "Q2?", "A2."],             # leading empty cell skipped
+            ["only question"],                # no answer -> dropped
+            [0, "Q3?", "A3."],                # falsy 0 skipped (reference quirk)
+        ]}]}
+        spans = [{"kind": "text", "text": json.dumps(payload),
+                  "media_ref": "", "offset": 0}]
+        doc = {"doc_id": "d3", "fmt": "excel", "spans": spans}
+        out = chunk_qa(doc, ChunkConfig())
+        texts = [s["text"] for s in out]
+        assert texts == [
+            "Question: What is X?\tAnswer: X is a thing.",
+            "Question: Q2?\tAnswer: A2.",
+            "Question: Q3?\tAnswer: A3.",
+        ]
