@@ -181,20 +181,25 @@ def _bucket_pairs(group: pd.DataFrame):
 
 
 def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 0.8,
-                      join_partitions: int = 8):
+                      join_partitions: int = 8, broadcast_limit: int = 100_000):
     """MinHash-LSH near-duplicate pairs (Jaccard ≥ threshold).
 
     Shuffle discipline — nothing corpus-sized ever reaches the driver:
 
     1. only (band_id, band_hash, doc_id) rows move in the LSH groupby;
     2. candidate pairs (few) dedupe in a tiny groupby;
-    3. the exact-Jaccard verify is **distributed**: only the distinct
-       candidate *ids* are collected (O(candidates), not O(corpus)),
-       broadcast once via ``ray.put``, shingle sets are recomputed for
-       candidate docs alone inside a filtering ``map_batches`` scan,
-       and the pair sides meet their shingle rows in a hash join +
-       per-pair ``map_groups`` — candidate shingles, never document
-       texts, are the shuffled payload.
+    3. the exact-Jaccard verify is **size-adaptive**, the same call a
+       query engine makes between broadcast and shuffle joins:
+
+       * ≤ ``broadcast_limit`` distinct candidate ids — a
+         predicate-pushdown parquet read fetches only the candidate
+         rows (O(candidates) driver memory, explicitly bounded) and
+         the verify runs locally;
+       * above it — candidate ids broadcast via ``ray.put``, shingle
+         sets recomputed for candidates alone in a filtering scan,
+         each pair meets both shingle sets through two hash joins
+         (doc_a, then doc_b) + a row-wise verify pass.  Candidate
+         shingles, never document texts, are the shuffled payload.
     """
     import pyarrow as pa
     import ray
@@ -205,8 +210,10 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
     )
 
     docs = _docs(sf_dir)
+    # autoscaling pool: scales to 8 sketch actors on big hosts without
+    # pinning CPUs that the downstream join aggregators need on small ones
     bands = docs.map_batches(
-        MinHasher, batch_format="pandas", concurrency=concurrency or 2
+        MinHasher, batch_format="pandas", concurrency=concurrency or (1, 8)
     )
     candidates = bands.groupby(["band_id", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
@@ -229,6 +236,34 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
     cand_ids = np.unique(
         np.concatenate([pair_ids["doc_a"].to_numpy(), pair_ids["doc_b"].to_numpy()])
     )
+
+    if len(cand_ids) <= broadcast_limit:
+        # small side: pruned read of candidate rows only (row-group +
+        # row-level predicate pushdown), local exact verify
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(pa.array(cand_ids)),
+        )
+        sh = {
+            int(i): set(_shingle_hashes(txt).tolist())
+            for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        }
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(pair_ids["doc_a"], pair_ids["doc_b"]):
+            sa, sb = sh[int(a)], sh[int(b)]
+            jac = len(sa & sb) / (len(sa | sb) or 1)
+            if jac >= jaccard_threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(round(jac, 4))
+        result = pa.table(
+            {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}, schema=pair_schema
+        )
+        return rd.from_arrow(result).sort(["doc_a", "doc_b"])
+
     id_ref = ray.put(frozenset(int(x) for x in cand_ids))
 
     # shingle vectors ride the join as binary blobs (Arrow's hash join
@@ -252,53 +287,48 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
             schema=shingle_schema,
         )
 
-    shingles = docs.map_batches(candidate_shingles, batch_format="pandas")
+    # candidate-only shingle table, materialized once (bounded by the
+    # candidate set, distributed blocks) so the two join sides don't
+    # re-run the filtering scan
+    shingles = docs.map_batches(
+        candidate_shingles, batch_format="pandas"
+    ).materialize()
 
-    side_schema = pa.schema(
-        [("doc_id", pa.int64()), ("doc_a", pa.int64()), ("doc_b", pa.int64())]
-    )
+    def _renamed(cols):
+        def rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
 
-    def explode_sides(batch: pd.DataFrame):
-        a = batch["doc_a"].to_numpy().astype(np.int64)
-        b = batch["doc_b"].to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": np.concatenate([a, b]),
-                "doc_a": np.concatenate([a, a]),
-                "doc_b": np.concatenate([b, b]),
-            },
-            schema=side_schema,
-        )
+        return rename
 
-    sides = unique_pairs.map_batches(explode_sides, batch_format="pandas")
     # partitions sized to the candidate set (an empty join partition on
     # tiny inputs yields a schema-less block that breaks the join)
     n_parts = max(1, min(join_partitions, len(cand_ids) // 64 + 1))
-    joined = sides.join(
-        shingles, join_type="inner", num_partitions=n_parts, on=("doc_id",)
+    with_a = unique_pairs.select_columns(["doc_a", "doc_b"]).join(
+        shingles.map_batches(_renamed(["doc_a", "sh_a"]), batch_format="pyarrow"),
+        join_type="inner", num_partitions=n_parts, on=("doc_a",),
+    )
+    with_both = with_a.join(
+        shingles.map_batches(_renamed(["doc_b", "sh_b"]), batch_format="pyarrow"),
+        join_type="inner", num_partitions=n_parts, on=("doc_b",),
     )
 
-    def jaccard_of_pair(group: pd.DataFrame):
-        if len(group) != 2:
-            return pair_schema.empty_table()
-        sa = set(np.frombuffer(group["shingles"].iloc[0], dtype=np.int64))
-        sb = set(np.frombuffer(group["shingles"].iloc[1], dtype=np.int64))
-        union = len(sa | sb) or 1
-        jac = len(sa & sb) / union
-        if jac < jaccard_threshold:
-            return pair_schema.empty_table()
+    def verify_rows(batch: pd.DataFrame):
+        out_a, out_b, out_j = [], [], []
+        for a, b, sa_buf, sb_buf in zip(
+            batch["doc_a"], batch["doc_b"], batch["sh_a"], batch["sh_b"]
+        ):
+            sa = set(np.frombuffer(sa_buf, dtype=np.int64))
+            sb = set(np.frombuffer(sb_buf, dtype=np.int64))
+            jac = len(sa & sb) / (len(sa | sb) or 1)
+            if jac >= jaccard_threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(round(jac, 4))
         return pa.table(
-            {
-                "doc_a": [int(group["doc_a"].iloc[0])],
-                "doc_b": [int(group["doc_b"].iloc[0])],
-                "jaccard": [round(jac, 4)],
-            },
-            schema=pair_schema,
+            {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}, schema=pair_schema
         )
 
-    out = joined.groupby(["doc_a", "doc_b"]).map_groups(
-        jaccard_of_pair, batch_format="pandas"
-    )
+    out = with_both.map_batches(verify_rows, batch_format="pandas")
     return out.sort(["doc_a", "doc_b"])
 
 

@@ -223,7 +223,11 @@ class TestDedupScale:
             }
         )
         pq.write_table(docs, str(tmp_path / "documents.parquet"))
-        pairs = minhash_near_dups(str(tmp_path)).to_pandas()
+        # broadcast_limit=0 forces the distributed two-join verify
+        pairs = minhash_near_dups(str(tmp_path), broadcast_limit=0).to_pandas()
         found = set(zip(pairs.doc_a, pairs.doc_b))
         assert (50, 100) in found
         assert (60, 200) in found
+        # the small-side (pruned-read) path must agree exactly
+        small = minhash_near_dups(str(tmp_path)).to_pandas()
+        assert set(zip(small.doc_a, small.doc_b)) == found
