@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_set_dedup": dedup.token_set_dedup,
         "embedding_near_dups": dedup.embedding_near_dups,
         "minhash_near_dups": lambda d: dedup.minhash_near_dups(d).to_pandas(),
+        "ngram_jaccard_dups": lambda d: dedup.ngram_jaccard_dups(d).to_pandas(),
         "simhash_signatures": lambda d: dedup.simhash_signatures(d).to_pandas(),
         "simhash_near_dups": lambda d: dedup.simhash_near_dups(d).to_pandas(),
         # --- similarity search ---
@@ -247,6 +248,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard
             FROM read_parquet('{_FIXTURES}/minhash_pairs.parquet')
             WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+            ORDER BY doc_a, doc_b
+        """,
+        # exact 3-gram Jaccard with the df<=64 stop-gram rule mirrored;
+        # integer jaccard_x10000 keeps both sides float-free
+        "ngram_jaccard_dups": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(ws) < 3
+                              THEN [array_to_string(ws, ' ')]
+                              ELSE list_distinct(list_transform(range(len(ws) - 2),
+                                   i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+                              END) AS g
+                FROM base
+            ),
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            df AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 64),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a JOIN df ON df.g = a.g
+                JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b,
+                   (i.n_both * 10000 // (ca.n + cb.n - i.n_both))::BIGINT
+                       AS jaccard_x10000
+            FROM cand c
+            JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            JOIN counts ca ON ca.doc_id = c.doc_a
+            JOIN counts cb ON cb.doc_id = c.doc_b
+            WHERE 2 * i.n_both >= ca.n + cb.n - i.n_both
             ORDER BY doc_a, doc_b
         """,
         "ann_ivf_topk": f"""

@@ -264,35 +264,55 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
         )
         return rd.from_arrow(result).sort(["doc_a", "doc_b"])
 
-    id_ref = ray.put(frozenset(int(x) for x in cand_ids))
+    def emit(a: int, b: int, n_both: int, n_union: int):
+        jac = n_both / (n_union or 1)
+        if jac < jaccard_threshold:
+            return None
+        return {"doc_a": a, "doc_b": b, "jaccard": round(jac, 4)}
 
-    # shingle vectors ride the join as binary blobs (Arrow's hash join
-    # rejects list-typed payload columns); int64-LE array bytes
-    shingle_schema = pa.schema(
-        [("doc_id", pa.int64()), ("shingles", pa.large_binary())]
+    return _join_overlap_verify(
+        sf_dir, docs, unique_pairs, cand_ids, _shingle_hashes, emit,
+        pair_schema, join_partitions,
     )
 
-    def candidate_shingles(batch: pd.DataFrame):
+
+def _join_overlap_verify(sf_dir, docs, unique_pairs, cand_ids, key_fn, emit,
+                         pair_schema, join_partitions: int):
+    """Distributed exact set-overlap verify shared by the near-dup ops.
+
+    Candidate ids broadcast once; ``key_fn(text) -> int64 ndarray``
+    recomputes each candidate's key set inside a filtering scan; each
+    pair meets both key sets through two hash joins, and ``emit(a, b,
+    n_both, n_union) -> row | None`` decides what survives.
+    """
+    import pyarrow as pa
+    import ray
+
+    id_ref = ray.put(frozenset(int(x) for x in cand_ids))
+
+    # key vectors ride the join as binary blobs (Arrow's hash join
+    # rejects list-typed payload columns); int64-LE array bytes
+    key_schema = pa.schema([("doc_id", pa.int64()), ("keys", pa.large_binary())])
+
+    def candidate_keys(batch: pd.DataFrame):
         members = ray.get(id_ref)
         ids, arrs = [], []
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
             if int(doc_id) in members:
                 ids.append(int(doc_id))
-                arrs.append(_shingle_hashes(text).tobytes())
+                arrs.append(key_fn(text).tobytes())
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
-                "shingles": pa.array(arrs, type=pa.large_binary()),
+                "keys": pa.array(arrs, type=pa.large_binary()),
             },
-            schema=shingle_schema,
+            schema=key_schema,
         )
 
-    # candidate-only shingle table, materialized once (bounded by the
+    # candidate-only key table, materialized once (bounded by the
     # candidate set, distributed blocks) so the two join sides don't
     # re-run the filtering scan
-    shingles = docs.map_batches(
-        candidate_shingles, batch_format="pandas"
-    ).materialize()
+    keys = docs.map_batches(candidate_keys, batch_format="pandas").materialize()
 
     def _renamed(cols):
         def rename(t: pa.Table) -> pa.Table:
@@ -304,32 +324,157 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
     # tiny inputs yields a schema-less block that breaks the join)
     n_parts = max(1, min(join_partitions, len(cand_ids) // 64 + 1))
     with_a = unique_pairs.select_columns(["doc_a", "doc_b"]).join(
-        shingles.map_batches(_renamed(["doc_a", "sh_a"]), batch_format="pyarrow"),
+        keys.map_batches(_renamed(["doc_a", "k_a"]), batch_format="pyarrow"),
         join_type="inner", num_partitions=n_parts, on=("doc_a",),
     )
     with_both = with_a.join(
-        shingles.map_batches(_renamed(["doc_b", "sh_b"]), batch_format="pyarrow"),
+        keys.map_batches(_renamed(["doc_b", "k_b"]), batch_format="pyarrow"),
         join_type="inner", num_partitions=n_parts, on=("doc_b",),
     )
 
     def verify_rows(batch: pd.DataFrame):
-        out_a, out_b, out_j = [], [], []
-        for a, b, sa_buf, sb_buf in zip(
-            batch["doc_a"], batch["doc_b"], batch["sh_a"], batch["sh_b"]
+        rows = []
+        for a, b, ka, kb in zip(
+            batch["doc_a"], batch["doc_b"], batch["k_a"], batch["k_b"]
         ):
-            sa = set(np.frombuffer(sa_buf, dtype=np.int64))
-            sb = set(np.frombuffer(sb_buf, dtype=np.int64))
-            jac = len(sa & sb) / (len(sa | sb) or 1)
-            if jac >= jaccard_threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
-                out_j.append(round(jac, 4))
-        return pa.table(
-            {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}, schema=pair_schema
-        )
+            sa = set(np.frombuffer(ka, dtype=np.int64))
+            sb = set(np.frombuffer(kb, dtype=np.int64))
+            row = emit(int(a), int(b), len(sa & sb), len(sa | sb))
+            if row is not None:
+                rows.append(row)
+        if not rows:
+            return pair_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=pair_schema)
 
     out = with_both.map_batches(verify_rows, batch_format="pandas")
     return out.sort(["doc_a", "doc_b"])
+
+
+# -- exact n-gram Jaccard (inverted-index blocking) ----------------------
+
+
+def _ngram_keys(text: str, n: int = 3) -> np.ndarray:
+    """Distinct word n-grams as 64-bit md5-prefix keys (collision odds
+    negligible; a doc shorter than ``n`` words contributes its full
+    text as one gram)."""
+    words = text.split()
+    if len(words) < n:
+        grams = [text]
+    else:
+        grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+    out = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little", signed=True)
+            for g in grams
+        ),
+        dtype=np.int64,
+        count=len(grams),
+    )
+    return np.unique(out)
+
+
+def ngram_jaccard_dups(sf_dir: str, n: int = 3, df_cap: int = 64,
+                       broadcast_limit: int = 100_000):
+    """**Exact** n-gram Jaccard near-dup pairs (≥ 1/2), no sketching.
+
+    The classic inverted-index plan:
+
+    1. explode each doc's distinct n-gram keys → ``(gram, doc_id)``
+       rows (the only corpus-wide shuffle);
+    2. per-gram groups of size 2..``df_cap`` emit candidate pairs —
+       grams more frequent than ``df_cap`` are *skipped entirely*
+       (deterministic stop-gram rule, mirrored exactly by the SQL
+       oracle; a pair sharing only stop-grams is not a candidate);
+    3. pairs dedupe in a tiny groupby, then verify with the same
+       size-adaptive exact verify as MinHash (pruned candidate read
+       below ``broadcast_limit`` ids; distributed join above).
+
+    Float-free output: ``jaccard_x10000 = |A∩B| * 10000 // |A∪B|``,
+    threshold test ``2*|A∩B| >= |A∪B|`` — integer arithmetic on both
+    the Ray and DuckDB sides.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("jaccard_x10000", pa.int64())]
+    )
+    gram_schema = pa.schema([("gram", pa.int64()), ("doc_id", pa.int64())])
+
+    def explode(batch: pd.DataFrame):
+        grams, ids = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            keys = _ngram_keys(text, n)
+            grams.append(keys)
+            ids.append(np.full(len(keys), int(doc_id), dtype=np.int64))
+        if not grams:
+            return gram_schema.empty_table()
+        return pa.table(
+            {"gram": np.concatenate(grams), "doc_id": np.concatenate(ids)},
+            schema=gram_schema,
+        )
+
+    def bucket(group: pd.DataFrame):
+        schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+        ids = np.unique(group["doc_id"].to_numpy().astype(np.int64))
+        if len(ids) < 2 or len(ids) > df_cap:
+            return schema.empty_table()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": ids[ii], "doc_b": ids[jj]}, schema=schema)
+
+    docs = _docs(sf_dir)
+    pairs = (
+        docs.map_batches(explode, batch_format="pandas")
+        .groupby("gram")
+        .map_groups(bucket, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_grams"))
+        .materialize()
+    )
+    pair_ids = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+    if pair_ids.empty:
+        return rd.from_arrow(pair_schema.empty_table())
+
+    cand_ids = np.unique(
+        np.concatenate([pair_ids["doc_a"].to_numpy(), pair_ids["doc_b"].to_numpy()])
+    )
+    def emit(a: int, b: int, n_both: int, n_union: int):
+        union = n_union or 1
+        if 2 * n_both < union:
+            return None
+        return {"doc_a": a, "doc_b": b, "jaccard_x10000": n_both * 10_000 // union}
+
+    if len(cand_ids) > broadcast_limit:
+        return _join_overlap_verify(
+            sf_dir, docs, pairs, cand_ids,
+            lambda t: _ngram_keys(t, n), emit, pair_schema, join_partitions=8,
+        )
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(pa.array(cand_ids)),
+    )
+    sets = {
+        int(i): set(_ngram_keys(txt, n).tolist())
+        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(pair_ids["doc_a"], pair_ids["doc_b"]):
+        sa, sb = sets[int(a)], sets[int(b)]
+        both = len(sa & sb)
+        union = len(sa | sb) or 1
+        if 2 * both >= union:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(both * 10_000 // union)
+    result = pa.table(
+        {"doc_a": out_a, "doc_b": out_b, "jaccard_x10000": out_j},
+        schema=pair_schema,
+    )
+    return rd.from_arrow(result).sort(["doc_a", "doc_b"])
 
 
 # -- SimHash -------------------------------------------------------------

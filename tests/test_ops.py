@@ -231,3 +231,15 @@ class TestDedupScale:
         # the small-side (pruned-read) path must agree exactly
         small = minhash_near_dups(str(tmp_path)).to_pandas()
         assert set(zip(small.doc_a, small.doc_b)) == found
+
+    def test_ngram_jaccard_both_paths_agree(self, planted_dir):
+        """Exact n-gram Jaccard: the planted exact pair scores 10000;
+        the broadcast and distributed verifies agree."""
+        from ragflow_ray.ops.dedup import ngram_jaccard_dups
+
+        small = ngram_jaccard_dups(planted_dir).to_pandas()
+        assert (0, 1, 10000) in set(
+            zip(small.doc_a, small.doc_b, small.jaccard_x10000)
+        )
+        dist = ngram_jaccard_dups(planted_dir, broadcast_limit=0).to_pandas()
+        assert small.values.tolist() == dist.values.tolist()
