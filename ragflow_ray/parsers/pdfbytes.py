@@ -1,0 +1,305 @@
+"""Minimal from-scratch PDF text-layer extraction.
+
+The reference's "Plain Text" pdf path delegates to pypdf
+``extract_text`` (deepdoc/parser/pdf_parser.py:1243-1269); no PDF
+library exists in this container, so this module implements the
+subset needed to ingest real PDF bytes into the plain extraction
+path:
+
+* object scan (``N G obj … endobj``) with stream extraction;
+* FlateDecode (zlib) — the compression virtually every text PDF uses;
+* page discovery via the /Root → /Pages → /Kids tree (object-order
+  fallback) and /Contents resolution (single ref or array);
+* a content-stream tokenizer covering the text operators: BT/ET,
+  Tj / ' / " / TJ (string shows), Td / TD / T* / Tm (line motion);
+* literal-string unescaping and hex strings.
+
+Deliberately out of scope (documented subset, not a stub): CID/Type0
+composite fonts with ToUnicode CMaps, encrypted documents, predictors,
+LZW/ASCII85 filters, and cross-reference streams for object
+discovery — bytes outside the subset degrade to skipped show-strings,
+never to a crash.  Good enough to round-trip every text PDF this
+engine writes in its own tests and the common single-byte-font
+documents the plain path targets.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.DOTALL)
+_STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_FLATE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+_PAGE_TYPE = re.compile(rb"/Type\s*/Page(?![s/\w])")
+_CONTENTS_REF = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_REF = re.compile(rb"(\d+)\s+\d+\s+R")
+_ROOT = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_PAGES_REF = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_KIDS = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(3) for m in _OBJ.finditer(data)}
+
+
+def _stream_of(body: bytes) -> bytes | None:
+    m = _STREAM.search(body)
+    if not m:
+        return None
+    raw = m.group(1)
+    if _FLATE.search(body):
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return None
+    return raw
+
+
+def _page_object_order(data: bytes, objs: dict[int, bytes]) -> list[int]:
+    """Page object numbers in document order (Kids walk; fallback to
+    object-number order of /Type /Page objects)."""
+    root_m = _ROOT.search(data)
+    if root_m:
+        root = objs.get(int(root_m.group(1)), b"")
+        pages_m = _PAGES_REF.search(root)
+        if pages_m:
+            order: list[int] = []
+
+            def walk(num: int, depth: int = 0) -> None:
+                if depth > 32:
+                    return
+                body = objs.get(num, b"")
+                if _PAGE_TYPE.search(body):
+                    order.append(num)
+                    return
+                kids = _KIDS.search(body)
+                if kids:
+                    for ref in _REF.finditer(kids.group(1)):
+                        walk(int(ref.group(1)), depth + 1)
+
+            walk(int(pages_m.group(1)))
+            if order:
+                return order
+    return [n for n in sorted(objs) if _PAGE_TYPE.search(objs[n])]
+
+
+def _content_streams(body: bytes, objs: dict[int, bytes]) -> list[bytes]:
+    streams: list[bytes] = []
+    arr = _CONTENTS_ARR.search(body)
+    refs = (
+        [int(r.group(1)) for r in _REF.finditer(arr.group(1))]
+        if arr
+        else [int(m.group(1)) for m in _CONTENTS_REF.finditer(body)]
+    )
+    for num in refs:
+        s = _stream_of(objs.get(num, b""))
+        if s is not None:
+            streams.append(s)
+    return streams
+
+
+def _unescape_literal(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        nxt = raw[i + 1 : i + 2]
+        if nxt in _ESCAPES:
+            out += _ESCAPES[nxt]
+            i += 2
+        elif nxt.isdigit():  # octal \ddd (1-3 digits)
+            j = i + 1
+            while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(int(raw[i + 1 : j], 8) & 0xFF)
+            i = j
+        elif nxt in (b"\n", b"\r"):  # line continuation
+            i += 2
+        else:
+            out += nxt
+            i += 2
+    return out.decode("latin-1")
+
+
+def _tokenize(stream: bytes):
+    """→ (kind, value) tokens: 'str', 'hex', 'arr', 'num', 'op'."""
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i : i + 1]
+        if c in b" \t\r\n\x00":
+            i += 1
+            continue
+        if c == b"(":
+            depth, j = 1, i + 1
+            start = j
+            while j < n and depth:
+                ch = stream[j : j + 1]
+                if ch == b"\\":
+                    j += 2
+                    continue
+                if ch == b"(":
+                    depth += 1
+                elif ch == b")":
+                    depth -= 1
+                j += 1
+            yield ("str", _unescape_literal(stream[start : j - 1]))
+            i = j
+            continue
+        if c == b"<" and stream[i + 1 : i + 2] != b"<":
+            j = stream.find(b">", i)
+            if j < 0:
+                break
+            hx = re.sub(rb"\s", b"", stream[i + 1 : j])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                yield ("str", bytes.fromhex(hx.decode()).decode("latin-1"))
+            except ValueError:
+                pass
+            i = j + 1
+            continue
+        if c == b"<":  # dict <<
+            i += 2
+            continue
+        if c in b">]})":
+            i += 1
+            continue
+        if c == b"[":
+            # collect until matching ] at this nesting level (TJ arrays
+            # only contain strings and numbers)
+            j = i + 1
+            parts: list[str] = []
+            while j < n and stream[j : j + 1] != b"]":
+                ch = stream[j : j + 1]
+                if ch == b"(":
+                    depth, k = 1, j + 1
+                    start = k
+                    while k < n and depth:
+                        cc = stream[k : k + 1]
+                        if cc == b"\\":
+                            k += 2
+                            continue
+                        if cc == b"(":
+                            depth += 1
+                        elif cc == b")":
+                            depth -= 1
+                        k += 1
+                    parts.append(_unescape_literal(stream[start : k - 1]))
+                    j = k
+                elif ch == b"<":
+                    k = stream.find(b">", j)
+                    if k < 0:
+                        break
+                    hx = re.sub(rb"\s", b"", stream[j + 1 : k])
+                    if len(hx) % 2:
+                        hx += b"0"
+                    try:
+                        parts.append(bytes.fromhex(hx.decode()).decode("latin-1"))
+                    except ValueError:
+                        pass
+                    j = k + 1
+                else:
+                    j += 1
+            yield ("arr", parts)
+            i = j + 1
+            continue
+        m = re.match(rb"[-+.0-9]+", stream[i:])
+        if m and c in b"-+.0123456789":
+            yield ("num", float(m.group()))
+            i += len(m.group())
+            continue
+        m = re.match(rb"[A-Za-z'\"*]+", stream[i:])
+        if m:
+            yield ("op", m.group().decode("latin-1"))
+            i += len(m.group())
+            continue
+        if c == b"/":
+            m = re.match(rb"/[^\s/<>\[\]()]*", stream[i:])
+            i += len(m.group()) if m else 1
+            continue
+        i += 1
+
+
+def _page_lines(streams: list[bytes]) -> list[str]:
+    """Assemble show-text runs into lines: Td/TD/T*/Tm/' start a new
+    line; Tj/TJ/'/\" append to the current one."""
+    lines: list[str] = []
+    current: list[str] = []
+    stack: list = []
+
+    def newline() -> None:
+        if current:
+            text = "".join(current).strip()
+            if text:
+                lines.append(text)
+            current.clear()
+
+    for stream in streams:
+        for kind, value in _tokenize(stream):
+            if kind in ("str", "arr", "num"):
+                stack.append((kind, value))
+                continue
+            op = value
+            if op in ("Td", "TD", "T*", "Tm"):
+                newline()
+            elif op == "Tj":
+                if stack and stack[-1][0] == "str":
+                    current.append(stack[-1][1])
+            elif op in ("'", '"'):
+                newline()
+                if stack and stack[-1][0] == "str":
+                    current.append(stack[-1][1])
+            elif op == "TJ":
+                if stack and stack[-1][0] == "arr":
+                    current.append("".join(stack[-1][1]))
+            elif op == "ET":
+                newline()
+            stack.clear()  # every operator consumes its operands
+    newline()
+    return lines
+
+
+def pdf_text_lines(blob: bytes) -> list[list[str]]:
+    """→ per-page text-layer lines (pypdf ``extract_text``-shaped)."""
+    objs = _objects(blob)
+    pages = []
+    for num in _page_object_order(blob, objs):
+        pages.append(_page_lines(_content_streams(objs[num], objs)))
+    return pages
+
+
+def pdf_to_page_payloads(doc_id: str, blob: bytes) -> list[dict]:
+    """Real PDF bytes → the engine's page media spans (text-layer
+    boxes with synthetic line geometry, no layout regions) for the
+    ``layout_mode="plain"`` extraction path."""
+    import json
+
+    spans = []
+    for pn, lines in enumerate(pdf_text_lines(blob), start=1):
+        boxes = [
+            {"x0": 40.0, "x1": 572.0, "top": 40.0 + 14.0 * i,
+             "bottom": 52.0 + 14.0 * i, "text": line}
+            for i, line in enumerate(lines)
+        ]
+        payload = {"page_no": pn, "width": 612, "height": 792,
+                   "boxes": boxes, "layouts": [], "tables": []}
+        spans.append(
+            {
+                "kind": "media",
+                "text": json.dumps(payload),
+                "media_ref": f"media://{doc_id}/p{pn}",
+                "offset": pn - 1,
+            }
+        )
+    return spans

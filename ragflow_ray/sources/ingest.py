@@ -6,9 +6,11 @@ __init__.py:53-71, deepdoc/parser/utils.py); this module is the Ray
 Data analogue: ``read_binary_files`` → per-batch codec sniff + decode →
 INPUT_SCHEMA rows the extraction pipeline consumes directly.
 
-PDF/docx binary decoding needs the out-of-scope native parsers
-(SURVEY.md §7.1 M0); text-family formats (txt/html/markdown/json/csv)
-ingest for real here.
+Text-family formats (txt/html/markdown/json/csv) ingest for real;
+.pdf ingests through the from-scratch text-layer extractor
+(``parsers/pdfbytes.py``) into the ``layout_mode="plain"`` path.
+docx/xlsx binary decoding still needs the out-of-scope office codecs
+(SURVEY.md §7.1 M0).
 """
 
 from __future__ import annotations
@@ -43,12 +45,27 @@ def fmt_of(path: str) -> str:
 
 def rows_from_files(batch: pa.Table) -> pa.Table:
     """``read_binary_files(include_paths=True)`` batch → corpus rows."""
+    from ..parsers.pdfbytes import pdf_to_page_payloads
+
     rows = []
     for path, blob in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+        doc_id = os.path.basename(path)
+        if path.lower().endswith(".pdf"):
+            spans = pdf_to_page_payloads(doc_id, bytes(blob))
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "fmt": "pdf",
+                    "template": "naive",
+                    "n_media": len(spans),
+                    "spans": spans,
+                }
+            )
+            continue
         text = get_text(bytes(blob))
         rows.append(
             {
-                "doc_id": os.path.basename(path),
+                "doc_id": doc_id,
                 "fmt": fmt_of(path),
                 "template": "naive",
                 "n_media": 0,

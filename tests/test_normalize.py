@@ -106,3 +106,20 @@ class TestIngest:
         doc["spans"] = list(doc["spans"])
         spans = chunk_document(doc, "naive", ChunkConfig(chunk_token_num=64))
         assert spans and "alpha beta" in spans[0]["text"]
+
+    def test_ingest_real_pdf(self, tmp_path):
+        """A real (self-written) PDF ingests through the text-layer
+        extractor into the plain extraction path end-to-end."""
+        from tests.test_pdfbytes import make_pdf
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+        from ragflow_ray.sources.ingest import read_text_files
+
+        (tmp_path / "doc.pdf").write_bytes(
+            make_pdf([["first page line one", "line two"], ["second page text"]])
+        )
+        doc = read_text_files(str(tmp_path)).take_all()[0]
+        assert doc["fmt"] == "pdf" and doc["n_media"] == 2
+        doc["spans"] = [dict(s) for s in doc["spans"]]
+        spans = chunk_document(doc, "naive", ChunkConfig(layout_mode="plain"))
+        text = "".join(s["text"] for s in spans)
+        assert "first page line one" in text and "second page text" in text

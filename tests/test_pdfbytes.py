@@ -1,0 +1,126 @@
+"""From-scratch PDF text-layer extraction (parsers/pdfbytes.py).
+
+The writer below builds real, spec-conformant single-font PDFs byte by
+byte (compressed and uncompressed content streams, Kids tree), so the
+extractor is tested against actual PDF structure rather than its own
+assumptions.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from ragflow_ray.parsers.pdfbytes import pdf_text_lines, pdf_to_page_payloads
+
+
+def make_pdf(pages: list[list[str]], compress: bool = True,
+             use_tj_array: bool = False) -> bytes:
+    """Minimal well-formed PDF: catalog → pages tree → page objects
+    with one content stream each."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)  # 1-based object number
+
+    n_pages = len(pages)
+    # reserve: 1 catalog, 2 pages-node; page objects and streams follow
+    add(b"<< /Type /Catalog /Root-placeholder true >>")  # replaced below
+    add(b"<< /Type /Pages >>")  # replaced below
+
+    page_nums = []
+    for lines in pages:
+        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        for i, line in enumerate(lines):
+            if i > 0:
+                parts.append(b"0 -14 Td")
+            esc = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            if use_tj_array:
+                mid = max(1, len(esc) // 2)
+                parts.append(
+                    b"[(" + esc[:mid].encode("latin-1") + b") -20 ("
+                    + esc[mid:].encode("latin-1") + b")] TJ"
+                )
+            else:
+                parts.append(b"(" + esc.encode("latin-1") + b") Tj")
+        parts.append(b"ET")
+        content = b"\n".join(parts)
+        if compress:
+            data = zlib.compress(content)
+            stream_obj = (
+                b"<< /Length " + str(len(data)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + data + b"\nendstream"
+            )
+        else:
+            stream_obj = (
+                b"<< /Length " + str(len(content)).encode()
+                + b" >>\nstream\n" + content + b"\nendstream"
+            )
+        s_num = add(stream_obj)
+        p_num = add(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents "
+            + str(s_num).encode() + b" 0 R >>"
+        )
+        page_nums.append(p_num)
+
+    kids = b" ".join(str(n).encode() + b" 0 R" for n in page_nums)
+    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[1] = (
+        b"<< /Type /Pages /Count " + str(n_pages).encode()
+        + b" /Kids [" + kids + b"] >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+class TestPdfBytes:
+    def test_single_page_compressed(self):
+        blob = make_pdf([["hello world", "second line"]])
+        assert pdf_text_lines(blob) == [["hello world", "second line"]]
+
+    def test_uncompressed_stream(self):
+        blob = make_pdf([["plain stream text"]], compress=False)
+        assert pdf_text_lines(blob) == [["plain stream text"]]
+
+    def test_multi_page_order(self):
+        blob = make_pdf([["page one"], ["page two"], ["page three"]])
+        assert pdf_text_lines(blob) == [["page one"], ["page two"], ["page three"]]
+
+    def test_tj_array_segments(self):
+        blob = make_pdf([["concatenated segment line"]], use_tj_array=True)
+        assert pdf_text_lines(blob) == [["concatenated segment line"]]
+
+    def test_escapes_and_parens(self):
+        blob = make_pdf([["with (parens) and \\ backslash"]])
+        assert pdf_text_lines(blob) == [["with (parens) and \\ backslash"]]
+
+    def test_garbage_does_not_crash(self):
+        assert pdf_text_lines(b"%PDF-1.4 not really a pdf") == []
+        assert pdf_text_lines(b"") == []
+
+    def test_page_payloads_feed_plain_chunker(self):
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+
+        blob = make_pdf([["alpha beta gamma", "delta epsilon"]])
+        doc = {
+            "doc_id": "pdfreal-1",
+            "fmt": "pdf",
+            "spans": pdf_to_page_payloads("pdfreal-1", blob),
+        }
+        spans = chunk_document(doc, "naive", ChunkConfig(layout_mode="plain"))
+        text = "".join(s["text"] for s in spans)
+        assert "alpha beta gamma" in text and "delta epsilon" in text
