@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "media_meta": media_meta,
         "media_features": media_features_full,
+        "media_resize": lambda d: multimodal.media_resize(d).to_pandas()[
+            ["doc_id", "out_h", "out_w", "resized_sum"]
+        ],
+        "media_frame_sample": lambda d: multimodal.media_frame_sample(d).to_pandas(),
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -219,6 +223,41 @@ def oracle_sql() -> dict[str, str]:
                        CAST(('0x' || substr(sha256('RFIMG1:' || text), i*2+1, 2))
                             AS INT))) * 25 // 8)::BIGINT AS fake_pixel_mean_x100
             FROM documents ORDER BY doc_id
+        """,
+        # resize kernel oracle: the fake 8x8x3 image is the sha256
+        # digest tiled (byte idx = flat_idx % 32); a 4x4 mean-pool
+        # output pixel is the //4 mean of its 2x2 block, recomputed
+        # here from the digest byte list
+        "media_resize": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFIMG1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 4::BIGINT AS out_h, 4::BIGINT AS out_w,
+                   list_sum(list_transform(range(48), k ->
+                       (db[((k//12)*48 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                       ) // 4))::BIGINT AS resized_sum
+            FROM b ORDER BY doc_id
+        """,
+        # frame sampling oracle: the fake waveform is the digest tiled
+        # to 1024 bytes; stride-63 sampling yields 17 frames whose
+        # de-normalized sum is a plain digest-byte sum
+        "media_frame_sample": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFIMG1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 17::BIGINT AS n_frames,
+                   list_sum(list_transform(range(17), j ->
+                       db[(j*63) % 32 + 1]))::BIGINT AS frame_sum
+            FROM b ORDER BY doc_id
         """,
         # sketch-family oracles: expected values precomputed by an
         # INDEPENDENT pure-Python re-derivation of the pinned specs

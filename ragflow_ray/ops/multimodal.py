@@ -109,3 +109,93 @@ def media_features(sf_dir: str, concurrency=None):
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Integer mean-pool resize (H,W,3) → (out_h,out_w,3); input dims
+    must be multiples of the output dims (the fake 8×8 path uses 4×4).
+    Real interpolating resize needs the absent image libs — this is the
+    deterministic kernel the actor stage runs on decoded arrays."""
+    h, w, c = img.shape
+    fh, fw = h // out_h, w // out_w
+    pooled = img[: out_h * fh, : out_w * fw].reshape(out_h, fh, out_w, fw, c)
+    return (pooled.sum(axis=(1, 3), dtype=np.int64) // (fh * fw)).astype(np.uint8)
+
+
+class ImageResizeStage:
+    """Actor-pool resize stage: decode → mean-pool → summary columns.
+
+    Same batch-sizing discipline as :class:`MediaFeatureStage`; with a
+    real codec the ``decode_image(fake=False)`` path drops in without
+    touching the Ray plumbing."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 4, fake_decode: bool = True):
+        self.out_h, self.out_w = out_h, out_w
+        self.fake_decode = fake_decode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sums, digests = [], []
+        for payload in batch["payload"]:
+            img = decode_image(bytes(payload), fake=self.fake_decode)
+            small = resize_image(img, self.out_h, self.out_w)
+            sums.append(int(small.sum()))
+            digests.append(hashlib.md5(small.tobytes()).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "out_h": pd.Series([self.out_h] * len(batch), dtype="int64"),
+                "out_w": pd.Series([self.out_w] * len(batch), dtype="int64"),
+                "resized_sum": pd.Series(sums, dtype="int64"),
+                "resized_md5": digests,
+            }
+        )
+
+
+def media_resize(sf_dir: str, concurrency=None):
+    """8×8 fake-decoded images → 4×4 mean-pooled summaries.
+
+    ``resized_sum`` is exactly recomputable in SQL from the sha256
+    digest bytes (the fake image is the digest repeated), which makes
+    the resize **kernel** — not just the plumbing — oracle-checked."""
+    out = media_payloads(sf_dir).map_batches(
+        ImageResizeStage, batch_format="pandas", batch_size=256,
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")
+
+
+class AudioFrameSampleStage:
+    """Actor-pool frame sampler: decode waveform → strided sample →
+    summary columns (the video-frame-sampling shape, 1-D)."""
+
+    def __init__(self, stride: int = 63, fake_decode: bool = True):
+        self.stride = stride
+        self.fake_decode = fake_decode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        counts, sums = [], []
+        for payload in batch["payload"]:
+            wave = decode_audio(bytes(payload), fake=self.fake_decode)
+            sampled = wave[:: self.stride]
+            counts.append(len(sampled))
+            # undo the float normalization for an integer-exact summary
+            raw = np.floor(sampled * 127.5 + 127.5 + 0.5).astype(np.int64)
+            sums.append(int(raw.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_frames": pd.Series(counts, dtype="int64"),
+                "frame_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+def media_frame_sample(sf_dir: str, stride: int = 63, concurrency=None):
+    """Strided frame sampling over the fake-decoded 1024-sample
+    waveform; integer frame sums are SQL-recomputable from the digest."""
+    out = media_payloads(sf_dir).map_batches(
+        AudioFrameSampleStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"stride": stride},
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")

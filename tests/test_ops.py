@@ -243,3 +243,30 @@ class TestDedupScale:
         )
         dist = ngram_jaccard_dups(planted_dir, broadcast_limit=0).to_pandas()
         assert small.values.tolist() == dist.values.tolist()
+
+
+class TestMultimodalStages:
+    """Round-2 resize / frame-sample stages (kernel + plumbing)."""
+
+    def test_resize_mean_pool_kernel(self):
+        from ragflow_ray.ops.multimodal import resize_image
+
+        img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        small = resize_image(img, 4, 4)
+        assert small.shape == (4, 4, 3)
+        # block (0,0) channel 0: pixels (0,0),(0,1),(1,0),(1,1) ch0
+        expect = (img[0, 0, 0].astype(int) + img[0, 1, 0] + img[1, 0, 0]
+                  + img[1, 1, 0]) // 4
+        assert small[0, 0, 0] == expect
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_resize_and_frame_sample_stages(self, planted_dir):
+        from ragflow_ray.ops.multimodal import media_frame_sample, media_resize
+
+        rs = media_resize(planted_dir).to_pandas()
+        assert len(rs) == 6
+        assert (rs["out_h"] == 4).all() and (rs["out_w"] == 4).all()
+        assert rs["resized_md5"].str.len().eq(32).all()
+        fs = media_frame_sample(planted_dir).to_pandas()
+        assert (fs["n_frames"] == 17).all()
+        assert (fs["frame_sum"] > 0).all()
