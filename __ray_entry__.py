@@ -289,7 +289,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
             ORDER BY doc_a, doc_b
         """,
-        # exact 3-gram Jaccard with the df<=64 stop-gram rule mirrored;
+        # exact 4-gram Jaccard with the df<=64 stop-gram rule mirrored;
         # integer jaccard_x10000 keeps both sides float-free
         "ngram_jaccard_dups": """
             WITH base AS (
@@ -297,10 +297,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             sh AS (
                 SELECT doc_id,
-                       unnest(CASE WHEN len(ws) < 3
+                       unnest(CASE WHEN len(ws) < 4
                               THEN [array_to_string(ws, ' ')]
-                              ELSE list_distinct(list_transform(range(len(ws) - 2),
-                                   i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+                              ELSE list_distinct(list_transform(range(len(ws) - 3),
+                                   i -> ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                                        ws[i+3] || ' ' || ws[i+4]))
                               END) AS g
                 FROM base
             ),

@@ -131,6 +131,7 @@ def run_bench() -> dict:
         "exact_dedup": dedup.exact_dedup,
         "minhash_near_dups": lambda d: dedup.minhash_near_dups(
             d, concurrency=pool).count(),
+        "ngram_jaccard_dups": lambda d: dedup.ngram_jaccard_dups(d).count(),
         "simhash_near_dups": lambda d: dedup.simhash_near_dups(
             d, concurrency=pool).count(),
         "ann_topk": lambda d: ann.brute_force_topk(d, concurrency=pool),

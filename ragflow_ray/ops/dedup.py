@@ -373,19 +373,30 @@ def _ngram_keys(text: str, n: int = 3) -> np.ndarray:
     return np.unique(out)
 
 
-def ngram_jaccard_dups(sf_dir: str, n: int = 3, df_cap: int = 64,
+def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
                        broadcast_limit: int = 100_000):
     """**Exact** n-gram Jaccard near-dup pairs (≥ 1/2), no sketching.
 
-    The classic inverted-index plan:
+    4-gram default: the blocking key must be selective — with a small
+    vocabulary (this testdata has 31 words) 3-grams collide corpus-wide
+    and the inverted index degenerates into all-pairs; 4-grams keep
+    shared grams ≈ genuine near-dups.
+
+    The classic inverted-index plan, with the long tail of unique
+    grams never touching Python:
 
     1. explode each doc's distinct n-gram keys → ``(gram, doc_id)``
        rows (the only corpus-wide shuffle);
-    2. per-gram groups of size 2..``df_cap`` emit candidate pairs —
-       grams more frequent than ``df_cap`` are *skipped entirely*
-       (deterministic stop-gram rule, mirrored exactly by the SQL
-       oracle; a pair sharing only stop-grams is not a candidate);
-    3. pairs dedupe in a tiny groupby, then verify with the same
+    2. per-gram document frequency via a C-level count aggregate;
+       grams with df 2..``df_cap`` survive — more frequent ones are
+       *skipped entirely* (deterministic stop-gram rule, mirrored
+       exactly by the SQL oracle; a pair sharing only stop-grams is
+       not a candidate), singletons (the overwhelming majority) are
+       dropped before any per-group Python runs;
+    3. the surviving gram list hash-joins back to the exploded rows,
+       so the pair-emitting ``map_groups`` only ever sees shared
+       grams;
+    4. pairs dedupe in a tiny groupby, then verify with the same
        size-adaptive exact verify as MinHash (pruned candidate read
        below ``broadcast_limit`` ids; distributed join above).
 
@@ -401,7 +412,9 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 3, df_cap: int = 64,
         [("doc_a", pa.int64()), ("doc_b", pa.int64()),
          ("jaccard_x10000", pa.int64())]
     )
-    gram_schema = pa.schema([("gram", pa.int64()), ("doc_id", pa.int64())])
+    gram_schema = pa.schema(
+        [("gram", pa.int64()), ("gbkt", pa.int64()), ("doc_id", pa.int64())]
+    )
 
     def explode(batch: pd.DataFrame):
         grams, ids = [], []
@@ -411,24 +424,52 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 3, df_cap: int = 64,
             ids.append(np.full(len(keys), int(doc_id), dtype=np.int64))
         if not grams:
             return gram_schema.empty_table()
+        g = np.concatenate(grams)
         return pa.table(
-            {"gram": np.concatenate(grams), "doc_id": np.concatenate(ids)},
+            {"gram": g, "gbkt": g & np.int64(1023), "doc_id": np.concatenate(ids)},
             schema=gram_schema,
         )
 
-    def bucket(group: pd.DataFrame):
+    def bucket_pairs(group: pd.DataFrame):
+        """Pairs for every gram run inside one coarse bucket — a single
+        vectorized sort + run-length walk instead of one ``map_groups``
+        call per gram (the per-group dispatch tax dominates otherwise)."""
         schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-        ids = np.unique(group["doc_id"].to_numpy().astype(np.int64))
-        if len(ids) < 2 or len(ids) > df_cap:
+        df = group.sort_values(["gram", "doc_id"])
+        grams = df["gram"].to_numpy()
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
+        ends = np.r_[starts[1:], len(grams)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            run = np.unique(ids[s:e])
+            if len(run) < 2 or len(run) > df_cap:
+                continue
+            ii, jj = np.triu_indices(len(run), k=1)
+            out_a.append(run[ii])
+            out_b.append(run[jj])
+        if not out_a:
             return schema.empty_table()
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table({"doc_a": ids[ii], "doc_b": ids[jj]}, schema=schema)
+        return pa.table(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)},
+            schema=schema,
+        )
 
     docs = _docs(sf_dir)
+    sh = docs.map_batches(explode, batch_format="pandas").materialize()
+    shared = (
+        sh.groupby("gram")
+        .aggregate(Count(alias_name="df"))
+        .filter(expr=f"df >= 2 and df <= {df_cap}")
+        .select_columns(["gram"])
+        .materialize()
+    )
+    if shared.count() == 0:
+        return rd.from_arrow(pair_schema.empty_table())
     pairs = (
-        docs.map_batches(explode, batch_format="pandas")
-        .groupby("gram")
-        .map_groups(bucket, batch_format="pandas")
+        sh.join(shared, join_type="inner", num_partitions=4, on=("gram",))
+        .groupby("gbkt")
+        .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_grams"))
         .materialize()
@@ -682,10 +723,13 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.25,
     cosine inside the group via one matmul).
 
     Label blocking is quadratic inside a group, so a hot label is
-    guarded: groups beyond ``max_label_size`` members are truncated to
-    the vec_id-smallest members with a loud log — the explicit
-    approximation backstop (at real scale a hot label should be
-    sub-blocked by an LSH of the vectors instead)."""
+    guarded: a group beyond ``max_label_size`` members is sub-blocked
+    by a seeded random-hyperplane LSH of the vectors (enough planes to
+    bound the expected sub-block size) and the pairwise sweep runs per
+    sub-block — near-dup pairs landing in different sub-blocks are
+    missed, which is logged loudly (explicit approximation, never a
+    silent drop).  Sub-blocking only ever activates above the
+    threshold, so small-corpus results stay exact and oracle-checked."""
 
     import ray.data as rd
 
@@ -696,12 +740,31 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.25,
         if len(group) > max_label_size:
             import logging
 
+            n_planes = max(1, int(np.ceil(np.log2(len(group) / max_label_size))))
             logging.getLogger("ragflow_ray.dedup").warning(
-                "embedding label %s truncated: %d -> %d members for the "
-                "pairwise cosine sweep",
-                group["label"].iloc[0], len(group), max_label_size,
+                "embedding label %s: %d members > %d — sub-blocking with "
+                "%d LSH hyperplanes (cross-block near-dups are not compared)",
+                group["label"].iloc[0], len(group), max_label_size, n_planes,
             )
-            group = group.nsmallest(max_label_size, "vec_id")
+            mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
+            planes = np.random.RandomState(12345).randn(mat.shape[1], n_planes)
+            sig = ((mat @ planes) > 0) @ (1 << np.arange(n_planes))
+            if len(np.unique(sig)) == 1:
+                # degenerate (near-identical vectors): no split possible —
+                # truncate deterministically rather than recurse forever
+                group = group.nsmallest(max_label_size, "vec_id")
+                return pairs_in_label(group)
+            parts = [
+                pairs_in_label(group.iloc[np.nonzero(sig == s)[0]])
+                for s in np.unique(sig)
+            ]
+            parts = [p for p in parts if len(p)]
+            if not parts:
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype="int64")
+                     for c in ("vec_a", "vec_b", "label")}
+                )
+            return pd.concat(parts, ignore_index=True)
         ids = group["vec_id"].to_numpy()
         mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)

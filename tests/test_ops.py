@@ -270,3 +270,25 @@ class TestMultimodalStages:
         fs = media_frame_sample(planted_dir).to_pandas()
         assert (fs["n_frames"] == 17).all()
         assert (fs["frame_sum"] > 0).all()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_embedding_hot_label_subblocks(self, tmp_path):
+        """A label beyond max_label_size sub-blocks instead of dying
+        quadratically; planted identical vectors are still paired."""
+        from ragflow_ray.ops.dedup import embedding_near_dups
+
+        rs = np.random.RandomState(5)
+        vecs = rs.randn(300, 16).astype(np.float32)
+        vecs[7] = vecs[3]  # identical pair -> same LSH sub-block always
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(300), type=pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                      type=pa.list_(pa.float32())),
+                "label": pa.array([0] * 300, type=pa.int32()),
+            }
+        )
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        pairs = embedding_near_dups(str(tmp_path), threshold=0.99,
+                                    max_label_size=50)
+        assert (3, 7) in set(zip(pairs.vec_a, pairs.vec_b))
