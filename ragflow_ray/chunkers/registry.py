@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from .book import chunk_book
 from .common import ChunkConfig
+from .email import chunk_email
 from .laws import chunk_laws
 from .manual import chunk_manual
 from .naive import chunk_naive
@@ -28,6 +29,7 @@ CHUNKERS = {
     "table": chunk_table,
     "manual": chunk_manual,
     "presentation": chunk_presentation,
+    "email": chunk_email,
 }
 
 

@@ -36,6 +36,7 @@ _EXT_FMT = {
     ".py": "txt",
     ".c": "txt",
     ".java": "txt",
+    ".eml": "email",
 }
 
 
@@ -62,12 +63,20 @@ def rows_from_files(batch: pa.Table) -> pa.Table:
                 }
             )
             continue
-        text = get_text(bytes(blob))
+        fmt = fmt_of(path)
+        if fmt == "email":
+            # raw bytes must survive losslessly for the eml parser:
+            # latin-1 decode is a byte-identity round-trip
+            text = bytes(blob).decode("latin-1")
+            template = "email"
+        else:
+            text = get_text(bytes(blob))
+            template = "naive"
         rows.append(
             {
                 "doc_id": doc_id,
-                "fmt": fmt_of(path),
-                "template": "naive",
+                "fmt": fmt,
+                "template": template,
                 "n_media": 0,
                 "spans": [
                     {"kind": "text", "text": text, "media_ref": "", "offset": 0}
