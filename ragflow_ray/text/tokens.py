@@ -35,12 +35,15 @@ def _piece_cost(piece: str) -> int:
     c = piece[0]
     if c.isdigit():
         return (len(piece) + 2) // 3
-    if c.isalpha():
-        # CJK letters tokenize ~1/char; latin-ish words ~1 per 5 chars
-        cjk = len(_CJK_RE.findall(piece))
-        latin = len(piece) - cjk
-        return cjk + (1 + (latin - 1) // 5 if latin else 0)
-    return 1
+    if len(piece) == 1 and not c.isalpha():
+        return 1  # punctuation / symbol
+    # word runs (however they start — includes numeric-letter chars
+    # like '¼' that are \w but neither digit nor alpha): CJK ~1/char,
+    # latin-ish ~1 per 5 chars.  Length-scaled for every run so
+    # token_count stays subadditive under concatenation.
+    cjk = len(_CJK_RE.findall(piece))
+    latin = len(piece) - cjk
+    return cjk + (1 + (latin - 1) // 5 if latin else 0)
 
 
 def token_count(text: str) -> int:
