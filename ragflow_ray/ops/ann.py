@@ -28,7 +28,9 @@ _PARTIAL_SCHEMA = pa.schema(
 def _embeddings(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 def _head_rows(path: str, n: int, columns: list[str]):
@@ -132,9 +134,11 @@ def label_vector_sums(sf_dir: str):
     a float-summation order cannot perturb) + member count."""
     import pandas as pd
     import ray.data as rd
+
+    from ..sources.readers import read_parquet_clean
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
     )
 

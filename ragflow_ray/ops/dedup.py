@@ -36,7 +36,9 @@ _WS = re.compile(r"\s+")
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 # -- exact ---------------------------------------------------------------
@@ -148,7 +150,9 @@ class MinHasher:
     def __init__(self, seed: int = 42):
         self.a, self.b = _minhash_params(seed)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame):
+        import pyarrow as pa
+
         rows_band, rows_hash, rows_doc = [], [], []
         rows_per_band = N_HASHES // N_BANDS
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
@@ -161,9 +165,15 @@ class MinHasher:
                 h = hashlib.md5(seg.tobytes()).hexdigest()[:16]
                 rows_band.append(band)
                 rows_hash.append(h)
-                rows_doc.append(doc_id)
-        return pd.DataFrame(
-            {"band_id": rows_band, "band_hash": rows_hash, "doc_id": rows_doc}
+                rows_doc.append(int(doc_id))
+        # pinned Arrow schema: pandas block schemas are unhashable and
+        # trip Ray's block-schema dedup warning at every shuffle
+        return pa.table(
+            {
+                "band_id": pa.array(rows_band, type=pa.int64()),
+                "band_hash": pa.array(rows_hash, type=pa.string()),
+                "doc_id": pa.array(rows_doc, type=pa.int64()),
+            }
         )
 
 
@@ -232,6 +242,8 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
     if pair_ids.empty:
         import ray.data as rd
 
+        from ..sources.readers import read_parquet_clean
+
         return rd.from_arrow(pair_schema.empty_table())
     cand_ids = np.unique(
         np.concatenate([pair_ids["doc_a"].to_numpy(), pair_ids["doc_b"].to_numpy()])
@@ -242,6 +254,8 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
         # row-level predicate pushdown), local exact verify
         import pyarrow.dataset as pads
         import ray.data as rd
+
+        from ..sources.readers import read_parquet_clean
 
         t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
             columns=["doc_id", "text"],
@@ -406,6 +420,8 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
     """
     import pyarrow as pa
     import ray.data as rd
+
+    from ..sources.readers import read_parquet_clean
     from ray.data.aggregate import Count
 
     pair_schema = pa.schema(
@@ -553,9 +569,13 @@ class SimHasher:
             if sim >= 1 << 63:  # store as signed int64 (Arrow/pandas-safe)
                 sim -= 1 << 64
             out.append((doc_id, sim))
-        return pd.DataFrame(
-            {"doc_id": pd.Series([o[0] for o in out], dtype="int64"),
-             "simhash": pd.Series([o[1] for o in out], dtype="int64")}
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": pa.array([int(o[0]) for o in out], type=pa.int64()),
+                "simhash": pa.array([o[1] for o in out], type=pa.int64()),
+            }
         )
 
 
@@ -733,7 +753,9 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.25,
 
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding", "label"])
 
     def pairs_in_label(group: pd.DataFrame) -> pd.DataFrame:

@@ -25,7 +25,9 @@ from ..stages.extract import ExtractStage
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 TXT_DELIMS = "\n!?;。；！？"
@@ -90,6 +92,8 @@ def pdf_text_blocks(sf_dir: str):
     exactness covered by pytest)."""
     import ray.data as rd
 
+    from ..sources.readers import read_parquet_clean
+
     from ..chunkers.common import build_doc_boxes
     from ..sources.corpus import corpus_table, generate_corpus
 
@@ -132,6 +136,8 @@ def corpus_extract(sf_dir: str, template: str | None = None):
     """Template chunkers over the synthetic interleaved corpus (sized
     to the sf), per-doc span stats (rows-only driver check)."""
     import ray.data as rd
+
+    from ..sources.readers import read_parquet_clean
 
     from ..sources.corpus import corpus_table, generate_corpus
 

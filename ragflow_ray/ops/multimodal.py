@@ -87,6 +87,8 @@ def media_payloads(sf_dir: str):
     column."""
     import ray.data as rd
 
+    from ..sources.readers import read_parquet_clean
+
     def build(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -95,7 +97,7 @@ def media_payloads(sf_dir: str):
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(build, batch_format="pandas")
 
 

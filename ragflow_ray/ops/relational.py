@@ -28,9 +28,11 @@ def pricing_summary(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
+
+    from ..sources.readers import read_parquet_clean
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -54,7 +56,7 @@ def pricing_summary(sf_dir: str):
             sum_disc_price_c4=("disc_price_c4", "sum"),
             count_order=("sum_qty", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -75,10 +77,12 @@ def top_customers(sf_dir: str, k: int = 10):
     deterministic custkey tiebreak."""
     import ray
     import ray.data as rd
+
+    from ..sources.readers import read_parquet_clean
     import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -125,9 +129,11 @@ def top_customers(sf_dir: str, k: int = 10):
 def event_type_stats(sf_dir: str):
     """Per event-type counts + micro-scaled value sums over events."""
     import ray.data as rd
+
+    from ..sources.readers import read_parquet_clean
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]
     )
 
@@ -157,10 +163,12 @@ def nation_customer_counts(sf_dir: str):
     dimension), with account-balance cents total."""
     import ray
     import ray.data as rd
+
+    from ..sources.readers import read_parquet_clean
     import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
     )
 
@@ -200,9 +208,11 @@ def nation_customer_counts(sf_dir: str):
 def part_type_stats(sf_dir: str):
     """Parts per type: count, max size, retail-price cents total."""
     import ray.data as rd
+
+    from ..sources.readers import read_parquet_clean
     from ray.data.aggregate import Count, Max, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_type", "p_size", "p_retailprice"]
     )
 
@@ -236,9 +246,11 @@ def events_hourly(sf_dir: str):
     streaming-shaped aggregate expressed as a groupby over truncated
     timestamps."""
     import ray.data as rd
+
+    from ..sources.readers import read_parquet_clean
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def bucket(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -272,7 +284,9 @@ def purchase_attribution(sf_dir: str):
     ``pandas.merge_asof`` (the Ray Data as-of join pattern)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
@@ -305,7 +319,7 @@ def purchase_attribution(sf_dir: str):
         return pa.Table.from_pandas(
             merged[["event_id", "user_id", "ts", "last_click_ts"]],
             schema=schema, preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     df = ds.groupby("user_id").map_groups(attribute, batch_format="pandas").sort(
         "event_id"
@@ -323,7 +337,9 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     ts-sorted groups (the Ray Data pattern for windowed state)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
     import pyarrow as pa

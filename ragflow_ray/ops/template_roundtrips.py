@@ -48,7 +48,9 @@ def _schema():
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 def _run(sf_dir: str, build, template: str, cfg: ChunkConfig | None = None,

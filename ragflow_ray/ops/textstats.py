@@ -24,13 +24,17 @@ _STOPWORDS = ("the", "a", "of", "to", "and")
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
 
 
 def token_stats(sf_dir: str):
     """Per-language doc/token/char totals (partial-aggregated inside
     batches before the small groupby)."""
     import ray.data as rd
+
+    from ..sources.readers import read_parquet_clean
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].str.strip().str.split(_WS).str.len()
