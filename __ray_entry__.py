@@ -29,13 +29,12 @@ def entry() -> Any:
     """Flagship pipeline: adapt sf0.001 documents into interleaved span
     rows, extract with the naive template, and also run every template
     over the synthetic corpus; returns the combined output Dataset."""
-    import ray.data as rd
-
     from ragflow_ray.chunkers import ChunkConfig
     from ragflow_ray.pipelines.flagship import corpus_from_documents_table
+    from ragflow_ray.sources.readers import read_parquet_clean
     from ragflow_ray.stages.extract import extract_dataset
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
     )
     adapted = docs.map_batches(corpus_from_documents_table, batch_format="pyarrow")

@@ -1,3 +1,19 @@
-from . import ann, dedup, multimodal, relational, textstats
+from . import (
+    ann,
+    dedup,
+    extract_queries,
+    multimodal,
+    relational,
+    template_roundtrips,
+    textstats,
+)
 
-__all__ = ["ann", "dedup", "multimodal", "relational", "textstats"]
+__all__ = [
+    "ann",
+    "dedup",
+    "extract_queries",
+    "multimodal",
+    "relational",
+    "template_roundtrips",
+    "textstats",
+]

@@ -124,3 +124,22 @@ class TestPdfBytes:
         spans = chunk_document(doc, "naive", ChunkConfig(layout_mode="plain"))
         text = "".join(s["text"] for s in spans)
         assert "alpha beta gamma" in text and "delta epsilon" in text
+
+
+from hypothesis import given, settings, strategies as st
+
+# printable latin-1 text without PDF-delimiter ambiguity hazards the
+# writer already escapes; lines must be non-empty after strip
+_LINE = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    min_size=1, max_size=60,
+).map(str.strip).filter(bool)
+
+
+class TestPdfBytesProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.lists(_LINE, min_size=1, max_size=6), min_size=1, max_size=4),
+           st.booleans())
+    def test_roundtrip_any_lines(self, pages, compress):
+        blob = make_pdf(pages, compress=compress)
+        assert pdf_text_lines(blob) == pages

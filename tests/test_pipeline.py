@@ -103,3 +103,37 @@ class TestPipeline:
         parts = [d for d in os.listdir(out) if d.startswith("part-")]
         assert len(parts) == 2
         assert os.path.exists(os.path.join(out, "manifest.jsonl"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestParallelismIndependence:
+    """Output must be identical regardless of batch size / concurrency
+    (the determinism the unseeded-sampling replacements bought)."""
+
+    def test_same_spans_any_batching(self, tmp_path):
+        import hashlib
+        import json
+
+        from ragflow_ray.sources import write_corpus
+        from ragflow_ray.stages.extract import extract_parquet
+
+        write_corpus(str(tmp_path / "c"), 48, rows_per_file=12)
+
+        def digest(batch_size, concurrency):
+            out = extract_parquet(str(tmp_path / "c"), batch_size=batch_size,
+                                  concurrency=concurrency)
+            rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+            payload = json.dumps(
+                [
+                    [r["doc_id"], r["template"],
+                     [[s["kind"], s["text"], s["media_ref"], s["order"]]
+                      for s in r["spans"]]]
+                    for r in rows
+                ],
+                ensure_ascii=False,
+            )
+            return hashlib.md5(payload.encode()).hexdigest()
+
+        a = digest(4, None)
+        b = digest(32, (1, 2))
+        assert a == b
