@@ -61,6 +61,18 @@ def _attachment_doc(filename: str, payload: bytes) -> dict | None:
             "fmt": "pdf",
             "spans": pdf_to_page_payloads(filename, payload),
         }
+    if ext == ".docx":
+        from ..parsers.officebytes import docx_to_spans
+
+        return {"doc_id": filename, "fmt": "docx", "spans": docx_to_spans(payload)}
+    if ext == ".xlsx":
+        from ..parsers.officebytes import xlsx_to_sheets_span
+
+        return {
+            "doc_id": filename,
+            "fmt": "excel",
+            "spans": xlsx_to_sheets_span(payload),
+        }
     fmt = _TEXT_FMTS.get(ext)
     if fmt is None:
         return None

@@ -28,8 +28,9 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.DOTALL)
-_STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_OBJ_START = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_START = re.compile(rb"stream\r?\n")
+_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _FLATE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 _PAGE_TYPE = re.compile(rb"/Type\s*/Page(?![s/\w])")
 _CONTENTS_REF = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
@@ -46,15 +47,49 @@ _ESCAPES = {
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ.finditer(data)}
+    """Sequential object scan.  Stream bodies are skipped by their
+    declared /Length, never searched — compressed bytes can contain
+    ``endobj``/``endstream`` byte runs by chance, so a pure-regex scan
+    would truncate objects mid-stream."""
+    objs: dict[int, bytes] = {}
+    pos = 0
+    n = len(data)
+    while True:
+        m = _OBJ_START.search(data, pos)
+        if not m:
+            break
+        start = m.end()
+        sm = _STREAM_START.search(data, start)
+        em = data.find(b"endobj", start)
+        if sm is not None and (em == -1 or sm.start() < em):
+            header = data[start : sm.start()]
+            lm = _LENGTH.search(header)
+            after = sm.end() + int(lm.group(1)) if lm else sm.end()
+            es = data.find(b"endstream", after)
+            if es == -1:
+                es = data.find(b"endstream", sm.end())
+            obj_end = data.find(b"endobj", es if es != -1 else after)
+        else:
+            obj_end = em
+        if obj_end == -1:
+            obj_end = n
+        objs[int(m.group(1))] = data[start:obj_end]
+        pos = obj_end + len(b"endobj")
+    return objs
 
 
 def _stream_of(body: bytes) -> bytes | None:
-    m = _STREAM.search(body)
+    m = _STREAM_START.search(body)
     if not m:
         return None
-    raw = m.group(1)
-    if _FLATE.search(body):
+    lm = _LENGTH.search(body[: m.start()])
+    if lm:
+        raw = body[m.end() : m.end() + int(lm.group(1))]
+    else:  # no direct /Length: fall back to the endstream marker
+        end = body.find(b"endstream", m.end())
+        raw = body[m.end() : end if end != -1 else len(body)]
+        raw = raw.rstrip(b"\r\n")
+    if _FLATE.search(body[: m.start()]):
         try:
             return zlib.decompress(raw)
         except zlib.error:

@@ -6,11 +6,11 @@ __init__.py:53-71, deepdoc/parser/utils.py); this module is the Ray
 Data analogue: ``read_binary_files`` → per-batch codec sniff + decode →
 INPUT_SCHEMA rows the extraction pipeline consumes directly.
 
-Text-family formats (txt/html/markdown/json/csv) ingest for real;
+Text-family formats (txt/html/markdown/json/csv/eml) ingest for real;
 .pdf ingests through the from-scratch text-layer extractor
-(``parsers/pdfbytes.py``) into the ``layout_mode="plain"`` path.
-docx/xlsx binary decoding still needs the out-of-scope office codecs
-(SURVEY.md §7.1 M0).
+(``parsers/pdfbytes.py``) into the ``layout_mode="plain"`` path;
+.docx/.xlsx ingest through the stdlib OOXML extractor
+(``parsers/officebytes.py``) into the docx/excel payload forms.
 """
 
 from __future__ import annotations
@@ -51,7 +51,8 @@ def rows_from_files(batch: pa.Table) -> pa.Table:
     rows = []
     for path, blob in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
         doc_id = os.path.basename(path)
-        if path.lower().endswith(".pdf"):
+        low = path.lower()
+        if low.endswith(".pdf"):
             spans = pdf_to_page_payloads(doc_id, bytes(blob))
             rows.append(
                 {
@@ -59,6 +60,23 @@ def rows_from_files(batch: pa.Table) -> pa.Table:
                     "fmt": "pdf",
                     "template": "naive",
                     "n_media": len(spans),
+                    "spans": spans,
+                }
+            )
+            continue
+        if low.endswith(".docx") or low.endswith(".xlsx"):
+            from ..parsers.officebytes import docx_to_spans, xlsx_to_sheets_span
+
+            if low.endswith(".docx"):
+                spans, fmt = docx_to_spans(bytes(blob)), "docx"
+            else:
+                spans, fmt = xlsx_to_sheets_span(bytes(blob)), "excel"
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "fmt": fmt,
+                    "template": "naive",
+                    "n_media": 0,
                     "spans": spans,
                 }
             )

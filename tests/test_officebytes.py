@@ -1,0 +1,216 @@
+"""Stdlib OOXML ingestion (parsers/officebytes.py).
+
+The writers below build real ZIP+XML .docx/.xlsx containers by hand,
+so the extractor is tested against actual OOXML structure.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+
+from ragflow_ray.parsers.officebytes import (
+    docx_to_spans,
+    xlsx_to_sheets,
+)
+
+_W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+_S_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+_R_NS = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+
+
+def make_docx(blocks: list) -> bytes:
+    """blocks: ("p", text, styleId|None) or ("tbl", rows, spans_per_row)."""
+    body = []
+    for block in blocks:
+        if block[0] == "p":
+            _, text, style = block
+            ppr = f"<w:pPr><w:pStyle w:val='{style}'/></w:pPr>" if style else ""
+            body.append(f"<w:p>{ppr}<w:r><w:t>{text}</w:t></w:r></w:p>")
+        else:
+            _, rows, spans = block
+            trs = []
+            for row, row_spans in zip(rows, spans):
+                tcs = []
+                for cell, span in zip(row, row_spans):
+                    spanxml = (
+                        f"<w:tcPr><w:gridSpan w:val='{span}'/></w:tcPr>"
+                        if span > 1 else ""
+                    )
+                    tcs.append(
+                        f"<w:tc>{spanxml}<w:p><w:r><w:t>{cell}</w:t></w:r></w:p></w:tc>"
+                    )
+                trs.append("<w:tr>" + "".join(tcs) + "</w:tr>")
+            body.append("<w:tbl>" + "".join(trs) + "</w:tbl>")
+    document = (
+        f"<w:document {_W_NS}><w:body>" + "".join(body) + "</w:body></w:document>"
+    )
+    styles = (
+        f"<w:styles {_W_NS}>"
+        "<w:style w:type='paragraph' w:styleId='Heading1'>"
+        "<w:name w:val='heading 1'/></w:style>"
+        "<w:style w:type='paragraph' w:styleId='Heading2'>"
+        "<w:name w:val='heading 2'/></w:style>"
+        "<w:style w:type='paragraph' w:styleId='Caption'>"
+        "<w:name w:val='Caption'/></w:style>"
+        "</w:styles>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", document)
+        zf.writestr("word/styles.xml", styles)
+    return buf.getvalue()
+
+
+def make_xlsx(sheets: dict[str, list[list]]) -> bytes:
+    """sheets: name → rows (str / int / float / bool / None cells)."""
+    shared: list[str] = []
+
+    def cell_xml(ref: str, value):
+        if value is None:
+            return ""
+        if isinstance(value, bool):
+            return f"<c r='{ref}' t='b'><v>{1 if value else 0}</v></c>"
+        if isinstance(value, (int, float)):
+            return f"<c r='{ref}'><v>{value}</v></c>"
+        if value not in shared:
+            shared.append(value)
+        return f"<c r='{ref}' t='s'><v>{shared.index(value)}</v></c>"
+
+    sheet_xmls = []
+    for rows in sheets.values():
+        row_xml = []
+        for rn, row in enumerate(rows, start=1):
+            cells = "".join(
+                cell_xml(f"{chr(65 + ci)}{rn}", v) for ci, v in enumerate(row)
+            )
+            row_xml.append(f"<row r='{rn}'>{cells}</row>")
+        sheet_xmls.append(
+            f"<worksheet {_S_NS}><sheetData>" + "".join(row_xml)
+            + "</sheetData></worksheet>"
+        )
+
+    names = list(sheets)
+    wb_sheets = "".join(
+        f"<sheet name='{n}' sheetId='{i+1}' r:id='rId{i+1}'/>"
+        for i, n in enumerate(names)
+    )
+    workbook = (
+        f"<workbook {_S_NS} {_R_NS}><sheets>{wb_sheets}</sheets></workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'relationships">'
+        + "".join(
+            f"<Relationship Id='rId{i+1}' Type='x' "
+            f"Target='worksheets/sheet{i+1}.xml'/>"
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+    sst = (
+        f"<sst {_S_NS}>"
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        for i, xml in enumerate(sheet_xmls):
+            zf.writestr(f"xl/worksheets/sheet{i+1}.xml", xml)
+    return buf.getvalue()
+
+
+class TestDocxBytes:
+    def test_paragraphs_and_heading_styles(self):
+        blob = make_docx([
+            ("p", "Section One", "Heading1"),
+            ("p", "body paragraph text", None),
+            ("p", "Sub Point", "Heading2"),
+        ])
+        spans = docx_to_spans(blob)
+        payloads = [json.loads(s["text"]) for s in spans]
+        assert payloads[0] == {"t": "Section One", "style": "Heading 1"}
+        assert payloads[1] == {"t": "body paragraph text", "style": ""}
+        assert payloads[2]["style"] == "Heading 2"
+
+    def test_table_with_gridspan(self):
+        blob = make_docx([
+            ("tbl", [["merged", "tail"], ["a", "b", "c"]], [[2, 1], [1, 1, 1]]),
+        ])
+        payload = json.loads(docx_to_spans(blob)[0]["text"])
+        # gridSpan repeats the merged cell like python-docx row.cells
+        assert payload["table"]["rows"] == [["merged", "merged", "tail"],
+                                            ["a", "b", "c"]]
+
+    def test_feeds_laws_chunker(self):
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+
+        blob = make_docx([
+            ("p", "Section 1", "Heading1"),
+            ("p", "first body clause", None),
+            ("p", "Section 2", "Heading1"),
+            ("p", "second body clause", None),
+        ])
+        doc = {"doc_id": "dx", "fmt": "docx", "spans": docx_to_spans(blob)}
+        spans = chunk_document(doc, "laws", ChunkConfig())
+        texts = [s["text"] for s in spans]
+        assert texts == ["Section 1\nfirst body clause",
+                         "Section 2\nsecond body clause"]
+
+
+class TestXlsxBytes:
+    def test_values_and_types(self):
+        blob = make_xlsx({"Data": [
+            ["name", "score", "ok"],
+            ["alpha", 3, True],
+            ["beta", 2.5, False],
+            [None, 7, None],
+        ]})
+        sheets = xlsx_to_sheets(blob)
+        assert sheets[0]["name"] == "Data"
+        assert sheets[0]["rows"] == [
+            ["name", "score", "ok"],
+            ["alpha", 3, "true"],
+            ["beta", 2.5, "false"],
+            [None, 7, None],
+        ]
+
+    def test_multi_sheet_and_qa(self):
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+        from ragflow_ray.parsers.officebytes import xlsx_to_sheets_span
+
+        blob = make_xlsx({
+            "S1": [["What is A?", "A is first."]],
+            "S2": [["What is B?", "B is second."]],
+        })
+        doc = {"doc_id": "xq", "fmt": "excel", "spans": xlsx_to_sheets_span(blob)}
+        spans = chunk_document(doc, "qa", ChunkConfig())
+        assert [s["text"] for s in spans] == [
+            "Question: What is A?\tAnswer: is first.",
+            "Question: What is B?\tAnswer: B is second.",
+        ]
+
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIngestOffice:
+    def test_ingest_docx_xlsx(self, tmp_path):
+        from ragflow_ray.sources.ingest import read_text_files
+
+        (tmp_path / "d.docx").write_bytes(
+            make_docx([("p", "hello docx world", None)])
+        )
+        (tmp_path / "s.xlsx").write_bytes(
+            make_xlsx({"Sheet1": [["h1", "h2"], ["v1", "v2"]]})
+        )
+        rows = {r["doc_id"]: r for r in read_text_files(str(tmp_path)).take_all()}
+        assert rows["d.docx"]["fmt"] == "docx"
+        assert json.loads(rows["d.docx"]["spans"][0]["text"])["t"] == "hello docx world"
+        assert rows["s.xlsx"]["fmt"] == "excel"
+        assert "Sheet1" in rows["s.xlsx"]["spans"][0]["text"]
