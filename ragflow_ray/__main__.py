@@ -121,8 +121,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--heavy-tail", type=float, default=0.01)
     p.set_defaults(fn=cmd_synth)
 
-    p = sub.add_parser("ingest", help="raw text-family files → corpus parquet")
-    p.add_argument("src", help="file or directory of txt/html/md/json files")
+    p = sub.add_parser("ingest", help="raw files → corpus parquet")
+    p.add_argument("src", help="file or directory of txt/html/md/json/csv/"
+                               "eml/pdf/docx/xlsx files")
     p.add_argument("out")
     p.set_defaults(fn=cmd_ingest)
 
