@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda d: textstats.quality_scores(d).to_pandas(),
         "lang_id": textstats.lang_id,
         "fingerprints": lambda d: textstats.fingerprints(d).to_pandas(),
+        "bm25_lite_topk": textstats.bm25_lite_topk,
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
         "dedup_keepers": dedup.dedup_keepers,
@@ -144,6 +145,34 @@ def oracle_sql() -> dict[str, str]:
                    ((length(regexp_replace(text, '\\s', '', 'g')) * 100)
                       // array_length(string_split_regex(trim(text), '\\s+')))::BIGINT AS mean_wordlen_x100
             FROM documents ORDER BY doc_id
+        """,
+        # integer-quantized BM25-shaped scoring; all-int arithmetic is
+        # reproduced exactly (idf_q = (N-df+1)*1e6 // (df+1), score =
+        # sum(tf*idf) // (len+50), ties by doc_id)
+        "bm25_lite_topk": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            n AS (SELECT COUNT(*) AS n FROM d),
+            stats AS (
+                SELECT doc_id, len(ws) AS len_d,
+                       len(list_filter(ws, x -> x = 'table'))  AS tf_table,
+                       len(list_filter(ws, x -> x = 'join'))   AS tf_join,
+                       len(list_filter(ws, x -> x = 'vector')) AS tf_vector
+                FROM d),
+            df AS (SELECT
+                       SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END)::BIGINT AS dft,
+                       SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)::BIGINT AS dfj,
+                       SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END)::BIGINT AS dfv
+                   FROM stats),
+            scored AS (
+                SELECT doc_id,
+                       (  tf_table  * ((n.n - df.dft + 1) * 1000000 // (df.dft + 1))
+                        + tf_join   * ((n.n - df.dfj + 1) * 1000000 // (df.dfj + 1))
+                        + tf_vector * ((n.n - df.dfv + 1) * 1000000 // (df.dfv + 1))
+                       ) // (len_d + 50) AS score
+                FROM stats, df, n)
+            SELECT doc_id::BIGINT AS doc_id, score::BIGINT AS score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+            FROM scored ORDER BY score DESC, doc_id LIMIT 20
         """,
         "lang_id": """
             SELECT CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 5

@@ -125,3 +125,93 @@ def fingerprints(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(fp, batch_format="pandas").sort("doc_id")
+
+
+BM25_QUERY_TERMS = ("table", "join", "vector")
+BM25_LEN_NORM = 50  # additive length normalization (integer stand-in for b/k1)
+
+
+def bm25_lite_topk(sf_dir: str, k: int = 20):
+    """Integer-quantized BM25-shaped relevance scoring — the engine's
+    distributed retrieval-scoring pattern (the reference's ES/Infinity
+    retrieval itself is scoped out, SURVEY.md §2.7).
+
+    Two passes, both streaming:
+
+    1. per-term document frequency via a single vectorized scan +
+       tiny aggregate (one row per query term);
+    2. df values broadcast (they are query-term-sized, not
+       corpus-sized) into a scoring scan:
+
+       ``score = Σ_t  tf(t,d) * idf_q(t) // (len_d + LEN_NORM)``
+       with ``idf_q(t) = (N - df + 1) * 1_000_000 // (df + 1)``
+
+    All-integer arithmetic → the DuckDB oracle reproduces scores
+    bit-exactly; ties break by ascending doc_id.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                           ("n_docs", pa.int64())])
+
+    def partial_df(batch: pd.DataFrame):
+        words = batch["text"].str.split(" ")
+        rows = {"term": [], "df": [], "n_docs": []}
+        for term in BM25_QUERY_TERMS:
+            rows["term"].append(term)
+            rows["df"].append(int(words.apply(lambda ws: term in ws).sum()))
+            rows["n_docs"].append(len(batch))
+        return pa.table(rows, schema=df_schema)
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        docs.map_batches(partial_df, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    n_total = int(df_tbl["n_docs"].iloc[0])  # per-term sum == N
+    idf = {
+        row["term"]: (n_total - int(row["df"]) + 1) * 1_000_000 // (int(row["df"]) + 1)
+        for _, row in df_tbl.iterrows()
+    }
+    idf_ref = ray.put(idf)
+
+    score_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64())])
+
+    def score(batch: pd.DataFrame):
+        weights = ray.get(idf_ref)
+        words = batch["text"].str.split(" ")
+        lengths = words.str.len().to_numpy()
+        total = np.zeros(len(batch), dtype=np.int64)
+        for term, w in weights.items():
+            tf = words.apply(lambda ws: ws.count(term)).to_numpy()
+            total += tf * w
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                "score": total // (lengths + BM25_LEN_NORM),
+            },
+            schema=score_schema,
+        )
+
+    out = (
+        docs.map_batches(score, batch_format="pandas")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    out["rank"] = range(1, len(out) + 1)
+    for c in ("doc_id", "score", "rank"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "score", "rank"]]
