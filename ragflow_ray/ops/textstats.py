@@ -163,11 +163,14 @@ def bm25_lite_topk(sf_dir: str, k: int = 20):
                            ("n_docs", pa.int64())])
 
     def partial_df(batch: pd.DataFrame):
-        words = batch["text"].str.split(" ")
         rows = {"term": [], "df": [], "n_docs": []}
         for term in BM25_QUERY_TERMS:
             rows["term"].append(term)
-            rows["df"].append(int(words.apply(lambda ws: term in ws).sum()))
+            # \b-bounded count == whitespace-token membership for this
+            # alphanumeric vocabulary, and stays vectorized
+            rows["df"].append(
+                int(batch["text"].str.contains(rf"\b{term}\b", regex=True).sum())
+            )
             rows["n_docs"].append(len(batch))
         return pa.table(rows, schema=df_schema)
 
@@ -190,11 +193,10 @@ def bm25_lite_topk(sf_dir: str, k: int = 20):
 
     def score(batch: pd.DataFrame):
         weights = ray.get(idf_ref)
-        words = batch["text"].str.split(" ")
-        lengths = words.str.len().to_numpy()
+        lengths = batch["text"].str.count(" ").to_numpy() + 1
         total = np.zeros(len(batch), dtype=np.int64)
         for term, w in weights.items():
-            tf = words.apply(lambda ws: ws.count(term)).to_numpy()
+            tf = batch["text"].str.count(rf"\b{term}\b").to_numpy()
             total += tf * w
         return pa.table(
             {
