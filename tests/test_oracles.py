@@ -1,12 +1,14 @@
 """Driver-contract tests: every oracled query must match its DuckDB
-oracle on the shared testdata (row count, column names, values) —
-the same comparison the external driver performs at sf=0.01."""
+oracle on the shared testdata (row count, column names, values) at
+BOTH test scale factors — sf0.01 is the exact comparison the external
+driver performs; sf0.001 guards against content-specific luck."""
 
 import duckdb
 import pandas as pd
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+SF_DIR = SF_DIRS[0]
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -14,12 +16,15 @@ TABLES = (
 
 @pytest.fixture(scope="module")
 def ddb():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    return con
+    cons = {}
+    for sf in SF_DIRS:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        cons[sf] = con
+    return cons
 
 
 @pytest.fixture(scope="module")
@@ -57,12 +62,13 @@ def _oracle_names():
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 @pytest.mark.parametrize("name", _oracle_names())
-def test_query_matches_oracle(name, ddb, contract):
+def test_query_matches_oracle(name, sf_dir, ddb, contract):
     queries, oracles = contract
     assert name in queries, f"oracle {name} has no query"
-    ray_df = _normalize(_as_pandas(queries[name](SF_DIR)))
-    sql_df = _normalize(ddb.sql(oracles[name]).df())
+    ray_df = _normalize(_as_pandas(queries[name](sf_dir)))
+    sql_df = _normalize(ddb[sf_dir].sql(oracles[name]).df())
     assert list(ray_df.columns) == list(sql_df.columns), (
         f"{name}: columns {list(ray_df.columns)} != {list(sql_df.columns)}"
     )
