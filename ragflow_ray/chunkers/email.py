@@ -107,9 +107,12 @@ def chunk_email(doc: dict, cfg: ChunkConfig) -> list[dict]:
 
     add_content(msg)
 
+    # the reference pre-chunks plain-text bodies with TxtParser's
+    # DEFAULTS (email.py:80 passes no arguments to parser_txt —
+    # chunk_token_num=128 and the default delimiter; only the later
+    # naive_merge sees the 512-token config budget)
     sections = [
-        (c, "") for c in parse_txt("\n".join(text_parts), cfg.chunk_token_num,
-                                   cfg.delimiter)
+        (c, "") for c in parse_txt("\n".join(text_parts))
     ] + [(line, "") for line in parse_html("\n".join(html_parts)) if line]
 
     out = SpanEmitter()

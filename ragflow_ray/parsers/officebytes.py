@@ -1,4 +1,4 @@
-"""Minimal from-scratch OOXML (.docx / .xlsx) byte ingestion.
+"""Minimal from-scratch OOXML (.docx / .xlsx / .pptx) byte ingestion.
 
 No office codec libraries exist in this container, but OOXML is a ZIP
 of XML — the stdlib covers the subset these pipelines need:
@@ -15,6 +15,12 @@ of XML — the stdlib covers the subset these pipelines need:
   integral floats emit as ints; rows pad to the widest used column —
   producing the ``{"sheets": [{"name", "rows"}]}`` payload the excel
   parsers consume.
+* .pptx — slides resolve through ``ppt/presentation.xml`` + its rels
+  in presentation order; per slide, shapes sort by (top//10, left)
+  EMUs, text frames emit bullet-prefixed paragraphs, a:tbl tables
+  render "header: cell; ..." rows and group shapes recurse — the
+  RAGFlowPptParser walk (deepdoc/parser/ppt_parser.py:27-108) over
+  raw XML instead of python-pptx.
 
 Deliberately out of scope (documented subset): embedded images/charts,
 footnotes/endnotes, vMerge vertical spans (the repeated-cell form),
@@ -217,3 +223,175 @@ def xlsx_to_sheets_span(blob: bytes) -> list[dict]:
             "offset": 0,
         }
     ]
+
+
+# -- .pptx -----------------------------------------------------------------
+#
+# Parity target: RAGFlowPptParser (deepdoc/parser/ppt_parser.py:27-108) —
+# the reference walks python-pptx slides; per slide, shapes sort by
+# (top // 10, left), text frames emit bulleted paragraphs
+# ("  "*level + "." + text when the paragraph carries buChar/buAutoNum/
+# buBlip), tables render rows 1..n as "hdr0: cell0; hdr1: cell1; ...",
+# and group shapes recurse over their sorted children.
+
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+
+_SLIDE_NUM = re.compile(r"slide(\d+)\.xml$")
+
+
+def _pptx_off(el) -> tuple[int, int]:
+    """(top, left) of a shape in EMUs (0,0 when unplaced — matching the
+    reference's ``x.top if x.top is not None else 0`` guard)."""
+    for xfrm_path in (f"{_P}spPr/{_A}xfrm", f"{_P}grpSpPr/{_A}xfrm",
+                      f"{_P}xfrm", f"{_A}xfrm"):
+        xfrm = el.find(xfrm_path)
+        if xfrm is not None:
+            off = xfrm.find(f"{_A}off")
+            if off is not None:
+                try:
+                    return int(off.get("y", "0")), int(off.get("x", "0"))
+                except ValueError:
+                    return 0, 0
+    return 0, 0
+
+
+def _pptx_para_text(p) -> str:
+    return "".join(t.text or "" for t in p.iter(f"{_A}t"))
+
+
+def _pptx_txbody_text(txbody) -> str:
+    texts = []
+    for p in txbody.findall(f"{_A}p"):
+        text = _pptx_para_text(p)
+        if not text.strip():
+            continue
+        ppr = p.find(f"{_A}pPr")
+        bulleted = ppr is not None and any(
+            ppr.find(f"{_A}{tag}") is not None
+            for tag in ("buChar", "buAutoNum", "buBlip")
+        )
+        if bulleted:
+            level = int(ppr.get("lvl", "0") or 0)
+            texts.append(f"{'  ' * level}.{text}")
+        else:
+            texts.append(text)
+    return "\n".join(texts)
+
+
+def _pptx_table_text(tbl) -> str:
+    cells: list[list[str]] = []
+    for tr in tbl.findall(f"{_A}tr"):
+        cells.append(
+            [
+                "\n".join(_pptx_para_text(p) for p in tc.iter(f"{_A}p"))
+                for tc in tr.findall(f"{_A}tc")
+            ]
+        )
+    if not cells:
+        return ""
+    n_cols = len(tbl.findall(f"{_A}tblGrid/{_A}gridCol")) or len(cells[0])
+    header = cells[0] + [""] * (n_cols - len(cells[0]))
+    rows = []
+    for row in cells[1:]:
+        row = row + [""] * (n_cols - len(row))
+        rows.append("; ".join(f"{header[j]}: {row[j]}" for j in range(n_cols)))
+    return "\n".join(rows)
+
+
+def _pptx_shape_text(shape) -> str:
+    if shape.tag == f"{_P}sp":
+        txbody = shape.find(f"{_P}txBody")
+        return _pptx_txbody_text(txbody) if txbody is not None else ""
+    if shape.tag == f"{_P}graphicFrame":
+        for t in shape.iter(f"{_A}tbl"):
+            return _pptx_table_text(t)
+        return ""
+    if shape.tag == f"{_P}grpSp":
+        texts = []
+        for child in _sorted_shapes(shape):
+            t = _pptx_shape_text(child)
+            if t:
+                texts.append(t)
+        return "\n".join(texts)
+    return ""
+
+
+def _sorted_shapes(parent) -> list:
+    shapes = [
+        el for el in parent
+        if el.tag in (f"{_P}sp", f"{_P}graphicFrame", f"{_P}grpSp")
+    ]
+    keyed = [(_pptx_off(el), i, el) for i, el in enumerate(shapes)]
+    keyed.sort(key=lambda k: (k[0][0] // 10, k[0][1], k[1]))
+    return [el for _, _, el in keyed]
+
+
+def _slide_paths(zf: zipfile.ZipFile) -> list[str]:
+    """Slide part paths in presentation order (sldIdLst walk through
+    the rels; numeric-filename fallback)."""
+    rels: dict[str, str] = {}
+    try:
+        rel_root = ElementTree.fromstring(
+            zf.read("ppt/_rels/presentation.xml.rels")
+        )
+        for rel in rel_root.iter(f"{_PR}Relationship"):
+            target = (rel.get("Target") or "").lstrip("/")
+            rels[rel.get("Id") or ""] = (
+                target if target.startswith("ppt/") else f"ppt/{target}"
+            )
+    except (KeyError, ElementTree.ParseError):
+        pass
+    try:
+        pres = ElementTree.fromstring(zf.read("ppt/presentation.xml"))
+        order = [
+            rels.get(sld.get(f"{_R}id") or "", "")
+            for sld in pres.iter(f"{_P}sldId")
+        ]
+        order = [p for p in order if p and p in zf.namelist()]
+        if order:
+            return order
+    except (KeyError, ElementTree.ParseError):
+        pass
+    slides = [n for n in zf.namelist() if _SLIDE_NUM.search(n)
+              and n.startswith("ppt/slides/")]
+    return sorted(slides, key=lambda n: int(_SLIDE_NUM.search(n).group(1)))
+
+
+def pptx_to_slide_texts(blob: bytes) -> list[str]:
+    """.pptx bytes → per-slide text (RAGFlowPptParser.__call__ shape:
+    one string per slide, shapes in (top//10, left) order)."""
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    out = []
+    for path in _slide_paths(zf):
+        try:
+            root = ElementTree.fromstring(zf.read(path))
+        except (KeyError, ElementTree.ParseError):
+            out.append("")
+            continue
+        tree = root.find(f"{_P}cSld/{_P}spTree")
+        texts = []
+        if tree is not None:
+            for shape in _sorted_shapes(tree):
+                t = _pptx_shape_text(shape)
+                if t:
+                    texts.append(t)
+        out.append("\n".join(texts))
+    return out
+
+
+def pptx_to_slide_spans(blob: bytes, doc_id: str = "pptx") -> list[dict]:
+    """.pptx bytes → the slides payload form the presentation chunker
+    consumes (one media span per slide, ``{"page_no", "text"}``)."""
+    spans = []
+    for pn, text in enumerate(pptx_to_slide_texts(blob), start=1):
+        spans.append(
+            {
+                "kind": "media",
+                "text": json.dumps({"page_no": pn, "text": text},
+                                   ensure_ascii=False),
+                "media_ref": f"media://{doc_id}/slide{pn}",
+                "offset": pn - 1,
+            }
+        )
+    return spans

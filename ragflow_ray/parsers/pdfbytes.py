@@ -153,9 +153,12 @@ def _unescape_literal(raw: bytes) -> str:
         if nxt in _ESCAPES:
             out += _ESCAPES[nxt]
             i += 2
-        elif nxt.isdigit():  # octal \ddd (1-3 digits)
+        elif nxt and nxt in b"01234567":  # octal \ddd (1-3 digits)
+            # \8 / \9 are NOT octal — the PDF spec says an unknown
+            # escape is the bare character, so leave those to the
+            # fall-through branch instead of crashing int(x, 8)
             j = i + 1
-            while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+            while j < len(raw) and j < i + 4 and raw[j] in b"01234567":
                 j += 1
             out.append(int(raw[i + 1 : j], 8) & 0xFF)
             i = j
@@ -251,7 +254,14 @@ def _tokenize(stream: bytes):
             continue
         m = re.match(rb"[-+.0-9]+", stream[i:])
         if m and c in b"-+.0123456789":
-            yield ("num", float(m.group()))
+            # non-FlateDecode streams reach the tokenizer raw, so a
+            # numeric-looking run may be garbage ('1.2.3', '--'):
+            # skip it instead of crashing — the module's contract is
+            # degrade-to-skipped, never a crash
+            try:
+                yield ("num", float(m.group()))
+            except ValueError:
+                pass
             i += len(m.group())
             continue
         m = re.match(rb"[A-Za-z'\"*]+", stream[i:])

@@ -44,63 +44,88 @@ def fmt_of(path: str) -> str:
     return _EXT_FMT.get(os.path.splitext(path)[1].lower(), "txt")
 
 
-def rows_from_files(batch: pa.Table) -> pa.Table:
-    """``read_binary_files(include_paths=True)`` batch → corpus rows."""
+def _row_of_file(path: str, blob: bytes) -> dict:
     from ..parsers.pdfbytes import pdf_to_page_payloads
+
+    doc_id = os.path.basename(path)
+    low = path.lower()
+    if low.endswith(".pdf"):
+        spans = pdf_to_page_payloads(doc_id, blob)
+        return {
+            "doc_id": doc_id,
+            "fmt": "pdf",
+            "template": "naive",
+            "n_media": len(spans),
+            "spans": spans,
+        }
+    if low.endswith((".docx", ".xlsx", ".pptx")):
+        from ..parsers.officebytes import (
+            docx_to_spans,
+            pptx_to_slide_spans,
+            xlsx_to_sheets_span,
+        )
+
+        if low.endswith(".docx"):
+            spans, fmt, template = docx_to_spans(blob), "docx", "naive"
+        elif low.endswith(".xlsx"):
+            spans, fmt, template = xlsx_to_sheets_span(blob), "excel", "naive"
+        else:
+            spans, fmt, template = (
+                pptx_to_slide_spans(blob, doc_id), "ppt", "presentation"
+            )
+        return {
+            "doc_id": doc_id,
+            "fmt": fmt,
+            "template": template,
+            "n_media": 0,
+            "spans": spans,
+        }
+    fmt = fmt_of(path)
+    if fmt == "email":
+        # raw bytes must survive losslessly for the eml parser:
+        # latin-1 decode is a byte-identity round-trip
+        text = blob.decode("latin-1")
+        template = "email"
+    else:
+        text = get_text(blob)
+        template = "naive"
+    return {
+        "doc_id": doc_id,
+        "fmt": fmt,
+        "template": template,
+        "n_media": 0,
+        "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+    }
+
+
+def rows_from_files(batch: pa.Table) -> pa.Table:
+    """``read_binary_files(include_paths=True)`` batch → corpus rows.
+
+    Per-file error containment: one corrupt .docx/.xlsx/.pdf must not
+    abort the job (the reference skips unparseable files,
+    rag/svr/task_executor.py) — a file whose parse raises degrades to
+    an empty-span row with ``fmt="error"`` and the failure is logged.
+    """
+    import logging
 
     rows = []
     for path, blob in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-        doc_id = os.path.basename(path)
-        low = path.lower()
-        if low.endswith(".pdf"):
-            spans = pdf_to_page_payloads(doc_id, bytes(blob))
-            rows.append(
-                {
-                    "doc_id": doc_id,
-                    "fmt": "pdf",
-                    "template": "naive",
-                    "n_media": len(spans),
-                    "spans": spans,
-                }
+        try:
+            rows.append(_row_of_file(path, bytes(blob)))
+        except Exception as exc:  # noqa: BLE001 — containment boundary
+            logging.getLogger("ragflow_ray.ingest").warning(
+                "skipping unparseable file %s: %s: %s",
+                path, type(exc).__name__, exc,
             )
-            continue
-        if low.endswith(".docx") or low.endswith(".xlsx"):
-            from ..parsers.officebytes import docx_to_spans, xlsx_to_sheets_span
-
-            if low.endswith(".docx"):
-                spans, fmt = docx_to_spans(bytes(blob)), "docx"
-            else:
-                spans, fmt = xlsx_to_sheets_span(bytes(blob)), "excel"
             rows.append(
                 {
-                    "doc_id": doc_id,
-                    "fmt": fmt,
+                    "doc_id": os.path.basename(path),
+                    "fmt": "error",
                     "template": "naive",
                     "n_media": 0,
-                    "spans": spans,
+                    "spans": [],
                 }
             )
-            continue
-        fmt = fmt_of(path)
-        if fmt == "email":
-            # raw bytes must survive losslessly for the eml parser:
-            # latin-1 decode is a byte-identity round-trip
-            text = bytes(blob).decode("latin-1")
-            template = "email"
-        else:
-            text = get_text(bytes(blob))
-            template = "naive"
-        rows.append(
-            {
-                "doc_id": doc_id,
-                "fmt": fmt,
-                "template": template,
-                "n_media": 0,
-                "spans": [
-                    {"kind": "text", "text": text, "media_ref": "", "offset": 0}
-                ],
-            }
-        )
     return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
 
 

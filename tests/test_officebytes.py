@@ -195,6 +195,127 @@ class TestXlsxBytes:
         ]
 
 
+_P_NS = (
+    'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+    'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+)
+
+
+def _sp_xml(paragraphs: list, top: int, left: int) -> str:
+    """paragraphs: (text, bullet_level|None)."""
+    paras = []
+    for text, lvl in paragraphs:
+        if lvl is None:
+            paras.append(f"<a:p><a:r><a:t>{text}</a:t></a:r></a:p>")
+        else:
+            paras.append(
+                f"<a:p><a:pPr lvl='{lvl}'><a:buChar char='•'/></a:pPr>"
+                f"<a:r><a:t>{text}</a:t></a:r></a:p>"
+            )
+    return (
+        f"<p:sp><p:spPr><a:xfrm><a:off x='{left}' y='{top}'/></a:xfrm></p:spPr>"
+        f"<p:txBody>{''.join(paras)}</p:txBody></p:sp>"
+    )
+
+
+def _tbl_xml(rows: list[list[str]], top: int, left: int) -> str:
+    grid = "".join("<a:gridCol/>" for _ in rows[0])
+    trs = []
+    for row in rows:
+        tcs = "".join(
+            f"<a:tc><a:txBody><a:p><a:r><a:t>{c}</a:t></a:r></a:p></a:txBody></a:tc>"
+            for c in row
+        )
+        trs.append(f"<a:tr>{tcs}</a:tr>")
+    return (
+        f"<p:graphicFrame><p:xfrm><a:off x='{left}' y='{top}'/></p:xfrm>"
+        "<a:graphic><a:graphicData>"
+        f"<a:tbl><a:tblGrid>{grid}</a:tblGrid>{''.join(trs)}</a:tbl>"
+        "</a:graphicData></a:graphic></p:graphicFrame>"
+    )
+
+
+def make_pptx(slides: list[list[str]]) -> bytes:
+    """slides: list of shape-XML lists (use _sp_xml/_tbl_xml)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        sld_ids = "".join(
+            f"<p:sldId id='{256 + i}' r:id='rId{i + 1}'/>"
+            for i in range(len(slides))
+        )
+        zf.writestr(
+            "ppt/presentation.xml",
+            f"<p:presentation {_P_NS}><p:sldIdLst>{sld_ids}</p:sldIdLst>"
+            "</p:presentation>",
+        )
+        zf.writestr(
+            "ppt/_rels/presentation.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+            '2006/relationships">'
+            + "".join(
+                f"<Relationship Id='rId{i + 1}' Type='x' "
+                f"Target='slides/slide{i + 1}.xml'/>"
+                for i in range(len(slides))
+            )
+            + "</Relationships>",
+        )
+        for i, shapes in enumerate(slides):
+            zf.writestr(
+                f"ppt/slides/slide{i + 1}.xml",
+                f"<p:sld {_P_NS}><p:cSld><p:spTree>{''.join(shapes)}"
+                "</p:spTree></p:cSld></p:sld>",
+            )
+    return buf.getvalue()
+
+
+class TestPptxBytes:
+    def test_shape_order_and_bullets(self):
+        from ragflow_ray.parsers.officebytes import pptx_to_slide_texts
+
+        blob = make_pptx([
+            [
+                # body placed BELOW the title but listed first in XML —
+                # (top//10, left) ordering must put the title first
+                _sp_xml([("first point", 0), ("sub point", 1)], top=2000, left=0),
+                _sp_xml([("Slide Title", None)], top=100, left=0),
+            ],
+            [_sp_xml([("second slide", None)], top=0, left=0)],
+        ])
+        texts = pptx_to_slide_texts(blob)
+        assert texts == [
+            "Slide Title\n.first point\n  .sub point",
+            "second slide",
+        ]
+
+    def test_table_rendering(self):
+        from ragflow_ray.parsers.officebytes import pptx_to_slide_texts
+
+        blob = make_pptx([
+            [_tbl_xml([["name", "score"], ["alpha", "3"], ["beta", "7"]],
+                      top=0, left=0)],
+        ])
+        assert pptx_to_slide_texts(blob) == [
+            "name: alpha; score: 3\nname: beta; score: 7"
+        ]
+
+    def test_presentation_chunker_end_to_end(self):
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+        from ragflow_ray.parsers.officebytes import pptx_to_slide_spans
+
+        blob = make_pptx([
+            [_sp_xml([("Intro", None)], top=0, left=0)],
+            [_sp_xml([("Conclusion", None)], top=0, left=0)],
+        ])
+        doc = {"doc_id": "deck", "fmt": "ppt",
+               "spans": pptx_to_slide_spans(blob, "deck")}
+        spans = chunk_document(doc, "presentation", ChunkConfig())
+        assert [(s["text"], s["media_ref"]) for s in spans] == [
+            ("Intro", "media://deck/slide1"),
+            ("Conclusion", "media://deck/slide2"),
+        ]
+
+
 import pytest
 
 
@@ -214,3 +335,28 @@ class TestIngestOffice:
         assert json.loads(rows["d.docx"]["spans"][0]["text"])["t"] == "hello docx world"
         assert rows["s.xlsx"]["fmt"] == "excel"
         assert "Sheet1" in rows["s.xlsx"]["spans"][0]["text"]
+
+    def test_ingest_pptx(self, tmp_path):
+        from ragflow_ray.sources.ingest import read_text_files
+
+        (tmp_path / "deck.pptx").write_bytes(
+            make_pptx([[_sp_xml([("Only Slide", None)], top=0, left=0)]])
+        )
+        rows = {r["doc_id"]: r for r in read_text_files(str(tmp_path)).take_all()}
+        assert rows["deck.pptx"]["fmt"] == "ppt"
+        assert rows["deck.pptx"]["template"] == "presentation"
+        payload = json.loads(rows["deck.pptx"]["spans"][0]["text"])
+        assert payload == {"page_no": 1, "text": "Only Slide"}
+        assert rows["deck.pptx"]["spans"][0]["media_ref"] == "media://deck.pptx/slide1"
+
+    def test_ingest_skips_corrupt_file(self, tmp_path):
+        """One bad file degrades to an empty-span error row; the good
+        file still ingests (ADVICE r02: per-file containment)."""
+        from ragflow_ray.sources.ingest import read_text_files
+
+        (tmp_path / "bad.docx").write_bytes(b"this is not a zip archive")
+        (tmp_path / "good.txt").write_text("plain text survives")
+        rows = {r["doc_id"]: r for r in read_text_files(str(tmp_path)).take_all()}
+        assert rows["bad.docx"]["fmt"] == "error"
+        assert list(rows["bad.docx"]["spans"]) == []
+        assert rows["good.txt"]["spans"][0]["text"] == "plain text survives"

@@ -143,3 +143,34 @@ class TestPdfBytesProperties:
     def test_roundtrip_any_lines(self, pages, compress):
         blob = make_pdf(pages, compress=compress)
         assert pdf_text_lines(blob) == pages
+
+
+class TestTokenizerRobustness:
+    """Out-of-subset bytes must degrade to skipped tokens, never crash
+    (ADVICE r02: malformed numerics and \\8/\\9 escapes reproduced)."""
+
+    def test_malformed_numeric_tokens_skipped(self):
+        from ragflow_ray.parsers.pdfbytes import _tokenize
+
+        toks = list(_tokenize(b"1.2.3 -- (ok) Tj 4.5 Td"))
+        kinds = [k for k, _ in toks]
+        assert ("str", "ok") in toks
+        assert ("num", 4.5) in toks
+        # the bad runs produced no 'num' token and no exception
+        assert kinds.count("num") == 1
+
+    def test_non_octal_escapes_are_bare_chars(self):
+        from ragflow_ray.parsers.pdfbytes import _unescape_literal
+
+        assert _unescape_literal(rb"a\8b\9c") == "a8b9c"
+        assert _unescape_literal(rb"\101\60") == "A0"
+
+    def test_arbitrary_binary_never_crashes(self):
+        from ragflow_ray.parsers.pdfbytes import _page_lines
+
+        import random
+
+        rng = random.Random(7)
+        for _ in range(20):
+            junk = bytes(rng.randrange(256) for _ in range(400))
+            _page_lines([junk])  # must not raise
