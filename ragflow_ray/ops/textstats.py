@@ -191,26 +191,32 @@ def bm25_lite_topk(sf_dir: str, k: int = 20):
 
     score_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64())])
 
-    def score(batch: pd.DataFrame):
+    def score_topk(batch: pd.DataFrame):
+        """Score the batch and emit only its local top-k — every global
+        top-k row is in its own batch's top-k, so the driver-side merge
+        sees ≤ k × n_blocks rows instead of the corpus (no
+        all-to-all Sort; the ann.py partial-top-k pattern)."""
         weights = ray.get(idf_ref)
         lengths = batch["text"].str.count(" ").to_numpy() + 1
         total = np.zeros(len(batch), dtype=np.int64)
         for term, w in weights.items():
             tf = batch["text"].str.count(rf"\b{term}\b").to_numpy()
             total += tf * w
+        scores = total // (lengths + BM25_LEN_NORM)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        # (score desc, doc_id asc) — lexsort keys are least-significant
+        # first
+        order = np.lexsort((ids, -scores))[:k]
         return pa.table(
-            {
-                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
-                "score": total // (lengths + BM25_LEN_NORM),
-            },
+            {"doc_id": ids[order], "score": scores[order]},
             schema=score_schema,
         )
 
     out = (
-        docs.map_batches(score, batch_format="pandas")
-        .sort(["score", "doc_id"], descending=[True, False])
-        .limit(k)
+        docs.map_batches(score_topk, batch_format="pandas")
         .to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
         .reset_index(drop=True)
     )
     out["rank"] = range(1, len(out) + 1)
