@@ -6,13 +6,17 @@ nothing here (or in the library) initializes or shuts down Ray.
 * ``entry()``       — flagship extraction over /root/testdata/sf0.001
 * ``queries()``     — one callable per implemented operator (SURVEY.md §2
                       + corpus-scale data ops); each takes ``sf_dir``
-* ``oracle_sql()``  — DuckDB-equivalent SQL for every query with
-                      SQL-expressible semantics (column names match the
-                      Ray results exactly).  Every extraction template
-                      is value-hash oracled via a per-template roundtrip
-                      (ragflow_ray.ops.template_roundtrips); only the
-                      payload-corpus sweep and sketch-seeded queries
-                      remain rows-only.
+* ``oracle_sql()``  — DuckDB-equivalent SQL for EVERY query (column
+                      names match the Ray results exactly).  Every
+                      extraction template is value-hash oracled via a
+                      per-template roundtrip
+                      (ragflow_ray.ops.template_roundtrips); sketch
+                      queries and the pdf-block composition via
+                      independent re-derivation fixtures
+                      (tools/make_sketch_fixtures.py,
+                      tools/make_pdfblocks_fixture.py); the
+                      all-templates sweep via a pinned-golden fixture
+                      (tools/make_extract_fixtures.py).
 """
 
 from __future__ import annotations
@@ -100,7 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.user_sessions,
         "nation_customer_counts": relational.nation_customer_counts,
         "part_type_stats": relational.part_type_stats,
-        # --- pdf text-block assembly (rows-only; pdf_parser.__call__ path) ---
+        # --- pdf text-block assembly (pdf_parser.__call__ path;
+        #     value-hash oracled via an independent naive re-derivation
+        #     fixture) ---
         "pdf_text_blocks": extract_queries.pdf_text_blocks,
         # --- extraction (roundtrip-oracled) ---
         "txt_chunk_roundtrip": lambda d: extract_queries.txt_chunk_roundtrip(d).to_pandas(),
@@ -115,9 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_table": template_roundtrips.extract_table,
         "extract_manual": template_roundtrips.extract_manual,
         "extract_presentation": template_roundtrips.extract_presentation,
-        # --- all templates over the interleaved payload corpus (rows-only:
-        #     exercises the pdf/docx/excel payload formats; exactness is
-        #     pinned by the pytest goldens) ---
+        # --- all templates over the interleaved payload corpus
+        #     (value-hash against a pinned-golden fixture; exercises the
+        #     pdf/docx/excel payload formats across all 15 families) ---
         "extract_all_templates": lambda d: extract_queries.corpus_extract(d, None),
     }
 
@@ -447,6 +453,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "html_extract_roundtrip": """
             SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
+        """,
+        # independent re-derivation fixture
+        # (tools/make_pdfblocks_fixture.py — self-contained naive
+        # sequential implementation of the pdf __call__ composition,
+        # no ragflow_ray pipeline imports)
+        "pdf_text_blocks": f"""
+            SELECT doc_id, n_blocks, n_chars
+            FROM read_parquet('{_FIXTURES}/pdf_text_blocks.parquet')
+            WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+            ORDER BY doc_id
+        """,
+        # pinned-golden fixture (tools/make_extract_fixtures.py): the
+        # full 15-family chunker sweep is not SQL-expressible and too
+        # wide for an independent re-derivation; the fixture freezes a
+        # known-good output so any chunker/parser regression flips the
+        # driver row
+        "extract_all_templates": f"""
+            SELECT doc_id, template, n_spans, n_chars
+            FROM read_parquet('{_FIXTURES}/corpus_extract.parquet')
+            WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+            ORDER BY doc_id
         """,
         **_template_oracles(),
     }

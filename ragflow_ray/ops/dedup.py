@@ -177,17 +177,44 @@ class MinHasher:
         )
 
 
+_PAIR_BUCKETS = 64  # dedup-bucket fanout (any low-cardinality value)
+
+
 def _bucket_pairs(group: pd.DataFrame):
     """Candidate pairs within one LSH bucket (doc ids only — text is
-    not shipped through the shuffle)."""
+    not shipped through the shuffle).  Emits a low-cardinality ``pkey``
+    so the cross-band pair dedup can run as a 64-group vectorized
+    ``map_groups`` instead of a per-pair groupby (Ray's aggregate at
+    millions of groups is ~30x slower — measured 283s vs 8.8s on 9M
+    pair rows from a 1500-doc clique)."""
     import pyarrow as pa
 
-    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("pkey", pa.int64())]
+    )
     ids = np.unique(group["doc_id"].to_numpy().astype(np.int64))
     if len(ids) < 2:
         return schema.empty_table()
     ii, jj = np.triu_indices(len(ids), k=1)
-    return pa.table({"doc_a": ids[ii], "doc_b": ids[jj]}, schema=schema)
+    a, b = ids[ii], ids[jj]
+    return pa.table(
+        {"doc_a": a, "doc_b": b,
+         "pkey": (a * 1_000_003 + b) % _PAIR_BUCKETS},
+        schema=schema,
+    )
+
+
+def _dedupe_pairs(g: pd.DataFrame):
+    """Vectorized distinct (doc_a, doc_b) within one pkey bucket."""
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    arr = np.unique(
+        np.stack([g["doc_a"].to_numpy().astype(np.int64),
+                  g["doc_b"].to_numpy().astype(np.int64)], axis=1),
+        axis=0,
+    )
+    return pa.table({"doc_a": arr[:, 0], "doc_b": arr[:, 1]}, schema=schema)
 
 
 def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 0.8,
@@ -197,7 +224,10 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
     Shuffle discipline — nothing corpus-sized ever reaches the driver:
 
     1. only (band_id, band_hash, doc_id) rows move in the LSH groupby;
-    2. candidate pairs (few) dedupe in a tiny groupby;
+    2. candidate pairs dedupe in a groupby and stay a **Dataset** —
+       the branch below is picked from a distributed distinct-id
+       count, so the pair set (which scales with the corpus's dup
+       structure) never reaches the driver in the large branch;
     3. the exact-Jaccard verify is **size-adaptive**, the same call a
        query engine makes between broadcast and shuffle joins:
 
@@ -205,14 +235,13 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
          predicate-pushdown parquet read fetches only the candidate
          rows (O(candidates) driver memory, explicitly bounded) and
          the verify runs locally;
-       * above it — candidate ids broadcast via ``ray.put``, shingle
-         sets recomputed for candidates alone in a filtering scan,
-         each pair meets both shingle sets through two hash joins
-         (doc_a, then doc_b) + a row-wise verify pass.  Candidate
-         shingles, never document texts, are the shuffled payload.
+       * above it — the candidate-id Dataset semi-joins the corpus
+         scan, shingle sets are recomputed for candidates alone, each
+         pair meets both shingle sets through two hash joins (doc_a,
+         then doc_b) + a row-wise verify pass.  Candidate shingles,
+         never document texts, are the shuffled payload.
     """
     import pyarrow as pa
-    import ray
     from ray.data.aggregate import Count
 
     pair_schema = pa.schema(
@@ -225,38 +254,44 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
     bands = docs.map_batches(
         MinHasher, batch_format="pandas", concurrency=concurrency or (1, 8)
     )
-    candidates = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    # materialize between the two all-to-alls: chaining
+    # groupby.map_groups straight into a second groupby makes Ray's
+    # streaming executor interleave both shuffles' aggregator actors
+    # with the sketch pool — measured 6x slower on a high-dup corpus
+    # (78.6s -> 12.7s on a 400-doc clique) than cutting the plan here
+    candidates = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .materialize()
     )
-    # candidate pairs are small (LSH survivors); materialize once so the
-    # id collection and the join side read the same blocks instead of
-    # re-executing the sketch+shuffle pipeline concurrently with the
-    # join's aggregator actors (a deadlock on small CPU budgets)
+    # pair dedup over 64 pkey buckets; materialized so the id
+    # collection and the join side read the same blocks instead of
+    # re-executing the pipeline
     unique_pairs = (
-        candidates.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
+        candidates.groupby("pkey")
+        .map_groups(_dedupe_pairs, batch_format="pandas")
         .materialize()
     )
 
-    pair_ids = unique_pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
-    if pair_ids.empty:
+    # the verify branch is picked from a DISTRIBUTED distinct-id count —
+    # the candidate-pair set itself never reaches the driver unless the
+    # small branch is chosen (pair volume scales with the corpus's dup
+    # structure, the exact thing dedup targets)
+    cand_ids_ds, n_cand = _pair_id_dataset(unique_pairs)
+    if n_cand == 0:
         import ray.data as rd
 
-        from ..sources.readers import read_parquet_clean
-
         return rd.from_arrow(pair_schema.empty_table())
-    cand_ids = np.unique(
-        np.concatenate([pair_ids["doc_a"].to_numpy(), pair_ids["doc_b"].to_numpy()])
-    )
 
-    if len(cand_ids) <= broadcast_limit:
+    if n_cand <= broadcast_limit:
         # small side: pruned read of candidate rows only (row-group +
-        # row-level predicate pushdown), local exact verify
+        # row-level predicate pushdown), local exact verify; the pair
+        # set is only collected here, where the id bound caps it
         import pyarrow.dataset as pads
         import ray.data as rd
 
-        from ..sources.readers import read_parquet_clean
-
+        cand_ids = cand_ids_ds.to_pandas()["doc_id"].to_numpy()
+        pair_ids = unique_pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
         t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
             columns=["doc_id", "text"],
             filter=pads.field("doc_id").isin(pa.array(cand_ids)),
@@ -285,36 +320,70 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
         return {"doc_a": a, "doc_b": b, "jaccard": round(jac, 4)}
 
     return _join_overlap_verify(
-        sf_dir, docs, unique_pairs, cand_ids, _shingle_hashes, emit,
+        docs, unique_pairs, cand_ids_ds, n_cand, _shingle_hashes, emit,
         pair_schema, join_partitions,
     )
 
 
-def _join_overlap_verify(sf_dir, docs, unique_pairs, cand_ids, key_fn, emit,
+def _pair_id_dataset(unique_pairs):
+    """→ (distinct candidate-id Dataset, its count) — fully
+    distributed: both pair columns union into one id column and dedupe
+    in a 64-bucket vectorized ``map_groups`` (low-cardinality key, not
+    a per-id groupby); only the scalar count reaches the driver."""
+    import pyarrow as pa
+
+    def ids_of(col):
+        def take(t: pa.Table) -> pa.Table:
+            ids = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"doc_id": ids, "pkey": ids % _PAIR_BUCKETS}
+            )
+
+        return take
+
+    def uniq(g: pd.DataFrame):
+        schema = pa.schema([("doc_id", pa.int64())])
+        return pa.table(
+            {"doc_id": np.unique(g["doc_id"].to_numpy().astype(np.int64))},
+            schema=schema,
+        )
+
+    a = unique_pairs.map_batches(ids_of("doc_a"), batch_format="pyarrow")
+    b = unique_pairs.map_batches(ids_of("doc_b"), batch_format="pyarrow")
+    ids = (
+        a.union(b)
+        .groupby("pkey")
+        .map_groups(uniq, batch_format="pandas")
+        .materialize()
+    )
+    return ids, ids.count()
+
+
+def _join_overlap_verify(docs, unique_pairs, cand_ids_ds, n_cand, key_fn, emit,
                          pair_schema, join_partitions: int):
     """Distributed exact set-overlap verify shared by the near-dup ops.
 
-    Candidate ids broadcast once; ``key_fn(text) -> int64 ndarray``
-    recomputes each candidate's key set inside a filtering scan; each
+    Nothing here touches the driver: the candidate-id *Dataset*
+    semi-joins against the corpus scan, ``key_fn(text) -> int64
+    ndarray`` computes each candidate's key set inside that scan; each
     pair meets both key sets through two hash joins, and ``emit(a, b,
     n_both, n_union) -> row | None`` decides what survives.
     """
     import pyarrow as pa
-    import ray
-
-    id_ref = ray.put(frozenset(int(x) for x in cand_ids))
 
     # key vectors ride the join as binary blobs (Arrow's hash join
     # rejects list-typed payload columns); int64-LE array bytes
     key_schema = pa.schema([("doc_id", pa.int64()), ("keys", pa.large_binary())])
 
-    def candidate_keys(batch: pd.DataFrame):
-        members = ray.get(id_ref)
+    # partitions sized to the candidate set (an empty join partition on
+    # tiny inputs yields a schema-less block that breaks the join)
+    n_parts = max(1, min(join_partitions, n_cand // 64 + 1))
+
+    def compute_keys(batch: pd.DataFrame):
         ids, arrs = [], []
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            if int(doc_id) in members:
-                ids.append(int(doc_id))
-                arrs.append(key_fn(text).tobytes())
+            ids.append(int(doc_id))
+            arrs.append(key_fn(text).tobytes())
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -323,20 +392,20 @@ def _join_overlap_verify(sf_dir, docs, unique_pairs, cand_ids, key_fn, emit,
             schema=key_schema,
         )
 
-    # candidate-only key table, materialized once (bounded by the
-    # candidate set, distributed blocks) so the two join sides don't
-    # re-run the filtering scan
-    keys = docs.map_batches(candidate_keys, batch_format="pandas").materialize()
+    # candidate rows selected by a distributed semi-join (no broadcast
+    # id set, no driver collection); the key table is materialized once
+    # (bounded by the candidate set) so the two join sides don't re-run
+    # the scan
+    cand_docs = docs.join(
+        cand_ids_ds, join_type="inner", num_partitions=n_parts, on=("doc_id",)
+    )
+    keys = cand_docs.map_batches(compute_keys, batch_format="pandas").materialize()
 
     def _renamed(cols):
         def rename(t: pa.Table) -> pa.Table:
             return t.rename_columns(cols)
 
         return rename
-
-    # partitions sized to the candidate set (an empty join partition on
-    # tiny inputs yields a schema-less block that breaks the join)
-    n_parts = max(1, min(join_partitions, len(cand_ids) // 64 + 1))
     with_a = unique_pairs.select_columns(["doc_a", "doc_b"]).join(
         keys.map_batches(_renamed(["doc_a", "k_a"]), batch_format="pyarrow"),
         join_type="inner", num_partitions=n_parts, on=("doc_a",),
@@ -347,13 +416,22 @@ def _join_overlap_verify(sf_dir, docs, unique_pairs, cand_ids, key_fn, emit,
     )
 
     def verify_rows(batch: pd.DataFrame):
+        # key arrays are np.unique output (sorted, distinct) so the
+        # C-level intersect applies; duplicated corpora repeat the same
+        # blob pair across many rows, so overlap counts memoize
+        memo: dict[tuple[bytes, bytes], tuple[int, int]] = {}
         rows = []
         for a, b, ka, kb in zip(
             batch["doc_a"], batch["doc_b"], batch["k_a"], batch["k_b"]
         ):
-            sa = set(np.frombuffer(ka, dtype=np.int64))
-            sb = set(np.frombuffer(kb, dtype=np.int64))
-            row = emit(int(a), int(b), len(sa & sb), len(sa | sb))
+            counts = memo.get((ka, kb))
+            if counts is None:
+                sa = np.frombuffer(ka, dtype=np.int64)
+                sb = np.frombuffer(kb, dtype=np.int64)
+                n_both = np.intersect1d(sa, sb, assume_unique=True).size
+                counts = (n_both, sa.size + sb.size - n_both)
+                memo[(ka, kb)] = counts
+            row = emit(int(a), int(b), *counts)
             if row is not None:
                 rows.append(row)
         if not rows:
@@ -449,8 +527,13 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
     def bucket_pairs(group: pd.DataFrame):
         """Pairs for every gram run inside one coarse bucket — a single
         vectorized sort + run-length walk instead of one ``map_groups``
-        call per gram (the per-group dispatch tax dominates otherwise)."""
-        schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+        call per gram (the per-group dispatch tax dominates otherwise).
+        Emits ``pkey`` for the 64-bucket vectorized dedup (see
+        :func:`_bucket_pairs`); pairs from different grams dedupe
+        locally first."""
+        schema = pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("pkey", pa.int64())]
+        )
         df = group.sort_values(["gram", "doc_id"])
         grams = df["gram"].to_numpy()
         ids = df["doc_id"].to_numpy().astype(np.int64)
@@ -466,8 +549,13 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
             out_b.append(run[jj])
         if not out_a:
             return schema.empty_table()
+        pairs = np.unique(
+            np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1),
+            axis=0,
+        )
+        a, b = pairs[:, 0], pairs[:, 1]
         return pa.table(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)},
+            {"doc_a": a, "doc_b": b, "pkey": (a * 1_000_003 + b) % _PAIR_BUCKETS},
             schema=schema,
         )
 
@@ -482,34 +570,40 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
     )
     if shared.count() == 0:
         return rd.from_arrow(pair_schema.empty_table())
-    pairs = (
+    # cut the plan between the two all-to-alls (see minhash_near_dups:
+    # chained shuffles starve each other's aggregator actors)
+    raw_pairs = (
         sh.join(shared, join_type="inner", num_partitions=4, on=("gram",))
         .groupby("gbkt")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_grams"))
         .materialize()
     )
-    pair_ids = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
-    if pair_ids.empty:
+    pairs = (
+        raw_pairs.groupby("pkey")
+        .map_groups(_dedupe_pairs, batch_format="pandas")
+        .materialize()
+    )
+    # branch from a distributed distinct-id count; pairs stay a Dataset
+    # end-to-end in the join branch (same discipline as minhash)
+    cand_ids_ds, n_cand = _pair_id_dataset(pairs)
+    if n_cand == 0:
         return rd.from_arrow(pair_schema.empty_table())
 
-    cand_ids = np.unique(
-        np.concatenate([pair_ids["doc_a"].to_numpy(), pair_ids["doc_b"].to_numpy()])
-    )
     def emit(a: int, b: int, n_both: int, n_union: int):
         union = n_union or 1
         if 2 * n_both < union:
             return None
         return {"doc_a": a, "doc_b": b, "jaccard_x10000": n_both * 10_000 // union}
 
-    if len(cand_ids) > broadcast_limit:
+    if n_cand > broadcast_limit:
         return _join_overlap_verify(
-            sf_dir, docs, pairs, cand_ids,
+            docs, pairs, cand_ids_ds, n_cand,
             lambda t: _ngram_keys(t, n), emit, pair_schema, join_partitions=8,
         )
     import pyarrow.dataset as pads
 
+    cand_ids = cand_ids_ds.to_pandas()["doc_id"].to_numpy()
+    pair_ids = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
     t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
         columns=["doc_id", "text"],
         filter=pads.field("doc_id").isin(pa.array(cand_ids)),
@@ -611,11 +705,45 @@ def _simhash_pair_schema():
     return _SIMHASH_PAIR_SCHEMA
 
 
+def _simhash_table_masks() -> np.ndarray:
+    """16 per-table cleanliness masks for the 28-bit two-level LSH.
+
+    Table t = 4*b + s covers outer chunk ``b`` (16 signature bits
+    [16b, 16b+16)) plus inner sub-chunk ``s``: bits [12s, 12s+12) of
+    the 48 remaining bits (the three other chunks concatenated in
+    ascending chunk order).  Two signatures share table t's key iff
+    ``(xor & mask[t]) == 0``.
+
+    Completeness for hamming ≤ 3: ≤3 errors leave ≥1 outer chunk b*
+    clean (pigeonhole over 4), and within b*'s 48 remaining bits the
+    ≤3 errors dirty ≤3 of the 4 sub-chunks, so ≥1 table (b*, s*) is
+    fully clean — every qualifying pair shares ≥1 of the 16 keys.
+    """
+    masks = []
+    for b in range(4):
+        others = [j for j in range(4) if j != b]
+        pos = [16 * others[r // 16] + (r % 16) for r in range(48)]
+        for s in range(4):
+            m = 0xFFFF << (16 * b)
+            for i in range(12):
+                m |= 1 << pos[12 * s + i]
+            masks.append(m)
+    return np.array(masks, dtype=np.uint64)
+
+
+_TABLE_MASKS = _simhash_table_masks()
+
+
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
                       max_bucket_sigs: int = 4096):
     """Near-dup pairs by simhash Hamming distance ≤ ``max_hamming``,
-    found via 4 16-bit band tables (any pair within distance 3 shares
-    at least one exact band — the pigeonhole guarantee).
+    found via 16 two-level band tables keyed on 28 bits (outer 16-bit
+    chunk + inner 12-bit sub-chunk of the remaining 48 bits) — see
+    :func:`_simhash_table_masks` for the pigeonhole guarantee at
+    distance ≤ 3.  The 28-bit key space (vs the previous 16-bit
+    bands) removes the hot-bucket skew that forced truncation at
+    corpus scale, at the cost of 16 instead of 4 exploded rows per
+    doc.
 
     Scale discipline:
 
@@ -623,13 +751,19 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
       sigs collapse before the pairwise step) with a vectorized
       XOR+popcount sweep in row blocks — no Python pair loops;
     * each qualifying pair is emitted **only from its first shared
-      band**, so pairs are globally unique without a dedup shuffle;
+      table**, so pairs are globally unique without a dedup shuffle;
     * buckets larger than ``max_bucket_sigs`` unique signatures are
-      truncated (smallest signatures kept, deterministic) with the
-      drop **logged loudly** — the explicit approximation backstop for
-      pathological 16-bit-band skew at corpus scale.
+      still truncated (smallest signatures kept, deterministic) with
+      the drop **logged loudly** — a backstop that should never fire
+      below ~10⁹ docs with 28-bit keys.
     """
     import pyarrow as pa
+
+    if max_hamming > 3:
+        raise ValueError(
+            "the 16-table LSH guarantees completeness only for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
 
     sigs = simhash_signatures(sf_dir, concurrency)
 
@@ -637,21 +771,30 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
         sims = batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         ids = batch["doc_id"].to_numpy()
         n = len(sims)
-        bands = np.tile(np.arange(4, dtype=np.int64), n)
-        keys = (
-            (sims[:, None] >> (np.arange(4, dtype=np.uint64) * 16)) & np.uint64(0xFFFF)
-        ).reshape(-1)
+        chunks = [
+            (sims >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)
+        ]
+        keys = np.empty((n, 16), dtype=np.uint64)
+        for b in range(4):
+            others = [j for j in range(4) if j != b]
+            rest = sum(
+                chunks[j] << np.uint64(16 * rank)
+                for rank, j in enumerate(others)
+            )
+            for s in range(4):
+                sub = (rest >> np.uint64(12 * s)) & np.uint64(0xFFF)
+                keys[:, 4 * b + s] = chunks[b] | (sub << np.uint64(16))
         return pd.DataFrame(
             {
-                "band_id": bands,
-                "band_key": keys.astype(np.int64),
-                "doc_id": np.repeat(ids, 4),
-                "simhash": np.repeat(sims.view(np.int64), 4),
+                "band_id": np.tile(np.arange(16, dtype=np.int64), n),
+                "band_key": keys.reshape(-1).astype(np.int64),
+                "doc_id": np.repeat(ids, 16),
+                "simhash": np.repeat(sims.view(np.int64), 16),
             }
         )
 
     def verify(group: pd.DataFrame):
-        band = int(group["band_id"].iloc[0])
+        table = int(group["band_id"].iloc[0])
         docs = group["doc_id"].to_numpy().astype(np.int64)
         sims = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
 
@@ -660,9 +803,9 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
             import logging
 
             logging.getLogger("ragflow_ray.dedup").warning(
-                "simhash bucket (band=%d key=%d) truncated: %d -> %d unique "
+                "simhash bucket (table=%d key=%d) truncated: %d -> %d unique "
                 "signatures (%d docs dropped from pair generation)",
-                band, int(group["band_key"].iloc[0]), len(usig), max_bucket_sigs,
+                table, int(group["band_key"].iloc[0]), len(usig), max_bucket_sigs,
                 int((inv >= max_bucket_sigs).sum()),
             )
             keep = inv < max_bucket_sigs  # usig is sorted: keep smallest
@@ -679,9 +822,9 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
         out_b: list[np.ndarray] = []
         out_h: list[np.ndarray] = []
 
-        # exact-duplicate signatures: all bands share them; emit from
-        # band 0 only
-        if band == 0:
+        # exact-duplicate signatures: all tables share them; emit from
+        # table 0 only
+        if table == 0:
             for s in range(n):
                 grp = docs_s[starts[s] : starts[s + 1]]
                 if len(grp) > 1:
@@ -690,18 +833,18 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
                     out_b.append(grp[jj])
                     out_h.append(np.zeros(len(ii), dtype=np.int64))
 
-        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))
-        block = 512
+        block = 256
         for i0 in range(0, n, block):
             xor = usig[i0 : i0 + block, None] ^ usig[None, :]
             ham = _popcount64(xor).astype(np.int64)
-            # first shared band per pair (iterate descending: band 0 wins)
-            fb = np.full(xor.shape, 4, dtype=np.int64)
-            for b in range(3, -1, -1):
-                fb[((xor >> shifts[b]) & np.uint64(0xFFFF)) == 0] = b
+            # first shared table per pair (iterate descending: table 0
+            # wins); sharing table t == (xor & mask[t]) == 0
+            fb = np.full(xor.shape, 16, dtype=np.int64)
+            for t in range(15, -1, -1):
+                fb[(xor & _TABLE_MASKS[t]) == 0] = t
             rows = np.arange(i0, min(i0 + block, n))[:, None]
             cols = np.arange(n)[None, :]
-            qual = (ham > 0) & (ham <= max_hamming) & (fb == band) & (cols > rows)
+            qual = (ham > 0) & (ham <= max_hamming) & (fb == table) & (cols > rows)
             ri, ci = np.nonzero(qual)
             for r, c, h in zip(rows[:, 0][ri], cols[0, ci], ham[ri, ci]):
                 ga = docs_s[starts[r] : starts[r + 1]]

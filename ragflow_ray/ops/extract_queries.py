@@ -152,4 +152,6 @@ def corpus_extract(sf_dir: str, template: str | None = None):
         batch_size=32,
     )
     df = out.to_pandas()[["doc_id", "template", "n_spans", "n_chars"]]
+    df["n_spans"] = df["n_spans"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)

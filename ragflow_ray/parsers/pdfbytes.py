@@ -14,13 +14,20 @@ path:
   Tj / ' / " / TJ (string shows), Td / TD / T* / Tm (line motion);
 * literal-string unescaping and hex strings.
 
-Deliberately out of scope (documented subset, not a stub): CID/Type0
-composite fonts with ToUnicode CMaps, encrypted documents, predictors,
-LZW/ASCII85 filters, and cross-reference streams for object
-discovery — bytes outside the subset degrade to skipped show-strings,
-never to a crash.  Good enough to round-trip every text PDF this
-engine writes in its own tests and the common single-byte-font
-documents the plain path targets.
+* CID/Type0 composite fonts via /ToUnicode CMaps: page /Resources
+  /Font entries resolve to font objects, ``beginbfchar`` /
+  ``beginbfrange`` sections map 2-byte (Type0) or 1-byte codes to
+  UTF-16BE text, and the content-stream ``Tf`` operator switches the
+  active mapping (the reference gets this from pypdf,
+  deepdoc/parser/pdf_parser.py:1243-1269).
+
+Deliberately out of scope (documented subset, not a stub): encrypted
+documents, predictors, LZW/ASCII85 filters, and cross-reference
+streams for object discovery — bytes outside the subset degrade to
+skipped show-strings, never to a crash.  Good enough to round-trip
+every text PDF this engine writes in its own tests, the common
+single-byte-font documents, and Identity-H CID PDFs carrying
+ToUnicode maps (the dominant real-world text-PDF form).
 """
 
 from __future__ import annotations
