@@ -9,7 +9,9 @@ of XML — the stdlib covers the subset these pipelines need:
   ``heading N`` names normalize to the ``Heading N`` form the outline
   walkers match); tables become ``{"table": {"rows": [...]}}`` with
   gridSpan-merged cells repeated, mirroring python-docx's
-  ``row.cells`` behavior the colspan-merge renderer expects.
+  ``row.cells`` behavior the colspan-merge renderer expects; inline
+  images (``w:drawing`` blips) become media spans addressed by their
+  relationship target.
 * .xlsx — sheets resolve through ``xl/workbook.xml`` + its rels;
   shared strings, inline strings, booleans and numbers decode;
   integral floats emit as ints; rows pad to the widest used column —
@@ -22,7 +24,7 @@ of XML — the stdlib covers the subset these pipelines need:
   RAGFlowPptParser walk (deepdoc/parser/ppt_parser.py:27-108) over
   raw XML instead of python-pptx.
 
-Deliberately out of scope (documented subset): embedded images/charts,
+Deliberately out of scope (documented subset): chart objects,
 footnotes/endnotes, vMerge vertical spans (the repeated-cell form),
 formula recomputation (cached ``<v>`` values are used), and encrypted
 containers.  Reference parity targets: python-docx paragraph walking
@@ -97,23 +99,38 @@ def _table_rows(tbl) -> list[list[str]]:
     return rows
 
 
-def docx_to_spans(blob: bytes) -> list[dict]:
+def _docx_rels(zf: zipfile.ZipFile) -> dict[str, str]:
+    """relationship Id → target (e.g. ``media/image1.png``)."""
+    try:
+        root = ElementTree.fromstring(zf.read("word/_rels/document.xml.rels"))
+    except (KeyError, ElementTree.ParseError):
+        return {}
+    return {
+        rel.get("Id") or "": rel.get("Target") or ""
+        for rel in root.iter(f"{_PR}Relationship")
+    }
+
+
+def docx_to_spans(blob: bytes, doc_id: str = "docx") -> list[dict]:
     """.docx bytes → interleaved payload spans (paragraphs + tables in
-    document order) for the docx-family chunkers."""
+    document order) for the docx-family chunkers.
+
+    Inline images (``w:drawing`` → ``a:blip r:embed``) emit media
+    spans in document order after their paragraph's text — the same
+    interleaved form the payload corpus uses, so the real-bytes path
+    reaches ``naive_merge_with_images`` like the payload path does
+    (reference ``naive.Docx`` image extraction, rag/app/naive.py:39-251).
+    """
     zf = zipfile.ZipFile(io.BytesIO(blob))
     names = _style_names(zf)
+    rels = _docx_rels(zf)
     root = ElementTree.fromstring(zf.read("word/document.xml"))
     body = root.find(f"{_W}body")
     spans: list[dict] = []
     if body is None:
         return spans
-    for child in body:
-        if child.tag == f"{_W}p":
-            payload = {"t": _para_text(child), "style": _para_style(child, names)}
-        elif child.tag == f"{_W}tbl":
-            payload = {"table": {"rows": _table_rows(child)}}
-        else:
-            continue
+
+    def add_text(payload: dict) -> None:
         spans.append(
             {
                 "kind": "text",
@@ -122,6 +139,23 @@ def docx_to_spans(blob: bytes) -> list[dict]:
                 "offset": len(spans),
             }
         )
+
+    for child in body:
+        if child.tag == f"{_W}p":
+            add_text({"t": _para_text(child), "style": _para_style(child, names)})
+            for blip in child.iter(f"{_A}blip"):
+                rid = blip.get(f"{_R}embed") or blip.get(f"{_R}link") or ""
+                target = rels.get(rid, rid or "img")
+                spans.append(
+                    {
+                        "kind": "media",
+                        "text": "",
+                        "media_ref": f"media://{doc_id}/{target}",
+                        "offset": len(spans),
+                    }
+                )
+        elif child.tag == f"{_W}tbl":
+            add_text({"table": {"rows": _table_rows(child)}})
     return spans
 
 

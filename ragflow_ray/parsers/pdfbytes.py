@@ -52,6 +52,131 @@ _ESCAPES = {
     b"(": b"(", b")": b")", b"\\": b"\\",
 }
 
+# -- Type0 / ToUnicode support ---------------------------------------------
+
+_RESOURCES_REF = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_DICT_REF = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
+_FONT_ENTRY = re.compile(rb"/([\w.+-]+)\s+(\d+)\s+\d+\s+R")
+_TOUNICODE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_TYPE0 = re.compile(rb"/Subtype\s*/Type0")
+_PARENT = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+_BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CMAP_TOK = re.compile(rb"<[0-9A-Fa-f]+>|\[|\]")
+
+
+def _balanced_dict(data: bytes, start: int) -> bytes:
+    """The bytes of a ``<< ... >>`` dict starting at ``start``."""
+    depth, i, n = 0, start, len(data)
+    while i < n - 1:
+        two = data[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+            continue
+        if two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+            continue
+        i += 1
+    return data[start:]
+
+
+def _u16(hx: bytes) -> str:
+    """UTF-16BE text of a CMap hex destination (odd-length → '')."""
+    try:
+        b = bytes.fromhex(hx.decode())
+        return b.decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError):
+        return ""
+
+
+def _parse_cmap(stream: bytes) -> dict[int, str]:
+    """/ToUnicode CMap → {code: text} (bfchar + bfrange sections)."""
+    cmap: dict[int, str] = {}
+    for m in _BFCHAR.finditer(stream):
+        toks = _CMAP_TOK.findall(m.group(1))
+        hexes = [t for t in toks if t.startswith(b"<")]
+        for i in range(0, len(hexes) - 1, 2):
+            try:
+                cmap[int(hexes[i][1:-1], 16)] = _u16(hexes[i + 1][1:-1])
+            except ValueError:
+                continue
+    for m in _BFRANGE.finditer(stream):
+        toks = _CMAP_TOK.findall(m.group(1))
+        j = 0
+        while j + 2 < len(toks) + 1 and j + 1 < len(toks):
+            lo_t, hi_t = toks[j], toks[j + 1]
+            if not (lo_t.startswith(b"<") and hi_t.startswith(b"<")):
+                j += 1
+                continue
+            try:
+                lo = int(lo_t[1:-1], 16)
+                hi = int(hi_t[1:-1], 16)
+            except ValueError:
+                j += 2
+                continue
+            if j + 2 >= len(toks):
+                break
+            if toks[j + 2] == b"[":
+                k, code = j + 3, lo
+                while k < len(toks) and toks[k] != b"]":
+                    if code <= hi and toks[k].startswith(b"<"):
+                        cmap[code] = _u16(toks[k][1:-1])
+                        code += 1
+                    k += 1
+                j = k + 1
+            else:
+                base = _u16(toks[j + 2][1:-1])
+                if base:
+                    head, last = base[:-1], ord(base[-1])
+                    for c in range(lo, min(hi, lo + 0xFFFF) + 1):
+                        cmap[c] = head + chr(last + (c - lo))
+                j += 3
+    return cmap
+
+
+def _page_fonts(body: bytes, objs: dict[int, bytes], depth: int = 0) -> dict:
+    """Font name → (cmap, code byte-width) for fonts carrying a
+    /ToUnicode map (resources inline or by ref; /Parent inheritance)."""
+    if depth > 4:
+        return {}
+    res = None
+    m = re.search(rb"/Resources\s*<<", body)
+    if m:
+        res = _balanced_dict(body, m.end() - 2)
+    else:
+        m = _RESOURCES_REF.search(body)
+        if m:
+            res = objs.get(int(m.group(1)), b"")
+    if res is None:
+        pm = _PARENT.search(body)
+        if pm:
+            return _page_fonts(objs.get(int(pm.group(1)), b""), objs, depth + 1)
+        return {}
+    fm = re.search(rb"/Font\s*<<", res)
+    if fm:
+        fdict = _balanced_dict(res, fm.end() - 2)
+    else:
+        fm = _FONT_DICT_REF.search(res)
+        fdict = objs.get(int(fm.group(1)), b"") if fm else b""
+    fonts: dict[str, tuple[dict[int, str], int]] = {}
+    for em in _FONT_ENTRY.finditer(fdict):
+        fobj = objs.get(int(em.group(2)), b"")
+        tm = _TOUNICODE.search(fobj)
+        if not tm:
+            continue
+        stream = _stream_of(objs.get(int(tm.group(1)), b""))
+        if stream is None:
+            continue
+        cmap = _parse_cmap(stream)
+        if cmap:
+            nbytes = 2 if _TYPE0.search(fobj) else 1
+            fonts[em.group(1).decode("latin-1")] = (cmap, nbytes)
+    return fonts
+
 
 def _objects(data: bytes) -> dict[int, bytes]:
     """Sequential object scan.  Stream bodies are skipped by their
@@ -148,6 +273,10 @@ def _content_streams(body: bytes, objs: dict[int, bytes]) -> list[bytes]:
 
 
 def _unescape_literal(raw: bytes) -> str:
+    return _unescape_bytes(raw).decode("latin-1")
+
+
+def _unescape_bytes(raw: bytes) -> bytes:
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -174,11 +303,13 @@ def _unescape_literal(raw: bytes) -> str:
         else:
             out += nxt
             i += 2
-    return out.decode("latin-1")
+    return bytes(out)
 
 
 def _tokenize(stream: bytes):
-    """→ (kind, value) tokens: 'str', 'hex', 'arr', 'num', 'op'."""
+    """→ (kind, value) tokens: 'str' (raw bytes), 'arr' (list of raw
+    bytes), 'num', 'name', 'op'.  String bytes decode at assembly time
+    (latin-1 or the active font's ToUnicode map)."""
     i, n = 0, len(stream)
     while i < n:
         c = stream[i : i + 1]
@@ -198,7 +329,7 @@ def _tokenize(stream: bytes):
                 elif ch == b")":
                     depth -= 1
                 j += 1
-            yield ("str", _unescape_literal(stream[start : j - 1]))
+            yield ("str", _unescape_bytes(stream[start : j - 1]))
             i = j
             continue
         if c == b"<" and stream[i + 1 : i + 2] != b"<":
@@ -209,7 +340,7 @@ def _tokenize(stream: bytes):
             if len(hx) % 2:
                 hx += b"0"
             try:
-                yield ("str", bytes.fromhex(hx.decode()).decode("latin-1"))
+                yield ("str", bytes.fromhex(hx.decode()))
             except ValueError:
                 pass
             i = j + 1
@@ -224,7 +355,7 @@ def _tokenize(stream: bytes):
             # collect until matching ] at this nesting level (TJ arrays
             # only contain strings and numbers)
             j = i + 1
-            parts: list[str] = []
+            parts: list[bytes] = []
             while j < n and stream[j : j + 1] != b"]":
                 ch = stream[j : j + 1]
                 if ch == b"(":
@@ -240,7 +371,7 @@ def _tokenize(stream: bytes):
                         elif cc == b")":
                             depth -= 1
                         k += 1
-                    parts.append(_unescape_literal(stream[start : k - 1]))
+                    parts.append(_unescape_bytes(stream[start : k - 1]))
                     j = k
                 elif ch == b"<":
                     k = stream.find(b">", j)
@@ -250,7 +381,7 @@ def _tokenize(stream: bytes):
                     if len(hx) % 2:
                         hx += b"0"
                     try:
-                        parts.append(bytes.fromhex(hx.decode()).decode("latin-1"))
+                        parts.append(bytes.fromhex(hx.decode()))
                     except ValueError:
                         pass
                     j = k + 1
@@ -278,17 +409,34 @@ def _tokenize(stream: bytes):
             continue
         if c == b"/":
             m = re.match(rb"/[^\s/<>\[\]()]*", stream[i:])
-            i += len(m.group()) if m else 1
+            if m:
+                yield ("name", m.group()[1:].decode("latin-1"))
+                i += len(m.group())
+            else:
+                i += 1
             continue
         i += 1
 
 
-def _page_lines(streams: list[bytes]) -> list[str]:
+def _page_lines(streams: list[bytes], fonts: dict | None = None) -> list[str]:
     """Assemble show-text runs into lines: Td/TD/T*/Tm/' start a new
-    line; Tj/TJ/'/\" append to the current one."""
+    line; Tj/TJ/'/\" append to the current one.  ``fonts`` maps font
+    names to (ToUnicode cmap, code byte-width); the ``Tf`` operator
+    switches the active decoding."""
+    fonts = fonts or {}
     lines: list[str] = []
     current: list[str] = []
     stack: list = []
+    active: tuple[dict[int, str], int] | None = None
+
+    def decode(raw: bytes) -> str:
+        if active is None:
+            return raw.decode("latin-1")
+        cmap, nb = active
+        out = []
+        for k in range(0, len(raw) - nb + 1, nb):
+            out.append(cmap.get(int.from_bytes(raw[k : k + nb], "big"), ""))
+        return "".join(out)
 
     def newline() -> None:
         if current:
@@ -299,22 +447,27 @@ def _page_lines(streams: list[bytes]) -> list[str]:
 
     for stream in streams:
         for kind, value in _tokenize(stream):
-            if kind in ("str", "arr", "num"):
+            if kind in ("str", "arr", "num", "name"):
                 stack.append((kind, value))
                 continue
             op = value
             if op in ("Td", "TD", "T*", "Tm"):
                 newline()
+            elif op == "Tf":
+                name = next(
+                    (v for k, v in reversed(stack) if k == "name"), None
+                )
+                active = fonts.get(name) if name is not None else None
             elif op == "Tj":
                 if stack and stack[-1][0] == "str":
-                    current.append(stack[-1][1])
+                    current.append(decode(stack[-1][1]))
             elif op in ("'", '"'):
                 newline()
                 if stack and stack[-1][0] == "str":
-                    current.append(stack[-1][1])
+                    current.append(decode(stack[-1][1]))
             elif op == "TJ":
                 if stack and stack[-1][0] == "arr":
-                    current.append("".join(stack[-1][1]))
+                    current.append("".join(decode(p) for p in stack[-1][1]))
             elif op == "ET":
                 newline()
             stack.clear()  # every operator consumes its operands
@@ -327,7 +480,8 @@ def pdf_text_lines(blob: bytes) -> list[list[str]]:
     objs = _objects(blob)
     pages = []
     for num in _page_object_order(blob, objs):
-        pages.append(_page_lines(_content_streams(objs[num], objs)))
+        fonts = _page_fonts(objs[num], objs)
+        pages.append(_page_lines(_content_streams(objs[num], objs), fonts))
     return pages
 
 

@@ -66,7 +66,7 @@ def _row_of_file(path: str, blob: bytes) -> dict:
         )
 
         if low.endswith(".docx"):
-            spans, fmt, template = docx_to_spans(blob), "docx", "naive"
+            spans, fmt, template = docx_to_spans(blob, doc_id), "docx", "naive"
         elif low.endswith(".xlsx"):
             spans, fmt, template = xlsx_to_sheets_span(blob), "excel", "naive"
         else:

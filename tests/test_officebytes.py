@@ -20,14 +20,28 @@ _S_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
 _R_NS = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
 
 
+_A_NS = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+
+
 def make_docx(blocks: list) -> bytes:
-    """blocks: ("p", text, styleId|None) or ("tbl", rows, spans_per_row)."""
+    """blocks: ("p", text, styleId|None), ("img", relId, target) or
+    ("tbl", rows, spans_per_row)."""
     body = []
+    rels = []
     for block in blocks:
         if block[0] == "p":
             _, text, style = block
             ppr = f"<w:pPr><w:pStyle w:val='{style}'/></w:pPr>" if style else ""
             body.append(f"<w:p>{ppr}<w:r><w:t>{text}</w:t></w:r></w:p>")
+        elif block[0] == "img":
+            _, rid, target = block
+            rels.append((rid, target))
+            body.append(
+                f"<w:p {_A_NS} {_R_NS}><w:r><w:drawing>"
+                f"<a:graphic><a:graphicData><a:blip r:embed='{rid}'/>"
+                "</a:graphicData></a:graphic>"
+                "</w:drawing></w:r></w:p>"
+            )
         else:
             _, rows, spans = block
             trs = []
@@ -60,6 +74,19 @@ def make_docx(blocks: list) -> bytes:
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("word/document.xml", document)
         zf.writestr("word/styles.xml", styles)
+        if rels:
+            zf.writestr(
+                "word/_rels/document.xml.rels",
+                '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                'package/2006/relationships">'
+                + "".join(
+                    f"<Relationship Id='{rid}' Type='x' Target='{t}'/>"
+                    for rid, t in rels
+                )
+                + "</Relationships>",
+            )
+            for _, t in rels:
+                zf.writestr(f"word/{t}", b"\x89PNGfake")
     return buf.getvalue()
 
 
@@ -145,6 +172,37 @@ class TestDocxBytes:
         # gridSpan repeats the merged cell like python-docx row.cells
         assert payload["table"]["rows"] == [["merged", "merged", "tail"],
                                             ["a", "b", "c"]]
+
+    def test_inline_image_spans(self):
+        """w:drawing blips emit media spans in document order with
+        relationship-target refs (round-3 task: the real-bytes path
+        reaches the image-carrying merge like the payload path)."""
+        blob = make_docx([
+            ("p", "before image", None),
+            ("img", "rId5", "media/image1.png"),
+            ("p", "Figure 1: a caption", "Caption"),
+            ("p", "after image", None),
+        ])
+        spans = docx_to_spans(blob, "mydoc")
+        kinds = [s["kind"] for s in spans]
+        # image paragraph emits its (empty) text span then the media span
+        assert kinds == ["text", "text", "media", "text", "text"]
+        media = spans[2]
+        assert media["media_ref"] == "media://mydoc/media/image1.png"
+        assert [s["offset"] for s in spans] == list(range(5))
+
+    def test_image_reaches_naive_chunker_merge(self):
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+
+        blob = make_docx([
+            ("p", "Intro paragraph text.", None),
+            ("img", "rId1", "media/image9.png"),
+            ("p", "Figure 1: the caption.", "Caption"),
+        ])
+        doc = {"doc_id": "di", "fmt": "docx", "spans": docx_to_spans(blob, "di")}
+        spans = chunk_document(doc, "naive", ChunkConfig())
+        refs = [s["media_ref"] for s in spans if s["media_ref"]]
+        assert any("media/image9.png" in r for r in refs)
 
     def test_feeds_laws_chunker(self):
         from ragflow_ray.chunkers import ChunkConfig, chunk_document

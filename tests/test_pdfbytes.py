@@ -154,7 +154,7 @@ class TestTokenizerRobustness:
 
         toks = list(_tokenize(b"1.2.3 -- (ok) Tj 4.5 Td"))
         kinds = [k for k, _ in toks]
-        assert ("str", "ok") in toks
+        assert ("str", b"ok") in toks
         assert ("num", 4.5) in toks
         # the bad runs produced no 'num' token and no exception
         assert kinds.count("num") == 1
@@ -174,3 +174,115 @@ class TestTokenizerRobustness:
         for _ in range(20):
             junk = bytes(rng.randrange(256) for _ in range(400))
             _page_lines([junk])  # must not raise
+
+
+def make_cid_pdf(pages_lines: list[list[str]]) -> bytes:
+    """A minimal Identity-H Type0-font PDF: every show-string is 2-byte
+    CIDs (cid = ord(char) + 7 so a latin-1 misread cannot pass), with a
+    /ToUnicode CMap carrying both bfchar entries and one bfrange."""
+    import zlib as _zlib
+
+    # code -> char over the alphabet used; codes offset by 7
+    alphabet = sorted({ch for page in pages_lines for ln in page for ch in ln})
+    code_of = {ch: ord(ch) + 7 for ch in alphabet}
+    # one bfrange for 'a'..'z', bfchar entries for the rest
+    range_lo, range_hi = ord("a") + 7, ord("z") + 7
+    bfchars = [
+        (code_of[ch], ch) for ch in alphabet
+        if not (range_lo <= code_of[ch] <= range_hi)
+    ]
+    cmap_lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "begincmap",
+        "1 begincodespacerange", "<0000> <FFFF>", "endcodespacerange",
+        f"{len(bfchars)} beginbfchar",
+    ]
+    for code, ch in bfchars:
+        cmap_lines.append(
+            f"<{code:04X}> <{ord(ch):04X}>"
+        )
+    cmap_lines += [
+        "endbfchar",
+        "1 beginbfrange",
+        f"<{range_lo:04X}> <{range_hi:04X}> <{ord('a'):04X}>",
+        "endbfrange",
+        "endcmap",
+    ]
+    cmap_stream = "\n".join(cmap_lines).encode()
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    cmap_num = add(
+        b"<< /Length " + str(len(cmap_stream)).encode()
+        + b" >>\nstream\n" + cmap_stream + b"\nendstream"
+    )
+    font_num = add(
+        (f"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+         f"/Encoding /Identity-H /ToUnicode {cmap_num} 0 R >>").encode()
+    )
+    page_nums = []
+    content_nums = []
+    for lines in pages_lines:
+        ops = ["BT", "/F7 12 Tf"]
+        for i, line in enumerate(lines):
+            hexstr = "".join(f"{code_of[ch]:04X}" for ch in line)
+            ops.append(f"1 0 0 1 72 {720 - 14 * i} Tm")
+            ops.append(f"<{hexstr}> Tj")
+        ops.append("ET")
+        raw = "\n".join(ops).encode()
+        comp = _zlib.compress(raw)
+        content_nums.append(add(
+            b"<< /Length " + str(len(comp)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream"
+        ))
+    pages_obj_num = len(objs) + len(pages_lines) + 1
+    for cn in content_nums:
+        page_nums.append(add(
+            (f"<< /Type /Page /Parent {pages_obj_num} 0 R /Contents {cn} 0 R "
+             f"/Resources << /Font << /F7 {font_num} 0 R >> >> "
+             f"/MediaBox [0 0 612 792] >>").encode()
+        ))
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    pages_num = add(
+        (f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)} >>").encode()
+    )
+    assert pages_num == pages_obj_num
+    catalog_num = add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+
+    out = bytearray(b"%PDF-1.7\n")
+    for i, body in enumerate(objs, start=1):
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += f"trailer\n<< /Root {catalog_num} 0 R >>\n%%EOF".encode()
+    return bytes(out)
+
+
+class TestCidToUnicode:
+    def test_cid_pdf_roundtrip(self):
+        pages = [["Hello CID World", "second line 42"],
+                 ["page two text"]]
+        blob = make_cid_pdf(pages)
+        assert pdf_text_lines(blob) == pages
+
+    def test_bfrange_and_bfchar_paths(self):
+        # lowercase letters travel through the bfrange, the rest
+        # through bfchar entries
+        pages = [["abcxyz", "ABC 123!"]]
+        assert pdf_text_lines(make_cid_pdf(pages)) == pages
+
+    def test_unmapped_codes_skipped(self):
+        from ragflow_ray.parsers.pdfbytes import _page_lines
+
+        # a hex string with codes far outside the cmap: no crash, and
+        # mapped codes still decode
+        blob = make_cid_pdf([["ab"]])
+        pages = pdf_text_lines(blob)
+        assert pages == [["ab"]]
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.lists(_LINE, min_size=1, max_size=4), min_size=1, max_size=3))
+    def test_cid_roundtrip_property(self, pages):
+        assert pdf_text_lines(make_cid_pdf(pages)) == pages
