@@ -113,7 +113,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract_roundtrip": lambda d: extract_queries.html_extract_roundtrip(d).to_pandas(),
         # --- per-template roundtrips (value-hash oracled end-to-end) ---
         "extract_naive": template_roundtrips.extract_naive,
+        "extract_naive_overflow": template_roundtrips.extract_naive_overflow,
         "extract_book": template_roundtrips.extract_book,
+        "extract_book_toc": template_roundtrips.extract_book_toc,
+        "extract_qa_roles": template_roundtrips.extract_qa_roles,
         "extract_laws": template_roundtrips.extract_laws,
         "extract_paper": template_roundtrips.extract_paper,
         "extract_one": template_roundtrips.extract_one,

@@ -224,17 +224,18 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
     Shuffle discipline — nothing corpus-sized ever reaches the driver:
 
     1. only (band_id, band_hash, doc_id) rows move in the LSH groupby;
-    2. candidate pairs dedupe in a groupby and stay a **Dataset** —
-       the branch below is picked from a distributed distinct-id
-       count, so the pair set (which scales with the corpus's dup
-       structure) never reaches the driver in the large branch;
+    2. candidate pairs dedupe in a bucketed groupby and stay a
+       **Dataset** — the branch below is picked from the materialized
+       pair COUNT (metadata, no extra pass), so the pair set (which
+       scales with the corpus's dup structure) never reaches the
+       driver in the large branch;
     3. the exact-Jaccard verify is **size-adaptive**, the same call a
        query engine makes between broadcast and shuffle joins:
 
-       * ≤ ``broadcast_limit`` distinct candidate ids — a
-         predicate-pushdown parquet read fetches only the candidate
-         rows (O(candidates) driver memory, explicitly bounded) and
-         the verify runs locally;
+       * ≤ ``broadcast_limit`` candidate pairs — a predicate-pushdown
+         parquet read fetches only the candidate rows (O(pairs)
+         driver memory, explicitly bounded) and the verify runs
+         locally;
        * above it — the candidate-id Dataset semi-joins the corpus
          scan, shingle sets are recomputed for candidates alone, each
          pair meets both shingle sets through two hash joins (doc_a,
@@ -273,25 +274,28 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
         .materialize()
     )
 
-    # the verify branch is picked from a DISTRIBUTED distinct-id count —
-    # the candidate-pair set itself never reaches the driver unless the
-    # small branch is chosen (pair volume scales with the corpus's dup
-    # structure, the exact thing dedup targets)
-    cand_ids_ds, n_cand = _pair_id_dataset(unique_pairs)
-    if n_cand == 0:
+    # the verify branch is picked from the materialized pair COUNT (a
+    # metadata read, no extra shuffle) — the pair set itself is what
+    # the small branch collects, so the bound is on exactly the thing
+    # that would reach the driver; in the large branch nothing does
+    n_pairs = unique_pairs.count()
+    if n_pairs == 0:
         import ray.data as rd
 
         return rd.from_arrow(pair_schema.empty_table())
 
-    if n_cand <= broadcast_limit:
+    if n_pairs <= broadcast_limit:
         # small side: pruned read of candidate rows only (row-group +
         # row-level predicate pushdown), local exact verify; the pair
-        # set is only collected here, where the id bound caps it
+        # set is only collected here, where the count bound caps it
         import pyarrow.dataset as pads
         import ray.data as rd
 
-        cand_ids = cand_ids_ds.to_pandas()["doc_id"].to_numpy()
         pair_ids = unique_pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+        cand_ids = np.unique(
+            np.concatenate([pair_ids["doc_a"].to_numpy(),
+                            pair_ids["doc_b"].to_numpy()])
+        )
         t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
             columns=["doc_id", "text"],
             filter=pads.field("doc_id").isin(pa.array(cand_ids)),
@@ -319,6 +323,9 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
             return None
         return {"doc_a": a, "doc_b": b, "jaccard": round(jac, 4)}
 
+    # large branch only: derive the distinct candidate-id Dataset (one
+    # extra small shuffle, paid only when the pair set is actually big)
+    cand_ids_ds, n_cand = _pair_id_dataset(unique_pairs)
     return _join_overlap_verify(
         docs, unique_pairs, cand_ids_ds, n_cand, _shingle_hashes, emit,
         pair_schema, join_partitions,
@@ -583,10 +590,11 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
         .map_groups(_dedupe_pairs, batch_format="pandas")
         .materialize()
     )
-    # branch from a distributed distinct-id count; pairs stay a Dataset
-    # end-to-end in the join branch (same discipline as minhash)
-    cand_ids_ds, n_cand = _pair_id_dataset(pairs)
-    if n_cand == 0:
+    # branch from the materialized pair count (metadata, no shuffle);
+    # pairs stay a Dataset end-to-end in the join branch (same
+    # discipline as minhash)
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return rd.from_arrow(pair_schema.empty_table())
 
     def emit(a: int, b: int, n_both: int, n_union: int):
@@ -595,15 +603,19 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
             return None
         return {"doc_a": a, "doc_b": b, "jaccard_x10000": n_both * 10_000 // union}
 
-    if n_cand > broadcast_limit:
+    if n_pairs > broadcast_limit:
+        cand_ids_ds, n_cand = _pair_id_dataset(pairs)
         return _join_overlap_verify(
             docs, pairs, cand_ids_ds, n_cand,
             lambda t: _ngram_keys(t, n), emit, pair_schema, join_partitions=8,
         )
     import pyarrow.dataset as pads
 
-    cand_ids = cand_ids_ds.to_pandas()["doc_id"].to_numpy()
     pair_ids = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+    cand_ids = np.unique(
+        np.concatenate([pair_ids["doc_a"].to_numpy(),
+                        pair_ids["doc_b"].to_numpy()])
+    )
     t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
         columns=["doc_id", "text"],
         filter=pads.field("doc_id").isin(pa.array(cand_ids)),
@@ -784,28 +796,38 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
             for s in range(4):
                 sub = (rest >> np.uint64(12 * s)) & np.uint64(0xFFF)
                 keys[:, 4 * b + s] = chunks[b] | (sub << np.uint64(16))
+        # table id packs into bits 28..32 of the key: one int64 column
+        # instead of two, and the groupby key is COARSE (4096 buckets)
+        # — a 28-bit key space would make millions of 1-member groups
+        # and the per-group dispatch tax dominates; exact-key runs are
+        # recovered vectorized inside the bucket
+        packed = (
+            keys | (np.arange(16, dtype=np.uint64)[None, :] << np.uint64(28))
+        ).reshape(-1)
+        # Fibonacci-hash the packed key's top bits into 4096 buckets
+        # (uint64 arithmetic: the multiply wraps intentionally)
+        gbkt = (
+            (packed * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)
+        ).astype(np.int64)
         return pd.DataFrame(
             {
-                "band_id": np.tile(np.arange(16, dtype=np.int64), n),
-                "band_key": keys.reshape(-1).astype(np.int64),
+                "gbkt": gbkt,
+                "table_key": packed.astype(np.int64),
                 "doc_id": np.repeat(ids, 16),
                 "simhash": np.repeat(sims.view(np.int64), 16),
             }
         )
 
-    def verify(group: pd.DataFrame):
-        table = int(group["band_id"].iloc[0])
-        docs = group["doc_id"].to_numpy().astype(np.int64)
-        sims = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-
+    def _sweep_run(table, docs, sims, out_a, out_b, out_h):
+        """Pairwise sweep over one exact (table, key) run."""
         usig, inv = np.unique(sims, return_inverse=True)
         if len(usig) > max_bucket_sigs:
             import logging
 
             logging.getLogger("ragflow_ray.dedup").warning(
-                "simhash bucket (table=%d key=%d) truncated: %d -> %d unique "
+                "simhash bucket (table=%d) truncated: %d -> %d unique "
                 "signatures (%d docs dropped from pair generation)",
-                table, int(group["band_key"].iloc[0]), len(usig), max_bucket_sigs,
+                table, len(usig), max_bucket_sigs,
                 int((inv >= max_bucket_sigs).sum()),
             )
             keep = inv < max_bucket_sigs  # usig is sorted: keep smallest
@@ -817,10 +839,6 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
         order = np.lexsort((docs, inv))
         docs_s, inv_s = docs[order], inv[order]
         starts = np.searchsorted(inv_s, np.arange(n + 1))
-
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_h: list[np.ndarray] = []
 
         # exact-duplicate signatures: all tables share them; emit from
         # table 0 only
@@ -857,6 +875,26 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
                 out_b.append(hi)
                 out_h.append(np.full(len(lo), h, dtype=np.int64))
 
+    def verify(group: pd.DataFrame):
+        tkeys = group["table_key"].to_numpy().astype(np.int64)
+        docs = group["doc_id"].to_numpy().astype(np.int64)
+        sims = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+
+        order = np.argsort(tkeys, kind="stable")
+        tkeys, docs, sims = tkeys[order], docs[order], sims[order]
+        starts = np.flatnonzero(np.r_[True, tkeys[1:] != tkeys[:-1]])
+        ends = np.r_[starts[1:], len(tkeys)]
+        sizes = ends - starts
+
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        # singleton runs (the overwhelming majority) are filtered
+        # vectorized; only real candidate clusters reach Python
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            _sweep_run(int(tkeys[s]) >> 28, docs[s:e], sims[s:e],
+                       out_a, out_b, out_h)
+
         if not out_a:
             return _simhash_pair_schema().empty_table()
         return pa.table(
@@ -870,7 +908,7 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
 
     pairs = (
         sigs.map_batches(explode, batch_format="pandas")
-        .groupby(["band_id", "band_key"])
+        .groupby("gbkt")
         .map_groups(verify, batch_format="pandas")
     )
     return pairs.sort(["doc_a", "doc_b"])

@@ -206,6 +206,93 @@ def extract_qa(sf_dir: str):
     return _run(sf_dir, build, "qa", cfg)
 
 
+# -- book + TOC: remove_contents_table quirk path --------------------------
+
+
+def _book_toc_doc(doc_id, text: str) -> dict:
+    """The extract_book construction behind a Contents page: a TOC
+    heading and one dot-leader entry.  The word stream carries digits,
+    so ``is_english_text`` votes False and strip_toc_sections runs its
+    3-char-prefix branch (the pinned reference quirk): it must drop the
+    heading, derive prefix 'Sec' from the entry, pop the entry, and
+    stop at the real 'Section 1' body header — leaving exactly the
+    extract_book output."""
+    toc = ["Contents", "Section 1 ······ 2"]
+    body = []
+    for k, g in enumerate(_group_words(text.split(" "), 10)):
+        body.append(f"Section {k + 1}")
+        body.append("z " + " ".join(g))
+    return _txt_doc(doc_id, "\n".join(toc + body))
+
+
+def extract_book_toc(sf_dir: str):
+    """Book chunker with a table-of-contents page: the TOC block is
+    constant, so the oracle equals extract_book's — the value-hash
+    passes only if remove_contents_table drops exactly the TOC block."""
+    return _run(sf_dir, _book_toc_doc, "book")
+
+
+# -- naive + oversized section: delimiter split + phantom-"" quirk ---------
+
+OVERFLOW_TOKENS = 4
+OVERFLOW_GROUP = 6
+
+
+def _naive_overflow_doc(doc_id, text: str) -> dict:
+    """One boilerplate page whose article is a single paragraph of the
+    word stream with '。' every OVERFLOW_GROUP words.  With a 4-token
+    budget the paragraph is oversized: greedy_merge splits it on the
+    delimiter, the first fragment packs onto the title chunk (the
+    phantom-"" seed swallows the title first), and every later
+    fragment opens its own chunk."""
+    words = text.split(" ")
+    para = "。".join(
+        " ".join(g) for g in _group_words(words, OVERFLOW_GROUP)
+    )
+    nav = "".join(f'<a href="/l{i}">nav link {i}</a> ' for i in range(8))
+    html = (
+        f"<html><head><title>doc {doc_id}</title></head><body>"
+        f'<nav class="menu">{nav}</nav>'
+        f"<article><p>{para}</p></article>"
+        f'<footer class="footer">{nav}</footer></body></html>'
+    )
+    return {
+        "doc_id": str(doc_id),
+        "fmt": "html",
+        "spans": [{"kind": "text", "text": html, "media_ref": "", "offset": 0}],
+    }
+
+
+def extract_naive_overflow(sf_dir: str):
+    """Naive chunker, oversized-section path: chunks are the title with
+    the first 6-word fragment run on, then one chunk per fragment."""
+    return _run(
+        sf_dir, _naive_overflow_doc, "naive",
+        ChunkConfig(chunk_token_num=OVERFLOW_TOKENS),
+    )
+
+
+# -- qa txt: two-column state machine + role-prefix strip -------------------
+
+
+def _qa_roles_doc(doc_id, text: str) -> dict:
+    """TAB-delimited 'Q: ...\\tA: ...' lines (8 words per pair); the qa
+    txt path must vote the TAB delimiter and strip both role
+    prefixes."""
+    lines = []
+    for g in _group_words(text.split(" "), 8):
+        if len(g) <= 3:
+            continue
+        lines.append("Q: " + " ".join(g[:3]) + "\tA: " + " ".join(g[3:]))
+    return _txt_doc(doc_id, "\n".join(lines))
+
+
+def extract_qa_roles(sf_dir: str):
+    """Role-prefixed two-column QA: every line yields
+    'Question: <3 words>\\tAnswer: <up to 5 words>'."""
+    return _run(sf_dir, _qa_roles_doc, "qa")
+
+
 # -- table: typed TSV rows ------------------------------------------------
 
 
@@ -393,6 +480,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """
 
+    g6_overflow = f"array_to_string(ws[g*{OVERFLOW_GROUP}+1 : g*{OVERFLOW_GROUP}+{OVERFLOW_GROUP}], ' ')"
+    g8_qa_roles = (
+        "CASE WHEN nw > g*8+3 THEN "
+        "'Question: ' || array_to_string(ws[g*8+1 : g*8+3], ' ') || chr(9) || "
+        "'Answer: ' || array_to_string(ws[g*8+4 : g*8+8], ' ') "
+        "ELSE NULL END"
+    )
+
     return {
         "extract_one": """
             SELECT doc_id, replace(text, ' ', chr(10)) AS extracted
@@ -402,6 +497,15 @@ def oracle_sql() -> dict[str, str]:
             "'doc ' || doc_id::VARCHAR || " + _grouped(g12, 12, joiner="''")
         ),
         "extract_book": with_ws(_grouped(g10, 10)),
+        # identical to extract_book — the TOC block must vanish exactly
+        "extract_book_toc": with_ws(_grouped(g10, 10)),
+        # title + first 6-word fragment run together, later fragments
+        # one per chunk
+        "extract_naive_overflow": with_ws(
+            "'doc ' || doc_id::VARCHAR || "
+            + _grouped(g6_overflow, OVERFLOW_GROUP)
+        ),
+        "extract_qa_roles": with_ws(_grouped(g8_qa_roles, 8, where="notnull")),
         "extract_laws": with_ws(_grouped(g16_laws, 16)),
         "extract_qa": with_ws(_grouped(g9_qa, 9, where="notnull")),
         "extract_table": with_ws(_grouped(g6_table, 6, where="notnull")),

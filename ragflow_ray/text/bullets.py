@@ -64,13 +64,16 @@ def is_probably_not_bullet(line: str) -> bool:
 
 
 def bullets_category(sections: list[str]) -> int:
-    """Pick the bullet family with the most matching sections; -1 if none."""
+    """Pick the bullet family with the most matching sections; -1 if none.
+
+    Sections iterate on the outside so the strip + false-bullet guard
+    runs once per section instead of once per (section, family)."""
     hits = [0] * len(_COMPILED_FAMILIES)
-    for i, fam in enumerate(_COMPILED_FAMILIES):
-        for sec in sections:
-            sec = sec.strip()
-            if is_probably_not_bullet(sec):
-                continue
+    for sec in sections:
+        sec = sec.strip()
+        if is_probably_not_bullet(sec):
+            continue
+        for i, fam in enumerate(_COMPILED_FAMILIES):
             if any(p.match(sec) for p in fam):
                 hits[i] += 1
     best, best_hits = -1, 0

@@ -46,10 +46,29 @@ def _piece_cost(piece: str) -> int:
     return cjk + (1 + (latin - 1) // 5 if latin else 0)
 
 
+_LETTER_ASCII = re.compile(r"[A-Za-z]+")
+_DIGIT_ASCII = re.compile(r"[0-9]+")
+_PUNCT_ASCII = re.compile(r"[^\sA-Za-z0-9]")
+
+
 def token_count(text: str) -> int:
-    """Approximate BPE token count of ``text`` (deterministic)."""
+    """Approximate BPE token count of ``text`` (deterministic).
+
+    ASCII text takes a fast path over plain ``findall`` runs — the
+    piece classes are disjoint over ASCII so the decomposition is
+    exactly `_PIECE` + `_piece_cost` (pinned by the cross-path property
+    test); token_count dominated the chunker profile (26% of UDF time)
+    before this split.
+    """
     if not text:
         return 0
+    if text.isascii():
+        # (l+4)//5 == 1+(l-1)//5 ; (l+2)//3 as in _piece_cost
+        return (
+            len(_PUNCT_ASCII.findall(text))
+            + sum((len(m) + 4) // 5 for m in _LETTER_ASCII.findall(text))
+            + sum((len(m) + 2) // 3 for m in _DIGIT_ASCII.findall(text))
+        )
     return sum(_piece_cost(m.group()) for m in _PIECE.finditer(text))
 
 
