@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": lambda d: dedup.ngram_jaccard_dups(d).to_pandas(),
         "simhash_signatures": lambda d: dedup.simhash_signatures(d).to_pandas(),
         "simhash_near_dups": lambda d: dedup.simhash_near_dups(d).to_pandas(),
+        "dedup_clusters": dedup.dedup_clusters,
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -130,6 +131,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_all_templates": lambda d: extract_queries.corpus_extract(d, None),
     }
 
+
+# exact 4-gram Jaccard pair predicate, shared by the ngram_jaccard_dups
+# and dedup_clusters oracles (must stay bit-identical between them)
+_NGRAM_PAIRS_CTE = """base AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(ws) < 4
+                              THEN [array_to_string(ws, ' ')]
+                              ELSE list_distinct(list_transform(range(len(ws) - 3),
+                                   i -> ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                                        ws[i+3] || ' ' || ws[i+4]))
+                              END) AS g
+                FROM base
+            ),
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            gdf AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 64),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a JOIN gdf ON gdf.g = a.g
+                JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            ngram_pairs AS (
+                SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b,
+                       (i.n_both * 10000 // (ca.n + cb.n - i.n_both))::BIGINT
+                           AS jaccard_x10000
+                FROM cand c
+                JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+                JOIN counts ca ON ca.doc_id = c.doc_a
+                JOIN counts cb ON cb.doc_id = c.doc_b
+                WHERE 2 * i.n_both >= ca.n + cb.n - i.n_both
+            )"""
 
 _STOP = "the|a|of|to|and"
 _PUNCT = r"[.,!?;:]"
@@ -328,41 +367,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact 4-gram Jaccard with the df<=64 stop-gram rule mirrored;
         # integer jaccard_x10000 keeps both sides float-free
-        "ngram_jaccard_dups": """
-            WITH base AS (
-                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        "ngram_jaccard_dups": f"""
+            WITH {_NGRAM_PAIRS_CTE}
+            SELECT doc_a, doc_b, jaccard_x10000
+            FROM ngram_pairs ORDER BY doc_a, doc_b
+        """,
+        # connected components over the same near-dup pairs: recursive
+        # min-label reachability replays the engine's distributed
+        # hash-to-min label propagation
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM ngram_pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM ngram_pairs
             ),
-            sh AS (
-                SELECT doc_id,
-                       unnest(CASE WHEN len(ws) < 4
-                              THEN [array_to_string(ws, ' ')]
-                              ELSE list_distinct(list_transform(range(len(ws) - 3),
-                                   i -> ws[i+1] || ' ' || ws[i+2] || ' ' ||
-                                        ws[i+3] || ' ' || ws[i+4]))
-                              END) AS g
-                FROM base
-            ),
-            counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            df AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 64),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM sh a JOIN df ON df.g = a.g
-                JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-            ),
-            inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
-                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, root) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.dst, r.root FROM reach r
+                JOIN edges e ON e.src = r.node
             )
-            SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b,
-                   (i.n_both * 10000 // (ca.n + cb.n - i.n_both))::BIGINT
-                       AS jaccard_x10000
-            FROM cand c
-            JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-            JOIN counts ca ON ca.doc_id = c.doc_a
-            JOIN counts cb ON cb.doc_id = c.doc_b
-            WHERE 2 * i.n_both >= ca.n + cb.n - i.n_both
-            ORDER BY doc_a, doc_b
+            SELECT node::BIGINT AS doc_id, MIN(root)::BIGINT AS cluster_keeper
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "ann_ivf_topk": f"""
             SELECT q_vec_id, vec_id, rank

@@ -1,19 +1,23 @@
 """Deduplication operators over the ``documents`` / ``embeddings``
 tables.
 
-Five strategies a corpus-scale training-data pipeline needs:
+Strategies a corpus-scale training-data pipeline needs:
 
 * exact         — hash-partitioned first-per-content-hash
 * token-set     — docs sharing an identical distinct-word set
 * MinHash+LSH   — shingles → minhash sketch → banded buckets →
                   candidate pairs → Jaccard verify
+* n-gram        — exact Jaccard via a df-capped inverted index
 * SimHash       — 64-bit simhash, near-dup by Hamming distance via
-                  band tables
+                  16 two-level 28-bit band tables
 * embedding     — cosine near-dup pairs within label partitions
+* clusters      — connected components over near-dup pairs
+                  (distributed hash-to-min label propagation)
 
-Exact + token-set + embedding have 1:1 DuckDB oracles; MinHash and
-SimHash results depend on the hash mixing and are verified by
-rows-only checks plus unit tests on planted duplicates.
+Every operator is value-hash oracled: direct SQL where expressible
+(exact / token-set / n-gram / embedding / clusters via recursive
+CTE), independent re-derivation fixtures for the sketch family
+(tools/make_sketch_fixtures.py).
 
 All stages follow the shuffle discipline of SURVEY.md §7.3: per-batch
 vectorized signature computation (no Python loops over chars), then a
@@ -996,3 +1000,122 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.25,
             {c: pd.Series([], dtype="int64") for c in ("vec_a", "vec_b", "label")}
         )
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# -- near-dup clusters (distributed connected components) -----------------
+
+
+def dedup_clusters(sf_dir: str, max_rounds: int = 16):
+    """Connected components over the exact n-gram near-dup pairs:
+    every document in a near-dup pair is assigned its component's
+    minimum doc_id (``cluster_keeper``) — the cluster-level dedup a
+    training-data pipeline runs after pair generation (keep one doc
+    per component, not one per pair).
+
+    Distributed min-label propagation, the hash-to-min pattern:
+
+    * labels start as each node's own id;
+    * per round, every edge forwards its endpoints' labels both ways
+      (two hash joins), and each node takes the minimum seen —
+      computed in the 64-bucket vectorized ``map_groups`` (same
+      discipline as the pair dedup, no per-node groupby);
+    * labels are monotonically non-increasing, so a round that leaves
+      ``SUM(label)`` unchanged has converged — a scalar aggregate per
+      round, never a driver-side label set;
+    * rounds are bounded by the component diameter (near-dup
+      components are clique-ish: 1–2 rounds in practice) and by
+      ``max_rounds`` as the backstop.
+
+    The SQL oracle replays the same components with a recursive CTE
+    over the identical pair predicate.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    label_schema = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
+
+    pairs = ngram_jaccard_dups(sf_dir)
+    if not hasattr(pairs, "map_batches"):  # pandas result (empty path)
+        pairs = rd.from_pandas(pairs)
+    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_id", "cluster_keeper")}
+        )
+    # an empty join partition yields a schema-less block that breaks
+    # Arrow's hash join — size partitions to the pair set
+    n_parts = max(1, min(8, n_pairs // 64 + 1))
+
+    def seed(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.unique(np.concatenate([a, b]))
+        return pa.table({"doc_id": ids, "label": ids}, schema=label_schema)
+
+    def min_label(g: pd.DataFrame):
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        lbl = g["label"].to_numpy().astype(np.int64)
+        order = np.lexsort((lbl, ids))
+        ids, lbl = ids[order], lbl[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        return pa.table(
+            {"doc_id": ids[starts], "label": lbl[starts]}, schema=label_schema
+        )
+
+    def bucketed(ds):
+        def add_pkey(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"doc_id": ids,
+                 "label": t["label"].to_numpy(zero_copy_only=False).astype(np.int64),
+                 "pkey": ids % _PAIR_BUCKETS}
+            )
+
+        return (
+            ds.map_batches(add_pkey, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(min_label, batch_format="pandas")
+        )
+
+    # per-block seed labels may repeat a node across blocks: collapse
+    labels = bucketed(
+        pairs.map_batches(seed, batch_format="pyarrow")
+    ).materialize()
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def fwd(cols):
+        src, dst = cols
+
+        def rename(t: pa.Table) -> pa.Table:
+            # this pyarrow's Table.rename_columns wants a full name
+            # list; rebuild explicitly
+            return pa.table({"doc_id": t[src], "other": t[dst]})
+
+        return rename
+
+    for _round in range(max_rounds):
+        via_a = (
+            pairs.map_batches(fwd(("doc_a", "doc_b")), batch_format="pyarrow")
+            .join(labels, join_type="inner", num_partitions=n_parts, on=("doc_id",))
+            .select_columns(["other", "label"])
+            .rename_columns({"other": "doc_id"})
+        )
+        via_b = (
+            pairs.map_batches(fwd(("doc_b", "doc_a")), batch_format="pyarrow")
+            .join(labels, join_type="inner", num_partitions=n_parts, on=("doc_id",))
+            .select_columns(["other", "label"])
+            .rename_columns({"other": "doc_id"})
+        )
+        labels = bucketed(labels.union(via_a).union(via_b)).materialize()
+        new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    df = labels.to_pandas().rename(columns={"label": "cluster_keeper"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "cluster_keeper"):
+        df[c] = df[c].astype("int64")
+    return df

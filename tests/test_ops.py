@@ -388,3 +388,27 @@ class TestHighDupDistributed:
         pairs = ngram_jaccard_dups(str(tmp_path), broadcast_limit=0).to_pandas()
         assert len(pairs) == 40 * (10 * 9 // 2)
         assert (pairs["jaccard_x10000"] == 10000).all()
+
+    def test_dedup_clusters_transitive(self, tmp_path):
+        """a~b and b~c near-dups must land in ONE cluster with keeper a
+        even though (a, c) may not meet the pair threshold directly —
+        the property pair-level dedup cannot give you."""
+        from ragflow_ray.ops.dedup import dedup_clusters
+
+        rs = np.random.RandomState(21)
+        vocab = [f"w{i}" for i in range(400)]
+        base = [vocab[rs.randint(0, 400)] for _ in range(40)]
+        mid = list(base); mid[0] = "zzz0"; mid[1] = "zzz1"
+        far = list(mid); far[-1] = "yyy0"; far[-2] = "yyy1"
+        texts = [" ".join(base), " ".join(mid), " ".join(far)] + [
+            " ".join(vocab[rs.randint(0, 400)] for _ in range(40))
+            for _ in range(200)
+        ]
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = dedup_clusters(str(tmp_path))
+        keepers = dict(zip(df.doc_id, df.cluster_keeper))
+        assert keepers.get(0) == 0 and keepers.get(1) == 0 and keepers.get(2) == 0
