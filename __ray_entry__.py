@@ -53,6 +53,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from ragflow_ray.ops import (
         ann,
+        curation,
         dedup,
         extract_queries,
         multimodal,
@@ -85,6 +86,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": lambda d: dedup.simhash_signatures(d).to_pandas(),
         "simhash_near_dups": lambda d: dedup.simhash_near_dups(d).to_pandas(),
         "dedup_clusters": dedup.dedup_clusters,
+        # --- corpus curation ---
+        "decontaminate": curation.decontaminate,
+        "stratified_sample": curation.stratified_sample,
+        "quality_filter": curation.quality_filter,
+        "length_histogram": curation.length_histogram,
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -118,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_book": template_roundtrips.extract_book,
         "extract_book_toc": template_roundtrips.extract_book_toc,
         "extract_qa_roles": template_roundtrips.extract_qa_roles,
+        "extract_email": template_roundtrips.extract_email,
         "extract_laws": template_roundtrips.extract_laws,
         "extract_paper": template_roundtrips.extract_paper,
         "extract_one": template_roundtrips.extract_one,
@@ -400,6 +407,51 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT))
                 FROM embeddings)
             ORDER BY q_vec_id, rank
+        """,
+        # benchmark = the 20 id-minimal docs; a corpus doc is
+        # contaminated when any of its distinct 8-grams appears in any
+        # benchmark doc (same gram definition both sides)
+        "decontaminate": """
+            WITH bench AS (
+                SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(greatest(len(ws) - 7, 0)),
+                           i -> array_to_string(ws[i+1 : i+8], ' ')))) AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents)
+                WHERE len(ws) >= 8
+            ),
+            bg AS (SELECT DISTINCT g FROM grams
+                   WHERE doc_id IN (SELECT doc_id FROM bench))
+            SELECT g.doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_hits
+            FROM grams g JOIN bg ON bg.g = g.g
+            WHERE g.doc_id NOT IN (SELECT doc_id FROM bench)
+            GROUP BY g.doc_id ORDER BY doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id::BIGINT AS doc_id, lang
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 10
+            ORDER BY doc_id
+        """,
+        "quality_filter": f"""
+            SELECT doc_id::BIGINT AS doc_id
+            FROM (SELECT doc_id,
+                         array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                         length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')) AS n_punct,
+                         length(regexp_extract_all(text, '\\b(?:{_STOP})\\b')) AS n_stop
+                  FROM documents)
+            WHERE n_tokens >= 16 AND n_punct * 100 <= 50 * n_tokens
+              AND n_stop > 0
+            ORDER BY doc_id
+        """,
+        "length_histogram": """
+            SELECT (array_length(string_split_regex(trim(text), '\\s+')) // 16)::BIGINT AS bucket,
+                   COUNT(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

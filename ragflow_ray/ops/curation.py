@@ -1,0 +1,197 @@
+"""Corpus-curation operators over the ``documents`` table.
+
+The selection/cleaning passes a training-data pipeline runs between
+dedup and tokenization:
+
+* :func:`decontaminate`    — benchmark-overlap check: flag corpus docs
+  sharing any 8-gram with a held-out benchmark set (the standard
+  train/test contamination sweep).  The benchmark side is tiny and
+  broadcast once (``ray.put``); the corpus side streams.
+* :func:`stratified_sample` — deterministic content-hash sampling:
+  keep a doc iff ``int(md5(text)[:8], 16) % 100 < rate`` — stable
+  across reruns, parallelism and row order, and exactly mirrored in
+  SQL.
+* :func:`quality_filter`   — threshold filter over the quality
+  features (token count, punctuation density, stopword presence).
+* :func:`length_histogram` — doc-length distribution in 16-token
+  buckets (partial-aggregated inside batches; the groupby sees one
+  row per (bucket) per block).
+
+All four are exactly DuckDB-oracled via ``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+
+_WS = re.compile(r"\s+")
+
+DECON_NGRAM = 8
+DECON_BENCHMARK_DOCS = 20
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=list(columns)
+    )
+
+
+def _grams(text: str, n: int) -> set[str]:
+    words = text.split(" ")
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def decontaminate(sf_dir: str, n_benchmark: int = DECON_BENCHMARK_DOCS,
+                  n: int = DECON_NGRAM):
+    """Corpus docs contaminated by the benchmark set: (doc_id, n_hits)
+    where n_hits = how many of the doc's distinct 8-grams appear in
+    ANY benchmark doc (benchmark = the ``n_benchmark`` lowest doc_ids,
+    themselves excluded from the scan).
+
+    The benchmark gram set is built from a bounded head read and
+    broadcast once; the corpus never shuffles — contamination checks
+    against a fixed eval suite are broadcast joins, not all-to-all.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    # bounded driver read: benchmark = n_benchmark id-minimal docs
+    # (testdata files are doc_id-sorted; re-sorted defensively)
+    head = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().nsmallest(n_benchmark, "doc_id")
+    bench_ids = set(int(i) for i in head["doc_id"])
+    bench_grams: set[str] = set()
+    for t in head["text"]:
+        bench_grams |= _grams(t, n)
+    gram_ref = ray.put(bench_grams)
+    max_bench = max(bench_ids) if bench_ids else -1
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
+
+    def scan(batch: pd.DataFrame):
+        grams = ray.get(gram_ref)
+        ids, hits = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if int(doc_id) <= max_bench and int(doc_id) in bench_ids:
+                continue
+            k = len(_grams(text, n) & grams)
+            if k:
+                ids.append(int(doc_id))
+                hits.append(k)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "n_hits": pa.array(hits, type=pa.int64())},
+            schema=schema,
+        )
+
+    df = (
+        _docs(sf_dir).map_batches(scan, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_hits"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def stratified_sample(sf_dir: str, rate_pct: int = 10):
+    """Deterministic ``rate_pct``% content-hash sample, with language
+    kept as the stratum column: keep iff
+    ``int(md5(text)[:8], 16) % 100 < rate_pct``."""
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+
+    def pick(batch: pd.DataFrame):
+        keep_ids, keep_lang = [], []
+        for doc_id, text, lang in zip(batch["doc_id"], batch["text"],
+                                      batch["lang"]):
+            h = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+            if h % 100 < rate_pct:
+                keep_ids.append(int(doc_id))
+                keep_lang.append(lang)
+        return pa.table(
+            {"doc_id": pa.array(keep_ids, type=pa.int64()),
+             "lang": pa.array(keep_lang, type=pa.string())},
+            schema=schema,
+        )
+
+    df = (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
+def quality_filter(sf_dir: str, min_tokens: int = 16,
+                   max_punct_per_token_x100: int = 50):
+    """Keeper ids after the quality gate: enough tokens, bounded
+    punctuation density, at least one stopword (the reference-style
+    'looks like prose' screen)."""
+    import pyarrow as pa
+
+    punct = re.compile(r"[.,!?;:]")
+    stop = re.compile(r"\b(?:the|a|of|to|and)\b")
+    schema = pa.schema([("doc_id", pa.int64())])
+
+    def gate(batch: pd.DataFrame):
+        text = batch["text"]
+        n_tokens = text.str.strip().str.split(_WS).str.len()
+        n_punct = text.str.count(punct)
+        has_stop = text.str.count(stop) > 0
+        keep = (
+            (n_tokens >= min_tokens)
+            & (n_punct * 100 <= max_punct_per_token_x100 * n_tokens)
+            & has_stop
+        )
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy()[keep.to_numpy()].astype(np.int64)
+        return pa.table({"doc_id": ids}, schema=schema)
+
+    df = (
+        _docs(sf_dir).map_batches(gate, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
+def length_histogram(sf_dir: str, bucket_tokens: int = 16):
+    """Doc-count per 16-token length bucket (partial counts inside
+    each batch, then a tiny groupby over ≤ a few hundred buckets)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):  # keep the block schema stable on empty input
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "n_docs": pd.Series([], dtype="int64")})
+        n_tokens = batch["text"].str.strip().str.split(_WS).str.len()
+        g = pd.DataFrame({"bucket": (n_tokens // bucket_tokens).astype("int64")})
+        out = (
+            g.groupby("bucket", as_index=False).size()
+            .rename(columns={"size": "n_docs"})
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    df = (
+        _docs(sf_dir).map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort("bucket")
+        .to_pandas()
+    )
+    for c in ("bucket", "n_docs"):
+        df[c] = df[c].astype("int64")
+    return df

@@ -293,6 +293,39 @@ def extract_qa_roles(sf_dir: str):
     return _run(sf_dir, _qa_roles_doc, "qa")
 
 
+# -- email: stdlib eml parse + header/body sections ------------------------
+
+EMAIL_BODY_WORDS = 32
+
+
+def _email_doc(doc_id, text: str) -> dict:
+    """A minimal RFC-2822 message: three verbatim headers + a plain
+    body of the first EMAIL_BODY_WORDS words.  The email chunker
+    renders each header as 'Header: value', pre-chunks the text
+    sections with parse_txt (which drops the newline delimiters and
+    concatenates fragments), and greedy-merges — under the 128-token
+    parser budget everything lands in ONE chunk whose text is the
+    plain concatenation the oracle rebuilds."""
+    body = " ".join(text.split(" ")[:EMAIL_BODY_WORDS])
+    raw = (
+        "From: alice@example.com\r\n"
+        "To: bob@example.com\r\n"
+        f"Subject: doc {doc_id}\r\n"
+        "\r\n"
+        f"{body}"
+    )
+    return {
+        "doc_id": str(doc_id),
+        "fmt": "email",
+        "spans": [{"kind": "text", "text": raw, "media_ref": "", "offset": 0}],
+    }
+
+
+def extract_email(sf_dir: str):
+    """Email chunker end-to-end: headers + plain body → one chunk."""
+    return _run(sf_dir, _email_doc, "email")
+
+
 # -- table: typed TSV rows ------------------------------------------------
 
 
@@ -506,6 +539,14 @@ def oracle_sql() -> dict[str, str]:
             + _grouped(g6_overflow, OVERFLOW_GROUP)
         ),
         "extract_qa_roles": with_ws(_grouped(g8_qa_roles, 8, where="notnull")),
+        "extract_email": f"""
+            SELECT doc_id,
+                   'From: alice@example.comTo: bob@example.comSubject: doc '
+                   || doc_id::VARCHAR
+                   || array_to_string(string_split(text, ' ')[1:{EMAIL_BODY_WORDS}], ' ')
+                       AS extracted
+            FROM documents ORDER BY doc_id
+        """,
         "extract_laws": with_ws(_grouped(g16_laws, 16)),
         "extract_qa": with_ws(_grouped(g9_qa, 9, where="notnull")),
         "extract_table": with_ws(_grouped(g6_table, 6, where="notnull")),

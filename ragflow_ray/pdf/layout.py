@@ -119,8 +119,15 @@ def assign_layouts(pages: list[Page], drop: bool = True) -> tuple[list[dict], li
         bxs = [b for b in bxs if not _is_garbage_text(b)]
 
         keep_flags = [True] * len(bxs)
+        # the box and layout sets are constant across the type passes
+        # (only flags/attributes mutate), so the pairwise overlap
+        # matrices are computed ONCE per page and column-sliced per
+        # type instead of rebuilt up to len(_ASSIGN_ORDER) times
+        if bxs and lts:
+            fwd_all, bwd_all = _overlap_matrix(bxs, lts)
         for ty in _ASSIGN_ORDER:
-            same_type = [lt for lt in lts if lt["type"] == ty]
+            cols = [k for k, lt in enumerate(lts) if lt["type"] == ty]
+            same_type = [lts[k] for k in cols]
             if not bxs:
                 break
             if not same_type:
@@ -128,7 +135,7 @@ def assign_layouts(pages: list[Page], drop: bool = True) -> tuple[list[dict], li
                     if kept and not b.get("layout_type"):
                         b["layout_type"] = ""
                 continue
-            fwd, bwd = _overlap_matrix(bxs, same_type)
+            fwd, bwd = fwd_all[:, cols], bwd_all[:, cols]
             best = _best_overlaps(fwd, bwd, thr=0.4)
             for i, box in enumerate(bxs):
                 if not keep_flags[i] or box.get("layout_type"):

@@ -51,8 +51,16 @@ BULLET_FAMILIES: list[list[str]] = [
 
 _COMPILED_FAMILIES = [[re.compile(p) for p in fam] for fam in BULLET_FAMILIES]
 
+# one alternation per family: ``(?:p1)|(?:p2)…`` matched at position 0
+# is exactly ``any(p.match(s) for p in fam)`` — one C-level match call
+# instead of up to 6 (bullets_category dominated the chunker profile)
+_FAMILY_UNION = [
+    re.compile("|".join(f"(?:{p})" for p in fam)) for fam in BULLET_FAMILIES
+]
+
 # lines that *look* numbered but are data, not bullets
 _FALSE_BULLET = [re.compile(p) for p in (r"0", r"[0-9]+ +[0-9~个只-]", r"[0-9]+\.{2,}")]
+_FALSE_BULLET_UNION = re.compile(r"(?:0)|(?:[0-9]+ +[0-9~个只-])|(?:[0-9]+\.{2,})")
 
 _TITLEISH_LAYOUT = re.compile(r"(title|head)")
 _SENTENCE_PUNCT = re.compile(r"[,;，。；！!]")
@@ -60,7 +68,7 @@ _CN_ARTICLE = re.compile(rf"第[{_CN_NUM}0-9]+条")
 
 
 def is_probably_not_bullet(line: str) -> bool:
-    return any(p.match(line) for p in _FALSE_BULLET)
+    return _FALSE_BULLET_UNION.match(line) is not None
 
 
 def bullets_category(sections: list[str]) -> int:
@@ -68,13 +76,13 @@ def bullets_category(sections: list[str]) -> int:
 
     Sections iterate on the outside so the strip + false-bullet guard
     runs once per section instead of once per (section, family)."""
-    hits = [0] * len(_COMPILED_FAMILIES)
+    hits = [0] * len(_FAMILY_UNION)
     for sec in sections:
         sec = sec.strip()
         if is_probably_not_bullet(sec):
             continue
-        for i, fam in enumerate(_COMPILED_FAMILIES):
-            if any(p.match(sec) for p in fam):
+        for i, union in enumerate(_FAMILY_UNION):
+            if union.match(sec):
                 hits[i] += 1
     best, best_hits = -1, 0
     for i, h in enumerate(hits):

@@ -412,3 +412,38 @@ class TestHighDupDistributed:
         df = dedup_clusters(str(tmp_path))
         keepers = dict(zip(df.doc_id, df.cluster_keeper))
         assert keepers.get(0) == 0 and keepers.get(1) == 0 and keepers.get(2) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCuration:
+    """Round-3 corpus-curation ops (ops/curation.py)."""
+
+    def test_decontaminate_planted_overlap(self, tmp_path):
+        from ragflow_ray.ops.curation import decontaminate
+
+        rs = np.random.RandomState(13)
+        vocab = [f"w{i}" for i in range(300)]
+        texts = [" ".join(vocab[rs.randint(0, 300)] for _ in range(30))
+                 for _ in range(60)]
+        # doc 40 copies 12 consecutive words from benchmark doc 3 ->
+        # 5 shared 8-grams; doc 50 shares nothing
+        frag = texts[3].split(" ")[4:16]
+        texts[40] = " ".join(["x0", "x1"] + frag + ["x2", "x3"])
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = decontaminate(str(tmp_path), n_benchmark=20)
+        hits = dict(zip(df.doc_id, df.n_hits))
+        assert hits.get(40) == 5
+        # benchmark docs themselves are excluded from the scan
+        assert all(i >= 20 for i in df.doc_id)
+
+    def test_stratified_sample_deterministic(self):
+        from ragflow_ray.ops.curation import stratified_sample
+
+        a = stratified_sample("/root/testdata/sf0.001")
+        b = stratified_sample("/root/testdata/sf0.001")
+        assert a.equals(b)
+        assert 0 < len(a) < 500  # ~10% of 500
