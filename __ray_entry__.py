@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": curation.stratified_sample,
         "quality_filter": curation.quality_filter,
         "length_histogram": curation.length_histogram,
+        "repetition_signals": curation.repetition_signals,
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
+        "events_order_asof": relational.events_order_asof,
         "nation_customer_counts": relational.nation_customer_counts,
         "part_type_stats": relational.part_type_stats,
         # --- pdf text-block assembly (pdf_parser.__call__ path;
@@ -184,6 +186,8 @@ _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/fixt
 
 
 def oracle_sql() -> dict[str, str]:
+    from ragflow_ray.ops import curation as curation_mod
+
     return {
         "token_stats": f"""
             SELECT lang,
@@ -452,6 +456,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT (array_length(string_split_regex(trim(text), '\\s+')) // 16)::BIGINT AS bucket,
                    COUNT(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # Gopher-style repetition fractions, ×1000 floor-scaled; the
+        # (word / bigram / dup-trigram) gram definitions match
+        # ops/curation.repetition_signals exactly (split on ' ')
+        "repetition_signals": f"""
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS ws,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            topw AS (
+                SELECT doc_id, MAX(c) AS maxw FROM (
+                    SELECT doc_id, COUNT(*) AS c
+                    FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+                    GROUP BY doc_id, w)
+                GROUP BY doc_id
+            ),
+            topb AS (
+                SELECT doc_id, MAX(c) AS maxb FROM (
+                    SELECT doc_id, COUNT(*) AS c
+                    FROM (SELECT doc_id,
+                                 unnest(list_transform(range(n - 1),
+                                     i -> ws[i+1] || ' ' || ws[i+2])) AS g
+                          FROM base WHERE n > 1)
+                    GROUP BY doc_id, g)
+                GROUP BY doc_id
+            ),
+            dupt AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupp
+                FROM (
+                    SELECT doc_id, COUNT(*) AS c
+                    FROM (SELECT doc_id,
+                                 unnest(list_transform(range(n - 2),
+                                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS g
+                          FROM base WHERE n > 2)
+                    GROUP BY doc_id, g)
+                GROUP BY doc_id
+            )
+            SELECT b.doc_id::BIGINT AS doc_id,
+                   (1000 * topw.maxw // b.n)::BIGINT AS top_word_x1000,
+                   COALESCE(1000 * topb.maxb // (b.n - 1), 0)::BIGINT AS top_bigram_x1000,
+                   COALESCE(1000 * dupt.dupp // (b.n - 2), 0)::BIGINT AS dup_trigram_x1000,
+                   (CASE WHEN 1000 * topw.maxw // b.n <= {curation_mod.REP_TOP_WORD_X1000}
+                          AND COALESCE(1000 * topb.maxb // (b.n - 1), 0) <= {curation_mod.REP_TOP_BIGRAM_X1000}
+                          AND COALESCE(1000 * dupt.dupp // (b.n - 2), 0) <= {curation_mod.REP_DUP_TRIGRAM_X1000}
+                         THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM base b
+            JOIN topw USING (doc_id)
+            LEFT JOIN topb USING (doc_id)
+            LEFT JOIN dupt USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # deterministic as-of join: (date, orderkey) packed into one
+        # int64 so "latest order" is a plain MAX on both sides
+        "events_order_asof": """
+            WITH em AS (
+                SELECT e.event_id, e.user_id,
+                       MAX(datediff('day', DATE '1970-01-01', o.o_orderdate)
+                           * 10000000000 + o.o_orderkey) AS enc
+                FROM events e LEFT JOIN orders o
+                  ON o.o_custkey = e.user_id
+                 AND o.o_orderdate <= CAST(e.ts AS DATE)
+                GROUP BY e.event_id, e.user_id
+            )
+            SELECT event_id::BIGINT AS event_id,
+                   user_id::BIGINT AS user_id,
+                   COALESCE(enc % 10000000000, -1)::BIGINT AS o_orderkey,
+                   COALESCE(enc // 10000000000, -1)::BIGINT AS o_orderdate_days
+            FROM em ORDER BY event_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -167,6 +167,70 @@ def quality_filter(sf_dir: str, min_tokens: int = 16,
     return df
 
 
+REP_TOP_WORD_X1000 = 200     # most frequent word ≤ 20% of tokens
+REP_TOP_BIGRAM_X1000 = 180   # most frequent bigram ≤ 18% of bigram slots
+REP_DUP_TRIGRAM_X1000 = 600  # ≤ 60% of trigram slots inside repeated trigrams
+
+
+def repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021 §A.1.1, adapted to word-token fractions): the fraction of
+    tokens taken by the most frequent word, the fraction of bigram
+    slots taken by the most frequent bigram, and the fraction of
+    trigram slots covered by trigrams occurring more than once —
+    integer-scaled ×1000 (floor) so the DuckDB oracle is bit-exact.
+    ``keep`` = 1 when all three are under the Gopher-ish thresholds.
+
+    Embarrassingly parallel: one pass inside ``map_batches``, no
+    shuffle; per-doc Counters are bounded by doc length.
+    """
+    import pyarrow as pa
+    from collections import Counter
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("top_word_x1000", pa.int64()),
+         ("top_bigram_x1000", pa.int64()), ("dup_trigram_x1000", pa.int64()),
+         ("keep", pa.int64())]
+    )
+
+    def sig(batch: pd.DataFrame):
+        out = {k: [] for k in schema.names}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split(" ")
+            n = len(words)
+            tw = 1000 * max(Counter(words).values()) // n if n else 0
+            if n > 1:
+                bc = Counter(zip(words, words[1:]))
+                tb = 1000 * max(bc.values()) // (n - 1)
+            else:
+                tb = 0
+            if n > 2:
+                tc = Counter(zip(words, words[1:], words[2:]))
+                dupp = sum(v for v in tc.values() if v >= 2)
+                dt = 1000 * dupp // (n - 2)
+            else:
+                dt = 0
+            keep = int(
+                tw <= REP_TOP_WORD_X1000
+                and tb <= REP_TOP_BIGRAM_X1000
+                and dt <= REP_DUP_TRIGRAM_X1000
+            )
+            out["doc_id"].append(int(doc_id))
+            out["top_word_x1000"].append(tw)
+            out["top_bigram_x1000"].append(tb)
+            out["dup_trigram_x1000"].append(dt)
+            out["keep"].append(keep)
+        return pa.table(out, schema=schema)
+
+    df = (
+        _docs(sf_dir).map_batches(sig, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def length_histogram(sf_dir: str, bucket_tokens: int = 16):
     """Doc-count per 16-token length bucket (partial counts inside
     each batch, then a tiny groupby over ≤ a few hundred buckets)."""

@@ -331,6 +331,105 @@ def purchase_attribution(sf_dir: str):
     return df
 
 
+_ASOF_SCALE = 10_000_000_000  # orderkeys < 1e10; (date, key) packs into one int64
+
+
+def events_order_asof(sf_dir: str):
+    """Two-table as-of join: each event matched to the same customer's
+    latest order placed on-or-before the event date (LEFT semantics;
+    -1 when the user never ordered by then).
+
+    Ray Data has no native as-of join, so this is the co-partition
+    pattern: both sides are projected to a common (key, side, rid,
+    t_days) schema, unioned, and hash-shuffled ONCE by key;
+    ``map_groups`` then runs a vectorized ``searchsorted`` merge per
+    key.  The (date, orderkey) pair packs into a single int64 so "the
+    latest order" has a deterministic total order (ties on date break
+    to the highest orderkey) that the DuckDB oracle reproduces with a
+    plain MAX.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orr = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    common = pa.schema(
+        [("key", pa.int64()), ("side", pa.int8()),
+         ("rid", pa.int64()), ("t_days", pa.int64())]
+    )
+
+    def ev_prep(b: pd.DataFrame) -> pa.Table:
+        days = b["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+        return pa.table(
+            {"key": b["user_id"].to_numpy().astype("int64"),
+             "side": np.zeros(len(b), np.int8),
+             "rid": b["event_id"].to_numpy().astype("int64"),
+             "t_days": days},
+            schema=common,
+        )
+
+    def or_prep(b: pd.DataFrame) -> pa.Table:
+        days = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
+        return pa.table(
+            {"key": b["o_custkey"].to_numpy().astype("int64"),
+             "side": np.ones(len(b), np.int8),
+             "rid": b["o_orderkey"].to_numpy().astype("int64"),
+             "t_days": days},
+            schema=common,
+        )
+
+    uni = ev.map_batches(ev_prep, batch_format="pandas").union(
+        orr.map_batches(or_prep, batch_format="pandas")
+    )
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("o_orderkey", pa.int64()), ("o_orderdate_days", pa.int64())]
+    )
+
+    def asof(group: pd.DataFrame) -> pa.Table:
+        evs = group[group["side"] == 0]
+        if evs.empty:  # customer with orders but no events
+            return out_schema.empty_table()
+        ords = group[group["side"] == 1]
+        ev_days = evs["t_days"].to_numpy()
+        n = len(evs)
+        if ords.empty:
+            okey = np.full(n, -1, dtype=np.int64)
+            odays = np.full(n, -1, dtype=np.int64)
+        else:
+            enc = np.sort(
+                ords["t_days"].to_numpy() * _ASOF_SCALE + ords["rid"].to_numpy()
+            )
+            idx = np.searchsorted(enc, (ev_days + 1) * _ASOF_SCALE, "left") - 1
+            hit = enc[np.maximum(idx, 0)]
+            ok = idx >= 0
+            okey = np.where(ok, hit % _ASOF_SCALE, -1)
+            odays = np.where(ok, hit // _ASOF_SCALE, -1)
+        return pa.table(
+            {"event_id": evs["rid"].to_numpy(),
+             "user_id": evs["key"].to_numpy(),
+             "o_orderkey": okey, "o_orderdate_days": odays},
+            schema=out_schema,
+        )
+
+    df = (
+        uni.groupby("key").map_groups(asof, batch_format="pandas")
+        .sort("event_id").to_pandas()
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user event count and session count with a
     30-minute inactivity gap — ``groupby(user).map_groups`` over

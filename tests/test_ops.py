@@ -447,3 +447,60 @@ class TestCuration:
         b = stratified_sample("/root/testdata/sf0.001")
         assert a.equals(b)
         assert 0 < len(a) < 500  # ~10% of 500
+
+    def test_repetition_signals_planted(self, tmp_path):
+        from ragflow_ray.ops.curation import repetition_signals
+
+        texts = [
+            "spam spam spam spam spam spam spam spam",   # one word repeated
+            " ".join(f"w{i}" for i in range(40)),         # all distinct
+            "a b c a b c a b c a b c",                    # repeated trigrams
+        ]
+        docs = pa.table(
+            {"doc_id": pa.array(range(3), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = repetition_signals(str(tmp_path)).set_index("doc_id")
+        assert df.loc[0, "top_word_x1000"] == 1000 and df.loc[0, "keep"] == 0
+        assert df.loc[1, "top_word_x1000"] == 1000 // 40
+        assert df.loc[1, "dup_trigram_x1000"] == 0 and df.loc[1, "keep"] == 1
+        # "a b c" x4 etc: every one of the 10 trigram slots is a repeat
+        assert df.loc[2, "dup_trigram_x1000"] == 1000 and df.loc[2, "keep"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def test_events_order_asof_planted(self, tmp_path):
+        from ragflow_ray.ops.relational import events_order_asof
+
+        ev = pa.table({
+            "event_id": pa.array([0, 1, 2], type=pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(
+                    ["2024-01-10 12:00:00", "2024-01-02 00:00:00",
+                     "2024-03-01 09:30:00"]
+                ).astype("datetime64[us]")
+            ),
+            "user_id": pa.array([7, 7, 9], type=pa.int64()),
+        })
+        orr = pa.table({
+            "o_orderkey": pa.array([100, 101, 102], type=pa.int64()),
+            "o_custkey": pa.array([7, 7, 7], type=pa.int64()),
+            # 101 and 102 tie on the date: the higher key must win
+            "o_orderdate": pa.array(
+                pd.to_datetime(
+                    ["2024-01-05", "2024-01-10", "2024-01-10"]
+                ).astype("datetime64[us]")
+            ),
+        })
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        pq.write_table(orr, str(tmp_path / "orders.parquet"))
+        df = events_order_asof(str(tmp_path)).set_index("event_id")
+        # event 0 (Jan 10): both Jan-10 orders eligible -> key 102
+        assert df.loc[0, "o_orderkey"] == 102
+        # event 1 (Jan 2): before any order -> -1
+        assert df.loc[1, "o_orderkey"] == -1
+        assert df.loc[1, "o_orderdate_days"] == -1
+        # event 2: user 9 never ordered -> -1
+        assert df.loc[2, "o_orderkey"] == -1
