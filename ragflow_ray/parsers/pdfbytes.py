@@ -21,13 +21,23 @@ path:
   active mapping (the reference gets this from pypdf,
   deepdoc/parser/pdf_parser.py:1243-1269).
 
+* PDF 1.5+ compressed object streams (``/Type /ObjStm``): every
+  object stream found by the sequential scan is inflated and its
+  packed objects (N pairs of "objnum offset" then bodies at /First)
+  are added to the object table — so documents whose catalog / page
+  dicts / fonts live in object streams (the modern-producer default)
+  extract normally.  Cross-reference *streams* themselves need no
+  parsing: discovery is by scan, not by xref, so /Type /XRef objects
+  are simply ignored.  Indirect ``/Length N 0 R`` values resolve
+  through the object table.
+
 Deliberately out of scope (documented subset, not a stub): encrypted
-documents, predictors, LZW/ASCII85 filters, and cross-reference
-streams for object discovery — bytes outside the subset degrade to
-skipped show-strings, never to a crash.  Good enough to round-trip
-every text PDF this engine writes in its own tests, the common
-single-byte-font documents, and Identity-H CID PDFs carrying
-ToUnicode maps (the dominant real-world text-PDF form).
+documents, predictors, LZW/ASCII85 filters — bytes outside the
+subset degrade to skipped show-strings, never to a crash.  Good
+enough to round-trip every text PDF this engine writes in its own
+tests, the common single-byte-font documents, Identity-H CID PDFs
+carrying ToUnicode maps, and object-stream-packed PDF 1.5 files (the
+dominant real-world text-PDF forms).
 """
 
 from __future__ import annotations
@@ -37,7 +47,9 @@ import zlib
 
 _OBJ_START = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_START = re.compile(rb"stream\r?\n")
-_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?![0-9]) stops backtracking from shaving digits off an indirect
+# "/Length 10 0 R" until the not-a-ref lookahead succeeds ("1" + "0 0 R")
+_LENGTH = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _FLATE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 _PAGE_TYPE = re.compile(rb"/Type\s*/Page(?![s/\w])")
 _CONTENTS_REF = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
@@ -168,7 +180,7 @@ def _page_fonts(body: bytes, objs: dict[int, bytes], depth: int = 0) -> dict:
         tm = _TOUNICODE.search(fobj)
         if not tm:
             continue
-        stream = _stream_of(objs.get(int(tm.group(1)), b""))
+        stream = _stream_of(objs.get(int(tm.group(1)), b""), objs)
         if stream is None:
             continue
         cmap = _parse_cmap(stream)
@@ -210,23 +222,68 @@ def _objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
-def _stream_of(body: bytes) -> bytes | None:
+def _stream_of(body: bytes, objs: dict[int, bytes] | None = None) -> bytes | None:
     m = _STREAM_START.search(body)
     if not m:
         return None
-    lm = _LENGTH.search(body[: m.start()])
-    if lm:
-        raw = body[m.end() : m.end() + int(lm.group(1))]
-    else:  # no direct /Length: fall back to the endstream marker
+    header = body[: m.start()]
+    lm = _LENGTH.search(header)
+    length = int(lm.group(1)) if lm else None
+    if length is None and objs is not None:
+        # indirect /Length N 0 R: the target is a bare integer object
+        rm = _LENGTH_REF.search(header)
+        if rm:
+            tm = re.match(rb"\s*(\d+)\s*$", objs.get(int(rm.group(1)), b""))
+            if tm:
+                length = int(tm.group(1))
+    if length is not None:
+        raw = body[m.end() : m.end() + length]
+    else:  # no resolvable /Length: fall back to the endstream marker
         end = body.find(b"endstream", m.end())
         raw = body[m.end() : end if end != -1 else len(body)]
         raw = raw.rstrip(b"\r\n")
-    if _FLATE.search(body[: m.start()]):
+    if _FLATE.search(header):
         try:
             return zlib.decompress(raw)
         except zlib.error:
             return None
     return raw
+
+
+_OBJSTM = re.compile(rb"/Type\s*/ObjStm")
+_OBJSTM_N = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST = re.compile(rb"/First\s+(\d+)")
+_LENGTH_REF = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """Unpack every ``/Type /ObjStm`` in ``objs`` in place.
+
+    The stream layout (PDF 32000-1 §7.5.7): ``/N`` pairs of
+    "objnum offset" integers, then the object bodies starting at
+    ``/First``; packed objects carry no ``obj``/``endobj`` wrappers.
+    Direct (top-level) definitions win on number collisions."""
+    inner: dict[int, bytes] = {}
+    for body in list(objs.values()):
+        if not _OBJSTM.search(body[:512]):
+            continue
+        nm = _OBJSTM_N.search(body)
+        fm = _OBJSTM_FIRST.search(body)
+        data = _stream_of(body, objs)
+        if data is None or nm is None or fm is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        try:
+            nums = [int(x) for x in data[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(nums[0::2], nums[1::2]))[:n]
+        bounds = [off for _, off in pairs] + [len(data) - first]
+        for (onum, off), nxt in zip(pairs, bounds[1:]):
+            if 0 <= off <= nxt:
+                inner.setdefault(onum, data[first + off : first + nxt].strip())
+    for k, v in inner.items():
+        objs.setdefault(k, v)
 
 
 def _page_object_order(data: bytes, objs: dict[int, bytes]) -> list[int]:
@@ -266,7 +323,7 @@ def _content_streams(body: bytes, objs: dict[int, bytes]) -> list[bytes]:
         else [int(m.group(1)) for m in _CONTENTS_REF.finditer(body)]
     )
     for num in refs:
-        s = _stream_of(objs.get(num, b""))
+        s = _stream_of(objs.get(num, b""), objs)
         if s is not None:
             streams.append(s)
     return streams
@@ -478,6 +535,7 @@ def _page_lines(streams: list[bytes], fonts: dict | None = None) -> list[str]:
 def pdf_text_lines(blob: bytes) -> list[list[str]]:
     """→ per-page text-layer lines (pypdf ``extract_text``-shaped)."""
     objs = _objects(blob)
+    _expand_object_streams(objs)
     pages = []
     for num in _page_object_order(blob, objs):
         fonts = _page_fonts(objs[num], objs)

@@ -286,3 +286,117 @@ class TestCidToUnicode:
     @given(st.lists(st.lists(_LINE, min_size=1, max_size=4), min_size=1, max_size=3))
     def test_cid_roundtrip_property(self, pages):
         assert pdf_text_lines(make_cid_pdf(pages)) == pages
+
+
+def make_pdf15(pages_lines: list[list[str]]) -> bytes:
+    """A PDF 1.5-shaped file in the modern-producer layout: catalog,
+    pages node and page dicts packed in a FlateDecode /ObjStm; content
+    streams top-level with INDIRECT /Length; a binary /Type /XRef
+    cross-reference stream instead of a classic xref table."""
+    import zlib as _zlib
+
+    # object numbering: 1 catalog, 2 pages node, then per page
+    # (content, length-int, page dict), then objstm, then xref stream
+    n_pages = len(pages_lines)
+    content_nums = [3 + 3 * i for i in range(n_pages)]
+    length_nums = [4 + 3 * i for i in range(n_pages)]
+    page_nums = [5 + 3 * i for i in range(n_pages)]
+    objstm_num = 3 + 3 * n_pages
+    xref_num = objstm_num + 1
+
+    # --- packed (ObjStm) objects: catalog, pages node, page dicts ---
+    packed: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Count " + str(n_pages).encode()
+            + b" /Kids [" + b" ".join(f"{p} 0 R".encode() for p in page_nums)
+            + b"] >>"),
+    ]
+    for p, c in zip(page_nums, content_nums):
+        packed.append((p, (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {c} 0 R >>").encode()))
+    bodies = b""
+    header_parts = []
+    for num, body in packed:
+        header_parts.append(f"{num} {len(bodies)}")
+        bodies += body + b"\n"
+    header = (" ".join(header_parts) + "\n").encode()
+    objstm_payload = _zlib.compress(header + bodies)
+    objstm_obj = (
+        b"<< /Type /ObjStm /N " + str(len(packed)).encode()
+        + b" /First " + str(len(header)).encode()
+        + b" /Length " + str(len(objstm_payload)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + objstm_payload
+        + b"\nendstream"
+    )
+
+    # --- top-level objects ---
+    top: dict[int, bytes] = {objstm_num: objstm_obj}
+    for lines, c, ln in zip(pages_lines, content_nums, length_nums):
+        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        for i, line in enumerate(lines):
+            if i > 0:
+                parts.append(b"0 -14 Td")
+            esc = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            parts.append(b"(" + esc.encode("latin-1") + b") Tj")
+        parts.append(b"ET")
+        comp = _zlib.compress(b"\n".join(parts))
+        top[c] = (
+            b"<< /Length " + str(ln).encode() + b" 0 R /Filter /FlateDecode >>"
+            b"\nstream\n" + comp + b"\nendstream"
+        )
+        top[ln] = str(len(comp)).encode()
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(top):
+        offsets[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + top[num] + b"\nendobj\n"
+
+    # --- cross-reference stream (binary W [1 4 2] entries) ---
+    def entry(t: int, a: int, b: int) -> bytes:
+        return bytes([t]) + a.to_bytes(4, "big") + b.to_bytes(2, "big")
+
+    size = xref_num + 1
+    rows = [entry(0, 0, 0xFFFF)]  # obj 0: free
+    for num in range(1, size):
+        if num in offsets:
+            rows.append(entry(1, offsets[num], 0))
+        elif num == xref_num:
+            rows.append(entry(1, 0, 0))  # patched below
+        else:  # packed in the object stream
+            idx = [p for p, _ in packed].index(num)
+            rows.append(entry(2, objstm_num, idx))
+    xref_at = len(out)
+    rows[xref_num] = entry(1, xref_at, 0)
+    xref_payload = _zlib.compress(b"".join(rows))
+    out += (
+        str(xref_num).encode() + b" 0 obj\n"
+        b"<< /Type /XRef /Size " + str(size).encode()
+        + b" /W [1 4 2] /Root 1 0 R /Filter /FlateDecode /Length "
+        + str(len(xref_payload)).encode() + b" >>\nstream\n"
+        + xref_payload + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    return bytes(out)
+
+
+class TestPdf15ObjectStreams:
+    def test_objstm_roundtrip(self):
+        pages = [["modern pdf line one", "line two"], ["second page"]]
+        assert pdf_text_lines(make_pdf15(pages)) == pages
+
+    def test_objstm_payload_path(self):
+        blob = make_pdf15([["objstm alpha", "objstm beta"]])
+        spans = pdf_to_page_payloads("pdf15-1", blob)
+        assert len(spans) == 1
+        import json
+        payload = json.loads(spans[0]["text"])
+        assert [b["text"] for b in payload["boxes"]] == [
+            "objstm alpha", "objstm beta"]
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.lists(_LINE, min_size=1, max_size=5),
+                    min_size=1, max_size=3))
+    def test_objstm_roundtrip_property(self, pages):
+        assert pdf_text_lines(make_pdf15(pages)) == pages
