@@ -119,7 +119,7 @@ def run_bench() -> dict:
             "corpus_docs": n_docs,
             "docs_per_sec": round(n_docs / extract_sec, 2),
         }
-    from ragflow_ray.ops import ann, dedup, relational, textstats
+    from ragflow_ray.ops import ann, curation, dedup, relational, textstats
     from ragflow_ray.ops.extract_queries import html_extract_roundtrip
 
     # sketch/scoring stages are light: a small actor pool amortizes
@@ -137,7 +137,9 @@ def run_bench() -> dict:
         "ann_topk": lambda d: ann.brute_force_topk(d, concurrency=pool),
         "pricing_summary": relational.pricing_summary,
         "user_sessions": relational.user_sessions,
+        "events_order_asof": relational.events_order_asof,
         "html_extract_roundtrip": lambda d: html_extract_roundtrip(d).count(),
+        "repetition_signals": curation.repetition_signals,
     }
     for name, fn in bench_queries.items():
         t0 = time.time()

@@ -334,22 +334,32 @@ def purchase_attribution(sf_dir: str):
 _ASOF_SCALE = 10_000_000_000  # orderkeys < 1e10; (date, key) packs into one int64
 
 
-def events_order_asof(sf_dir: str):
+def events_order_asof(sf_dir: str, broadcast_limit: int = 5_000_000):
     """Two-table as-of join: each event matched to the same customer's
     latest order placed on-or-before the event date (LEFT semantics;
     -1 when the user never ordered by then).
 
-    Ray Data has no native as-of join, so this is the co-partition
-    pattern: both sides are projected to a common (key, side, rid,
-    t_days) schema, unioned, and hash-shuffled ONCE by key;
-    ``map_groups`` then runs a vectorized ``searchsorted`` merge per
-    key.  The (date, orderkey) pair packs into a single int64 so "the
+    Ray Data has no native as-of join; size-adaptive plan, branch
+    picked from parquet metadata (an O(1) footer read, no data scan):
+
+    * orders ≤ ``broadcast_limit`` rows → the orders side is sorted
+      once, ``ray.put`` once, and every events batch runs a
+      vectorized ``pandas.merge_asof`` against it — a broadcast join,
+      no shuffle at all (dimension-vs-stream is the common shape);
+    * bigger orders side → the co-partition pattern: both sides
+      projected to a common (key, side, rid, t_days) schema, unioned,
+      hash-shuffled ONCE by key, and merged per group with
+      ``searchsorted``.
+
+    The (date, orderkey) pair packs into a single int64 so "the
     latest order" has a deterministic total order (ties on date break
     to the highest orderkey) that the DuckDB oracle reproduces with a
     plain MAX.
     """
     import numpy as np
     import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
 
     from ..sources.readers import read_parquet_clean
 
@@ -360,6 +370,45 @@ def events_order_asof(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
+
+    out_cols = ["event_id", "user_id", "o_orderkey", "o_orderdate_days"]
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= broadcast_limit:
+        odf = orr.to_pandas()
+        odf["o_days"] = (
+            odf["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
+        )
+        # stable (days, orderkey) order: merge_asof takes the LAST row
+        # with on <= left-on inside each by-group, i.e. the packed max
+        odf = odf.sort_values(["o_days", "o_orderkey"], kind="stable")
+        odf = odf[["o_custkey", "o_orderkey", "o_days"]].reset_index(drop=True)
+        oref = ray.put(odf)
+
+        def join(batch: pd.DataFrame) -> pd.DataFrame:
+            orders = ray.get(oref)
+            left = pd.DataFrame({
+                "event_id": batch["event_id"].astype("int64"),
+                "user_id": batch["user_id"].astype("int64"),
+                "t_days": batch["ts"].to_numpy()
+                .astype("datetime64[D]").astype("int64"),
+            }).sort_values("t_days", kind="stable")
+            m = pd.merge_asof(
+                left, orders, left_on="t_days", right_on="o_days",
+                left_by="user_id", right_by="o_custkey",
+            )
+            m["o_orderkey"] = m["o_orderkey"].fillna(-1).astype("int64")
+            m["o_orderdate_days"] = m["o_days"].fillna(-1).astype("int64")
+            return m[out_cols]
+
+        # output is driver-sized either way — sort the final frame in
+        # pandas instead of paying a distributed sort for presentation
+        df = (
+            ev.map_batches(join, batch_format="pandas").to_pandas()
+            .sort_values("event_id").reset_index(drop=True)
+        )
+        for c in out_cols:
+            df[c] = df[c].astype("int64")
+        return df
 
     common = pa.schema(
         [("key", pa.int64()), ("side", pa.int8()),

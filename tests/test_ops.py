@@ -496,11 +496,15 @@ class TestAsofJoin:
         })
         pq.write_table(ev, str(tmp_path / "events.parquet"))
         pq.write_table(orr, str(tmp_path / "orders.parquet"))
-        df = events_order_asof(str(tmp_path)).set_index("event_id")
-        # event 0 (Jan 10): both Jan-10 orders eligible -> key 102
-        assert df.loc[0, "o_orderkey"] == 102
-        # event 1 (Jan 2): before any order -> -1
-        assert df.loc[1, "o_orderkey"] == -1
-        assert df.loc[1, "o_orderdate_days"] == -1
-        # event 2: user 9 never ordered -> -1
-        assert df.loc[2, "o_orderkey"] == -1
+        # both plan branches must agree: broadcast (default) and the
+        # forced co-partition shuffle path
+        for limit in (5_000_000, 0):
+            df = events_order_asof(str(tmp_path), broadcast_limit=limit)
+            df = df.set_index("event_id")
+            # event 0 (Jan 10): both Jan-10 orders eligible -> key 102
+            assert df.loc[0, "o_orderkey"] == 102
+            # event 1 (Jan 2): before any order -> -1
+            assert df.loc[1, "o_orderkey"] == -1
+            assert df.loc[1, "o_orderdate_days"] == -1
+            # event 2: user 9 never ordered -> -1
+            assert df.loc[2, "o_orderkey"] == -1
