@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": curation.quality_filter,
         "length_histogram": curation.length_histogram,
         "repetition_signals": curation.repetition_signals,
+        "pack_sequences": curation.pack_sequences,
+        "training_order": curation.training_order,
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -456,6 +458,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT (array_length(string_split_regex(trim(text), '\\s+')) // 16)::BIGINT AS bucket,
                    COUNT(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # concat-then-split packing: global exclusive token prefix sum
+        # (window) → sequence index/offset; token def = token_stats
+        "pack_sequences": f"""
+            SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+                   (prefix // {curation_mod.PACK_SEQ_LEN})::BIGINT AS seq_index,
+                   (prefix % {curation_mod.PACK_SEQ_LEN})::BIGINT AS seq_offset
+            FROM (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS prefix
+                FROM (SELECT doc_id,
+                             array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                      FROM documents)
+            ) ORDER BY doc_id
+        """,
+        "training_order": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   md5(doc_id::VARCHAR || '-epoch0') AS pos
+            FROM documents ORDER BY pos
         """,
         # Gopher-style repetition fractions, ×1000 floor-scaled; the
         # (word / bigram / dup-trigram) gram definitions match

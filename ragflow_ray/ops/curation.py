@@ -167,6 +167,118 @@ def quality_filter(sf_dir: str, min_tokens: int = 16,
     return df
 
 
+PACK_SEQ_LEN = 2048          # token budget per packed training sequence
+PACK_BUCKET = 1024           # docs per prefix-sum bucket
+
+
+def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
+                   bucket: int = PACK_BUCKET):
+    """Concat-then-split sequence packing: lay every document out on
+    one global token tape (in doc_id order) and cut it into
+    ``seq_len``-token training sequences — each doc gets the sequence
+    index and intra-sequence offset where it starts.
+
+    The global exclusive prefix sum is the interesting distributed
+    part (Ray Data has no scan operator):
+
+    1. one streaming pass computes per-bucket token sums
+       (bucket = ``doc_id // bucket``; partial sums inside each batch,
+       then a tiny groupby over N/bucket rows);
+    2. the driver exclusive-scans the bucket sums (driver data is
+       #buckets-sized, not corpus-sized) and broadcasts the offsets;
+    3. one bounded ``groupby(bucket)`` pass cumsums inside each bucket
+       (groups are ≤ ``bucket`` docs by construction — no skew) and
+       adds the broadcast bucket offset.
+
+    Token definition matches the ``token_stats`` oracle
+    (whitespace-run split of the trimmed text).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["text"].str.strip().str.split(_WS).str.len().astype("int64")
+        ids = batch["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {"doc_id": ids, "n_tokens": n, "bucket": ids // bucket}
+        )
+
+    toks = _docs(sf_dir).map_batches(tokens, batch_format="pandas")
+
+    def bucket_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("bucket", as_index=False)["n_tokens"].sum()
+        return g.rename(columns={"n_tokens": "bucket_tokens"})
+
+    sums = (
+        toks.map_batches(bucket_partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("bucket_tokens", alias_name="bucket_tokens"))
+        .to_pandas().sort_values("bucket")
+    )
+    offsets = dict(zip(
+        sums["bucket"].astype("int64"),
+        np.concatenate([[0], np.cumsum(sums["bucket_tokens"].to_numpy())[:-1]])
+        .astype("int64"),
+    ))
+    off_ref = ray.put(offsets)
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("seq_index", pa.int64()), ("seq_offset", pa.int64())]
+    )
+
+    def place(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("doc_id")
+        base = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        n = g["n_tokens"].to_numpy()
+        prefix = base + np.concatenate([[0], np.cumsum(n)[:-1]])
+        return pa.table(
+            {"doc_id": g["doc_id"].to_numpy(), "n_tokens": n,
+             "seq_index": prefix // seq_len, "seq_offset": prefix % seq_len},
+            schema=schema,
+        )
+
+    df = (
+        toks.groupby("bucket").map_groups(place, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def training_order(sf_dir: str, seed: str = "epoch0"):
+    """Deterministic seeded global shuffle for training export: every
+    doc gets position key ``md5(doc_id || '-' || seed)`` and the
+    corpus is sorted by it — reproducible across runs, parallelism
+    and input order, and exactly mirrored in SQL.  The sort is a
+    full-corpus all-to-all by design: a training shuffle IS a global
+    exchange; at 100 TB the same key feeds ``repartition`` +
+    per-partition sort instead of one total order."""
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.string())])
+
+    def key(batch: pd.DataFrame):
+        ids = batch["doc_id"].astype("int64")
+        pos = [
+            hashlib.md5(f"{i}-{seed}".encode()).hexdigest() for i in ids
+        ]
+        return pa.table(
+            {"doc_id": ids.to_numpy(), "pos": pos}, schema=schema
+        )
+
+    df = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(key, batch_format="pandas")
+        .sort("pos").to_pandas()
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
 REP_TOP_WORD_X1000 = 200     # most frequent word ≤ 20% of tokens
 REP_TOP_BIGRAM_X1000 = 180   # most frequent bigram ≤ 18% of bigram slots
 REP_DUP_TRIGRAM_X1000 = 600  # ≤ 60% of trigram slots inside repeated trigrams

@@ -508,3 +508,33 @@ class TestAsofJoin:
             assert df.loc[1, "o_orderdate_days"] == -1
             # event 2: user 9 never ordered -> -1
             assert df.loc[2, "o_orderkey"] == -1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPacking:
+    def test_pack_sequences_planted(self, tmp_path):
+        from ragflow_ray.ops.curation import pack_sequences
+
+        # 7 docs x 3 tokens, seq_len=10, bucket=4: exercises both the
+        # intra-bucket cumsum and the cross-bucket offset handoff
+        texts = ["tok tok tok"] * 7
+        docs = pa.table(
+            {"doc_id": pa.array(range(7), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = pack_sequences(str(tmp_path), seq_len=10, bucket=4)
+        assert list(df.doc_id) == list(range(7))
+        # prefix = 0,3,6,9,12,15,18
+        assert list(df.seq_index) == [0, 0, 0, 0, 1, 1, 1]
+        assert list(df.seq_offset) == [0, 3, 6, 9, 2, 5, 8]
+
+    def test_training_order_deterministic(self):
+        from ragflow_ray.ops.curation import training_order
+
+        a = training_order("/root/testdata/sf0.001")
+        b = training_order("/root/testdata/sf0.001")
+        assert a.equals(b)
+        # a different seed gives a different permutation
+        c = training_order("/root/testdata/sf0.001", seed="epoch1")
+        assert list(a.doc_id) != list(c.doc_id)
