@@ -183,6 +183,12 @@ _NGRAM_PAIRS_CTE = """base AS (
 
 _STOP = "the|a|of|to|and"
 _PUNCT = r"[.,!?;:]"
+# exact ASCII token count — same explicit class as the engine's
+# textstats._TOKEN_RUN (trim+split-\s+ diverged on leading/trailing
+# whitespace: Python strip() vs SQL trim(); and counted empty text as
+# 1 token)
+_NTOK = "length(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+'))"
+_NONWS = "length(regexp_replace(text, '[ \\t\\n\\r\\f\\v]', '', 'g'))"
 _TXT_DELIMS = r"[\n!?;。；！？]"
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/fixtures")
 
@@ -194,17 +200,17 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": f"""
             SELECT lang,
                    COUNT(*)::BIGINT AS n_docs,
-                   SUM(array_length(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tokens,
+                   SUM({_NTOK})::BIGINT AS n_tokens,
                    SUM(length(text))::BIGINT AS n_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "quality_scores": f"""
             SELECT doc_id,
-                   array_length(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+                   {_NTOK}::BIGINT AS n_tokens,
                    (length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')))::BIGINT AS n_punct,
                    length(regexp_extract_all(text, '\\b(?:{_STOP})\\b'))::BIGINT AS n_stopwords,
-                   ((length(regexp_replace(text, '\\s', '', 'g')) * 100)
-                      // array_length(string_split_regex(trim(text), '\\s+')))::BIGINT AS mean_wordlen_x100
+                   (({_NONWS} * 100)
+                      // greatest({_NTOK}, 1))::BIGINT AS mean_wordlen_x100
             FROM documents ORDER BY doc_id
         """,
         # integer-quantized BM25-shaped scoring; all-int arithmetic is
@@ -446,7 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": f"""
             SELECT doc_id::BIGINT AS doc_id
             FROM (SELECT doc_id,
-                         array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                         {_NTOK} AS n_tokens,
                          length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')) AS n_punct,
                          length(regexp_extract_all(text, '\\b(?:{_STOP})\\b')) AS n_stop
                   FROM documents)
@@ -454,8 +460,8 @@ def oracle_sql() -> dict[str, str]:
               AND n_stop > 0
             ORDER BY doc_id
         """,
-        "length_histogram": """
-            SELECT (array_length(string_split_regex(trim(text), '\\s+')) // 16)::BIGINT AS bucket,
+        "length_histogram": f"""
+            SELECT ({_NTOK} // 16)::BIGINT AS bucket,
                    COUNT(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1 ORDER BY 1
         """,
@@ -471,8 +477,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                        ), 0) AS prefix
-                FROM (SELECT doc_id,
-                             array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                FROM (SELECT doc_id, {_NTOK} AS n_tokens
                       FROM documents)
             ) ORDER BY doc_id
         """,

@@ -29,6 +29,9 @@ import pandas as pd
 
 _WS = re.compile(r"\s+")
 
+# shared ASCII-exact token definition (see textstats._TOKEN_RUN)
+from .textstats import _TOKEN_RUN  # noqa: E402
+
 DECON_NGRAM = 8
 DECON_BENCHMARK_DOCS = 20
 
@@ -63,11 +66,32 @@ def decontaminate(sf_dir: str, n_benchmark: int = DECON_BENCHMARK_DOCS,
     import pyarrow.parquet as pq
     import ray
 
-    # bounded driver read: benchmark = n_benchmark id-minimal docs
-    # (testdata files are doc_id-sorted; re-sorted defensively)
-    head = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).to_pandas().nsmallest(n_benchmark, "doc_id")
+    # bounded driver read: benchmark = n_benchmark id-minimal docs.
+    # Stream record batches and keep a running id-smallest head —
+    # driver memory stays O(n_benchmark + batch), never the table.
+    # Early exit once the head is full and ids have been monotone so
+    # far — correct under the corpus's doc_id-sorted layout
+    # (TESTDATA.md); the monotone guard downgrades to a full scan
+    # (same bounded memory) when disorder shows up before the exit.
+    head = None
+    monotone, prev_max = True, None
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    for rb in pf.iter_batches(batch_size=4096, columns=["doc_id", "text"]):
+        chunk = rb.to_pandas()
+        cmin = chunk["doc_id"].min()
+        if prev_max is not None and cmin < prev_max:
+            monotone = False
+        if (
+            monotone and head is not None and len(head) >= n_benchmark
+            and cmin > head["doc_id"].max()
+        ):
+            break
+        prev_max = chunk["doc_id"].max()
+        head = (
+            chunk if head is None else pd.concat([head, chunk])
+        ).nsmallest(n_benchmark, "doc_id")
+    if head is None:
+        head = pd.DataFrame({"doc_id": [], "text": []})
     bench_ids = set(int(i) for i in head["doc_id"])
     bench_grams: set[str] = set()
     for t in head["text"]:
@@ -146,7 +170,7 @@ def quality_filter(sf_dir: str, min_tokens: int = 16,
 
     def gate(batch: pd.DataFrame):
         text = batch["text"]
-        n_tokens = text.str.strip().str.split(_WS).str.len()
+        n_tokens = text.str.count(_TOKEN_RUN)
         n_punct = text.str.count(punct)
         has_stop = text.str.count(stop) > 0
         keep = (
@@ -199,7 +223,7 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
     from ray.data.aggregate import Sum
 
     def tokens(batch: pd.DataFrame) -> pd.DataFrame:
-        n = batch["text"].str.strip().str.split(_WS).str.len().astype("int64")
+        n = batch["text"].str.count(_TOKEN_RUN).astype("int64")
         ids = batch["doc_id"].astype("int64")
         return pd.DataFrame(
             {"doc_id": ids, "n_tokens": n, "bucket": ids // bucket}
@@ -352,7 +376,7 @@ def length_histogram(sf_dir: str, bucket_tokens: int = 16):
         if not len(batch):  # keep the block schema stable on empty input
             return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
                                  "n_docs": pd.Series([], dtype="int64")})
-        n_tokens = batch["text"].str.strip().str.split(_WS).str.len()
+        n_tokens = batch["text"].str.count(_TOKEN_RUN)
         g = pd.DataFrame({"bucket": (n_tokens // bucket_tokens).astype("int64")})
         out = (
             g.groupby("bucket", as_index=False).size()

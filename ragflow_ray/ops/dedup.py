@@ -500,8 +500,10 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
        so the pair-emitting ``map_groups`` only ever sees shared
        grams;
     4. pairs dedupe in a tiny groupby, then verify with the same
-       size-adaptive exact verify as MinHash (pruned candidate read
-       below ``broadcast_limit`` ids; distributed join above).
+       size-adaptive exact verify as MinHash (``broadcast_limit``
+       bounds the candidate PAIR count — quadratic in clique size,
+       not linear in ids: pairs at or below it verify via a pruned
+       driver-side read, above it via the distributed two-sided join).
 
     Float-free output: ``jaccard_x10000 = |A∩B| * 10000 // |A∪B|``,
     threshold test ``2*|A∩B| >= |A∪B|`` — integer arithmetic on both
@@ -1005,7 +1007,7 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.25,
 # -- near-dup clusters (distributed connected components) -----------------
 
 
-def dedup_clusters(sf_dir: str, max_rounds: int = 16):
+def dedup_clusters(sf_dir: str, max_rounds: int = 64):
     """Connected components over the exact n-gram near-dup pairs:
     every document in a near-dup pair is assigned its component's
     minimum doc_id (``cluster_keeper``) — the cluster-level dedup a
@@ -1036,8 +1038,6 @@ def dedup_clusters(sf_dir: str, max_rounds: int = 16):
     label_schema = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
 
     pairs = ngram_jaccard_dups(sf_dir)
-    if not hasattr(pairs, "map_batches"):  # pandas result (empty path)
-        pairs = rd.from_pandas(pairs)
     pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
@@ -1113,6 +1113,19 @@ def dedup_clusters(sf_dir: str, max_rounds: int = 16):
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # min-label propagation moves the minimum one hop per round, so
+        # a chain-shaped component with min-id eccentricity > max_rounds
+        # exits here with split components — say so loudly instead of
+        # returning silently-wrong clusters
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_clusters: label propagation did NOT converge in %d "
+            "rounds — components with diameter > %d are split; raise "
+            "max_rounds for chain-shaped duplicate structures",
+            max_rounds, max_rounds,
+        )
 
     df = labels.to_pandas().rename(columns={"label": "cluster_keeper"})
     df = df.sort_values("doc_id").reset_index(drop=True)

@@ -16,6 +16,13 @@ import re
 import pandas as pd
 
 _WS = re.compile(r"\s+")
+# token = maximal run of non-ASCII-whitespace chars.  The explicit
+# class (not \S) pins BOTH sides to identical semantics: Python \s is
+# unicode-aware while DuckDB/RE2 \s is ASCII-only, so trim+split-\s+
+# silently diverges on docs with leading/trailing or unicode
+# whitespace.  regexp counts also make empty text 0 tokens (not 1).
+_TOKEN_RUN = r"[^ \t\n\r\f\v]+"
+_WS_ASCII = re.compile(r"[ \t\n\r\f\v]+")
 _CJK = re.compile(r"[一-鿿]")
 _PUNCT = re.compile(r"[.,!?;:]")
 _STOPWORDS = ("the", "a", "of", "to", "and")
@@ -37,7 +44,7 @@ def token_stats(sf_dir: str):
     from ..sources.readers import read_parquet_clean
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.strip().str.split(_WS).str.len()
+        toks = batch["text"].str.count(_TOKEN_RUN)
         chars = batch["text"].str.len()
         g = pd.DataFrame({"lang": batch["lang"], "toks": toks, "chars": chars})
         agg = g.groupby("lang", as_index=False).agg(
@@ -64,16 +71,15 @@ def quality_scores(sf_dir: str):
     stopword count, mean word length (×100, integer)."""
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         text = batch["text"]
-        stripped = text.str.strip()
-        toks = stripped.str.split(_WS)
-        n_tokens = toks.str.len()
+        n_tokens = text.str.count(_TOKEN_RUN)
         n_punct = text.str.count(_PUNCT)
         stop_pat = r"\b(?:%s)\b" % "|".join(_STOPWORDS)
         n_stop = text.str.count(stop_pat)
-        mean_wordlen_x100 = (
-            (stripped.str.replace(_WS, "", regex=True).str.len() * 100) // n_tokens
-        )
+        nonws = text.str.replace(_WS_ASCII, "", regex=True).str.len()
+        mean_wordlen_x100 = (nonws * 100) // np.maximum(n_tokens, 1)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],

@@ -306,7 +306,10 @@ def _pptx_txbody_text(txbody) -> str:
             for tag in ("buChar", "buAutoNum", "buBlip")
         )
         if bulleted:
-            level = int(ppr.get("lvl", "0") or 0)
+            try:
+                level = int(ppr.get("lvl", "0") or 0)
+            except ValueError:  # malformed lvl attr: one paragraph's
+                level = 0       # indent, not the whole deck, degrades
             texts.append(f"{'  ' * level}.{text}")
         else:
             texts.append(text)

@@ -145,7 +145,10 @@ def _parse_cmap(stream: bytes) -> dict[int, str]:
                 if base:
                     head, last = base[:-1], ord(base[-1])
                     for c in range(lo, min(hi, lo + 0xFFFF) + 1):
-                        cmap[c] = head + chr(last + (c - lo))
+                        cp = last + (c - lo)
+                        if cp > 0x10FFFF:  # malformed range end: skip,
+                            break          # never crash (module contract)
+                        cmap[c] = head + chr(cp)
                 j += 3
     return cmap
 

@@ -77,7 +77,12 @@ def _row_of_file(path: str, blob: bytes) -> dict:
             "doc_id": doc_id,
             "fmt": fmt,
             "template": template,
-            "n_media": 0,
+            # corpus convention (corpus.py): n_media counts the
+            # text-bearing media spans — pptx slides are media spans,
+            # so a big deck routes through the heavy page-split path
+            "n_media": sum(
+                1 for s in spans if s["kind"] == "media" and s["text"]
+            ),
             "spans": spans,
         }
     fmt = fmt_of(path)
