@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": lambda d: dedup.simhash_signatures(d).to_pandas(),
         "simhash_near_dups": lambda d: dedup.simhash_near_dups(d).to_pandas(),
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_incremental": dedup.dedup_incremental,
         # --- corpus curation ---
         "decontaminate": curation.decontaminate,
         "stratified_sample": curation.stratified_sample,
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": curation.repetition_signals,
         "pack_sequences": curation.pack_sequences,
         "training_order": curation.training_order,
+        "source_rollup": curation.source_rollup,
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -277,6 +279,27 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id)::BIGINT AS keeper_doc_id,
                    COUNT(*)::BIGINT AS n_members
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # incoming batch (source = src19) vs existing corpus, keyed on
+        # the token-set signature (same convention as token_set_dedup)
+        "dedup_incremental": """
+            SELECT n.doc_id::BIGINT AS doc_id, o.dup_of::BIGINT AS dup_of
+            FROM (SELECT doc_id,
+                         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+                  FROM documents WHERE source = 'src19') n
+            JOIN (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h,
+                         MIN(doc_id) AS dup_of
+                  FROM documents WHERE source <> 'src19' GROUP BY 1) o
+            USING (h)
+            ORDER BY doc_id
+        """,
+        "source_rollup": f"""
+            SELECT source,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM({_NTOK})::BIGINT AS n_tokens,
+                   COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')))::BIGINT
+                       AS n_distinct_sigs
+            FROM documents GROUP BY source ORDER BY source
         """,
         "embedding_near_dups": """
             SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,

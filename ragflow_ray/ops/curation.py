@@ -191,6 +191,58 @@ def quality_filter(sf_dir: str, min_tokens: int = 16,
     return df
 
 
+def source_rollup(sf_dir: str):
+    """Per-source curation dashboard row: doc count, total tokens,
+    distinct token-set signatures (the CCNet-style per-domain view —
+    ``n_docs - n_distinct_sigs`` is the source's internal-dup count).
+
+    Two-level aggregation: per-batch (source, sig) rows, one groupby
+    to distinct signatures, then per-batch partial counts into a tiny
+    per-source groupby — the corpus never collects anywhere.
+    """
+    import hashlib as _hashlib
+
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    sig_schema = pa.schema(
+        [("source", pa.string()), ("sig", pa.string()), ("n_tokens", pa.int64())]
+    )
+
+    def sigs(batch: pd.DataFrame):
+        out_src, out_sig, out_tok = [], [], []
+        n_tok = batch["text"].str.count(_TOKEN_RUN)
+        for src, text, nt in zip(batch["source"], batch["text"], n_tok):
+            words = sorted(set(text.split(" ")))
+            out_src.append(src)
+            out_sig.append(_hashlib.md5(" ".join(words).encode()).hexdigest())
+            out_tok.append(int(nt))
+        return pa.table(
+            {"source": out_src, "sig": out_sig, "n_tokens": out_tok},
+            schema=sig_schema,
+        )
+
+    rows = (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(sigs, batch_format="pandas")
+    )
+    per_doc = rows.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens")
+    )
+    distinct = (
+        rows.groupby(["source", "sig"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("source")
+        .aggregate(Count(alias_name="n_distinct_sigs"))
+    )
+    a = per_doc.to_pandas()
+    b = distinct.to_pandas()
+    df = a.merge(b, on="source").sort_values("source").reset_index(drop=True)
+    for c in ("n_docs", "n_tokens", "n_distinct_sigs"):
+        df[c] = df[c].astype("int64")
+    return df[["source", "n_docs", "n_tokens", "n_distinct_sigs"]]
+
+
 PACK_SEQ_LEN = 2048          # token budget per packed training sequence
 PACK_BUCKET = 1024           # docs per prefix-sum bucket
 

@@ -1132,3 +1132,65 @@ def dedup_clusters(sf_dir: str, max_rounds: int = 64):
     for c in ("doc_id", "cluster_keeper"):
         df[c] = df[c].astype("int64")
     return df
+
+
+# -- incremental (new-batch-vs-corpus) dedup -----------------------------
+
+
+def dedup_incremental(sf_dir: str, new_source: str = "src19",
+                      join_partitions: int = 8):
+    """Streaming-ingestion dedup: which docs of an incoming batch
+    (``source == new_source``) duplicate something already in the
+    corpus (every other source)?  Key = the order-insensitive
+    token-set signature (same convention as :func:`token_set_dedup`);
+    ``dup_of`` = the id-minimal existing doc sharing it.
+
+    The distributed plan an incremental ingest pipeline needs: both
+    sides stream through the same signature ``map_batches``, the
+    existing corpus collapses to one row per signature via a C-level
+    min aggregate, and a hash join on the signature (never on text)
+    lands the verdicts — no driver-side set, no re-scan of the corpus
+    per new doc.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Min
+
+    def sig(batch: pa.Table) -> pa.Table:
+        sigs = []
+        for t in batch["text"].to_pylist():
+            words = sorted(set(t.split(" ")))
+            sigs.append(hashlib.md5(" ".join(words).encode()).hexdigest())
+        return pa.table({"token_set_hash": pa.array(sigs), "doc_id": batch["doc_id"]})
+
+    # empty join partitions yield schema-less blocks that break Arrow's
+    # hash join — size the partition count to the corpus (O(1) footer read)
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    join_partitions = max(1, min(join_partitions, n_docs // 64 + 1))
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+    new = docs.filter(expr=f"source == '{new_source}'")
+    old = docs.filter(expr=f"source != '{new_source}'")
+
+    old_min = (
+        old.map_batches(sig, batch_format="pyarrow")
+        .groupby("token_set_hash")
+        .aggregate(Min("doc_id", alias_name="dup_of"))
+    )
+    new_sig = new.map_batches(sig, batch_format="pyarrow")
+    joined = new_sig.join(
+        old_min, join_type="inner", num_partitions=join_partitions,
+        on=("token_set_hash",),
+    )
+    df = (
+        joined.select_columns(["doc_id", "dup_of"]).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    if df.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_id", "dup_of")}
+        )
+    for c in ("doc_id", "dup_of"):
+        df[c] = df[c].astype("int64")
+    return df

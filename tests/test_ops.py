@@ -538,3 +538,25 @@ class TestPacking:
         # a different seed gives a different permutation
         c = training_order("/root/testdata/sf0.001", seed="epoch1")
         assert list(a.doc_id) != list(c.doc_id)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalDedup:
+    def test_new_batch_against_corpus(self, tmp_path):
+        from ragflow_ray.ops.dedup import dedup_incremental
+
+        texts = [
+            "alpha beta gamma delta",        # 0 old
+            "epsilon zeta eta theta",        # 1 old
+            "delta gamma beta alpha",        # 2 new: permutation of 0
+            "iota kappa lambda mu",          # 3 new: novel
+        ]
+        docs = pa.table(
+            {"doc_id": pa.array(range(4), type=pa.int64()),
+             "text": pa.array(texts),
+             "source": pa.array(["old", "old", "incoming", "incoming"])}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = dedup_incremental(str(tmp_path), new_source="incoming")
+        assert list(df.doc_id) == [2]
+        assert list(df.dup_of) == [0]
