@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": curation.pack_sequences,
         "training_order": curation.training_order,
         "source_rollup": curation.source_rollup,
+        "length_quantiles": curation.length_quantiles,
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -487,6 +488,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT ({_NTOK} // 16)::BIGINT AS bucket,
                    COUNT(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # exact order statistics: smallest value whose cumulative doc
+        # count reaches ceil(p/100 * N) — integer arithmetic both sides
+        "length_quantiles": f"""
+            WITH t AS (SELECT {_NTOK} AS n_tokens FROM documents),
+            n AS (SELECT COUNT(*) AS total FROM t),
+            c AS (SELECT n_tokens, COUNT(*) AS cnt FROM t GROUP BY 1),
+            cum AS (SELECT n_tokens,
+                           SUM(cnt) OVER (ORDER BY n_tokens) AS cum
+                    FROM c)
+            SELECT p.p_x100::BIGINT AS p_x100,
+                   MIN(cum.n_tokens)::BIGINT AS n_tokens
+            FROM (VALUES (50), (90), (99)) AS p(p_x100)
+            CROSS JOIN n
+            JOIN cum ON cum.cum >= -((-p.p_x100 * n.total) // 100)
+            GROUP BY p.p_x100 ORDER BY p.p_x100
         """,
         # concat-then-split packing: global exclusive token prefix sum
         # (window) → sequence index/offset; token def = token_stats

@@ -419,6 +419,55 @@ def repetition_signals(sf_dir: str):
     return df
 
 
+QUANTILES_X100 = (50, 90, 99)
+
+
+def length_quantiles(sf_dir: str):
+    """Exact token-length quantiles (p50/p90/p99) computed by the
+    distributed counting-sort pattern: token counts are small ints, so
+    a per-value count histogram (partial-aggregated in batches, tiny
+    groupby) lands a #distinct-values-sized table on the driver and
+    the exact order statistics fall out of its cumulative sum — no
+    sort of the corpus, no sampling sketch.  Quantile definition:
+    smallest value whose cumulative count reaches ``ceil(p * N)``
+    (mirrored exactly in SQL)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"n_tokens": pd.Series([], dtype="int64"),
+                                 "n_docs": pd.Series([], dtype="int64")})
+        n = batch["text"].str.count(_TOKEN_RUN).astype("int64")
+        out = (
+            pd.DataFrame({"n_tokens": n}).groupby("n_tokens", as_index=False)
+            .size().rename(columns={"size": "n_docs"})
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    hist = (
+        _docs(sf_dir).map_batches(partial, batch_format="pandas")
+        .groupby("n_tokens")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas().sort_values("n_tokens")
+    )
+    values = hist["n_tokens"].to_numpy()
+    cum = np.cumsum(hist["n_docs"].to_numpy())
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for p in QUANTILES_X100:
+        rank = -(-p * total // 100)  # ceil(p/100 * N) in integers
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        rows.append({"p_x100": p,
+                     "n_tokens": int(values[min(idx, len(values) - 1)])
+                     if total else 0})
+    df = pd.DataFrame(rows)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def length_histogram(sf_dir: str, bucket_tokens: int = 16):
     """Doc-count per 16-token length bucket (partial counts inside
     each batch, then a tiny groupby over ≤ a few hundred buckets)."""
