@@ -31,8 +31,10 @@ path:
   are simply ignored.  Indirect ``/Length N 0 R`` values resolve
   through the object table.
 
-Deliberately out of scope (documented subset, not a stub): encrypted
-documents, predictors, LZW/ASCII85 filters — bytes outside the
+Stream filters: FlateDecode, LZWDecode, ASCII85Decode,
+ASCIIHexDecode, and ordered chains of them.  Deliberately out of
+scope (documented subset, not a stub): encrypted documents,
+predictors, raster filters (DCTDecode/JPX) — bytes outside the
 subset degrade to skipped show-strings, never to a crash.  Good
 enough to round-trip every text PDF this engine writes in its own
 tests, the common single-byte-font documents, Identity-H CID PDFs
@@ -50,7 +52,9 @@ _STREAM_START = re.compile(rb"stream\r?\n")
 # (?![0-9]) stops backtracking from shaving digits off an indirect
 # "/Length 10 0 R" until the not-a-ref lookahead succeeds ("1" + "0 0 R")
 _LENGTH = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
-_FLATE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+# every name following /Filter (single name or array) in order
+_FILTER_CHAIN = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME = re.compile(rb"/([A-Za-z0-9]+)")
 _PAGE_TYPE = re.compile(rb"/Type\s*/Page(?![s/\w])")
 _CONTENTS_REF = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
@@ -245,12 +249,79 @@ def _stream_of(body: bytes, objs: dict[int, bytes] | None = None) -> bytes | Non
         end = body.find(b"endstream", m.end())
         raw = body[m.end() : end if end != -1 else len(body)]
         raw = raw.rstrip(b"\r\n")
-    if _FLATE.search(header):
+    return _apply_filters(header, raw)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-style LZW as PDF uses it (PDF 32000-1 §7.4.4): variable
+    9–12-bit codes, clear=256, EOD=257, early code-width change."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width, buf, nbits = 9, 0, 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                prev, width = None, 9
+                continue
+            if code == 257:  # end of data
+                return bytes(out)
+            if code < len(table) and (code < 256 or table[code]):
+                entry = table[code]
+            elif prev is not None and code == len(table):
+                entry = prev + prev[:1]
+            else:  # corrupt code: degrade with what we have
+                return bytes(out)
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # early change: width bumps one code BEFORE the table fills
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _apply_filters(header: bytes, raw: bytes) -> bytes | None:
+    """Run the /Filter chain in order.  Supported: FlateDecode,
+    ASCIIHexDecode, ASCII85Decode, LZWDecode; an unknown filter (or a
+    decode error) returns None — the caller skips the stream, per the
+    module's degrade-never-crash contract."""
+    import base64
+
+    fm = _FILTER_CHAIN.search(header)
+    if not fm:
+        return raw
+    names = [n.decode("latin-1") for n in _FILTER_NAME.findall(fm.group(1))]
+    data = raw
+    for name in names:
         try:
-            return zlib.decompress(raw)
-        except zlib.error:
+            if name == "FlateDecode":
+                data = zlib.decompress(data)
+            elif name == "ASCIIHexDecode":
+                hx = re.sub(rb"[\s>]", b"", data)
+                if len(hx) % 2:
+                    hx += b"0"
+                data = bytes.fromhex(hx.decode("ascii"))
+            elif name == "ASCII85Decode":
+                body85 = data.strip()
+                if body85.startswith(b"<~"):
+                    body85 = body85[2:]
+                if body85.endswith(b"~>"):
+                    body85 = body85[:-2]
+                data = base64.a85decode(re.sub(rb"\s", b"", body85))
+            elif name == "LZWDecode":
+                data = _lzw_decode(data)
+            else:  # DCTDecode, Crypt, predictors... — out of subset
+                return None
+        except (zlib.error, ValueError, UnicodeDecodeError):
             return None
-    return raw
+    return data
 
 
 _OBJSTM = re.compile(rb"/Type\s*/ObjStm")

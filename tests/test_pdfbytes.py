@@ -400,3 +400,117 @@ class TestPdf15ObjectStreams:
                     min_size=1, max_size=3))
     def test_objstm_roundtrip_property(self, pages):
         assert pdf_text_lines(make_pdf15(pages)) == pages
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Spec-shaped LZW encoder (early change) for roundtrip tests."""
+    dict_ = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    bits: list[tuple[int, int]] = [(256, width)]
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in dict_:
+            w += c
+            continue
+        bits.append((dict_[w], width))
+        dict_[w + c] = next_code
+        next_code += 1
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        bits.append((dict_[w], width))
+    bits.append((257, width))
+    buf = nbits = 0
+    out = bytearray()
+    for code, wd in bits:
+        buf = (buf << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def make_filtered_pdf(lines: list[str], filters: str) -> bytes:
+    """One-page PDF whose content stream uses the given filter chain,
+    e.g. '/LZWDecode' or '[/ASCII85Decode /FlateDecode]'."""
+    import base64
+    import zlib as _zlib
+
+    parts = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        if i > 0:
+            parts.append(b"0 -14 Td")
+        esc = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        parts.append(b"(" + esc.encode("latin-1") + b") Tj")
+    parts.append(b"ET")
+    data = b"\n".join(parts)
+    # apply chain in REVERSE (the reader undoes them in listed order)
+    for name in reversed(filters.replace("[", "").replace("]", "").split()):
+        if name == "/FlateDecode":
+            data = _zlib.compress(data)
+        elif name == "/LZWDecode":
+            data = _lzw_encode(data)
+        elif name == "/ASCIIHexDecode":
+            data = data.hex().encode() + b">"
+        elif name == "/ASCII85Decode":
+            data = base64.a85encode(data) + b"~>"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [4 0 R] >>",
+        b"<< /Length " + str(len(data)).encode() + b" /Filter " + filters.encode()
+        + b" >>\nstream\n" + data + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 3 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+class TestFilterChains:
+    def test_lzw(self):
+        lines = ["lzw compressed stream", "second line here"]
+        assert pdf_text_lines(make_filtered_pdf(lines, "/LZWDecode")) == [lines]
+
+    def test_ascii85(self):
+        lines = ["ascii eighty five"]
+        assert pdf_text_lines(make_filtered_pdf(lines, "/ASCII85Decode")) == [lines]
+
+    def test_asciihex(self):
+        lines = ["hex encoded"]
+        assert pdf_text_lines(make_filtered_pdf(lines, "/ASCIIHexDecode")) == [lines]
+
+    def test_chain_a85_flate(self):
+        lines = ["chained filters work", "both of them"]
+        blob = make_filtered_pdf(lines, "[/ASCII85Decode /FlateDecode]")
+        assert pdf_text_lines(blob) == [lines]
+
+    def test_chain_hex_lzw(self):
+        lines = ["hex then lzw"]
+        blob = make_filtered_pdf(lines, "[/ASCIIHexDecode /LZWDecode]")
+        assert pdf_text_lines(blob) == [lines]
+
+    def test_unknown_filter_degrades(self):
+        blob = make_filtered_pdf(["never seen"], "/DCTDecode")
+        assert pdf_text_lines(blob) == [[]]  # stream skipped, no crash
+
+    def test_lzw_garbage_no_crash(self):
+        from ragflow_ray.parsers.pdfbytes import _lzw_decode
+
+        import random
+        rng = random.Random(11)
+        for _ in range(30):
+            _lzw_decode(bytes(rng.randrange(256) for _ in range(200)))
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=600))
+    def test_lzw_roundtrip_property(self, data):
+        from ragflow_ray.parsers.pdfbytes import _lzw_decode
+
+        assert _lzw_decode(_lzw_encode(data)) == data
