@@ -502,7 +502,7 @@ def oracle_sql() -> dict[str, str]:
                    MIN(cum.n_tokens)::BIGINT AS n_tokens
             FROM (VALUES (50), (90), (99)) AS p(p_x100)
             CROSS JOIN n
-            JOIN cum ON cum.cum >= -((-p.p_x100 * n.total) // 100)
+            JOIN cum ON cum.cum >= (p.p_x100 * n.total + 99) // 100
             GROUP BY p.p_x100 ORDER BY p.p_x100
         """,
         # concat-then-split packing: global exclusive token prefix sum

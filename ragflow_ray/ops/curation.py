@@ -27,8 +27,6 @@ import re
 
 import pandas as pd
 
-_WS = re.compile(r"\s+")
-
 # shared ASCII-exact token definition (see textstats._TOKEN_RUN)
 from .textstats import _TOKEN_RUN  # noqa: E402
 
@@ -67,31 +65,50 @@ def decontaminate(sf_dir: str, n_benchmark: int = DECON_BENCHMARK_DOCS,
     import ray
 
     # bounded driver read: benchmark = n_benchmark id-minimal docs.
-    # Stream record batches and keep a running id-smallest head —
-    # driver memory stays O(n_benchmark + batch), never the table.
-    # Early exit once the head is full and ids have been monotone so
-    # far — correct under the corpus's doc_id-sorted layout
-    # (TESTDATA.md); the monotone guard downgrades to a full scan
-    # (same bounded memory) when disorder shows up before the exit.
-    head = None
-    monotone, prev_max = True, None
+    # The sortedness decision comes from parquet row-group statistics
+    # (a footer-only read): non-overlapping ascending doc_id ranges →
+    # the head lives entirely in the leading row groups, read just
+    # those; otherwise stream every batch with a running nsmallest —
+    # either way driver memory is O(n_benchmark + batch), never the
+    # table, and the result is exact for ANY row order.
     pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
-    for rb in pf.iter_batches(batch_size=4096, columns=["doc_id", "text"]):
-        chunk = rb.to_pandas()
-        cmin = chunk["doc_id"].min()
-        if prev_max is not None and cmin < prev_max:
-            monotone = False
-        if (
-            monotone and head is not None and len(head) >= n_benchmark
-            and cmin > head["doc_id"].max()
-        ):
-            break
-        prev_max = chunk["doc_id"].max()
-        head = (
-            chunk if head is None else pd.concat([head, chunk])
-        ).nsmallest(n_benchmark, "doc_id")
-    if head is None:
-        head = pd.DataFrame({"doc_id": [], "text": []})
+    md = pf.metadata
+    id_col = next(
+        (i for i in range(md.num_columns)
+         if md.schema.column(i).name == "doc_id"), None
+    )
+
+    def _rg_stats(k: int):
+        st = md.row_group(k).column(id_col).statistics
+        return (st.min, st.max) if st is not None and st.has_min_max else None
+
+    sorted_layout = id_col is not None and md.num_row_groups > 0
+    if sorted_layout:
+        prev_max = None
+        for k in range(md.num_row_groups):
+            s = _rg_stats(k)
+            if s is None or (prev_max is not None and s[0] < prev_max):
+                sorted_layout = False
+                break
+            prev_max = s[1]
+
+    if sorted_layout:
+        k, rows = 0, 0
+        while k < md.num_row_groups and rows < n_benchmark:
+            rows += md.row_group(k).num_rows
+            k += 1
+        head = pf.read_row_groups(
+            list(range(k)), columns=["doc_id", "text"]
+        ).to_pandas().nsmallest(n_benchmark, "doc_id")
+    else:
+        head = None
+        for rb in pf.iter_batches(batch_size=4096, columns=["doc_id", "text"]):
+            chunk = rb.to_pandas()
+            head = (
+                chunk if head is None else pd.concat([head, chunk])
+            ).nsmallest(n_benchmark, "doc_id")
+        if head is None:
+            head = pd.DataFrame({"doc_id": [], "text": []})
     bench_ids = set(int(i) for i in head["doc_id"])
     bench_grams: set[str] = set()
     for t in head["text"]:
@@ -200,10 +217,10 @@ def source_rollup(sf_dir: str):
     to distinct signatures, then per-batch partial counts into a tiny
     per-source groupby — the corpus never collects anywhere.
     """
-    import hashlib as _hashlib
-
     import pyarrow as pa
     from ray.data.aggregate import Count, Sum
+
+    from .dedup import token_set_signature
 
     sig_schema = pa.schema(
         [("source", pa.string()), ("sig", pa.string()), ("n_tokens", pa.int64())]
@@ -213,18 +230,20 @@ def source_rollup(sf_dir: str):
         out_src, out_sig, out_tok = [], [], []
         n_tok = batch["text"].str.count(_TOKEN_RUN)
         for src, text, nt in zip(batch["source"], batch["text"], n_tok):
-            words = sorted(set(text.split(" ")))
             out_src.append(src)
-            out_sig.append(_hashlib.md5(" ".join(words).encode()).hexdigest())
+            out_sig.append(token_set_signature(text))
             out_tok.append(int(nt))
         return pa.table(
             {"source": out_src, "sig": out_sig, "n_tokens": out_tok},
             schema=sig_schema,
         )
 
+    # materialized once: two consumers below would otherwise re-run
+    # the corpus scan and every md5 (Ray Datasets are lazy lineages)
     rows = (
         _docs(sf_dir, columns=("doc_id", "text", "source"))
         .map_batches(sigs, batch_format="pandas")
+        .materialize()
     )
     per_doc = rows.groupby("source").aggregate(
         Count(alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens")
@@ -266,8 +285,9 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
        (groups are ≤ ``bucket`` docs by construction — no skew) and
        adds the broadcast bucket offset.
 
-    Token definition matches the ``token_stats`` oracle
-    (whitespace-run split of the trimmed text).
+    Token definition = ``_TOKEN_RUN`` match count (maximal runs of
+    non-ASCII-whitespace; empty text = 0 tokens), shared with
+    ``token_stats`` and its SQL oracle.
     """
     import numpy as np
     import pyarrow as pa
@@ -281,7 +301,10 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
             {"doc_id": ids, "n_tokens": n, "bucket": ids // bucket}
         )
 
-    toks = _docs(sf_dir).map_batches(tokens, batch_format="pandas")
+    # materialized once — the bucket-sum aggregate and the placement
+    # groupby both consume it; without this the corpus read and token
+    # counting lineage would execute twice
+    toks = _docs(sf_dir).map_batches(tokens, batch_format="pandas").materialize()
 
     def bucket_partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("bucket", as_index=False)["n_tokens"].sum()
@@ -457,7 +480,10 @@ def length_quantiles(sf_dir: str):
     total = int(cum[-1]) if len(cum) else 0
     rows = []
     for p in QUANTILES_X100:
-        rank = -(-p * total // 100)  # ceil(p/100 * N) in integers
+        # ceil(p/100 * N) in integers; the (x + 99) // 100 form is used
+        # verbatim in the SQL oracle (DuckDB // truncates toward zero,
+        # so the negate-floor-negate ceil idiom does NOT port)
+        rank = (p * total + 99) // 100
         idx = int(np.searchsorted(cum, rank, side="left"))
         rows.append({"p_x100": p,
                      "n_tokens": int(values[min(idx, len(values) - 1)])

@@ -96,6 +96,14 @@ def dedup_keepers(sf_dir: str):
 # -- token-set signature -------------------------------------------------
 
 
+def token_set_signature(text: str) -> str:
+    """md5 of the sorted distinct-word set — the ONE order-insensitive
+    signature convention shared by token_set_dedup, dedup_incremental
+    and curation.source_rollup (and mirrored by their SQL oracles)."""
+    words = sorted(set(text.split(" ")))
+    return hashlib.md5(" ".join(words).encode()).hexdigest()
+
+
 def token_set_dedup(sf_dir: str):
     """Group docs by md5 of their sorted distinct-word set — an exact,
     order-insensitive near-dup signature (word-permuted copies
@@ -103,10 +111,7 @@ def token_set_dedup(sf_dir: str):
     import pyarrow as pa
 
     def sig(batch: pa.Table) -> pa.Table:
-        sigs = []
-        for t in batch["text"].to_pylist():
-            words = sorted(set(t.split(" ")))
-            sigs.append(hashlib.md5(" ".join(words).encode()).hexdigest())
+        sigs = [token_set_signature(t) for t in batch["text"].to_pylist()]
         return pa.table({"token_set_hash": pa.array(sigs), "doc_id": batch["doc_id"]})
 
     from ray.data.aggregate import Count, Min
@@ -1158,10 +1163,7 @@ def dedup_incremental(sf_dir: str, new_source: str = "src19",
     from ray.data.aggregate import Min
 
     def sig(batch: pa.Table) -> pa.Table:
-        sigs = []
-        for t in batch["text"].to_pylist():
-            words = sorted(set(t.split(" ")))
-            sigs.append(hashlib.md5(" ".join(words).encode()).hexdigest())
+        sigs = [token_set_signature(t) for t in batch["text"].to_pylist()]
         return pa.table({"token_set_hash": pa.array(sigs), "doc_id": batch["doc_id"]})
 
     # empty join partitions yield schema-less blocks that break Arrow's

@@ -152,6 +152,10 @@ def _parse_cmap(stream: bytes) -> dict[int, str]:
                         cp = last + (c - lo)
                         if cp > 0x10FFFF:  # malformed range end: skip,
                             break          # never crash (module contract)
+                        if 0xD800 <= cp <= 0xDFFF:
+                            # a lone surrogate poisons Arrow/JSON far
+                            # downstream — skip the code, keep the range
+                            continue
                         cmap[c] = head + chr(cp)
                 j += 3
     return cmap
@@ -304,7 +308,8 @@ def _apply_filters(header: bytes, raw: bytes) -> bytes | None:
             if name == "FlateDecode":
                 data = zlib.decompress(data)
             elif name == "ASCIIHexDecode":
-                hx = re.sub(rb"[\s>]", b"", data)
+                eod = data.find(b">")  # '>' is EOD: later bytes ignored
+                hx = re.sub(rb"\s", b"", data[: eod if eod != -1 else len(data)])
                 if len(hx) % 2:
                     hx += b"0"
                 data = bytes.fromhex(hx.decode("ascii"))
