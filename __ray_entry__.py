@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_order": curation.training_order,
         "source_rollup": curation.source_rollup,
         "length_quantiles": curation.length_quantiles,
+        "mixture_sample": curation.mixture_sample,
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,
+        "events_sliding": relational.events_sliding,
         "nation_customer_counts": relational.nation_customer_counts,
         "part_type_stats": relational.part_type_stats,
         # --- pdf text-block assembly (pdf_parser.__call__ path;
@@ -525,6 +527,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id,
                    md5(doc_id::VARCHAR || '-epoch0') AS pos
             FROM documents ORDER BY pos
+        """,
+        # per-source keep rates; CASE arms generated from the same
+        # rate table the engine uses
+        "mixture_sample": f"""
+            SELECT doc_id::BIGINT AS doc_id, source
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 <
+                  CASE source
+                  {' '.join(f"WHEN '{s}' THEN {r}" for s, r in sorted(curation_mod.MIXTURE_RATES_PCT.items()))}
+                  ELSE {curation_mod.MIXTURE_DEFAULT_PCT} END
+            ORDER BY doc_id
+        """,
+        # hopping window (1h window / 30min hop): each event expands to
+        # window/hop rows, then a plain grouped count
+        "events_sliding": """
+            SELECT ws::BIGINT AS window_start_us, event_type,
+                   COUNT(*)::BIGINT AS n_events
+            FROM (
+                SELECT (epoch_us(ts) // 1800000000) * 1800000000
+                       - 1800000000 * u.i AS ws,
+                       event_type
+                FROM events, (SELECT unnest(range(2)) AS i) u
+            )
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Gopher-style repetition fractions, ×1000 floor-scaled; the
         # (word / bigram / dup-trigram) gram definitions match

@@ -140,6 +140,9 @@ def run_bench() -> dict:
         "events_order_asof": relational.events_order_asof,
         "html_extract_roundtrip": lambda d: html_extract_roundtrip(d).count(),
         "repetition_signals": curation.repetition_signals,
+        "pack_sequences": curation.pack_sequences,
+        "length_quantiles": curation.length_quantiles,
+        "dedup_incremental": dedup.dedup_incremental,
     }
     for name, fn in bench_queries.items():
         t0 = time.time()

@@ -174,6 +174,48 @@ def stratified_sample(sf_dir: str, rate_pct: int = 10):
     return df
 
 
+MIXTURE_RATES_PCT = {"src0": 100, "src1": 50, "src2": 25}
+MIXTURE_DEFAULT_PCT = 10
+
+
+def mixture_sample(sf_dir: str, rates_pct: dict[str, int] | None = None,
+                   default_pct: int = MIXTURE_DEFAULT_PCT):
+    """Corpus mixing: per-source keep rates (upweight curated sources,
+    downsample the crawl tail).  Keep iff
+    ``int(md5(text)[:8], 16) % 100 < rate(source)`` — the same
+    deterministic content-hash gate as :func:`stratified_sample`, but
+    with a per-stratum rate table (broadcast implicitly via task
+    closure: it is a constant-sized dict, not data).  Stable across
+    reruns, parallelism and row order; exactly mirrored in SQL.
+    """
+    import pyarrow as pa
+
+    rates = dict(MIXTURE_RATES_PCT if rates_pct is None else rates_pct)
+    schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+
+    def pick(batch: pd.DataFrame):
+        ids, srcs = [], []
+        for doc_id, text, src in zip(batch["doc_id"], batch["text"],
+                                     batch["source"]):
+            h = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+            if h % 100 < rates.get(src, default_pct):
+                ids.append(int(doc_id))
+                srcs.append(src)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "source": pa.array(srcs, type=pa.string())},
+            schema=schema,
+        )
+
+    df = (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
 def quality_filter(sf_dir: str, min_tokens: int = 16,
                    max_punct_per_token_x100: int = 50):
     """Keeper ids after the quality gate: enough tokens, bounded

@@ -331,6 +331,58 @@ def purchase_attribution(sf_dir: str):
     return df
 
 
+def events_sliding(sf_dir: str, window_minutes: int = 60,
+                   hop_minutes: int = 30):
+    """Hopping-window event counts (window 1 h, hop 30 min): every
+    event lands in ``window/hop`` overlapping windows, so the batch
+    transform flat-maps each row to its window starts (vectorized
+    integer arithmetic, windows/hop output rows per input row) and a
+    single small groupby sums per (window_start, event_type) — the
+    streaming-window pattern expressed as expansion + aggregate, no
+    per-window state."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+    from ..sources.readers import read_parquet_clean
+
+    n_win = window_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    schema = pa.schema(
+        [("window_start_us", pa.int64()), ("event_type", pa.string()),
+         ("n_events", pa.int64())]
+    )
+
+    def expand(batch: pd.DataFrame):
+        us = batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        last_start = (us // hop_us) * hop_us   # latest window containing ts
+        starts = last_start[:, None] - hop_us * np.arange(n_win)[None, :]
+        et = batch["event_type"].to_numpy()
+        g = pd.DataFrame(
+            {"window_start_us": starts.ravel(),
+             "event_type": np.repeat(et, n_win)}
+        )
+        out = (
+            g.groupby(["window_start_us", "event_type"], as_index=False)
+            .size().rename(columns={"size": "n_events"})
+        )
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    df = (
+        ds.map_batches(expand, batch_format="pandas")
+        .groupby(["window_start_us", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .sort(["window_start_us", "event_type"]).to_pandas()
+    )
+    df["window_start_us"] = df["window_start_us"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    return df
+
+
 _ASOF_SCALE = 10_000_000_000  # orderkeys < 1e10; (date, key) packs into one int64
 
 

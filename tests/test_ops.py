@@ -560,3 +560,46 @@ class TestIncrementalDedup:
         df = dedup_incremental(str(tmp_path), new_source="incoming")
         assert list(df.doc_id) == [2]
         assert list(df.dup_of) == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMixingWindows:
+    def test_mixture_rates_applied(self, tmp_path):
+        from ragflow_ray.ops.curation import mixture_sample
+
+        texts = [f"doc number {i} with deterministic content" for i in range(120)]
+        srcs = ["keepall"] * 40 + ["half"] * 40 + ["tail"] * 40
+        docs = pa.table(
+            {"doc_id": pa.array(range(120), type=pa.int64()),
+             "text": pa.array(texts), "source": pa.array(srcs)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = mixture_sample(str(tmp_path),
+                            rates_pct={"keepall": 100, "half": 50},
+                            default_pct=0)
+        kept = df.source.value_counts().to_dict()
+        assert kept.get("keepall") == 40          # rate 100: all kept
+        assert 0 < kept.get("half", 0) < 40       # rate 50: strict subset
+        assert "tail" not in kept                 # default 0: dropped
+
+    def test_sliding_windows_cover_each_event_twice(self, tmp_path):
+        from ragflow_ray.ops.relational import events_sliding
+
+        ts = pd.to_datetime(
+            ["2024-01-01 00:10:00", "2024-01-01 00:40:00",
+             "2024-01-01 01:10:00"]
+        ).astype("datetime64[us]")
+        ev = pa.table({
+            "event_id": pa.array([0, 1, 2], type=pa.int64()),
+            "ts": pa.array(ts),
+            "event_type": pa.array(["click"] * 3),
+        })
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        df = events_sliding(str(tmp_path))
+        # every event lands in exactly window/hop = 2 windows
+        assert df.n_events.sum() == 6
+        by_win = dict(zip(df.window_start_us, df.n_events))
+        h = 30 * 60 * 1_000_000
+        base = int(pd.Timestamp("2024-01-01").value // 1000)
+        # window starting 00:00 contains events at 00:10 and 00:40
+        assert by_win[base] == 2
