@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_rollup": curation.source_rollup,
         "length_quantiles": curation.length_quantiles,
         "mixture_sample": curation.mixture_sample,
+        "curate_and_pack": curation.curate_and_pack,
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -527,6 +528,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id,
                    md5(doc_id::VARCHAR || '-epoch0') AS pos
             FROM documents ORDER BY pos
+        """,
+        # the composed curation pipeline: quality gate -> id-minimal
+        # keeper per content hash (QUALIFY) -> packed prefix sums
+        "curate_and_pack": f"""
+            WITH q AS (
+                SELECT doc_id, {_NTOK} AS n_tokens, md5(text) AS h,
+                       length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')) AS n_punct,
+                       length(regexp_extract_all(text, '\\b(?:{_STOP})\\b')) AS n_stop
+                FROM documents
+            ),
+            surv AS (
+                SELECT doc_id, n_tokens, h FROM q
+                WHERE n_tokens >= 16 AND n_punct * 100 <= 50 * n_tokens
+                  AND n_stop > 0
+            ),
+            keep AS (
+                SELECT doc_id, n_tokens FROM surv
+                QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY h)
+            ),
+            packed AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS prefix
+                FROM keep
+            )
+            SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+                   (prefix // {curation_mod.PACK_SEQ_LEN})::BIGINT AS seq_index,
+                   (prefix % {curation_mod.PACK_SEQ_LEN})::BIGINT AS seq_offset
+            FROM packed ORDER BY doc_id
         """,
         # per-source keep rates; CASE arms generated from the same
         # rate table the engine uses

@@ -347,6 +347,17 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
     # groupby both consume it; without this the corpus read and token
     # counting lineage would execute twice
     toks = _docs(sf_dir).map_batches(tokens, batch_format="pandas").materialize()
+    return _pack(toks, seq_len)
+
+
+def _pack(toks, seq_len: int):
+    """The distributed prefix-sum placement over a MATERIALIZED
+    Dataset of (doc_id, n_tokens, bucket) rows — shared by
+    :func:`pack_sequences` and :func:`curate_and_pack`."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
 
     def bucket_partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("bucket", as_index=False)["n_tokens"].sum()
@@ -358,6 +369,10 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
         .aggregate(Sum("bucket_tokens", alias_name="bucket_tokens"))
         .to_pandas().sort_values("bucket")
     )
+    if sums.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id", "n_tokens",
+                                       "seq_index", "seq_offset")})
     offsets = dict(zip(
         sums["bucket"].astype("int64"),
         np.concatenate([[0], np.cumsum(sums["bucket_tokens"].to_numpy())[:-1]])
@@ -388,6 +403,86 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def curate_and_pack(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
+                    bucket: int = PACK_BUCKET):
+    """The end-to-end curation composition as ONE lazy plan: quality
+    gate → exact-dedup keepers → sequence packing of the survivors.
+
+    * stage 1 is a single ``map_batches`` that computes the quality
+      features, applies the gate, and emits only surviving
+      (doc_id, n_tokens, content_hash) rows — filtered at the source,
+      the corpus text never moves past this point;
+    * exact dedup reuses the distributed min-per-hash aggregate +
+      hash join (keeper = id-minimal survivor per content hash);
+    * the survivors feed the same bucket prefix-sum placement as
+      :func:`pack_sequences`.
+
+    Thresholds are the ``quality_filter`` constants; the SQL oracle
+    composes the identical CTEs (QUALIFY min-per-hash).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Min
+
+    punct = re.compile(r"[.,!?;:]")
+    stop = re.compile(r"\b(?:the|a|of|to|and)\b")
+    feat_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("content_hash", pa.string()), ("bucket", pa.int64())]
+    )
+
+    def survivors(batch: pd.DataFrame):
+        text = batch["text"]
+        n_tokens = text.str.count(_TOKEN_RUN)
+        n_punct = text.str.count(punct)
+        has_stop = text.str.count(stop) > 0
+        keep = (
+            (n_tokens >= 16) & (n_punct * 100 <= 50 * n_tokens) & has_stop
+        ).to_numpy()
+        ids = batch["doc_id"].to_numpy()[keep].astype("int64")
+        toks = n_tokens.to_numpy()[keep].astype("int64")
+        hashes = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in text.to_numpy()[keep]
+        ]
+        return pa.table(
+            {"doc_id": ids, "n_tokens": toks,
+             "content_hash": hashes, "bucket": ids // bucket},
+            schema=feat_schema,
+        )
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_parts = max(1, min(8, n_docs // 64 + 1))
+
+    feats = (
+        _docs(sf_dir).map_batches(survivors, batch_format="pandas")
+        .materialize()  # two consumers: keeper aggregate + join
+    )
+    keeper = feats.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="keeper_id")
+    )
+
+    def only_keepers(batch: pd.DataFrame):
+        kept = batch[batch["doc_id"] == batch["keeper_id"]]
+        return pa.table(
+            {"doc_id": kept["doc_id"].to_numpy().astype("int64"),
+             "n_tokens": kept["n_tokens"].to_numpy().astype("int64"),
+             "bucket": kept["bucket"].to_numpy().astype("int64")},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_tokens", pa.int64()),
+                              ("bucket", pa.int64())]),
+        )
+
+    toks = (
+        feats.join(keeper, join_type="inner", num_partitions=n_parts,
+                   on=("content_hash",))
+        .map_batches(only_keepers, batch_format="pandas")
+        .materialize()
+    )
+    return _pack(toks, seq_len)
 
 
 def training_order(sf_dir: str, seed: str = "epoch0"):

@@ -603,3 +603,28 @@ class TestMixingWindows:
         base = int(pd.Timestamp("2024-01-01").value // 1000)
         # window starting 00:00 contains events at 00:10 and 00:40
         assert by_win[base] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateAndPack:
+    def test_gate_dedup_pack_composition(self, tmp_path):
+        from ragflow_ray.ops.curation import curate_and_pack
+
+        good = ("the quick brown fox jumps over the lazy dog and keeps "
+                "running to the end of the field today again")  # 20 tokens, has stopwords
+        texts = [
+            good,                 # 0: survives
+            good,                 # 1: exact dup of 0 -> dropped by dedup
+            "short text",         # 2: fails the 16-token gate
+            good + " extended",   # 3: survives (21 tokens, distinct hash)
+        ]
+        docs = pa.table(
+            {"doc_id": pa.array(range(4), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = curate_and_pack(str(tmp_path), seq_len=30, bucket=2)
+        assert list(df.doc_id) == [0, 3]
+        assert list(df.seq_index) == [0, 0]
+        # doc 3 starts right after doc 0's 20 tokens
+        assert list(df.seq_offset) == [0, 20]
