@@ -33,7 +33,10 @@ _CJK_RE = re.compile(rf"[{_CJK}]")
 
 def _piece_cost(piece: str) -> int:
     c = piece[0]
-    if c.isdigit():
+    # ASCII check required: the _PIECE digit alternative is [0-9]+ only,
+    # but str.isdigit() is also true for No-category chars ('¹', '²')
+    # which _PIECE folds into word runs — those must take the word cost.
+    if "0" <= c <= "9":
         return (len(piece) + 2) // 3
     if len(piece) == 1 and not c.isalpha():
         return 1  # punctuation / symbol
