@@ -187,8 +187,14 @@ _NGRAM_PAIRS_CTE = """base AS (
                 WHERE 2 * i.n_both >= ca.n + cb.n - i.n_both
             )"""
 
-_STOP = "the|a|of|to|and"
-_PUNCT = r"[.,!?;:]"
+# quality-gate definition imported from the engine so the oracle SQL
+# can never drift from the map_batches gates that claim to match it
+from ragflow_ray.ops.curation import (  # noqa: E402
+    QF_MAX_PUNCT_X100 as _QF_MAXPUNCT,
+    QF_MIN_TOKENS as _QF_MINTOK,
+    QF_PUNCT as _PUNCT,
+    QF_STOP_WORDS as _STOP,
+)
 # exact ASCII token count — same explicit class as the engine's
 # textstats._TOKEN_RUN (trim+split-\s+ diverged on leading/trailing
 # whitespace: Python strip() vs SQL trim(); and counted empty text as
@@ -483,7 +489,7 @@ def oracle_sql() -> dict[str, str]:
                          length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')) AS n_punct,
                          length(regexp_extract_all(text, '\\b(?:{_STOP})\\b')) AS n_stop
                   FROM documents)
-            WHERE n_tokens >= 16 AND n_punct * 100 <= 50 * n_tokens
+            WHERE n_tokens >= {_QF_MINTOK} AND n_punct * 100 <= {_QF_MAXPUNCT} * n_tokens
               AND n_stop > 0
             ORDER BY doc_id
         """,
@@ -540,7 +546,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             surv AS (
                 SELECT doc_id, n_tokens, h FROM q
-                WHERE n_tokens >= 16 AND n_punct * 100 <= 50 * n_tokens
+                WHERE n_tokens >= {_QF_MINTOK} AND n_punct * 100 <= {_QF_MAXPUNCT} * n_tokens
                   AND n_stop > 0
             ),
             keep AS (
@@ -577,8 +583,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT ws::BIGINT AS window_start_us, event_type,
                    COUNT(*)::BIGINT AS n_events
             FROM (
-                SELECT (epoch_us(ts) // 1800000000) * 1800000000
-                       - 1800000000 * u.i AS ws,
+                -- floor(), not integer '//': DuckDB '//' truncates
+                -- toward zero while the engine's numpy '//' floors,
+                -- which diverges for pre-1970 (negative-epoch) rows
+                SELECT CAST(floor(epoch_us(ts) / 1800000000.0) AS BIGINT)
+                       * 1800000000 - 1800000000 * u.i AS ws,
                        event_type
                 FROM events, (SELECT unnest(range(2)) AS i) u
             )

@@ -33,6 +33,17 @@ from .textstats import _TOKEN_RUN  # noqa: E402
 DECON_NGRAM = 8
 DECON_BENCHMARK_DOCS = 20
 
+# Quality-gate definition — the ONE source for quality_filter,
+# curate_and_pack, and the SQL oracles in __ray_entry__ (which import
+# these).  QF_PUNCT / QF_STOP_WORDS are written in the regex subset
+# valid in both Python `re` and DuckDB `regexp_*`.
+QF_MIN_TOKENS = 16
+QF_MAX_PUNCT_X100 = 50
+QF_PUNCT = r"[.,!?;:]"
+QF_STOP_WORDS = "the|a|of|to|and"
+QF_PUNCT_RE = re.compile(QF_PUNCT)
+QF_STOP_RE = re.compile(rf"\b(?:{QF_STOP_WORDS})\b")
+
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     from ..sources.readers import read_parquet_clean
@@ -143,35 +154,45 @@ def decontaminate(sf_dir: str, n_benchmark: int = DECON_BENCHMARK_DOCS,
     return df
 
 
-def stratified_sample(sf_dir: str, rate_pct: int = 10):
-    """Deterministic ``rate_pct``% content-hash sample, with language
-    kept as the stratum column: keep iff
-    ``int(md5(text)[:8], 16) % 100 < rate_pct``."""
+def _hash_gate_sample(sf_dir: str, carry: str, rate_of):
+    """Deterministic content-hash sampling core shared by
+    :func:`stratified_sample` and :func:`mixture_sample`: keep a doc
+    iff ``int(md5(text)[:8], 16) % 100 < rate_of(batch[carry])`` —
+    stable across reruns, parallelism and row order, and exactly
+    mirrored in SQL.  ``rate_of`` maps one ``carry``-column value to a
+    keep percentage; there is exactly ONE copy of the hash-gate
+    invariant here."""
     import pyarrow as pa
 
-    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+    schema = pa.schema([("doc_id", pa.int64()), (carry, pa.string())])
 
     def pick(batch: pd.DataFrame):
-        keep_ids, keep_lang = [], []
-        for doc_id, text, lang in zip(batch["doc_id"], batch["text"],
-                                      batch["lang"]):
+        ids, vals = [], []
+        for doc_id, text, val in zip(batch["doc_id"], batch["text"],
+                                     batch[carry]):
             h = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
-            if h % 100 < rate_pct:
-                keep_ids.append(int(doc_id))
-                keep_lang.append(lang)
+            if h % 100 < rate_of(val):
+                ids.append(int(doc_id))
+                vals.append(val)
         return pa.table(
-            {"doc_id": pa.array(keep_ids, type=pa.int64()),
-             "lang": pa.array(keep_lang, type=pa.string())},
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             carry: pa.array(vals, type=pa.string())},
             schema=schema,
         )
 
     df = (
-        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        _docs(sf_dir, columns=("doc_id", "text", carry))
         .map_batches(pick, batch_format="pandas")
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     df["doc_id"] = df["doc_id"].astype("int64")
     return df
+
+
+def stratified_sample(sf_dir: str, rate_pct: int = 10):
+    """Deterministic ``rate_pct``% content-hash sample, with language
+    kept as the stratum column."""
+    return _hash_gate_sample(sf_dir, "lang", lambda _lang: rate_pct)
 
 
 MIXTURE_RATES_PCT = {"src0": 100, "src1": 50, "src2": 25}
@@ -185,53 +206,29 @@ def mixture_sample(sf_dir: str, rates_pct: dict[str, int] | None = None,
     ``int(md5(text)[:8], 16) % 100 < rate(source)`` — the same
     deterministic content-hash gate as :func:`stratified_sample`, but
     with a per-stratum rate table (broadcast implicitly via task
-    closure: it is a constant-sized dict, not data).  Stable across
-    reruns, parallelism and row order; exactly mirrored in SQL.
+    closure: it is a constant-sized dict, not data).
     """
-    import pyarrow as pa
-
     rates = dict(MIXTURE_RATES_PCT if rates_pct is None else rates_pct)
-    schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
-
-    def pick(batch: pd.DataFrame):
-        ids, srcs = [], []
-        for doc_id, text, src in zip(batch["doc_id"], batch["text"],
-                                     batch["source"]):
-            h = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
-            if h % 100 < rates.get(src, default_pct):
-                ids.append(int(doc_id))
-                srcs.append(src)
-        return pa.table(
-            {"doc_id": pa.array(ids, type=pa.int64()),
-             "source": pa.array(srcs, type=pa.string())},
-            schema=schema,
-        )
-
-    df = (
-        _docs(sf_dir, columns=("doc_id", "text", "source"))
-        .map_batches(pick, batch_format="pandas")
-        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _hash_gate_sample(
+        sf_dir, "source", lambda src: rates.get(src, default_pct)
     )
-    df["doc_id"] = df["doc_id"].astype("int64")
-    return df
 
 
-def quality_filter(sf_dir: str, min_tokens: int = 16,
-                   max_punct_per_token_x100: int = 50):
+def quality_filter(sf_dir: str, min_tokens: int = QF_MIN_TOKENS,
+                   max_punct_per_token_x100: int = QF_MAX_PUNCT_X100):
     """Keeper ids after the quality gate: enough tokens, bounded
     punctuation density, at least one stopword (the reference-style
-    'looks like prose' screen)."""
+    'looks like prose' screen).  Gate definition = the QF_* module
+    constants (shared with curate_and_pack and the SQL oracles)."""
     import pyarrow as pa
 
-    punct = re.compile(r"[.,!?;:]")
-    stop = re.compile(r"\b(?:the|a|of|to|and)\b")
     schema = pa.schema([("doc_id", pa.int64())])
 
     def gate(batch: pd.DataFrame):
         text = batch["text"]
         n_tokens = text.str.count(_TOKEN_RUN)
-        n_punct = text.str.count(punct)
-        has_stop = text.str.count(stop) > 0
+        n_punct = text.str.count(QF_PUNCT_RE)
+        has_stop = text.str.count(QF_STOP_RE) > 0
         keep = (
             (n_tokens >= min_tokens)
             & (n_punct * 100 <= max_punct_per_token_x100 * n_tokens)
@@ -331,11 +328,6 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
     non-ASCII-whitespace; empty text = 0 tokens), shared with
     ``token_stats`` and its SQL oracle.
     """
-    import numpy as np
-    import pyarrow as pa
-    import ray
-    from ray.data.aggregate import Sum
-
     def tokens(batch: pd.DataFrame) -> pd.DataFrame:
         n = batch["text"].str.count(_TOKEN_RUN).astype("int64")
         ids = batch["doc_id"].astype("int64")
@@ -419,16 +411,15 @@ def curate_and_pack(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
     * the survivors feed the same bucket prefix-sum placement as
       :func:`pack_sequences`.
 
-    Thresholds are the ``quality_filter`` constants; the SQL oracle
-    composes the identical CTEs (QUALIFY min-per-hash).
+    Thresholds and regexes are the QF_* module constants (shared with
+    :func:`quality_filter`); the SQL oracle composes the identical
+    CTEs (QUALIFY min-per-hash).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from ray.data.aggregate import Min
 
-    punct = re.compile(r"[.,!?;:]")
-    stop = re.compile(r"\b(?:the|a|of|to|and)\b")
     feat_schema = pa.schema(
         [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
          ("content_hash", pa.string()), ("bucket", pa.int64())]
@@ -437,10 +428,12 @@ def curate_and_pack(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
     def survivors(batch: pd.DataFrame):
         text = batch["text"]
         n_tokens = text.str.count(_TOKEN_RUN)
-        n_punct = text.str.count(punct)
-        has_stop = text.str.count(stop) > 0
+        n_punct = text.str.count(QF_PUNCT_RE)
+        has_stop = text.str.count(QF_STOP_RE) > 0
         keep = (
-            (n_tokens >= 16) & (n_punct * 100 <= 50 * n_tokens) & has_stop
+            (n_tokens >= QF_MIN_TOKENS)
+            & (n_punct * 100 <= QF_MAX_PUNCT_X100 * n_tokens)
+            & has_stop
         ).to_numpy()
         ids = batch["doc_id"].to_numpy()[keep].astype("int64")
         toks = n_tokens.to_numpy()[keep].astype("int64")

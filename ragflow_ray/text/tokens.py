@@ -25,7 +25,7 @@ import re
 _CJK = "一-鿿぀-ヿ가-힯"
 _PIECE = re.compile(
     rf"[^\W\d_]+"          # unicode word chars minus digits/underscore (letters)
-    rf"|[0-9]+"            # digit run
+    rf"|\d+"               # decimal-digit run (all Nd: ASCII, fullwidth, Arabic-Indic)
     rf"|[^\s\w]|_"         # punctuation / symbol / underscore
 )
 _CJK_RE = re.compile(rf"[{_CJK}]")
@@ -33,10 +33,11 @@ _CJK_RE = re.compile(rf"[{_CJK}]")
 
 def _piece_cost(piece: str) -> int:
     c = piece[0]
-    # ASCII check required: the _PIECE digit alternative is [0-9]+ only,
-    # but str.isdigit() is also true for No-category chars ('¹', '²')
-    # which _PIECE folds into word runs — those must take the word cost.
-    if "0" <= c <= "9":
+    # isdecimal (Nd) is exactly regex \d — the _PIECE digit class.
+    # str.isdigit() would be wrong here: it is also true for
+    # No-category chars ('¹', '²') which _PIECE folds into word runs,
+    # and those must take the word cost (subadditivity).
+    if c.isdecimal():
         return (len(piece) + 2) // 3
     if len(piece) == 1 and not c.isalpha():
         return 1  # punctuation / symbol
