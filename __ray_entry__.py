@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "fingerprints": lambda d: textstats.fingerprints(d).to_pandas(),
         "bm25_lite_topk": textstats.bm25_lite_topk,
+        "vocab_topk": textstats.vocab_topk,
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
         "dedup_keepers": dedup.dedup_keepers,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": lambda d: dedup.simhash_near_dups(d).to_pandas(),
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_incremental": dedup.dedup_incremental,
+        "passage_dedup": dedup.passage_dedup,
         # --- corpus curation ---
         "decontaminate": curation.decontaminate,
         "stratified_sample": curation.stratified_sample,
@@ -302,6 +304,44 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents WHERE source <> 'src19' GROUP BY 1) o
             USING (h)
             ORDER BY doc_id
+        """,
+        # passage = consecutive non-overlapping 16-word slice of the
+        # split(' ') word list (trailing partial kept; '' = 1 passage);
+        # duplicated = md5 occurs >= 2x corpus-wide incl. multiplicity.
+        # list_slice is 1-based inclusive and clamps at the list end —
+        # exactly Python words[i*16:(i+1)*16]
+        "passage_dedup": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            p AS (
+                SELECT doc_id,
+                       md5(array_to_string(
+                           list_slice(ws, i * 16 + 1, (i + 1) * 16), ' ')) AS ph,
+                       CAST(ceil(len(ws) / 16.0) AS BIGINT) AS n_passages
+                FROM (SELECT doc_id, ws,
+                             unnest(range(CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS i
+                      FROM base)
+            ),
+            d AS (SELECT ph FROM p GROUP BY ph HAVING COUNT(*) >= 2)
+            SELECT doc_id::BIGINT AS doc_id,
+                   MAX(n_passages)::BIGINT AS n_passages,
+                   COUNT(*)::BIGINT AS n_dup_passages
+            FROM p JOIN d USING (ph)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        # word = split(' ') segment; ties break on the word ascending
+        "vocab_topk": """
+            SELECT lang, word, n, rank FROM (
+                SELECT lang, word, COUNT(*)::BIGINT AS n,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY COUNT(*) DESC, word
+                       )::BIGINT AS rank
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                GROUP BY lang, word
+            ) WHERE rank <= 20
+            ORDER BY lang, rank
         """,
         "source_rollup": f"""
             SELECT source,

@@ -1196,3 +1196,87 @@ def dedup_incremental(sf_dir: str, new_source: str = "src19",
     for c in ("doc_id", "dup_of"):
         df[c] = df[c].astype("int64")
     return df
+
+
+# -- passage-level (sub-document) exact dedup ----------------------------
+
+PASSAGE_WORDS = 16
+
+
+def passage_dedup(sf_dir: str, window: int = PASSAGE_WORDS,
+                  join_partitions: int = 8):
+    """Sub-document exact dedup: find documents that contain
+    corpus-duplicated *passages* (the boilerplate/template detection a
+    crawl-curation pipeline runs — headers, footers and licence blocks
+    repeat across docs even when no whole document is a duplicate).
+
+    Passage = consecutive non-overlapping ``window``-word slice of the
+    ``split(' ')`` word list (trailing partial slice included; empty
+    text is one empty passage).  A passage is *duplicated* when its
+    md5 occurs ≥ 2 times corpus-wide, counting multiplicity — so a
+    doc repeating its own passage also reports it.
+
+    Distributed plan: one explode pass emits ``(ph, doc_id,
+    n_passages)`` rows; a C-level count aggregate finds duplicated
+    hashes (the unique long tail dies in the aggregate, never reaching
+    a join); the surviving hash list joins back to the exploded rows
+    and a per-doc count lands the verdicts.  No driver-side state at
+    any point; output is dup-doc-sized.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count, Max
+
+    pass_schema = pa.schema(
+        [("ph", pa.string()), ("doc_id", pa.int64()),
+         ("n_passages", pa.int64())]
+    )
+
+    def explode(batch: pd.DataFrame):
+        phs, ids, totals = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split(" ")
+            npass = (len(words) + window - 1) // window
+            for i in range(npass):
+                chunk = " ".join(words[i * window:(i + 1) * window])
+                phs.append(hashlib.md5(chunk.encode()).hexdigest())
+                ids.append(int(doc_id))
+                totals.append(npass)
+        return pa.table(
+            {"ph": pa.array(phs, type=pa.string()),
+             "doc_id": pa.array(ids, type=pa.int64()),
+             "n_passages": pa.array(totals, type=pa.int64())},
+            schema=pass_schema,
+        )
+
+    # empty join partitions on tiny corpora yield schema-less blocks
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_parts = max(1, min(join_partitions, n_docs // 64 + 1))
+
+    exploded = (
+        _docs(sf_dir).map_batches(explode, batch_format="pandas")
+        .materialize()  # two consumers: the df aggregate and the join
+    )
+    dup_hashes = (
+        exploded.groupby("ph")
+        .aggregate(Count(alias_name="df"))
+        .filter(expr="df >= 2")
+        .select_columns(["ph"])
+    )
+    df = (
+        exploded.join(dup_hashes, join_type="inner",
+                      num_partitions=n_parts, on=("ph",))
+        .groupby("doc_id")
+        .aggregate(Max("n_passages", alias_name="n_passages"),
+                   Count(alias_name="n_dup_passages"))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    if df.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "n_passages", "n_dup_passages")}
+        )
+    for c in ("doc_id", "n_passages", "n_dup_passages"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_passages", "n_dup_passages"]]

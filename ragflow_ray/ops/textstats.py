@@ -229,3 +229,66 @@ def bm25_lite_topk(sf_dir: str, k: int = 20):
     for c in ("doc_id", "score", "rank"):
         out[c] = out[c].astype("int64")
     return out[["doc_id", "score", "rank"]]
+
+
+def vocab_topk(sf_dir: str, k: int = 20):
+    """Vocabulary construction: the ``k`` most frequent words per
+    language (the corpus scan a BPE/unigram tokenizer trainer runs
+    first).
+
+    Word = ``split(' ')`` segment (the convention shared with the
+    repetition/packing ops and their SQL mirrors; empty text
+    contributes one empty-string word).  Distributed plan: per-batch
+    partial (lang, word) counts — the long unique tail collapses
+    inside each batch before anything moves — then one
+    ``groupby(lang, word)`` sum, then a per-language ``map_groups``
+    that keeps only the top ``k``.  The per-language groups are
+    vocabulary-sized, not corpus-sized, so the final step never sees
+    document data.  Ties break on the word (ascending) so the result
+    is deterministic; mirrored by the oracle's
+    ``row_number() OVER (ORDER BY n DESC, word)``.
+    """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    # split+explode builds the per-batch expansion; reindex aligns the
+    # repeated lang values with the exploded index
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.split(" ").explode()
+        langs = batch["lang"].reindex(words.index)
+        g = (
+            pd.DataFrame({"lang": langs.to_numpy(), "word": words.to_numpy()})
+            .groupby(["lang", "word"], as_index=False).size()
+            .rename(columns={"size": "n"})
+        )
+        return g
+
+    topk_schema = pa.schema(
+        [("lang", pa.string()), ("word", pa.string()),
+         ("n", pa.int64()), ("rank", pa.int64())]
+    )
+
+    def topk(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["n", "word"], ascending=[False, True]).head(k)
+        return pa.table(
+            {"lang": g["lang"].astype(str).to_numpy(),
+             "word": g["word"].astype(str).to_numpy(),
+             "n": g["n"].to_numpy().astype("int64"),
+             "rank": list(range(1, len(g) + 1))},
+            schema=topk_schema,
+        )
+
+    df = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["lang", "rank"]).reset_index(drop=True)
+    )
+    for c in ("n", "rank"):
+        df[c] = df[c].astype("int64")
+    return df

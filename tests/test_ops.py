@@ -628,3 +628,55 @@ class TestCurateAndPack:
         assert list(df.seq_index) == [0, 0]
         # doc 3 starts right after doc 0's 20 tokens
         assert list(df.seq_offset) == [0, 20]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPassageVocab:
+    """Round-3 additions: passage-level dedup + vocabulary top-k."""
+
+    def test_passage_dedup_planted_boilerplate(self, tmp_path):
+        from ragflow_ray.ops.dedup import passage_dedup
+
+        rs = np.random.RandomState(31)
+        vocab = [f"w{i}" for i in range(300)]
+        header = " ".join(vocab[i] for i in range(16))  # one aligned window
+        texts = [
+            header + " " + " ".join(vocab[rs.randint(0, 300)] for _ in range(24))
+            for _ in range(5)
+        ] + [
+            " ".join(vocab[rs.randint(0, 300)] for _ in range(40))
+            for _ in range(50)
+        ]
+        # a doc whose own window repeats (multiplicity counts)
+        texts.append(header + " " + header)
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = passage_dedup(str(tmp_path))
+        got = dict(zip(df.doc_id, df.n_dup_passages))
+        for d in range(5):
+            assert got.get(d, 0) >= 1  # header window flagged
+        self_rep = len(texts) - 1
+        assert got.get(self_rep, 0) == 2  # both copies of its window
+        # totals: 5+24 words -> ceil(29/16) = 2 passages  (wait: 16+1+24=41)
+        totals = dict(zip(df.doc_id, df.n_passages))
+        assert totals[0] == (41 + 15) // 16
+
+    def test_vocab_topk_counts(self, tmp_path):
+        from ragflow_ray.ops.textstats import vocab_topk
+
+        texts = ["b a a", "a b c", "c c d"]
+        langs = ["en", "en", "fr"]
+        docs = pa.table(
+            {"doc_id": pa.array(range(3), type=pa.int64()),
+             "text": pa.array(texts), "lang": pa.array(langs)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = vocab_topk(str(tmp_path), k=2)
+        en = df[df.lang == "en"].reset_index(drop=True)
+        fr = df[df.lang == "fr"].reset_index(drop=True)
+        assert list(en.word) == ["a", "b"] and list(en.n) == [3, 2]
+        assert list(en["rank"]) == [1, 2]
+        assert list(fr.word) == ["c", "d"] and list(fr.n) == [2, 1]
