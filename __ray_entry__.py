@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "out_h", "out_w", "resized_sum"]
         ],
         "media_frame_sample": lambda d: multimodal.media_frame_sample(d).to_pandas(),
+        "media_phash_dedup": multimodal.media_phash_dedup,
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -411,6 +412,29 @@ def oracle_sql() -> dict[str, str]:
                       + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
                        ) // 4))::BIGINT AS resized_sum
             FROM b ORDER BY doc_id
+        """,
+        # perceptual-key dedup: the 4x4x3 pooled pixel vector (same
+        # digest-byte derivation as media_resize, element-wise instead
+        # of summed) is the group key
+        "media_phash_dedup": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFIMG1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents),
+            k AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(range(48), k ->
+                           (db[((k//12)*48 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                          + db[((k//12)*48 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                          + db[((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                          + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                           ) // 4), ',') AS phash
+                FROM b)
+            SELECT MIN(doc_id)::BIGINT AS keeper_doc_id,
+                   COUNT(*)::BIGINT AS n_members
+            FROM k GROUP BY phash ORDER BY keeper_doc_id
         """,
         # frame sampling oracle: the fake waveform is the digest tiled
         # to 1024 bytes; stride-63 sampling yields 17 frames whose

@@ -201,3 +201,51 @@ def media_frame_sample(sf_dir: str, stride: int = 63, concurrency=None):
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
+
+
+class ImagePHashStage:
+    """Actor-pool perceptual-key stage: decode → mean-pool to 4×4 →
+    emit the pooled pixel vector as the dedup key.  With a real codec
+    the same mean-pool key clusters near-identical images (recompressed
+    / slightly-edited copies collapse to one thumbnail); with the fake
+    decoder it exercises the identical plan."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 4, fake_decode: bool = True):
+        self.out_h, self.out_w = out_h, out_w
+        self.fake_decode = fake_decode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        keys = []
+        for payload in batch["payload"]:
+            img = decode_image(bytes(payload), fake=self.fake_decode)
+            small = resize_image(img, self.out_h, self.out_w)
+            keys.append(",".join(str(int(v)) for v in small.flatten()))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "phash": keys})
+
+
+def media_phash_dedup(sf_dir: str, concurrency=None):
+    """Image near-dup groups by perceptual (downsampled-thumbnail) key:
+    one row per distinct thumbnail — id-minimal keeper + member count.
+
+    The canonical image-dedup plan at corpus scale: the decode+pool
+    actor pool reduces each payload to a tiny key, and only the keys
+    shuffle (one groupby with C-level Min/Count aggregates); payloads
+    never move after the feature stage.  Oracled exactly: the pooled
+    pixels are recomputed in SQL from the sha256 digest bytes (same
+    derivation as the media_resize oracle)."""
+    from ray.data.aggregate import Count, Min
+
+    keys = media_payloads(sf_dir).map_batches(
+        ImagePHashStage, batch_format="pandas", batch_size=256,
+        concurrency=concurrency or 2,
+    )
+    df = (
+        keys.groupby("phash")
+        .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
+                   Count(alias_name="n_members"))
+        .to_pandas()
+        .sort_values("keeper_doc_id").reset_index(drop=True)
+    )
+    for c in ("keeper_doc_id", "n_members"):
+        df[c] = df[c].astype("int64")
+    return df[["keeper_doc_id", "n_members"]]

@@ -272,6 +272,19 @@ class TestMultimodalStages:
         assert (fs["frame_sum"] > 0).all()
 
     @pytest.mark.usefixtures("ray_session")
+    def test_phash_dedup_groups(self, planted_dir):
+        """Identical payloads collapse to one thumbnail-key group with
+        the id-minimal keeper; distinct payloads stay singletons."""
+        from ragflow_ray.ops.multimodal import media_phash_dedup
+
+        df = media_phash_dedup(planted_dir)
+        # docs 0 and 1 share text -> same payload -> same pooled key
+        assert len(df) == 5
+        row = df[df.keeper_doc_id == 0]
+        assert len(row) == 1 and int(row.n_members.iloc[0]) == 2
+        assert (df[df.keeper_doc_id != 0].n_members == 1).all()
+
+    @pytest.mark.usefixtures("ray_session")
     def test_embedding_hot_label_subblocks(self, tmp_path):
         """A label beyond max_label_size sub-blocks instead of dying
         quadratically; planted identical vectors are still paired."""
