@@ -119,7 +119,7 @@ def run_bench() -> dict:
             "corpus_docs": n_docs,
             "docs_per_sec": round(n_docs / extract_sec, 2),
         }
-    from ragflow_ray.ops import ann, curation, dedup, relational, textstats
+    from ragflow_ray.ops import ann, curation, dedup, multimodal, relational, textstats
     from ragflow_ray.ops.extract_queries import html_extract_roundtrip
 
     # sketch/scoring stages are light: a small actor pool amortizes
@@ -143,6 +143,11 @@ def run_bench() -> dict:
         "pack_sequences": curation.pack_sequences,
         "length_quantiles": curation.length_quantiles,
         "dedup_incremental": dedup.dedup_incremental,
+        "curate_and_pack": curation.curate_and_pack,
+        "passage_dedup": dedup.passage_dedup,
+        "vocab_topk": textstats.vocab_topk,
+        "media_phash_dedup": lambda d: multimodal.media_phash_dedup(
+            d, concurrency=pool),
     }
     for name, fn in bench_queries.items():
         t0 = time.time()
