@@ -101,9 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": curation.length_quantiles,
         "mixture_sample": curation.mixture_sample,
         "curate_and_pack": curation.curate_and_pack,
+        "per_source_cap": curation.per_source_cap,
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
+        "ann_lsh_topk": ann.lsh_topk,
         "label_vector_sums": ann.label_vector_sums,
         # --- multimodal plumbing ---
         "media_meta": media_meta,
@@ -306,6 +308,19 @@ def oracle_sql() -> dict[str, str]:
             USING (h)
             ORDER BY doc_id
         """,
+        # per-domain cap: keep 15 docs per source ranked by
+        # (md5(text), doc_id) — deterministic unbiased sample
+        "per_source_cap": """
+            SELECT doc_id::BIGINT AS doc_id, source, rank FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(text), doc_id
+                       )::BIGINT AS rank
+                FROM documents
+            ) WHERE rank <= 15
+            ORDER BY source, rank
+        """,
         # passage = consecutive non-overlapping 16-word slice of the
         # split(' ') word list (trailing partial kept; '' = 1 passage);
         # duplicated = md5 occurs >= 2x corpus-wide incl. multiplicity.
@@ -507,6 +522,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node::BIGINT AS doc_id, MIN(root)::BIGINT AS cluster_keeper
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "ann_lsh_topk": f"""
+            SELECT q_vec_id, vec_id, rank
+            FROM read_parquet('{_FIXTURES}/lsh_topk.parquet')
+            WHERE corpus_key = (
+                SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT))
+                FROM embeddings)
+            ORDER BY q_vec_id, rank
         """,
         "ann_ivf_topk": f"""
             SELECT q_vec_id, vec_id, rank

@@ -250,3 +250,92 @@ def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
     df = df.groupby("q_vec_id", as_index=False).head(k)
     df["rank"] = df.groupby("q_vec_id").cumcount() + 1
     return df[["q_vec_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+LSH_PLANES = 8
+LSH_SEED = 7
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    """The pinned random-hyperplane set (seed IS the spec, shared with
+    the independent fixture re-derivation)."""
+    return np.random.RandomState(LSH_SEED).randn(LSH_PLANES, dim)
+
+
+def _lsh_buckets(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket id per row: bit b set iff ``v @ plane_b >= 0``."""
+    bits = (mat @ planes.T) >= 0.0
+    return bits @ (1 << np.arange(LSH_PLANES, dtype=np.int64))
+
+
+def lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=None):
+    """LSH-bucketed approximate top-k — the hash-partition scale path
+    next to :func:`ivf_topk`'s clustered one: vectors land in
+    ``2**LSH_PLANES`` sign-pattern buckets, each query probes its own
+    bucket plus all Hamming-distance-1 neighbors (multi-probe), and
+    only probed-bucket members are scored exactly.
+
+    Unlike IVF there is no training read at all — the planes are a
+    seeded constant — so the stage broadcast is O(planes + queries)
+    regardless of corpus size, and bucket assignment inside
+    ``map_batches`` is one matmul + sign reduction per batch.
+    """
+    import ray
+
+    query_ids, queries = _load_queries(sf_dir, n_queries)
+    planes = _lsh_planes(queries.shape[1])
+
+    q_buckets = _lsh_buckets(queries, planes)
+    wanted: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_buckets):
+        probes = [int(b)] + [int(b) ^ (1 << p) for p in range(LSH_PLANES)]
+        for pb in probes:
+            wanted.setdefault(pb, []).append(qi)
+
+    cref = ray.put((planes, queries, query_ids, wanted))
+
+    class LshScorer:
+        def __init__(self):
+            self.planes, self.queries, self.query_ids, self.wanted = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame):
+            ids = batch["vec_id"].to_numpy()
+            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            buckets = _lsh_buckets(mat, self.planes)
+            rows_q, rows_v, rows_s = [], [], []
+            for b, qis in self.wanted.items():
+                mask = buckets == b
+                if not mask.any():
+                    continue
+                sub, sub_ids = mat[mask], ids[mask]
+                sims = self.queries[qis] @ sub.T
+                for row, qi in enumerate(qis):
+                    kk = min(k, sims.shape[1])
+                    idx = np.argpartition(-sims[row], kk - 1)[:kk]
+                    rows_q.extend([self.query_ids[qi]] * kk)
+                    rows_v.extend(sub_ids[idx])
+                    rows_s.extend(sims[row][idx])
+            return pa.table(
+                {
+                    "q_vec_id": np.asarray(rows_q, dtype=np.int64),
+                    "vec_id": np.asarray(rows_v, dtype=np.int64),
+                    "score": np.asarray(rows_s, dtype=np.float64),
+                },
+                schema=_PARTIAL_SCHEMA,
+            )
+
+    partials = _embeddings(sf_dir).map_batches(
+        LshScorer, batch_format="pandas", concurrency=concurrency or 2,
+        batch_size=4096,
+    )
+    df = partials.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"q_vec_id": [], "vec_id": [], "rank": []})
+    # a vector can reach one query through several probed buckets? no —
+    # buckets partition the corpus, so (q, vec) pairs are unique here
+    df["score_r"] = df["score"].round(9)
+    df = df.sort_values(["q_vec_id", "score_r", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("q_vec_id", as_index=False).head(k)
+    df["rank"] = df.groupby("q_vec_id").cumcount() + 1
+    return df[["q_vec_id", "vec_id", "rank"]].reset_index(drop=True)

@@ -652,3 +652,67 @@ def length_histogram(sf_dir: str, bucket_tokens: int = 16):
     for c in ("bucket", "n_docs"):
         df[c] = df[c].astype("int64")
     return df
+
+
+PER_SOURCE_CAP = 15
+
+
+def per_source_cap(sf_dir: str, cap: int = PER_SOURCE_CAP):
+    """Per-source document cap (the CCNet-style per-domain limit: no
+    single crawl domain may dominate the mixture).  Keeps, per source,
+    the ``cap`` docs ranked first by ``(md5(text), doc_id)`` — a
+    deterministic pseudo-random order, so the cap is an unbiased
+    sample that is stable across reruns, parallelism and row order.
+
+    Distributed plan: a per-batch partial top-``cap`` per source (each
+    batch forwards at most ``cap`` rows per source it saw — every
+    global winner is a batch winner), then one ``groupby(source)``
+    merge over ≤ cap × n_blocks rows.  The corpus text never moves:
+    only (source, rank-key, doc_id) triples shuffle.
+    """
+    import pyarrow as pa
+
+    key_schema = pa.schema(
+        [("source", pa.string()), ("rk", pa.string()), ("doc_id", pa.int64())]
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        rk = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"]]
+        g = (
+            pd.DataFrame({"source": batch["source"].to_numpy(),
+                          "rk": rk,
+                          "doc_id": batch["doc_id"].to_numpy()})
+            .sort_values(["source", "rk", "doc_id"])
+            .groupby("source", as_index=False).head(cap)
+        )
+        return pa.table(
+            {"source": g["source"].astype(str).to_numpy(),
+             "rk": g["rk"].to_numpy(),
+             "doc_id": g["doc_id"].to_numpy().astype("int64")},
+            schema=key_schema,
+        )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("rank", pa.int64())]
+    )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["rk", "doc_id"]).head(cap)
+        return pa.table(
+            {"doc_id": g["doc_id"].to_numpy().astype("int64"),
+             "source": g["source"].astype(str).to_numpy(),
+             "rank": list(range(1, len(g) + 1))},
+            schema=out_schema,
+        )
+
+    df = (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas().sort_values(["source", "rank"]).reset_index(drop=True)
+    )
+    for c in ("doc_id", "rank"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "source", "rank"]]

@@ -42,6 +42,7 @@ MERSENNE = (1 << 61) - 1
 JACCARD_THRESHOLD = 0.8
 MAX_HAMMING = 3
 IVF_K, IVF_NQ, IVF_LISTS, IVF_PROBE = 10, 5, 16, 4
+LSH_PLANES, LSH_SEED = 8, 7
 U64 = 1 << 64
 
 
@@ -178,6 +179,42 @@ def ivf_expected(sf_dir: str) -> list[tuple[int, int, int]]:
     return rows
 
 
+# ---- LSH top-k (spec: seed-7 RandomState.randn(8, dim) hyperplanes,
+#      bit b = v @ plane_b >= 0, probe own bucket + Hamming-1 flips,
+#      exact cosine within probed buckets) --------------------------------
+
+
+def lsh_expected(sf_dir: str) -> list[tuple[int, int, int]]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ids = df["vec_id"].to_numpy()
+
+    planes = np.random.RandomState(LSH_SEED).randn(LSH_PLANES, mat.shape[1])
+    buckets = []
+    for v in mat:  # deliberately row-at-a-time (naive re-derivation)
+        b = 0
+        for p in range(LSH_PLANES):
+            if float(v @ planes[p]) >= 0.0:
+                b |= 1 << p
+        buckets.append(b)
+    buckets = np.asarray(buckets)
+
+    rows = []
+    for qi in range(IVF_NQ):
+        probes = {int(buckets[qi])} | {
+            int(buckets[qi]) ^ (1 << p) for p in range(LSH_PLANES)
+        }
+        member_mask = np.isin(buckets, sorted(probes))
+        cand_ids = ids[member_mask]
+        scores = np.round(mat[member_mask] @ mat[qi], 9)
+        order = sorted(zip(scores, cand_ids), key=lambda t: (-t[0], t[1]))
+        for rank, (_s, vid) in enumerate(order[:IVF_K], start=1):
+            rows.append((int(ids[qi]), int(vid), rank))
+    return rows
+
+
 # ---- driver --------------------------------------------------------------
 
 
@@ -190,6 +227,8 @@ def build(sf_dirs: list[str]) -> None:
     pair_rows: dict[str, list] = {"corpus_key": [], "doc_a": [], "doc_b": [],
                                   "jaccard": []}
     ivf_rows: dict[str, list] = {"corpus_key": [], "q_vec_id": [], "vec_id": [],
+                                 "rank": []}
+    lsh_rows: dict[str, list] = {"corpus_key": [], "q_vec_id": [], "vec_id": [],
                                  "rank": []}
 
     for sf in sf_dirs:
@@ -215,9 +254,15 @@ def build(sf_dirs: list[str]) -> None:
             ivf_rows["q_vec_id"].append(q)
             ivf_rows["vec_id"].append(v)
             ivf_rows["rank"].append(r)
+        for q, v, r in lsh_expected(sf):
+            lsh_rows["corpus_key"].append(ekey)
+            lsh_rows["q_vec_id"].append(q)
+            lsh_rows["vec_id"].append(v)
+            lsh_rows["rank"].append(r)
         print(f"{sf}: doc_key={dkey} emb_key={ekey} "
               f"sigs={len(ids)} pairs={pair_rows['corpus_key'].count(dkey)} "
-              f"ivf={ivf_rows['corpus_key'].count(ekey)}")
+              f"ivf={ivf_rows['corpus_key'].count(ekey)} "
+              f"lsh={lsh_rows['corpus_key'].count(ekey)}")
 
     pq.write_table(
         pa.table(sig_rows).cast(pa.schema([
@@ -239,6 +284,13 @@ def build(sf_dirs: list[str]) -> None:
             ("vec_id", pa.int64()), ("rank", pa.int64()),
         ])),
         f"{FIXTURE_DIR}/ivf_topk.parquet",
+    )
+    pq.write_table(
+        pa.table(lsh_rows).cast(pa.schema([
+            ("corpus_key", pa.int64()), ("q_vec_id", pa.int64()),
+            ("vec_id", pa.int64()), ("rank", pa.int64()),
+        ])),
+        f"{FIXTURE_DIR}/lsh_topk.parquet",
     )
 
 
