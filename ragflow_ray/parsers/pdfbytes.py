@@ -32,9 +32,10 @@ path:
   through the object table.
 
 Stream filters: FlateDecode, LZWDecode, ASCII85Decode,
-ASCIIHexDecode, and ordered chains of them.  Deliberately out of
-scope (documented subset, not a stub): encrypted documents,
-predictors, raster filters (DCTDecode/JPX) — bytes outside the
+ASCIIHexDecode, and ordered chains of them; /DecodeParms /Predictor
+post-processing (TIFF 2 and PNG 10–15) on the compression filters.
+Deliberately out of scope (documented subset, not a stub): encrypted
+documents, raster filters (DCTDecode/JPX) — bytes outside the
 subset degrade to skipped show-strings, never to a crash.  Good
 enough to round-trip every text PDF this engine writes in its own
 tests, the common single-byte-font documents, Identity-H CID PDFs
@@ -291,22 +292,101 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+_DECODEPARMS = re.compile(rb"/DecodeParms\s*<<(.*?)>>", re.S)
+_PRED_N = re.compile(rb"/Predictor\s+(\d+)")
+_PARM_COLS = re.compile(rb"/Columns\s+(\d+)")
+_PARM_COLORS = re.compile(rb"/Colors\s+(\d+)")
+_PARM_BPC = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _unpredict(data: bytes, predictor: int, columns: int, colors: int,
+               bpc: int) -> bytes | None:
+    """Undo /Predictor post-processing on a decompressed stream
+    (PDF 32000-1 §7.4.4.4): 2 = TIFF horizontal differencing,
+    10–15 = PNG row filters (None/Sub/Up/Average/Paeth, per-row tag
+    byte).  Returns None on malformed geometry — caller degrades."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if rowlen <= 0:
+        return None
+    if predictor == 2:
+        if bpc != 8:
+            return None  # sub-byte TIFF differencing: out of subset
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r + bpp, r + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    stride = rowlen + 1
+    if predictor < 10 or len(data) % stride:
+        return None
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), stride):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        else:
+            return None
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _apply_filters(header: bytes, raw: bytes) -> bytes | None:
     """Run the /Filter chain in order.  Supported: FlateDecode,
-    ASCIIHexDecode, ASCII85Decode, LZWDecode; an unknown filter (or a
-    decode error) returns None — the caller skips the stream, per the
-    module's degrade-never-crash contract."""
+    ASCIIHexDecode, ASCII85Decode, LZWDecode, with /DecodeParms
+    /Predictor (TIFF 2 and PNG 10–15) on the compression filters; an
+    unknown filter (or a decode error) returns None — the caller skips
+    the stream, per the module's degrade-never-crash contract."""
     import base64
 
     fm = _FILTER_CHAIN.search(header)
     if not fm:
         return raw
     names = [n.decode("latin-1") for n in _FILTER_NAME.findall(fm.group(1))]
+    pm = _DECODEPARMS.search(header)
+    predictor, columns, colors, bpc = 1, 1, 1, 8
+    if pm:
+        parms = pm.group(1)
+        g = _PRED_N.search(parms)
+        predictor = int(g.group(1)) if g else 1
+        g = _PARM_COLS.search(parms)
+        columns = int(g.group(1)) if g else 1
+        g = _PARM_COLORS.search(parms)
+        colors = int(g.group(1)) if g else 1
+        g = _PARM_BPC.search(parms)
+        bpc = int(g.group(1)) if g else 8
     data = raw
     for name in names:
         try:
             if name == "FlateDecode":
                 data = zlib.decompress(data)
+                if predictor > 1:
+                    data = _unpredict(data, predictor, columns, colors, bpc)
+                    predictor = 1  # parms apply to one filter
+                    if data is None:
+                        return None
             elif name == "ASCIIHexDecode":
                 eod = data.find(b">")  # '>' is EOD: later bytes ignored
                 hx = re.sub(rb"\s", b"", data[: eod if eod != -1 else len(data)])
@@ -322,7 +402,12 @@ def _apply_filters(header: bytes, raw: bytes) -> bytes | None:
                 data = base64.a85decode(re.sub(rb"\s", b"", body85))
             elif name == "LZWDecode":
                 data = _lzw_decode(data)
-            else:  # DCTDecode, Crypt, predictors... — out of subset
+                if predictor > 1:
+                    data = _unpredict(data, predictor, columns, colors, bpc)
+                    predictor = 1  # parms apply to one filter
+                    if data is None:
+                        return None
+            else:  # DCTDecode, Crypt... — out of subset
                 return None
         except (zlib.error, ValueError, UnicodeDecodeError):
             return None

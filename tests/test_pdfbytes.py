@@ -514,3 +514,113 @@ class TestFilterChains:
         from ragflow_ray.parsers.pdfbytes import _lzw_decode
 
         assert _lzw_decode(_lzw_encode(data)) == data
+
+
+# ---------------------------------------------------------------- predictors
+
+
+def _png_filter(data: bytes, rowlen: int, bpp: int, ftypes: list[int]) -> bytes:
+    """Independent PNG row-filter ENCODER (inverse of _unpredict), one
+    tag byte per row, cycling through ftypes."""
+    assert len(data) % rowlen == 0
+    out = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(data), rowlen):
+        row = data[r : r + rowlen]
+        ft = ftypes[(r // rowlen) % len(ftypes)]
+        out.append(ft)
+        for i in range(rowlen):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            out.append((row[i] - pred) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def make_predictor_pdf(lines: list[str], predictor: int, columns: int,
+                       ftypes: list[int] | None = None) -> bytes:
+    """One-page PDF whose FlateDecode content stream carries a
+    /DecodeParms /Predictor post-filter."""
+    parts = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        if i > 0:
+            parts.append(b"0 -14 Td")
+        esc = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        parts.append(b"(" + esc.encode("latin-1") + b") Tj")
+    parts.append(b"ET")
+    data = b"\n".join(parts)
+    if len(data) % columns:  # pad to whole rows (whitespace is inert)
+        data += b" " * (columns - len(data) % columns)
+    if predictor >= 10:
+        filt = _png_filter(data, columns, 1, ftypes or [2])
+    else:  # TIFF horizontal differencing
+        out = bytearray()
+        for r in range(0, len(data), columns):
+            row = bytearray(data[r : r + columns])
+            for i in range(len(row) - 1, 0, -1):
+                row[i] = (row[i] - row[i - 1]) & 0xFF
+            out += row
+        filt = bytes(out)
+    comp = zlib.compress(filt)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [4 0 R] >>",
+        b"<< /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor "
+        + str(predictor).encode() + b" /Columns " + str(columns).encode()
+        + b" >> >>\nstream\n" + comp + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 3 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+class TestPredictors:
+    def test_png_up_predictor12(self):
+        lines = ["predictor twelve stream", "second line of it"]
+        assert pdf_text_lines(make_predictor_pdf(lines, 12, 24)) == [lines]
+
+    def test_png_mixed_filters(self):
+        lines = ["mixed row filters survive", "sub up average paeth none"]
+        blob = make_predictor_pdf(lines, 15, 17, ftypes=[1, 2, 3, 4, 0])
+        assert pdf_text_lines(blob) == [lines]
+
+    def test_tiff_predictor2(self):
+        lines = ["tiff differencing"]
+        assert pdf_text_lines(make_predictor_pdf(lines, 2, 16)) == [lines]
+
+    def test_unpredict_bad_geometry_degrades(self):
+        from ragflow_ray.parsers.pdfbytes import _unpredict
+
+        # stream length not a multiple of stride -> None, no crash
+        assert _unpredict(b"\x02abc", 12, 100, 1, 8) is None
+        assert _unpredict(b"", 12, 0, 1, 8) is None
+        # unknown row filter tag -> None
+        assert _unpredict(b"\x09ab", 12, 2, 1, 8) is None
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.binary(min_size=1, max_size=400), st.integers(1, 30),
+           st.lists(st.sampled_from([0, 1, 2, 3, 4]), min_size=1, max_size=5))
+    def test_png_roundtrip_property(self, data, columns, ftypes):
+        from ragflow_ray.parsers.pdfbytes import _unpredict
+
+        if len(data) % columns:
+            data += b"\x00" * (columns - len(data) % columns)
+        enc = _png_filter(data, columns, 1, ftypes)
+        assert _unpredict(enc, 12, columns, 1, 8) == data
