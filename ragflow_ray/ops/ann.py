@@ -69,6 +69,53 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     return df["vec_id"].to_numpy(), q
 
 
+def _score_wanted(ids, mat, assignment, wanted, queries, query_ids, k):
+    """Shared bucketed-scorer kernel (IVF lists and LSH buckets):
+    for each wanted bucket, exact-score its member vectors against the
+    probing queries and keep a per-(query, bucket, batch) partial
+    top-k.  The tie-break / rounding contract downstream is
+    load-bearing for the fixture oracles — keep ONE copy."""
+    rows_q, rows_v, rows_s = [], [], []
+    for b, qis in wanted.items():
+        mask = assignment == b
+        if not mask.any():
+            continue
+        sub, sub_ids = mat[mask], ids[mask]
+        sims = queries[qis] @ sub.T
+        for row, qi in enumerate(qis):
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims[row], kk - 1)[:kk]
+            rows_q.extend([query_ids[qi]] * kk)
+            rows_v.extend(sub_ids[idx])
+            rows_s.extend(sims[row][idx])
+    return pa.table(
+        {
+            "q_vec_id": np.asarray(rows_q, dtype=np.int64),
+            "vec_id": np.asarray(rows_v, dtype=np.int64),
+            "score": np.asarray(rows_s, dtype=np.float64),
+        },
+        schema=_PARTIAL_SCHEMA,
+    )
+
+
+def _merge_partials(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Tiny driver-side merge of the per-batch partial top-k set
+    (nq × k × n_blocks rows): round scores to absorb summation-order
+    jitter, sort (score desc, vec_id asc), head(k), 1-based rank."""
+    if df.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("q_vec_id", "vec_id", "rank")}
+        )
+    df = df.copy()
+    df["score_r"] = df["score"].round(9)
+    df = df.sort_values(["q_vec_id", "score_r", "vec_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("q_vec_id", as_index=False).head(k)
+    df["rank"] = df.groupby("q_vec_id").cumcount() + 1
+    return df[["q_vec_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
 class TopKScorer:
     """Actor-pool stage: per-batch cosine top-k against the broadcast
     query matrix (one matmul per batch)."""
@@ -119,13 +166,7 @@ def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=N
         batch_size=4096,
     )
     # final merge: the partial top-k set is tiny (nq × k × n_blocks)
-    df = partials.to_pandas()
-    df["score_r"] = df["score"].round(9)
-    df = df.sort_values(["q_vec_id", "score_r", "vec_id"],
-                        ascending=[True, False, True])
-    df = df.groupby("q_vec_id", as_index=False).head(k)
-    df["rank"] = df.groupby("q_vec_id").cumcount() + 1
-    return df[["q_vec_id", "vec_id", "rank"]].reset_index(drop=True)
+    return _merge_partials(partials.to_pandas(), k)
 
 
 def label_vector_sums(sf_dir: str):
@@ -217,39 +258,13 @@ def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
             mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             lists = np.argmax(mat @ self.centroids.T, axis=1)
-            rows_q, rows_v, rows_s = [], [], []
-            for li, qis in self.wanted.items():
-                mask = lists == li
-                if not mask.any():
-                    continue
-                sub, sub_ids = mat[mask], ids[mask]
-                sims = self.queries[qis] @ sub.T
-                for row, qi in enumerate(qis):
-                    kk = min(k, sims.shape[1])
-                    idx = np.argpartition(-sims[row], kk - 1)[:kk]
-                    rows_q.extend([self.query_ids[qi]] * kk)
-                    rows_v.extend(sub_ids[idx])
-                    rows_s.extend(sims[row][idx])
-            return pa.table(
-                {
-                    "q_vec_id": np.asarray(rows_q, dtype=np.int64),
-                    "vec_id": np.asarray(rows_v, dtype=np.int64),
-                    "score": np.asarray(rows_s, dtype=np.float64),
-                },
-                schema=_PARTIAL_SCHEMA,
-            )
+            return _score_wanted(ids, mat, lists, self.wanted,
+                                 self.queries, self.query_ids, k)
 
     partials = _embeddings(sf_dir).map_batches(
         IvfScorer, batch_format="pandas", concurrency=concurrency or 2, batch_size=4096
     )
-    df = partials.to_pandas()
-    if df.empty:
-        return pd.DataFrame({"q_vec_id": [], "vec_id": [], "rank": []})
-    df["score_r"] = df["score"].round(9)
-    df = df.sort_values(["q_vec_id", "score_r", "vec_id"], ascending=[True, False, True])
-    df = df.groupby("q_vec_id", as_index=False).head(k)
-    df["rank"] = df.groupby("q_vec_id").cumcount() + 1
-    return df[["q_vec_id", "vec_id", "rank"]].reset_index(drop=True)
+    return _merge_partials(partials.to_pandas(), k)
 
 
 LSH_PLANES = 8
@@ -303,39 +318,13 @@ def lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=None):
             mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             buckets = _lsh_buckets(mat, self.planes)
-            rows_q, rows_v, rows_s = [], [], []
-            for b, qis in self.wanted.items():
-                mask = buckets == b
-                if not mask.any():
-                    continue
-                sub, sub_ids = mat[mask], ids[mask]
-                sims = self.queries[qis] @ sub.T
-                for row, qi in enumerate(qis):
-                    kk = min(k, sims.shape[1])
-                    idx = np.argpartition(-sims[row], kk - 1)[:kk]
-                    rows_q.extend([self.query_ids[qi]] * kk)
-                    rows_v.extend(sub_ids[idx])
-                    rows_s.extend(sims[row][idx])
-            return pa.table(
-                {
-                    "q_vec_id": np.asarray(rows_q, dtype=np.int64),
-                    "vec_id": np.asarray(rows_v, dtype=np.int64),
-                    "score": np.asarray(rows_s, dtype=np.float64),
-                },
-                schema=_PARTIAL_SCHEMA,
-            )
+            # buckets partition the corpus, so (q, vec) pairs stay
+            # unique across probes — no pair dedup needed downstream
+            return _score_wanted(ids, mat, buckets, self.wanted,
+                                 self.queries, self.query_ids, k)
 
     partials = _embeddings(sf_dir).map_batches(
         LshScorer, batch_format="pandas", concurrency=concurrency or 2,
         batch_size=4096,
     )
-    df = partials.to_pandas()
-    if df.empty:
-        return pd.DataFrame({"q_vec_id": [], "vec_id": [], "rank": []})
-    # a vector can reach one query through several probed buckets? no —
-    # buckets partition the corpus, so (q, vec) pairs are unique here
-    df["score_r"] = df["score"].round(9)
-    df = df.sort_values(["q_vec_id", "score_r", "vec_id"], ascending=[True, False, True])
-    df = df.groupby("q_vec_id", as_index=False).head(k)
-    df["rank"] = df.groupby("q_vec_id").cumcount() + 1
-    return df[["q_vec_id", "vec_id", "rank"]].reset_index(drop=True)
+    return _merge_partials(partials.to_pandas(), k)

@@ -1224,7 +1224,6 @@ def passage_dedup(sf_dir: str, window: int = PASSAGE_WORDS,
     any point; output is dup-doc-sized.
     """
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from ray.data.aggregate import Count, Max
 
@@ -1250,10 +1249,6 @@ def passage_dedup(sf_dir: str, window: int = PASSAGE_WORDS,
             schema=pass_schema,
         )
 
-    # empty join partitions on tiny corpora yield schema-less blocks
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    n_parts = max(1, min(join_partitions, n_docs // 64 + 1))
-
     exploded = (
         _docs(sf_dir).map_batches(explode, batch_format="pandas")
         .materialize()  # two consumers: the df aggregate and the join
@@ -1263,7 +1258,19 @@ def passage_dedup(sf_dir: str, window: int = PASSAGE_WORDS,
         .aggregate(Count(alias_name="df"))
         .filter(expr="df >= 2")
         .select_columns(["ph"])
+        .materialize()
     )
+    # empty join partitions yield schema-less blocks that crash the
+    # hash join — bail out when no passage repeats, and size the
+    # partition count from the SMALL (duplicated-hash) side, never
+    # from n_docs (a dedup-free corpus has 0 dup hashes but many docs)
+    n_dup = dup_hashes.count()
+    if n_dup == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "n_passages", "n_dup_passages")}
+        )
+    n_parts = max(1, min(join_partitions, n_dup // 64 + 1))
     df = (
         exploded.join(dup_hashes, join_type="inner",
                       num_partitions=n_parts, on=("ph",))

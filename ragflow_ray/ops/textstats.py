@@ -252,9 +252,15 @@ def vocab_topk(sf_dir: str, k: int = 20):
 
     from ray.data.aggregate import Sum
 
+    partial_schema = pa.schema(
+        [("lang", pa.string()), ("word", pa.string()), ("n", pa.int64())]
+    )
+
     # split+explode builds the per-batch expansion; reindex aligns the
-    # repeated lang values with the exploded index
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    # repeated lang values with the exploded index.  Output is a
+    # schema-pinned Arrow table — unpinned pandas blocks degrade to
+    # schema-less empties that defeat Ray's block-schema dedup
+    def partial(batch: pd.DataFrame) -> pa.Table:
         words = batch["text"].str.split(" ").explode()
         langs = batch["lang"].reindex(words.index)
         g = (
@@ -262,21 +268,27 @@ def vocab_topk(sf_dir: str, k: int = 20):
             .groupby(["lang", "word"], as_index=False).size()
             .rename(columns={"size": "n"})
         )
-        return g
-
-    topk_schema = pa.schema(
-        [("lang", pa.string()), ("word", pa.string()),
-         ("n", pa.int64()), ("rank", pa.int64())]
-    )
-
-    def topk(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values(["n", "word"], ascending=[False, True]).head(k)
         return pa.table(
             {"lang": g["lang"].astype(str).to_numpy(),
              "word": g["word"].astype(str).to_numpy(),
-             "n": g["n"].to_numpy().astype("int64"),
-             "rank": list(range(1, len(g) + 1))},
-            schema=topk_schema,
+             "n": g["n"].to_numpy().astype("int64")},
+            schema=partial_schema,
+        )
+
+    # post-aggregate every (lang, word) row is unique, so a per-batch
+    # partial top-k is exact after a tiny driver merge (the ann.py
+    # pattern) — no groupby(lang) second shuffle, and no
+    # one-group-per-language map_groups skew hazard at corpus scale
+    def partial_topk(batch: pd.DataFrame) -> pa.Table:
+        g = (
+            batch.sort_values(["n", "word"], ascending=[False, True])
+            .groupby("lang", as_index=False).head(k)
+        )
+        return pa.table(
+            {"lang": g["lang"].astype(str).to_numpy(),
+             "word": g["word"].astype(str).to_numpy(),
+             "n": g["n"].to_numpy().astype("int64")},
+            schema=partial_schema,
         )
 
     df = (
@@ -284,11 +296,22 @@ def vocab_topk(sf_dir: str, k: int = 20):
         .map_batches(partial, batch_format="pandas")
         .groupby(["lang", "word"])
         .aggregate(Sum("n", alias_name="n"))
-        .groupby("lang")
-        .map_groups(topk, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["lang", "rank"]).reset_index(drop=True)
+        .map_batches(partial_topk, batch_format="pandas")
+        .to_pandas()  # ≤ k × n_langs × n_blocks rows
     )
+    if df.empty:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype="object"),
+             "word": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
+    df = (
+        df.sort_values(["n", "word"], ascending=[False, True])
+        .groupby("lang", as_index=False).head(k)
+    )
+    df["rank"] = df.groupby("lang").cumcount() + 1
+    df = df.sort_values(["lang", "rank"]).reset_index(drop=True)
     for c in ("n", "rank"):
         df[c] = df[c].astype("int64")
-    return df
+    return df[["lang", "word", "n", "rank"]]

@@ -292,7 +292,12 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-_DECODEPARMS = re.compile(rb"/DecodeParms\s*<<(.*?)>>", re.S)
+# scalar '<< … >>' or array '[null << … >>]' spelling (the array form
+# is required whenever /Filter is an array); the first dict in the
+# array carries the predictor in every real single-compression chain
+_DECODEPARMS = re.compile(
+    rb"/DecodeParms\s*\[?\s*(?:null\s+)*<<(.*?)>>", re.S
+)
 _PRED_N = re.compile(rb"/Predictor\s+(\d+)")
 _PARM_COLS = re.compile(rb"/Columns\s+(\d+)")
 _PARM_COLORS = re.compile(rb"/Colors\s+(\d+)")

@@ -673,9 +673,42 @@ class TestPassageVocab:
             assert got.get(d, 0) >= 1  # header window flagged
         self_rep = len(texts) - 1
         assert got.get(self_rep, 0) == 2  # both copies of its window
-        # totals: 5+24 words -> ceil(29/16) = 2 passages  (wait: 16+1+24=41)
+        # doc 0 = 16-word header + 24 random words joined by one
+        # space -> 40 split(' ') words -> ceil(40/16) = 3 passages
         totals = dict(zip(df.doc_id, df.n_passages))
-        assert totals[0] == (41 + 15) // 16
+        assert totals[0] == (40 + 15) // 16
+
+    def test_passage_dedup_no_duplicates(self, tmp_path):
+        """A dedup-free corpus must return the empty frame, not crash
+        the join with schema-less empty partitions (round-3 review)."""
+        from ragflow_ray.ops.dedup import passage_dedup
+
+        texts = [" ".join(f"u{d}w{i}" for i in range(40)) for d in range(80)]
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = passage_dedup(str(tmp_path))
+        assert df.empty
+        assert list(df.columns) == ["doc_id", "n_passages", "n_dup_passages"]
+        assert all(df[c].dtype == "int64" for c in df.columns)
+
+    def test_passage_dedup_single_pair(self, tmp_path):
+        """One duplicated pair: the dup-hash side is a single row —
+        the join must not blow up on over-partitioning."""
+        from ragflow_ray.ops.dedup import passage_dedup
+
+        texts = [" ".join(f"u{d}w{i}" for i in range(16)) for d in range(60)]
+        texts.append(texts[0])  # doc 60 repeats doc 0's only window
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = passage_dedup(str(tmp_path))
+        assert list(df.doc_id) == [0, 60]
+        assert list(df.n_dup_passages) == [1, 1]
 
     def test_vocab_topk_counts(self, tmp_path):
         from ragflow_ray.ops.textstats import vocab_topk

@@ -624,3 +624,16 @@ class TestPredictors:
             data += b"\x00" * (columns - len(data) % columns)
         enc = _png_filter(data, columns, 1, ftypes)
         assert _unpredict(enc, 12, columns, 1, 8) == data
+
+    def test_array_form_decodeparms(self):
+        """/Filter [/FlateDecode] /DecodeParms [<< ... >>] — the array
+        spelling, required whenever /Filter is an array — must decode
+        identically to the scalar form (round-3 review finding)."""
+        lines = ["array form decode parms"]
+        blob = make_predictor_pdf(lines, 12, 24)
+        arr = blob.replace(
+            b"/Filter /FlateDecode /DecodeParms << ",
+            b"/Filter [/FlateDecode] /DecodeParms [<< ",
+        ).replace(b" >> >>", b" >>] >>")
+        assert arr != blob  # the rewrite matched
+        assert pdf_text_lines(arr) == [lines]
