@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         template_roundtrips,
         textstats,
+        tokenize,
     )
 
     def media_meta(sf_dir: str):
@@ -77,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": lambda d: textstats.fingerprints(d).to_pandas(),
         "bm25_lite_topk": textstats.bm25_lite_topk,
         "vocab_topk": textstats.vocab_topk,
+        "rag_tokenize": tokenize.rag_tokenize,
+        "rag_tokenize_ambiguous": tokenize.rag_tokenize_ambiguous,
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
         "dedup_keepers": dedup.dedup_keepers,
@@ -857,7 +860,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         **_template_oracles(),
+        **_tokenize_oracles(),
     }
+
+
+def _tokenize_oracles() -> dict[str, str]:
+    from ragflow_ray.ops.tokenize import oracle_sql as tokenize_sql
+
+    return tokenize_sql()
 
 
 def _template_oracles() -> dict[str, str]:

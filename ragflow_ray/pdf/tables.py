@@ -62,18 +62,28 @@ def is_caption(box: dict) -> bool:
     )
 
 
-def cell_block_type(box: dict) -> str:
+def cell_block_type(box: dict, tok=None) -> str:
     """Classify a cell: date / number / code / english / mixed / single /
-    short text / long text / other.  (The reference's person-name 'Nr'
-    class needs its dictionary tokenizer; our tokenless fallback maps
-    those cells to 'Ot'.)"""
+    short text / long text / person-name / other
+    (table_structure_recognizer.py:105-133).
+
+    ``tok``: optional :class:`~ragflow_ray.text.ragtok.RagTok` built
+    from a user dictionary — with it, tokenization matches the
+    reference's ``rag_tokenizer.tokenize`` and a single token tagged
+    ``nr`` classifies as 'Nr'; without it (the default), the
+    regex-word fallback maps those cells to 'Ot'."""
     text = box["text"]
     for pat, label in _BLOCK_TYPE_PATTERNS:
         if pat.search(text.strip()):
             return label
-    tokens = [t for t in _WORD.findall(text) if len(t) > 1]
+    if tok is not None:
+        tokens = [t for t in tok.tokenize(text).split() if len(t) > 1]
+    else:
+        tokens = [t for t in _WORD.findall(text) if len(t) > 1]
     if len(tokens) > 3:
         return "Tx" if len(tokens) < 12 else "Lx"
+    if tok is not None and len(tokens) == 1 and tok.tag(tokens[0]) == "nr":
+        return "Nr"
     return "Ot"
 
 
