@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": textstats.vocab_topk,
         "rag_tokenize": tokenize.rag_tokenize,
         "rag_tokenize_ambiguous": tokenize.rag_tokenize_ambiguous,
+        "rag_tokenize_fine": tokenize.rag_tokenize_fine,
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
         "dedup_keepers": dedup.dedup_keepers,

@@ -56,8 +56,28 @@ AMBIG_DICT = [
 # dfs other (AB, C):  30/2 + 1/2 + (1 - 12) = 4.5
 AMBIG_RESOLVED = f"{_A} {_B}{_C}"
 
+# --- fine-grained plant ----------------------------------------------
+# fine_grained_tokenize re-splits every CJK token of length >= 3 into
+# its SECOND-best DFS tiling (rag_tokenizer.py:394-432).  To keep the
+# corpus part SQL-recomputable, every word image gets a terminator
+# char, so no image is a prefix of another and the DFS finds exactly
+# one tiling (the full word) -> provably unchanged.  The planted token
+# DEF carries entries {DEF, DE, F}, so its tilings score
+#   best   [DEF]  : 30/1 + 1   + 5       = 36
+#   second [DE,F] : 30/2 + 1/2 + (5 + 5) = 25.5
+# and fine-grained resolves it to the constant 'DE F'.
+FINE_TERM = "丨"                 # outside CJK_ALPHA; q2b/tradi2simp-stable
+_D, _E, _F = "乄", "乆", "乊"    # ditto, disjoint from the ambiguity plant
+FINE_SPAN = _D + _E + _F
+FINE_DICT = [
+    f"{_D}{_E}{_F} 163000000 n",
+    f"{_D}{_E} 163000000 n",
+    f"{_F} 163000000 n",
+]
+FINE_RESOLVED = f"{_D}{_E} {_F}"
 
-def corpus_dict_lines(sf_dir: str) -> list[str]:
+
+def corpus_dict_lines(sf_dir: str, term: str = "") -> list[str]:
     """Distributed vocabulary scan → dictionary lines.
 
     Per-batch partial uniques collapse the long tail before the
@@ -87,7 +107,7 @@ def corpus_dict_lines(sf_dir: str) -> list[str]:
         .to_pandas()["word"]
     )
     return [
-        f"{w.translate(_TO_CJK)} 1000000 n"
+        f"{w.translate(_TO_CJK)}{term} 1000000 n"
         for w in sorted(vocab)
     ]
 
@@ -98,37 +118,55 @@ class RagTokStage:
     inherently sequential per string — same contract as the chunker
     UDFs)."""
 
-    def __init__(self, dict_ref, suffix: str = ""):
+    def __init__(self, dict_ref, suffix: str = "", term: str = "", fine: bool = False):
         import ray
 
         from ..text.ragtok import RagTok
 
         self._tok = RagTok(ray.get(dict_ref))
         self._suffix = suffix
+        self._term = term
+        self._fine = fine
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = [
-            " ".join(w.translate(_TO_CJK) for w in _WORD_RE.findall(t))
+            " ".join(
+                w.translate(_TO_CJK) + self._term for w in _WORD_RE.findall(t)
+            )
             + self._suffix
             for t in batch["text"]
         ]
+        tks = [self._tok.tokenize(t) for t in texts]
+        if self._fine:
+            tks = [self._tok.fine_grained_tokenize(t) for t in tks]
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64"),
-                "tks": [self._tok.tokenize(t) for t in texts],
+                "tks": tks,
             }
         )
 
 
-def _run(sf_dir: str, extra_dict: list[str], suffix: str) -> pd.DataFrame:
+def _run(
+    sf_dir: str,
+    extra_dict: list[str],
+    suffix: str,
+    term: str = "",
+    fine: bool = False,
+) -> pd.DataFrame:
     import ray
 
-    dict_ref = ray.put(corpus_dict_lines(sf_dir) + extra_dict)
+    dict_ref = ray.put(corpus_dict_lines(sf_dir, term) + extra_dict)
     df = (
         read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(
             RagTokStage,
-            fn_constructor_kwargs={"dict_ref": dict_ref, "suffix": suffix},
+            fn_constructor_kwargs={
+                "dict_ref": dict_ref,
+                "suffix": suffix,
+                "term": term,
+                "fine": fine,
+            },
             batch_format="pandas",
             concurrency=(1, 8),
         )
@@ -148,6 +186,13 @@ def rag_tokenize_ambiguous(sf_dir: str) -> pd.DataFrame:
     return _run(sf_dir, AMBIG_DICT, " " + AMBIG_SPAN)
 
 
+def rag_tokenize_fine(sf_dir: str) -> pd.DataFrame:
+    """→ (doc_id, tks): tokenize + fine_grained_tokenize with
+    terminator-suffixed word images (unique-tiling ⇒ identity on
+    corpus tokens) and the planted DEF span resolved to ``DE F``."""
+    return _run(sf_dir, FINE_DICT, " " + FINE_SPAN, term=FINE_TERM, fine=True)
+
+
 def oracle_sql() -> dict[str, str]:
     translate_words = (
         "array_to_string(list_transform("
@@ -162,6 +207,15 @@ def oracle_sql() -> dict[str, str]:
         "rag_tokenize_ambiguous": f"""
             SELECT doc_id,
                    {translate_words} || ' {AMBIG_RESOLVED}' AS tks
+            FROM documents ORDER BY doc_id
+        """,
+        "rag_tokenize_fine": f"""
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       regexp_extract_all(text, '[a-z]+'),
+                       w -> translate(w, '{_LATIN}', '{CJK_ALPHA}')
+                            || '{FINE_TERM}'), ' ')
+                   || ' {FINE_RESOLVED}' AS tks
             FROM documents ORDER BY doc_id
         """,
     }

@@ -130,6 +130,36 @@ class TestDriverQueryConstants:
         assert str_q2b(CJK_ALPHA) == CJK_ALPHA
         assert all(is_chinese(c) for c in CJK_ALPHA)
 
+    def test_fine_constants_stable_and_pinned(self):
+        """Fine-grained plant: the terminator and plant chars survive
+        normalization; the planted token's second-best DFS tiling is
+        the oracle constant; terminator-suffixed word images are
+        fine-grained-invariant (unique tiling)."""
+        from ragflow_ray.ops.tokenize import (
+            CJK_ALPHA, FINE_DICT, FINE_RESOLVED, FINE_SPAN, FINE_TERM,
+        )
+        from ragflow_ray.text.normalize import str_q2b, tradi2simp
+
+        extra = FINE_SPAN + FINE_TERM
+        assert tradi2simp(extra) == extra and str_q2b(extra) == extra
+        assert all(is_chinese(c) for c in extra)
+        assert not any(c in CJK_ALPHA for c in extra)
+
+        words = ["the", "theme", "them", "sustainable", "a"]
+        images = [
+            w.translate(str.maketrans(
+                "abcdefghijklmnopqrstuvwxyz", CJK_ALPHA)) + FINE_TERM
+            for w in words
+        ]
+        t = RagTok([f"{img} 1000000 n" for img in images] + FINE_DICT)
+        line = " ".join(images) + " " + FINE_SPAN
+        toks = t.tokenize(line)
+        assert toks == line  # word-boundary segmentation exact
+        fine = t.fine_grained_tokenize(toks)
+        # corpus images unchanged (prefix-free => unique tiling);
+        # plant resolved to the constant second-best split
+        assert fine == " ".join(images) + " " + FINE_RESOLVED
+
     def test_ambiguity_resolution_pinned(self):
         """The planted span resolves to the score-winning tiling: the
         oracle's constant suffix is the DFS output, not an accident."""
