@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": lambda d: textstats.fingerprints(d).to_pandas(),
         "bm25_lite_topk": textstats.bm25_lite_topk,
         "vocab_topk": textstats.vocab_topk,
+        "bpe_pair_counts": textstats.bpe_pair_counts,
+        "bpe_train": textstats.bpe_train,
         "rag_tokenize": tokenize.rag_tokenize,
         "rag_tokenize_ambiguous": tokenize.rag_tokenize_ambiguous,
         "rag_tokenize_fine": tokenize.rag_tokenize_fine,
@@ -362,6 +364,20 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY lang, word
             ) WHERE rank <= 20
             ORDER BY lang, rank
+        """,
+        # BPE trainer counting step: adjacent char pairs inside [a-z]+ runs
+        "bpe_pair_counts": """
+            WITH words AS (
+                SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w
+                FROM documents
+            ),
+            pairs AS (
+                SELECT substr(w, CAST(i AS INT), 2) AS pair
+                FROM words, LATERAL (SELECT unnest(range(1, length(w))) AS i) t
+            )
+            SELECT pair, COUNT(*)::BIGINT AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair
         """,
         "source_rollup": f"""
             SELECT source,
@@ -840,6 +856,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
         """,
         # independent re-derivation fixture
+        # independent re-derivation fixture (tools/make_bpe_fixture.py
+        # — naive pure-Python Sennrich BPE, no ragflow_ray imports)
+        "bpe_train": f"""
+            SELECT step, "left", "right", n
+            FROM read_parquet('{_FIXTURES}/bpe_merges.parquet')
+            WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+            ORDER BY step
+        """,
         # (tools/make_pdfblocks_fixture.py — self-contained naive
         # sequential implementation of the pdf __call__ composition,
         # no ragflow_ray pipeline imports)

@@ -147,6 +147,7 @@ def run_bench() -> dict:
         "curate_and_pack": curation.curate_and_pack,
         "passage_dedup": dedup.passage_dedup,
         "vocab_topk": textstats.vocab_topk,
+        "bpe_train": textstats.bpe_train,
         "media_phash_dedup": lambda d: multimodal.media_phash_dedup(
             d, concurrency=pool),
     }

@@ -315,3 +315,141 @@ def vocab_topk(sf_dir: str, k: int = 20):
     for c in ("n", "rank"):
         df[c] = df[c].astype("int64")
     return df[["lang", "word", "n", "rank"]]
+
+
+def bpe_pair_counts(sf_dir: str):
+    """Adjacent-symbol pair frequencies over `[a-z]+` word runs — the
+    counting step a byte-pair-encoding tokenizer trainer repeats per
+    merge (Sennrich et al. 2016, §3).
+
+    Distributed plan: each batch concatenates its word runs with
+    space separators into ONE byte buffer and counts pairs with a
+    single ``np.bincount`` over ``256*b[:-1] + b[1:]`` (pairs that
+    straddle a separator contain a non-letter byte and fall out of
+    the [a-z]×[a-z] id range — no per-row or per-word Python).  The
+    pair alphabet is bounded (26² = 676), so the per-batch partial is
+    tiny and the final ``groupby(pair).sum`` is a constant-size
+    exchange regardless of corpus size.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_parquet_clean
+
+    word_re = re.compile(r"[a-z]+")
+    lo, hi = ord("a"), ord("z")
+    partial_schema = pa.schema([("pair", pa.string()), ("n", pa.int64())])
+    pair_ids = np.arange(256 * 256, dtype=np.int64)
+    id_ok = (
+        (pair_ids // 256 >= lo) & (pair_ids // 256 <= hi)
+        & (pair_ids % 256 >= lo) & (pair_ids % 256 <= hi)
+    )
+    id_str = np.array(
+        [chr(i // 256) + chr(i % 256) if ok else "" for i, ok in
+         zip(pair_ids, id_ok)],
+        dtype=object,
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        # one C-level findall over the whole batch: the row join uses a
+        # space, which cannot create or fuse [a-z]+ runs across rows
+        buf = " ".join(word_re.findall(" ".join(batch["text"]))).encode("ascii")
+        if len(buf) < 2:
+            return pa.table({"pair": [], "n": []}, schema=partial_schema)
+        b = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+        ids = 256 * b[:-1] + b[1:]
+        counts = np.bincount(ids, minlength=256 * 256)
+        keep = (counts > 0) & id_ok
+        return pa.table(
+            {"pair": id_str[keep], "n": counts[keep]},
+            schema=partial_schema,
+        )
+
+    df = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ 676 rows by construction
+    )
+    df = df.sort_values(["n", "pair"], ascending=[False, True]).reset_index(drop=True)
+    df["n"] = df["n"].astype("int64")
+    return df[["pair", "n"]]
+
+
+def bpe_train(sf_dir: str, n_merges: int = 8):
+    """Learn ``n_merges`` BPE merge rules over `[a-z]+` word runs
+    (Sennrich et al. 2016): → (step, left, right, n).
+
+    The trainer's input is the word-FREQUENCY table, not the corpus —
+    so the distributed part is exactly one corpus pass (per-batch
+    partial word counts, then ``groupby(word).sum``), after which the
+    merge loop runs over vocabulary-sized data on the driver.  That is
+    the correct scale shape: a 100 TB corpus has a bounded `[a-z]+`
+    vocabulary, and re-scanning the corpus per merge (n_merges × full
+    passes) would be strictly worse.  Ties break on the
+    lexicographically smallest (left, right) so the rule sequence is
+    deterministic; ``n`` is the pair's weighted count at selection
+    time.  Oracled by an independent naive re-derivation fixture
+    (tools/make_sketch_fixtures.py), keyed by corpus content.
+    """
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_parquet_clean
+
+    word_re = re.compile(r"[a-z]+")
+    partial_schema = pa.schema([("word", pa.string()), ("n", pa.int64())])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        c = Counter(word_re.findall(" ".join(batch["text"])))
+        return pa.table(
+            {"word": list(c.keys()), "n": list(c.values())},
+            schema=partial_schema,
+        )
+
+    vocab = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocabulary-sized
+    )
+
+    words = [tuple(w) for w in vocab["word"]]
+    freqs = vocab["n"].astype("int64").tolist()
+    rules = []
+    for step in range(1, n_merges + 1):
+        pair_counts: Counter = Counter()
+        for syms, f in zip(words, freqs):
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        (left, right), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        rules.append({"step": step, "left": left, "right": right, "n": int(n)})
+        merged = left + right
+        new_words = []
+        for syms in words:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append(tuple(out))
+        words = new_words
+
+    df = pd.DataFrame(rules, columns=["step", "left", "right", "n"])
+    for c in ("step", "n"):
+        df[c] = df[c].astype("int64")
+    return df

@@ -726,3 +726,48 @@ class TestPassageVocab:
         assert list(en.word) == ["a", "b"] and list(en.n) == [3, 2]
         assert list(en["rank"]) == [1, 2]
         assert list(fr.word) == ["c", "d"] and list(fr.n) == [2, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpe:
+    """BPE trainer ops: pair counting + the merge loop."""
+
+    def _write(self, tmp_path, texts):
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts),
+             "n_chars": pa.array([len(t) for t in texts], type=pa.int64())}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    def test_pair_counts_hand_example(self, tmp_path):
+        from ragflow_ray.ops.textstats import bpe_pair_counts
+
+        self._write(tmp_path, ["low lower", "Lowest!"])  # 'L' breaks the run
+        df = bpe_pair_counts(str(tmp_path))
+        got = dict(zip(df["pair"], df["n"]))
+        # low, lower, owest: lo x2, ow x3, we x2, er, es, st
+        assert got == {"lo": 2, "ow": 3, "we": 2, "er": 1, "es": 1, "st": 1}
+        # sorted by count desc then pair asc
+        assert list(df["pair"])[:3] == ["ow", "lo", "we"]
+
+    def test_train_merges_hand_example(self, tmp_path):
+        from ragflow_ray.ops.textstats import bpe_train
+
+        # vocab: low x3 (one doc has it twice), lowest x2
+        self._write(tmp_path, ["low low lowest", "low lowest"])
+        df = bpe_train(str(tmp_path), n_merges=3)
+        # step1: lo=5 ow=5 we=2 es=2 st=2 -> tie lo/ow -> 'lo' wins lexicographically
+        # step2: (lo,w)=5 wins
+        # step3: ties at 2: (es,?)... symbols now: low, low+est parts
+        assert (df.loc[0, "left"], df.loc[0, "right"], df.loc[0, "n"]) == ("l", "o", 5)
+        assert (df.loc[1, "left"], df.loc[1, "right"], df.loc[1, "n"]) == ("lo", "w", 5)
+        assert df.loc[2, "n"] == 2 and (df.loc[2, "left"], df.loc[2, "right"]) == ("e", "s")
+
+    def test_train_stops_when_dry(self, tmp_path):
+        from ragflow_ray.ops.textstats import bpe_train
+
+        self._write(tmp_path, ["a b", "c"])  # no adjacent pairs at all
+        df = bpe_train(str(tmp_path), n_merges=4)
+        assert len(df) == 0
+        assert list(df.columns) == ["step", "left", "right", "n"]
