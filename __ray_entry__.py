@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": textstats.vocab_topk,
         "bpe_pair_counts": textstats.bpe_pair_counts,
         "bpe_train": textstats.bpe_train,
+        "lm_cross_entropy": curation.lm_cross_entropy,
         "rag_tokenize": tokenize.rag_tokenize,
         "rag_tokenize_ambiguous": tokenize.rag_tokenize_ambiguous,
         "rag_tokenize_fine": tokenize.rag_tokenize_fine,
@@ -364,6 +365,25 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY lang, word
             ) WHERE rank <= 20
             ORDER BY lang, rank
+        """,
+        # CCNet-style LM filter: per-doc cross-entropy under the corpus
+        # MLE bigram model (round-6 absorbs float association/ulp)
+        "lm_cross_entropy": """
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ws
+                       FROM documents),
+            big AS (
+                SELECT doc_id, ws[CAST(i AS INT)] AS a,
+                       ws[CAST(i AS INT) + 1] AS b
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+            ),
+            unic AS (SELECT a, COUNT(*) AS cu
+                     FROM (SELECT unnest(ws) AS a FROM w) GROUP BY a),
+            bigc AS (SELECT a, b, COUNT(*) AS cb FROM big GROUP BY a, b),
+            scored AS (SELECT big.doc_id, ln(unic.cu) - ln(bigc.cb) AS nll
+                       FROM big JOIN unic USING (a) JOIN bigc USING (a, b))
+            SELECT doc_id, round(avg(nll), 6) AS cross_entropy,
+                   COUNT(*)::BIGINT AS n_bigrams
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         # BPE trainer counting step: adjacent char pairs inside [a-z]+ runs
         "bpe_pair_counts": """

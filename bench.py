@@ -148,6 +148,7 @@ def run_bench() -> dict:
         "passage_dedup": dedup.passage_dedup,
         "vocab_topk": textstats.vocab_topk,
         "bpe_train": textstats.bpe_train,
+        "lm_cross_entropy": curation.lm_cross_entropy,
         "media_phash_dedup": lambda d: multimodal.media_phash_dedup(
             d, concurrency=pool),
     }

@@ -716,3 +716,185 @@ def per_source_cap(sf_dir: str, cap: int = PER_SOURCE_CAP):
     for c in ("doc_id", "rank"):
         df[c] = df[c].astype("int64")
     return df[["doc_id", "source", "rank"]]
+
+
+def lm_cross_entropy(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """CCNet-style LM quality scoring: per-doc cross-entropy under the
+    corpus's own MLE bigram model → (doc_id, cross_entropy, n_bigrams).
+
+    For every adjacent `[a-z]+` word pair (a, b) in a document,
+    nll = ln C(a) − ln C(a,b) with counts taken over the whole corpus
+    (unigram denominator, so a doc's own bigrams always have count ≥ 1
+    — no OOV/backoff path); the score is the mean nll rounded to 6
+    decimals (absorbs summation-association and libm-ulp differences
+    between numpy and the DuckDB oracle — the ann.py convention).
+    Wikipedia-like text scores low, gibberish scores high; thresholding
+    this score is the LM filter of CCNet (Wenzek et al. 2020).
+
+    Distributed plan, two passes:
+
+    1. counts — per-batch Counter partials over (a, b) pairs and
+       unigrams (one combined table, bigram rows carry b, unigram rows
+       b='' — impossible as a word), then one ``groupby(a, b).sum``;
+       the result is model-sized (distinct bigrams), not corpus-sized.
+    2. scoring — size-adaptive like :func:`~.relational.events_order_asof`:
+       a model under ``broadcast_limit`` rows ships once via ``ray.put``
+       and each batch scores vectorized against two dicts (no shuffle);
+       a bigger model takes the join path: docs explode to
+       (doc_id, a, b) rows, two distributed hash joins attach the
+       counts, and a ``groupby(doc_id)`` sums — corpus-scale safe, at
+       the cost of the exchange.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"[a-z]+")
+    count_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for t in batch["text"]:
+            ws = word_re.findall(t)
+            uni.update(ws)
+            big.update(zip(ws, ws[1:]))
+        a_col = [w for w in uni] + [p[0] for p in big]
+        b_col = ["" for _ in uni] + [p[1] for p in big]
+        n_col = list(uni.values()) + list(big.values())
+        return pa.table({"a": a_col, "b": b_col, "n": n_col}, schema=count_schema)
+
+    model = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(count_partial, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("cross_entropy", pa.float64()),
+         ("n_bigrams", pa.int64())]
+    )
+
+    model_rows = model.count()
+    if model_rows == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cross_entropy": pd.Series([], dtype="float64"),
+             "n_bigrams": pd.Series([], dtype="int64")}
+        )
+    if model_rows <= broadcast_limit:
+        import ray
+
+        mdf = model.to_pandas()
+        uni_ln = {
+            a: math.log(n) for a, b, n in
+            zip(mdf["a"], mdf["b"], mdf["n"]) if b == ""
+        }
+        big_ln = {
+            (a, b): math.log(n) for a, b, n in
+            zip(mdf["a"], mdf["b"], mdf["n"]) if b != ""
+        }
+        model_ref = ray.put((uni_ln, big_ln))
+
+        def score_broadcast(batch: pd.DataFrame) -> pa.Table:
+            uni_ln, big_ln = ray.get(model_ref)
+            ids, ces, nbs = [], [], []
+            for doc_id, t in zip(batch["doc_id"], batch["text"]):
+                ws = word_re.findall(t)
+                if len(ws) < 2:
+                    continue
+                total = sum(
+                    uni_ln[a] - big_ln[(a, b)] for a, b in zip(ws, ws[1:])
+                )
+                ids.append(int(doc_id))
+                ces.append(round(total / (len(ws) - 1), 6))
+                nbs.append(len(ws) - 1)
+            return pa.table(
+                {"doc_id": ids, "cross_entropy": ces, "n_bigrams": nbs},
+                schema=out_schema,
+            )
+
+        df = (
+            _docs(sf_dir)
+            .map_batches(score_broadcast, batch_format="pandas")
+            .to_pandas()
+        )
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    # join path: model too big to broadcast
+    explode_schema = pa.schema(
+        [("doc_id", pa.int64()), ("a", pa.string()), ("b", pa.string())]
+    )
+
+    def explode(batch: pd.DataFrame) -> pa.Table:
+        ids, a_col, b_col = [], [], []
+        for doc_id, t in zip(batch["doc_id"], batch["text"]):
+            ws = word_re.findall(t)
+            for a, b in zip(ws, ws[1:]):
+                ids.append(int(doc_id))
+                a_col.append(a)
+                b_col.append(b)
+        return pa.table(
+            {"doc_id": ids, "a": a_col, "b": b_col}, schema=explode_schema
+        )
+
+    def uni_rows(batch: pd.DataFrame) -> pa.Table:
+        u = batch[batch["b"] == ""]
+        return pa.table(
+            {"a": u["a"].to_numpy(), "n_uni": u["n"].to_numpy().astype("int64")},
+            schema=pa.schema([("a", pa.string()), ("n_uni", pa.int64())]),
+        )
+
+    def big_rows(batch: pd.DataFrame) -> pa.Table:
+        g = batch[batch["b"] != ""]
+        return pa.table(
+            {"a": g["a"].to_numpy(), "b": g["b"].to_numpy(),
+             "n_big": g["n"].to_numpy().astype("int64")},
+            schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                              ("n_big", pa.int64())]),
+        )
+
+    uni = model.map_batches(uni_rows, batch_format="pandas")
+    big = model.map_batches(big_rows, batch_format="pandas")
+    pairs = _docs(sf_dir).map_batches(explode, batch_format="pandas")
+    # partition count sized to the MODEL side (the passage_dedup rule):
+    # an empty hash partition on the small side of a join degrades to a
+    # schema-less block that kills the join, so stay at 1 partition
+    # until the model is comfortably larger than the partition count
+    n_parts = max(1, min(8, model_rows // 64 + 1))
+    # materialize between the two joins: each JoinOperator holds
+    # per-partition aggregator actors, and two live at once can starve
+    # each other out of CPU slots on a small cluster
+    joined = pairs.join(
+        big, join_type="inner", num_partitions=n_parts, on=("a", "b")
+    ).materialize().join(uni, join_type="inner", num_partitions=n_parts, on=("a",))
+
+    def nll(batch: pd.DataFrame) -> pa.Table:
+        v = np.log(batch["n_uni"].to_numpy()) - np.log(batch["n_big"].to_numpy())
+        return pa.table(
+            {"doc_id": batch["doc_id"].to_numpy().astype("int64"),
+             "nll": v, "one": np.ones(len(v), dtype="int64")},
+            schema=pa.schema([("doc_id", pa.int64()), ("nll", pa.float64()),
+                              ("one", pa.int64())]),
+        )
+
+    agg = (
+        joined.map_batches(nll, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("nll", alias_name="total"), Sum("one", alias_name="n_bigrams"))
+        .to_pandas()
+    )
+    agg["cross_entropy"] = (agg["total"] / agg["n_bigrams"]).round(6)
+    agg = agg.sort_values("doc_id").reset_index(drop=True)
+    agg["doc_id"] = agg["doc_id"].astype("int64")
+    agg["n_bigrams"] = agg["n_bigrams"].astype("int64")
+    return agg[["doc_id", "cross_entropy", "n_bigrams"]]

@@ -771,3 +771,49 @@ class TestBpe:
         df = bpe_train(str(tmp_path), n_merges=4)
         assert len(df) == 0
         assert list(df.columns) == ["step", "left", "right", "n"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLmCrossEntropy:
+    def _write(self, tmp_path, texts):
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    def test_hand_example(self, tmp_path):
+        import math
+
+        from ragflow_ray.ops.curation import lm_cross_entropy
+
+        # corpus: "a b" x2 and "a c" -> C(a)=3, C(ab)=2, C(ac)=1
+        self._write(tmp_path, ["a b", "a b", "a c"])
+        df = lm_cross_entropy(str(tmp_path))
+        assert list(df.doc_id) == [0, 1, 2]
+        assert list(df.n_bigrams) == [1, 1, 1]
+        ab = round(math.log(3) - math.log(2), 6)
+        ac = round(math.log(3) - math.log(1), 6)
+        assert list(df.cross_entropy) == [ab, ab, ac]
+
+    def test_short_docs_excluded(self, tmp_path):
+        from ragflow_ray.ops.curation import lm_cross_entropy
+
+        self._write(tmp_path, ["single", "", "two words"])
+        df = lm_cross_entropy(str(tmp_path))
+        assert list(df.doc_id) == [2]
+
+    def test_join_path_matches_broadcast(self, tmp_path):
+        from ragflow_ray.ops.curation import lm_cross_entropy
+
+        rs = np.random.RandomState(7)
+        # vocab must be alphabetic: [a-z]+ words, 40 distinct
+        vocab = [a + b for a in "abcdefgh" for b in "vwxyz"]
+        texts = [
+            " ".join(vocab[rs.randint(0, 40)] for _ in range(30))
+            for _ in range(60)
+        ]
+        self._write(tmp_path, texts)
+        a = lm_cross_entropy(str(tmp_path))
+        b = lm_cross_entropy(str(tmp_path), broadcast_limit=0)  # force join
+        pd.testing.assert_frame_equal(a, b)
