@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": textstats.bpe_pair_counts,
         "bpe_train": textstats.bpe_train,
         "lm_cross_entropy": curation.lm_cross_entropy,
+        "bpe_encode": textstats.bpe_encode,
         "rag_tokenize": tokenize.rag_tokenize,
         "rag_tokenize_ambiguous": tokenize.rag_tokenize_ambiguous,
         "rag_tokenize_fine": tokenize.rag_tokenize_fine,
@@ -883,6 +884,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_FIXTURES}/bpe_merges.parquet')
             WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
             ORDER BY step
+        """,
+        "bpe_encode": f"""
+            SELECT doc_id, n_tokens_bpe, sig
+            FROM read_parquet('{_FIXTURES}/bpe_encode.parquet')
+            WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+            ORDER BY doc_id
         """,
         # (tools/make_pdfblocks_fixture.py — self-contained naive
         # sequential implementation of the pdf __call__ composition,

@@ -453,3 +453,72 @@ def bpe_train(sf_dir: str, n_merges: int = 8):
     for c in ("step", "n"):
         df[c] = df[c].astype("int64")
     return df
+
+
+def _bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pinned apply spec: each learned rule in rank order, exhaustively
+    left-to-right (deterministic; mirrored by the fixture's independent
+    encoder)."""
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 8):
+    """Tokenize the corpus with the merges :func:`bpe_train` learns →
+    (doc_id, n_tokens_bpe, sig).
+
+    ``n_tokens_bpe`` counts post-merge symbols over the doc's `[a-z]+`
+    runs; ``sig`` is the md5 of the space-joined symbol stream (an
+    order-sensitive exact check on the whole segmentation, not just
+    its length).  Two corpus passes total: the trainer's count pass,
+    then one encode pass with the 8-rule merge list shipped in the
+    task closure (bytes, not a shuffle) and a per-actor word→symbols
+    memo so each distinct word is segmented once per block.  Oracled
+    by the independent fixture encoder (tools/make_bpe_fixture.py).
+    """
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    rules = bpe_train(sf_dir, n_merges=n_merges)
+    merges = list(zip(rules["left"], rules["right"]))
+    word_re = re.compile(r"[a-z]+")
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens_bpe", pa.int64()),
+         ("sig", pa.string())]
+    )
+
+    def encode(batch: pd.DataFrame) -> pa.Table:
+        memo: dict[str, list[str]] = {}
+        ids, counts, sigs = [], [], []
+        for doc_id, t in zip(batch["doc_id"], batch["text"]):
+            toks: list[str] = []
+            for w in word_re.findall(t):
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _bpe_apply(w, merges)
+                toks.extend(got)
+            ids.append(int(doc_id))
+            counts.append(len(toks))
+            sigs.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+        return pa.table(
+            {"doc_id": ids, "n_tokens_bpe": counts, "sig": sigs},
+            schema=out_schema,
+        )
+
+    df = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(encode, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)

@@ -174,8 +174,12 @@ def tag_table_components(
             b["SP"] = ii
 
 
-def construct_table(boxes: list[dict], is_english: bool = False, html: bool = True):
-    """Boxes (R/H/C/SP-tagged) → HTML table string or row-text list."""
+def construct_table(boxes: list[dict], is_english: bool = False, html: bool = True,
+                    tok=None):
+    """Boxes (R/H/C/SP-tagged) → HTML table string or row-text list.
+    ``tok``: optional trie tokenizer threaded to ``cell_block_type``
+    so the person-name 'Nr' class resolves (reference behavior when
+    its dictionary is loaded)."""
     caption = ""
     i = 0
     while i < len(boxes):
@@ -188,7 +192,7 @@ def construct_table(boxes: list[dict], is_english: bool = False, html: bool = Tr
     if not boxes:
         return []
     for b in boxes:
-        b["btype"] = cell_block_type(b)
+        b["btype"] = cell_block_type(b, tok=tok)
     type_counts = Counter(b["btype"] for b in boxes).items()
     max_type = max(type_counts, key=lambda kv: kv[1])[0] if type_counts else ""
 

@@ -817,3 +817,25 @@ class TestLmCrossEntropy:
         a = lm_cross_entropy(str(tmp_path))
         b = lm_cross_entropy(str(tmp_path), broadcast_limit=0)  # force join
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeEncode:
+    def test_encode_hand_example(self, tmp_path):
+        import hashlib
+
+        from ragflow_ray.ops.textstats import bpe_encode
+
+        texts = ["low low lowest", "low lowest"]
+        docs = pa.table(
+            {"doc_id": pa.array(range(2), type=pa.int64()),
+             "text": pa.array(texts),
+             "n_chars": pa.array([len(t) for t in texts], type=pa.int64())}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = bpe_encode(str(tmp_path), n_merges=2)
+        # merges: (l,o) then (lo,w) -> 'low'->[low], 'lowest'->[low,e,s,t]
+        # doc0: low low lowest -> 1+1+4 = 6 tokens; doc1: low lowest -> 5
+        assert list(df.n_tokens_bpe) == [6, 5]
+        assert df.loc[0, "sig"] == hashlib.md5(b"low low low e s t").hexdigest()
+        assert df.loc[1, "sig"] == hashlib.md5(b"low low e s t").hexdigest()

@@ -67,23 +67,61 @@ def learn_merges(texts: list[str]) -> list[tuple[int, str, str, int]]:
     return rules
 
 
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pinned apply spec: each rule in rank order, exhaustively
+    left-to-right."""
+    syms = list(word)
+    for left, right in merges:
+        out = []
+        k = 0
+        while k < len(syms):
+            if k + 1 < len(syms) and syms[k] == left and syms[k + 1] == right:
+                out.append(left + right)
+                k += 2
+            else:
+                out.append(syms[k])
+                k += 1
+        syms = out
+    return syms
+
+
 def build(sf_dirs: list[str]) -> None:
+    import hashlib
     import os
 
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     rows: dict[str, list] = {
         "corpus_key": [], "step": [], "left": [], "right": [], "n": []
     }
+    enc_rows: dict[str, list] = {
+        "corpus_key": [], "doc_id": [], "n_tokens_bpe": [], "sig": []
+    }
     for sf in sf_dirs:
-        t = pq.read_table(f"{sf}/documents.parquet", columns=["text", "n_chars"])
+        t = pq.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        )
         key = int(sum(t.column("n_chars").to_pylist()))
-        for step, left, right, n in learn_merges(t.column("text").to_pylist()):
+        texts = t.column("text").to_pylist()
+        rules = learn_merges(texts)
+        for step, left, right, n in rules:
             rows["corpus_key"].append(key)
             rows["step"].append(step)
             rows["left"].append(left)
             rows["right"].append(right)
             rows["n"].append(n)
-        print(f"{sf}: key={key} rules={rows['corpus_key'].count(key)}")
+        merges = [(left, right) for _s, left, right, _n in rules]
+        for doc_id, text in zip(t.column("doc_id").to_pylist(), texts):
+            toks: list[str] = []
+            for w in re.findall(r"[a-z]+", text):
+                toks.extend(encode_word(w, merges))
+            enc_rows["corpus_key"].append(key)
+            enc_rows["doc_id"].append(int(doc_id))
+            enc_rows["n_tokens_bpe"].append(len(toks))
+            enc_rows["sig"].append(
+                hashlib.md5(" ".join(toks).encode()).hexdigest()
+            )
+        print(f"{sf}: key={key} rules={rows['corpus_key'].count(key)} "
+              f"encoded={enc_rows['corpus_key'].count(key)}")
 
     pq.write_table(
         pa.table(rows).cast(pa.schema([
@@ -92,6 +130,13 @@ def build(sf_dirs: list[str]) -> None:
             ("n", pa.int64()),
         ])),
         f"{FIXTURE_DIR}/bpe_merges.parquet",
+    )
+    pq.write_table(
+        pa.table(enc_rows).cast(pa.schema([
+            ("corpus_key", pa.int64()), ("doc_id", pa.int64()),
+            ("n_tokens_bpe", pa.int64()), ("sig", pa.string()),
+        ])),
+        f"{FIXTURE_DIR}/bpe_encode.parquet",
     )
 
 
