@@ -34,13 +34,20 @@ path:
 Stream filters: FlateDecode, LZWDecode, ASCII85Decode,
 ASCIIHexDecode, and ordered chains of them; /DecodeParms /Predictor
 post-processing (TIFF 2 and PNG 10–15) on the compression filters.
-Deliberately out of scope (documented subset, not a stub): encrypted
-documents, raster filters (DCTDecode/JPX) — bytes outside the
+
+Encrypted documents: the standard security handler with RC4
+(V∈{1,2}, R∈{2,3}) and an EMPTY user password — the common
+"owner-locked" PDF — decrypts transparently (file key from /O, /P,
+/ID per Algorithm 2, verified against /U; per-object RC4 on stream
+bodies).  AES (V≥4) and real user passwords stay out of subset.
+
+Deliberately out of scope (documented subset, not a stub): AES
+encryption, raster filters (DCTDecode/JPX) — bytes outside the
 subset degrade to skipped show-strings, never to a crash.  Good
 enough to round-trip every text PDF this engine writes in its own
 tests, the common single-byte-font documents, Identity-H CID PDFs
-carrying ToUnicode maps, and object-stream-packed PDF 1.5 files (the
-dominant real-world text-PDF forms).
+carrying ToUnicode maps, object-stream-packed PDF 1.5 files, and
+RC4-owner-locked documents (the dominant real-world text-PDF forms).
 """
 
 from __future__ import annotations
@@ -232,6 +239,165 @@ def _objects(data: bytes) -> dict[int, bytes]:
         objs[int(m.group(1))] = data[start:obj_end]
         pos = obj_end + len(b"endobj")
     return objs
+
+
+# --- standard security handler (RC4, empty user password) ----------------
+#
+# PDF 1.7 §7.6.3: V∈{1,2}, R∈{2,3}.  The overwhelmingly common encrypted
+# text PDF is "owner-locked": an owner password restricts editing but the
+# USER password is empty, so any reader may decrypt.  Algorithm 2 derives
+# the file key from the padded empty password + /O + /P + file /ID;
+# Algorithm 4/5 verifies it against /U (on mismatch — a real user
+# password — the document stays undecrypted and degrades to skipped
+# strings, per the module's no-crash contract).  RC4 is length-preserving,
+# so stream bytes decrypt IN PLACE and every offset//Length stays valid.
+
+_PASSWORD_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+_ENCRYPT_REF = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_HEX = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+_ID_LIT = re.compile(rb"/ID\s*\[\s*\(((?:[^()\\]|\\.)*)\)")
+_ENC_INT = {
+    k: re.compile(rb"/" + k.encode() + rb"\s+(-?\d+)")
+    for k in ("V", "R", "P", "Length")
+}
+_ENC_STR = {
+    k: (re.compile(rb"/" + k.encode() + rb"\s*\(((?:[^()\\]|\\.)*)\)"),
+        re.compile(rb"/" + k.encode() + rb"\s*<([0-9A-Fa-f]+)>"))
+    for k in ("O", "U")
+}
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _enc_bytes(body: bytes, key: str) -> bytes | None:
+    lit, hexp = _ENC_STR[key]
+    m = lit.search(body)
+    if m:
+        return _unescape_bytes(m.group(1))
+    m = hexp.search(body)
+    if m:
+        hx = m.group(1)
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    return None
+
+
+def _file_key(enc: bytes, id0: bytes) -> bytes | None:
+    """Algorithm 2 with the empty user password; None when the
+    document is outside the supported subset or /U verification fails
+    (a real user password)."""
+    import hashlib
+
+    def num(k: str, default=None):
+        m = _ENC_INT[k].search(enc)
+        return int(m.group(1)) if m else default
+
+    v, r = num("V", 0), num("R", 0)
+    if v not in (1, 2) or r not in (2, 3):
+        return None
+    o, u = _enc_bytes(enc, "O"), _enc_bytes(enc, "U")
+    if o is None or u is None or num("P") is None:
+        return None
+    n = 5 if r == 2 else max(5, min(16, num("Length", 40) // 8))
+    p = num("P") & 0xFFFFFFFF
+    h = hashlib.md5(
+        _PASSWORD_PAD + o[:32] + p.to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+
+    # verify against /U (Algorithm 6)
+    if r == 2:
+        expect = _rc4(key, _PASSWORD_PAD)
+        ok = u[:32] == expect
+    else:
+        h2 = hashlib.md5(_PASSWORD_PAD + id0).digest()
+        x = _rc4(key, h2)
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = u[:16] == x
+    return key if ok else None
+
+
+def _object_key(file_key: bytes, num: int) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + (num & 0xFFFFFF).to_bytes(3, "little") + b"\x00\x00"
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _decrypt_objects(data: bytes, objs: dict[int, bytes]) -> None:
+    """Detect /Encrypt, derive the key, and RC4-decrypt every stream
+    body in place (generation 0 — the only generation the sequential
+    scan records).  No-op for unencrypted or unsupported documents."""
+    em = None
+    for em in _ENCRYPT_REF.finditer(data):
+        pass  # last trailer wins
+    if em is None:
+        return
+    enc_num = int(em.group(1))
+    enc = objs.get(enc_num)
+    if enc is None or b"/Standard" not in enc:
+        return
+    idm = None
+    for idm in _ID_HEX.finditer(data):
+        pass
+    if idm is not None:
+        hx = idm.group(1)
+        if len(hx) % 2:
+            hx += b"0"
+        id0 = bytes.fromhex(hx.decode("ascii"))
+    else:
+        for idm in _ID_LIT.finditer(data):
+            pass
+        id0 = _unescape_bytes(idm.group(1)) if idm is not None else b""
+    key = _file_key(enc, id0)
+    if key is None:
+        return
+    for num, body in list(objs.items()):
+        if num == enc_num:
+            continue
+        m = _STREAM_START.search(body)
+        if m is None:
+            continue
+        header = body[: m.start()]
+        lm = _LENGTH.search(header)
+        if lm:
+            start, end = m.end(), m.end() + int(lm.group(1))
+        else:
+            start = m.end()
+            end = body.find(b"endstream", start)
+            if end == -1:
+                end = len(body)
+        objs[num] = (
+            body[:start]
+            + _rc4(_object_key(key, num), body[start:end])
+            + body[end:]
+        )
 
 
 def _stream_of(body: bytes, objs: dict[int, bytes] | None = None) -> bytes | None:
@@ -704,6 +870,7 @@ def _page_lines(streams: list[bytes], fonts: dict | None = None) -> list[str]:
 def pdf_text_lines(blob: bytes) -> list[list[str]]:
     """→ per-page text-layer lines (pypdf ``extract_text``-shaped)."""
     objs = _objects(blob)
+    _decrypt_objects(blob, objs)
     _expand_object_streams(objs)
     pages = []
     for num in _page_object_order(blob, objs):

@@ -637,3 +637,140 @@ class TestPredictors:
         ).replace(b" >> >>", b" >>] >>")
         assert arr != blob  # the rewrite matched
         assert pdf_text_lines(arr) == [lines]
+
+
+# --- encrypted PDFs (standard security handler, RC4) ---------------------
+
+
+def _rc4_ref(key: bytes, data: bytes) -> bytes:
+    """Independent RC4 for the fixture encryptor (textbook KSA/PRGA)."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) % 256
+        S[i], S[j] = S[j], S[i]
+    res = []
+    i = j = 0
+    for c in data:
+        i = (i + 1) % 256
+        j = (j + S[i]) % 256
+        S[i], S[j] = S[j], S[i]
+        res.append(c ^ S[(S[i] + S[j]) % 256])
+    return bytes(res)
+
+
+def encrypt_pdf(blob: bytes, r: int = 3, key_bits: int = 128) -> bytes:
+    """Encrypt a make_pdf()-shaped document: RC4 streams, standard
+    security handler, EMPTY user password (owner-locked form).
+
+    Derives /O from an owner password, computes the real /U, appends
+    the /Encrypt object and rewrites the trailer — an independent
+    implementation of Algorithms 2/3/4/5 so the parser's decrypt path
+    is checked against the spec, not against itself.
+    """
+    import hashlib
+    import re as _re
+
+    PAD = bytes([
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ])
+    n = 5 if r == 2 else key_bits // 8
+    v = 1 if r == 2 else 2
+    p = -44 & 0xFFFFFFFF
+    doc_id = hashlib.md5(blob).digest()
+
+    # /O (Algorithm 3): owner password "owner", empty user password
+    oh = hashlib.md5(b"owner" + PAD[: 32 - 5]).digest()
+    if r >= 3:
+        for _ in range(50):
+            oh = hashlib.md5(oh[:n]).digest()
+    okey = oh[:n]
+    o = _rc4_ref(okey, PAD)  # rc4 of padded USER password (empty)
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4_ref(bytes(b ^ i for b in okey), o)
+
+    # file key (Algorithm 2, empty user password)
+    h = hashlib.md5(PAD + o + p.to_bytes(4, "little") + doc_id).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+
+    # /U (Algorithm 4/5)
+    if r == 2:
+        u = _rc4_ref(key, PAD)
+    else:
+        u = _rc4_ref(key, hashlib.md5(PAD + doc_id).digest())
+        for i in range(1, 20):
+            u = _rc4_ref(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+
+    # rc4 every stream body in place (length-preserving)
+    out = bytearray(blob)
+    for m in _re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", blob):
+        start = m.end()
+        sm = _re.compile(rb"stream\r?\n").search(blob, start)
+        em = blob.find(b"endobj", start)
+        if sm is None or (em != -1 and em < sm.start()):
+            continue
+        header = blob[start : sm.start()]
+        lm = _re.search(rb"/Length\s+(\d+)", header)
+        if not lm:
+            continue
+        s0, s1 = sm.end(), sm.end() + int(lm.group(1))
+        num = int(m.group(1))
+        okey_obj = hashlib.md5(
+            key + (num & 0xFFFFFF).to_bytes(3, "little") + b"\x00\x00"
+        ).digest()[: min(n + 5, 16)]
+        out[s0:s1] = _rc4_ref(okey_obj, blob[s0:s1])
+
+    enc_num = blob.count(b" 0 obj") + 1
+    enc_obj = (
+        f"{enc_num} 0 obj\n<< /Filter /Standard /V {v} /R {r} "
+        f"/Length {n * 8} /P -44 /O <{o.hex()}> /U <{u.hex()}> "
+        f">>\nendobj\n"
+    ).encode()
+    trailer_at = bytes(out).rfind(b"trailer")
+    body = bytes(out[:trailer_at]) + enc_obj
+    trailer = (
+        b"trailer\n<< /Size " + str(enc_num + 1).encode()
+        + b" /Root 1 0 R /Encrypt " + str(enc_num).encode() + b" 0 R"
+        + b" /ID [ <" + doc_id.hex().encode() + b"> <"
+        + doc_id.hex().encode() + b"> ] >>\nstartxref\n0\n%%EOF\n"
+    )
+    return body + trailer
+
+
+class TestEncryptedPdf:
+    def test_rc4_r3_roundtrip(self):
+        pages = [["Secret page one", "second line"], ["page two"]]
+        blob = encrypt_pdf(make_pdf(pages), r=3, key_bits=128)
+        assert pdf_text_lines(blob) == pages
+
+    def test_rc4_r2_40bit_roundtrip(self):
+        pages = [["forty bit rc4"]]
+        blob = encrypt_pdf(make_pdf(pages), r=2)
+        assert pdf_text_lines(blob) == pages
+
+    def test_rc4_uncompressed_roundtrip(self):
+        pages = [["plain stream body"]]
+        blob = encrypt_pdf(make_pdf(pages, compress=False), r=3)
+        assert pdf_text_lines(blob) == pages
+
+    def test_wrong_user_password_degrades(self):
+        """A corrupted /U (≈ a real user password) must not decrypt —
+        and must not crash: garbage streams degrade to no text."""
+        pages = [["hidden"]]
+        blob = bytearray(encrypt_pdf(make_pdf(pages), r=3))
+        at = bytes(blob).find(b"/U <") + 4
+        blob[at:at + 2] = b"00" if blob[at:at + 2] != b"00" else b"11"
+        out = pdf_text_lines(bytes(blob))
+        assert all("hidden" not in ln for pg in out for ln in pg)
+
+    def test_unencrypted_unaffected(self):
+        pages = [["no encryption here"]]
+        assert pdf_text_lines(make_pdf(pages)) == pages
