@@ -758,17 +758,20 @@ def lm_cross_entropy(sf_dir: str, broadcast_limit: int = 2_000_000):
     )
 
     def count_partial(batch: pd.DataFrame) -> pa.Table:
-        from collections import Counter
-
-        uni: Counter = Counter()
-        big: Counter = Counter()
-        for t in batch["text"]:
-            ws = word_re.findall(t)
-            uni.update(ws)
-            big.update(zip(ws, ws[1:]))
-        a_col = [w for w in uni] + [p[0] for p in big]
-        b_col = ["" for _ in uni] + [p[1] for p in big]
-        n_col = list(uni.values()) + list(big.values())
+        # C-level kernels: findall+explode once, unigram value_counts,
+        # bigrams from a shift that respects doc boundaries (the index
+        # of the exploded series is the source row)
+        flat = batch["text"].str.findall(word_re).explode().dropna()
+        if flat.empty:
+            return count_schema.empty_table()
+        uni = flat.value_counts()
+        nxt = flat.shift(-1)
+        same_doc = pd.Series(flat.index, index=flat.index).shift(-1) == flat.index
+        pairs = pd.DataFrame({"a": flat[same_doc], "b": nxt[same_doc]})
+        bigc = pairs.groupby(["a", "b"], sort=False).size()
+        a_col = list(uni.index) + [p[0] for p in bigc.index]
+        b_col = [""] * len(uni) + [p[1] for p in bigc.index]
+        n_col = list(uni.to_numpy()) + list(bigc.to_numpy())
         return pa.table({"a": a_col, "b": b_col, "n": n_col}, schema=count_schema)
 
     model = (
@@ -805,27 +808,40 @@ def lm_cross_entropy(sf_dir: str, broadcast_limit: int = 2_000_000):
         }
         model_ref = ray.put((uni_ln, big_ln))
 
-        def score_broadcast(batch: pd.DataFrame) -> pa.Table:
-            uni_ln, big_ln = ray.get(model_ref)
-            ids, ces, nbs = [], [], []
-            for doc_id, t in zip(batch["doc_id"], batch["text"]):
-                ws = word_re.findall(t)
-                if len(ws) < 2:
-                    continue
-                total = sum(
-                    uni_ln[a] - big_ln[(a, b)] for a, b in zip(ws, ws[1:])
+        class ScoreStage:
+            """Actor pool: the model dicts deserialize ONCE per actor
+            (a plain-function stage would re-``ray.get`` and re-build
+            them every batch — measured ~2× the whole query time)."""
+
+            def __init__(self, ref):
+                self._uni_ln, self._big_ln = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pa.Table:
+                uni_ln, big_ln = self._uni_ln, self._big_ln
+                ids, ces, nbs = [], [], []
+                for doc_id, t in zip(batch["doc_id"], batch["text"]):
+                    ws = word_re.findall(t)
+                    if len(ws) < 2:
+                        continue
+                    total = sum(
+                        uni_ln[a] - big_ln[(a, b)] for a, b in zip(ws, ws[1:])
+                    )
+                    ids.append(int(doc_id))
+                    ces.append(round(total / (len(ws) - 1), 6))
+                    nbs.append(len(ws) - 1)
+                return pa.table(
+                    {"doc_id": ids, "cross_entropy": ces, "n_bigrams": nbs},
+                    schema=out_schema,
                 )
-                ids.append(int(doc_id))
-                ces.append(round(total / (len(ws) - 1), 6))
-                nbs.append(len(ws) - 1)
-            return pa.table(
-                {"doc_id": ids, "cross_entropy": ces, "n_bigrams": nbs},
-                schema=out_schema,
-            )
 
         df = (
             _docs(sf_dir)
-            .map_batches(score_broadcast, batch_format="pandas")
+            .map_batches(
+                ScoreStage,
+                fn_constructor_kwargs={"ref": model_ref},
+                batch_format="pandas",
+                concurrency=(1, 8),
+            )
             .to_pandas()
         )
         return df.sort_values("doc_id").reset_index(drop=True)
