@@ -96,6 +96,36 @@ def cmd_extract(args: argparse.Namespace) -> None:
     print(json.dumps(summary))
 
 
+def cmd_enrich(args: argparse.Namespace) -> None:
+    """Extracted span output → doc-store chunk rows
+    (content_ltks / content_sm_ltks + deterministic chunk ids)."""
+    args._owned_ray = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.enrich import enrich_chunks
+
+    dict_lines = None
+    if args.dict:
+        with open(args.dict, encoding="utf-8") as f:
+            dict_lines = [ln.strip() for ln in f if ln.strip()]
+    import os
+
+    # a run_partitioned_extract dir holds part-*/ parquet plus a
+    # manifest.jsonl sidecar — read only the parquet partitions
+    parts = sorted(
+        os.path.join(args.src, d)
+        for d in os.listdir(args.src)
+        if d.startswith("part-")
+    ) if os.path.isdir(args.src) else []
+    out = enrich_chunks(
+        rd.read_parquet(parts or args.src),
+        dict_lines=dict_lines,
+        batch_size=args.batch_size,
+    )
+    out.write_parquet(args.out, min_rows_per_file=2000)
+    print(json.dumps({"out": args.out, "dict_entries": len(dict_lines or [])}))
+
+
 def cmd_show(args: argparse.Namespace) -> None:
     args._owned_ray = _init_ray(args.num_cpus)
     import ray.data as rd
@@ -141,6 +171,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--no-split", action="store_true",
                    help="disable heavy-doc page-range splitting")
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser(
+        "enrich", help="extracted spans → doc-store chunk rows (content_ltks)"
+    )
+    p.add_argument("src", help="extracted output dir (spans parquet)")
+    p.add_argument("out")
+    p.add_argument("--dict", default=None,
+                   help="tokenizer dictionary file ('word freq tag' lines)")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.set_defaults(fn=cmd_enrich)
 
     p = sub.add_parser("show", help="inspect extracted output")
     p.add_argument("path")

@@ -42,3 +42,23 @@ class TestCli:
         main(["show", os.path.join(out, part), "-n", "1"])
         shown = capsys.readouterr().out
         assert shown.startswith("== doc-")
+
+    def test_enrich(self, tmp_path, capsys):
+        import pyarrow.parquet as pq
+
+        corpus = str(tmp_path / "c3")
+        out = str(tmp_path / "o3")
+        chunks = str(tmp_path / "chunks")
+        main(["synth", corpus, "--n-docs", "30"])
+        capsys.readouterr()
+        main(["extract", corpus, out])
+        capsys.readouterr()
+        dict_file = tmp_path / "user.dict"
+        dict_file.write_text("南京市 1500000 ns\n")
+        main(["enrich", out, chunks, "--dict", str(dict_file)])
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["dict_entries"] == 1
+        t = pq.read_table(chunks)
+        assert t.num_rows > 0
+        cols = set(t.schema.names)
+        assert {"chunk_id", "content_ltks", "content_sm_ltks"} <= cols
