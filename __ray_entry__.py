@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_book": template_roundtrips.extract_book,
         "extract_book_toc": template_roundtrips.extract_book_toc,
         "extract_qa_roles": template_roundtrips.extract_qa_roles,
+        "extract_tag": template_roundtrips.extract_tag,
         "extract_email": template_roundtrips.extract_email,
         "extract_laws": template_roundtrips.extract_laws,
         "extract_paper": template_roundtrips.extract_paper,

@@ -18,6 +18,7 @@ from .paper import chunk_paper
 from .presentation import chunk_presentation
 from .qa import chunk_qa
 from .table import chunk_table
+from .tag import chunk_tag
 
 CHUNKERS = {
     "naive": chunk_naive,
@@ -30,6 +31,7 @@ CHUNKERS = {
     "manual": chunk_manual,
     "presentation": chunk_presentation,
     "email": chunk_email,
+    "tag": chunk_tag,
 }
 
 

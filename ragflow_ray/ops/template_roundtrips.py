@@ -293,6 +293,31 @@ def extract_qa_roles(sf_dir: str):
     return _run(sf_dir, _qa_roles_doc, "qa")
 
 
+# -- tag: two-column content↔tags pairs ------------------------------------
+
+
+def _tag_txt_doc(doc_id, text: str) -> dict:
+    """Tag construction: each full group of 3 words becomes a garbage
+    line (``z <w0>`` — no delimiter) followed by a pair line
+    ``<w1>\\t g.<w2>``-shaped (``w1\\tg.w2``).  Exercises the TAB/comma
+    vote (tab wins), the garbage-accumulates-into-content machine, the
+    unconditional leading-``\\n`` quirk, and the ``.``→``_`` tag
+    cleanup (rag/app/tag.py:30,62-92)."""
+    lines = []
+    for g in _group_words(text.split(" "), 3):
+        if len(g) < 3:
+            break
+        lines.append("z " + g[0])
+        lines.append(g[1] + "\tg." + g[2])
+    return _txt_doc(doc_id, "\n".join(lines))
+
+
+def extract_tag(sf_dir: str):
+    """Every 3-word group yields one span
+    ``\\nz w0\\nw1<TAB>g_w2`` (leading newline included)."""
+    return _run(sf_dir, _tag_txt_doc, "tag")
+
+
 # -- email: stdlib eml parse + header/body sections ------------------------
 
 EMAIL_BODY_WORDS = 32
@@ -539,6 +564,13 @@ def oracle_sql() -> dict[str, str]:
             + _grouped(g6_overflow, OVERFLOW_GROUP)
         ),
         "extract_qa_roles": with_ws(_grouped(g8_qa_roles, 8, where="notnull")),
+        # tag: floor(nw/3) full groups; leading chr(10) per span is the
+        # reference's unconditional content += "\n" quirk
+        "extract_tag": with_ws(
+            "array_to_string(list_transform(range(nw // 3), g -> "
+            "chr(10) || 'z ' || ws[g*3+1] || chr(10) || ws[g*3+2] || "
+            "chr(9) || 'g_' || ws[g*3+3]), chr(10))"
+        ),
         "extract_email": f"""
             SELECT doc_id,
                    'From: alice@example.comTo: bob@example.comSubject: doc '

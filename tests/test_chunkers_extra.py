@@ -312,3 +312,79 @@ class TestQaDocxExcel:
             "Question: Q2?\tAnswer: A2.",
             "Question: Q3?\tAnswer: A3.",
         ]
+
+
+class TestTagChunker:
+    """rag/app/tag.py parity: two-column pair parser, no LLM."""
+
+    def _doc(self, text, fmt="txt"):
+        return {"doc_id": "t1", "fmt": fmt, "spans": [
+            {"kind": "text", "text": text, "media_ref": "", "offset": 0}]}
+
+    def test_tab_pairs_with_leading_newline_quirk(self):
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+
+        out = chunk_document(
+            self._doc("apple\tfruit,red\nstone\tmineral"), "tag", ChunkConfig()
+        )
+        # reference's unconditional content += "\n" + q keeps a leading \n
+        assert [s["text"] for s in out] == [
+            "\napple\tfruit,red", "\nstone\tmineral"
+        ]
+        assert all(s["kind"] == "tag" for s in out)
+
+    def test_garbage_lines_accumulate_into_content(self):
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+
+        out = chunk_document(
+            self._doc("preamble line\napple\tfruit\ntrailing orphan"),
+            "tag", ChunkConfig(),
+        )
+        # garbage joins the NEXT pair's content; trailing orphan is dropped
+        assert [s["text"] for s in out] == ["\npreamble line\napple\tfruit"]
+
+    def test_comma_delimiter_vote_and_dot_cleanup(self):
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+
+        out = chunk_document(
+            self._doc("apple,core.fruit\nstone,v1.2"), "tag", ChunkConfig()
+        )
+        # comma wins 2-0; dots in tags become underscores (beAdoc)
+        assert [s["text"] for s in out] == [
+            "\napple\tcore_fruit", "\nstone\tv1_2"
+        ]
+
+    def test_tab_wins_vote_ties(self):
+        from ragflow_ray.chunkers.tag import tag_pairs_from_lines
+
+        pairs = tag_pairs_from_lines(["a\tx", "b,y"])  # 1-1 tie -> tab
+        assert pairs == [("\na", "x")]
+
+    def test_csv_quoted_fields(self):
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+
+        out = chunk_document(
+            self._doc('"apple, inc","tech, big.co"\nplain,simple', fmt="csv"),
+            "tag", ChunkConfig(),
+        )
+        # the tags cell itself splits on comma: two tags, dot cleaned
+        assert [s["text"] for s in out] == [
+            "\napple, inc\ttech,big_co", "\nplain\tsimple"
+        ]
+
+    def test_excel_path(self):
+        import json
+
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+
+        payload = {"sheets": [{"name": "S", "rows": [
+            ["content a", "t1,t2.x"], ["", "orphan"], ["content b", "t3"],
+        ]}]}
+        doc = {"doc_id": "t2", "fmt": "excel", "spans": [
+            {"kind": "text", "text": json.dumps(payload),
+             "media_ref": "", "offset": 0}]}
+        out = chunk_document(doc, "tag", ChunkConfig())
+        # excel path has no leading-\n accumulation (qa.Excel pairing)
+        assert [s["text"] for s in out] == [
+            "content a\tt1,t2_x", "content b\tt3"
+        ]
