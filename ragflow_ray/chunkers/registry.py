@@ -32,6 +32,10 @@ CHUNKERS = {
     "presentation": chunk_presentation,
     "email": chunk_email,
     "tag": chunk_tag,
+    # reference FACTORY aliases (task_executor.py:70-87): "general" and
+    # the knowledge-graph template both dispatch to the naive chunker
+    "general": chunk_naive,
+    "knowledge_graph": chunk_naive,
 }
 
 
