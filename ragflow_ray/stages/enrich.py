@@ -76,7 +76,11 @@ class TokenizeChunksStage:
             doc_id = doc["doc_id"]
             for span in doc["spans"]:
                 text = span["text"] or ""
-                if span["kind"] != "text":
+                # every text-bearing span kind (text/qa/table/tag/title/
+                # abstract/row/slide/...) tokenizes; a media span carries
+                # its ref untokenized (the reference routes images
+                # through storage, not the text fields)
+                if span["kind"] == "media":
                     rows.append(
                         {
                             "chunk_id": chunk_id(span["media_ref"] or "", doc_id),
@@ -100,11 +104,11 @@ class TokenizeChunksStage:
                         "chunk_id": chunk_id(text, doc_id),
                         "doc_id": doc_id,
                         "order": span["order"],
-                        "kind": "text",
+                        "kind": span["kind"],
                         "content_with_weight": text,
                         "content_ltks": ltks,
                         "content_sm_ltks": self._tok.fine_grained_tokenize(ltks),
-                        "media_ref": "",
+                        "media_ref": span["media_ref"] or "",
                     }
                 )
         return pa.Table.from_pylist(rows, schema=CHUNK_SCHEMA)

@@ -86,6 +86,16 @@ class TestStage:
         assert media["content_ltks"] == ""
         assert media["chunk_id"] == chunk_id("media://x/1", "d")
 
+    def test_non_text_kinds_tokenized(self):
+        """qa/table/tag/... spans are text-bearing chunks — they get
+        retrieval fields and content-derived ids, not the media path."""
+        spans = [_span(0, "Question: what\tAnswer: that", kind="qa"),
+                 _span(1, "\ncontent\tt_x", kind="tag")]
+        out = TokenizeChunksStage()(_doc_batch([_row("d", spans)])).to_pylist()
+        assert [r["kind"] for r in out] == ["qa", "tag"]
+        assert all(r["content_ltks"] for r in out)
+        assert out[0]["chunk_id"] == chunk_id("Question: what\tAnswer: that", "d")
+
     def test_schema_declared(self):
         out = TokenizeChunksStage()(_doc_batch([_row("d", [_span(0, "x y")])]))
         assert out.schema == CHUNK_SCHEMA
