@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_incremental": dedup.dedup_incremental,
         "passage_dedup": dedup.passage_dedup,
+        "segment_dedup_clean": lambda d: dedup.segment_dedup_clean(d).to_pandas(),
         # --- corpus curation ---
         "decontaminate": curation.decontaminate,
         "stratified_sample": curation.stratified_sample,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": curation.mixture_sample,
         "curate_and_pack": curation.curate_and_pack,
         "per_source_cap": curation.per_source_cap,
+        "pii_scrub": lambda d: curation.pii_scrub(d).to_pandas(),
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -204,6 +206,9 @@ _NGRAM_PAIRS_CTE = """base AS (
 # quality-gate definition imported from the engine so the oracle SQL
 # can never drift from the map_batches gates that claim to match it
 from ragflow_ray.ops.curation import (  # noqa: E402
+    PII_EMAIL as _PII_EMAIL,
+    PII_IPV4 as _PII_IPV4,
+    PII_PHONE as _PII_PHONE,
     QF_MAX_PUNCT_X100 as _QF_MAXPUNCT,
     QF_MIN_TOKENS as _QF_MINTOK,
     QF_PUNCT as _PUNCT,
@@ -335,6 +340,32 @@ def oracle_sql() -> dict[str, str]:
         # duplicated = md5 occurs >= 2x corpus-wide incl. multiplicity.
         # list_slice is 1-based inclusive and clamps at the list end —
         # exactly Python words[i*16:(i+1)*16]
+        # segment = consecutive non-overlapping 10-word slice (same
+        # slicing identity as passage_dedup); duplicated = md5 >= 2x
+        # corpus-wide incl. multiplicity; clean_text = surviving
+        # segments rejoined in order ('' when everything was cut)
+        "segment_dedup_clean": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            p AS (
+                SELECT doc_id, i,
+                       array_to_string(
+                           list_slice(ws, i * 10 + 1, (i + 1) * 10), ' ') AS seg,
+                       CAST(ceil(len(ws) / 10.0) AS BIGINT) AS n_segs
+                FROM (SELECT doc_id, ws,
+                             unnest(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i
+                      FROM base)
+            ),
+            d AS (SELECT md5(seg) AS h FROM p GROUP BY md5(seg)
+                  HAVING COUNT(*) >= 2)
+            SELECT doc_id::BIGINT AS doc_id,
+                   COALESCE(string_agg(seg, ' ' ORDER BY i)
+                            FILTER (WHERE d.h IS NULL), '') AS clean_text,
+                   (COUNT(*) FILTER (WHERE d.h IS NOT NULL))::BIGINT AS n_removed
+            FROM p LEFT JOIN d ON md5(p.seg) = d.h
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         "passage_dedup": """
             WITH base AS (
                 SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -622,6 +653,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_tokens >= {_QF_MINTOK} AND n_punct * 100 <= {_QF_MAXPUNCT} * n_tokens
               AND n_stop > 0
             ORDER BY doc_id
+        """,
+        # deterministic PII augmentation (doc-id-derived email/ip/phone)
+        # mirrored token-for-token from curation.pii_scrub; patterns are
+        # the SAME module constants; counts are taken on the text as it
+        # stood before each rule's replacement, same order (email→ip→tel)
+        "pii_scrub": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact ' || string_split(text, ' ')[1] || '.' ||
+                       CAST(doc_id AS VARCHAR) || '@example.' ||
+                       CASE doc_id % 3 WHEN 0 THEN 'com'
+                                       WHEN 1 THEN 'org' ELSE 'net' END ||
+                       ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                       CAST(doc_id * 7 % 256 AS VARCHAR) || '.' ||
+                       CAST(doc_id * 13 % 256 AS VARCHAR) ||
+                       ' tel 555-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+                FROM documents
+            ),
+            s1 AS (SELECT doc_id, t0,
+                          regexp_replace(t0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+                   FROM aug),
+            s2 AS (SELECT doc_id, t0, t1,
+                          regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2
+                   FROM s1)
+            SELECT doc_id::BIGINT AS doc_id,
+                   len(regexp_extract_all(t0, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(t1, '{_PII_IPV4}'))::BIGINT AS n_ips,
+                   len(regexp_extract_all(t2, '{_PII_PHONE}'))::BIGINT AS n_phones,
+                   regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+            FROM s2 ORDER BY doc_id
         """,
         "length_histogram": f"""
             SELECT ({_NTOK} // 16)::BIGINT AS bucket,

@@ -146,6 +146,8 @@ def run_bench() -> dict:
         "dedup_incremental": dedup.dedup_incremental,
         "curate_and_pack": curation.curate_and_pack,
         "passage_dedup": dedup.passage_dedup,
+        "segment_dedup_clean": lambda d: dedup.segment_dedup_clean(d).count(),
+        "pii_scrub": lambda d: curation.pii_scrub(d).count(),
         "vocab_topk": textstats.vocab_topk,
         "bpe_train": textstats.bpe_train,
         "lm_cross_entropy": curation.lm_cross_entropy,

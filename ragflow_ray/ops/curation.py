@@ -914,3 +914,62 @@ def lm_cross_entropy(sf_dir: str, broadcast_limit: int = 2_000_000):
     agg["doc_id"] = agg["doc_id"].astype("int64")
     agg["n_bigrams"] = agg["n_bigrams"].astype("int64")
     return agg[["doc_id", "cross_entropy", "n_bigrams"]]
+
+
+# -- PII redaction ---------------------------------------------------------
+
+# Written in the regex subset valid in BOTH Python `re` and DuckDB's RE2
+# (no capture groups — `findall`/`regexp_extract_all` must both return
+# whole matches).  The ONE source for the engine pass and the SQL oracle
+# (__ray_entry__ f-strings these constants into the oracle query).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b555-\d{4}\b"
+
+
+def pii_scrub(sf_dir: str):
+    """PII detection + redaction — the regex scrub every crawl-curation
+    pipeline runs before training (emails / IPv4s / phone numbers →
+    typed placeholders), with per-doc hit counts for auditing.
+
+    The synthetic corpus carries no organic PII, so the pass runs over
+    a deterministic augmentation (doc-id-derived email/ip/phone
+    appended to each text) mirrored token-for-token in the SQL oracle —
+    the same constructed-input discipline as the template roundtrips.
+
+    Scrub order matters and is pinned: emails first (their domains
+    contain dots an IPv4 pattern could nibble), then IPv4, then phone;
+    each count is taken on the text as it stood BEFORE that rule's
+    replacement.  One stateless vectorized ``map_batches`` pass
+    (pandas ``.str`` kernels = compiled-regex C loop), no shuffle but
+    the output sort; at 100 TB this is a pure streaming scan.
+    """
+    import numpy as np
+
+    _TLDS = np.array(["com", "org", "net"])
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        idv = ids.to_numpy()
+        t = batch["text"].astype(str)
+        aug = (
+            t + " contact " + t.str.split(" ").str[0] + "." + ids.astype(str)
+            + "@example." + pd.Series(_TLDS[idv % 3], index=batch.index)
+            + " ip 10." + (ids % 256).astype(str)
+            + "." + (ids * 7 % 256).astype(str)
+            + "." + (ids * 13 % 256).astype(str)
+            + " tel 555-" + (ids % 10000).astype(str).str.zfill(4)
+        )
+        n_emails = aug.str.count(PII_EMAIL)
+        t1 = aug.str.replace(PII_EMAIL, "<EMAIL>", regex=True)
+        n_ips = t1.str.count(PII_IPV4)
+        t2 = t1.str.replace(PII_IPV4, "<IP>", regex=True)
+        n_phones = t2.str.count(PII_PHONE)
+        t3 = t2.str.replace(PII_PHONE, "<PHONE>", regex=True)
+        return pd.DataFrame(
+            {"doc_id": ids, "n_emails": n_emails.astype("int64"),
+             "n_ips": n_ips.astype("int64"),
+             "n_phones": n_phones.astype("int64"), "clean_text": t3}
+        )
+
+    return _docs(sf_dir).map_batches(scrub, batch_format="pandas").sort("doc_id")

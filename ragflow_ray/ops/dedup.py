@@ -1287,3 +1287,156 @@ def passage_dedup(sf_dir: str, window: int = PASSAGE_WORDS,
     for c in ("doc_id", "n_passages", "n_dup_passages"):
         df[c] = df[c].astype("int64")
     return df[["doc_id", "n_passages", "n_dup_passages"]]
+
+
+SEGMENT_WORDS = 10
+
+
+def segment_dedup_clean(sf_dir: str, window: int = SEGMENT_WORDS,
+                        broadcast_limit: int = 200_000,
+                        join_partitions: int = 8):
+    """Boilerplate REMOVAL (the CCNet line-dedup step): where
+    :func:`passage_dedup` only *flags* documents containing
+    corpus-duplicated windows, this pass rewrites each document with
+    the duplicated segments cut out — headers, footers and licence
+    blocks that repeat across a crawl get deleted in place, the
+    surrounding unique prose survives.
+
+    Segment = consecutive non-overlapping ``window``-word slice of the
+    ``split(' ')`` word list (trailing partial kept; empty text is one
+    empty segment).  Duplicated = md5 occurs ≥ 2 times corpus-wide
+    counting multiplicity, so self-repeats are cut too — every copy of
+    a duplicated segment is removed, exactly as CCNet drops every
+    occurrence of a repeated line.
+
+    Distributed plan: one explode pass emits only (hash) rows (64
+    hex chars per segment, the TEXT never shuffles); a count aggregate
+    keeps the duplicated hashes.  Reconstruction is size-adaptive on
+    that duplicated-hash count:
+
+    * ≤ ``broadcast_limit`` dup hashes — collect just the hash column
+      (bounded by the branch test itself), ``ray.put`` once, and a
+      second streaming pass over the docs re-segments and filters
+      locally.  No shuffle anywhere; the document text moves zero
+      times.
+    * above the limit — re-explode WITH positions and ``left_anti``
+      join the exploded rows against the dup-hash set (hash-partition
+      exchange of (hash, doc_id, i, seg) rows), then a per-doc
+      ``map_groups`` stitches survivors back in segment order.  Text
+      moves twice (explode + join) but the driver never sees it.
+
+    Output (all docs, cleaned): ``doc_id, clean_text, n_removed``.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("clean_text", pa.string()),
+         ("n_removed", pa.int64())]
+    )
+
+    def _segments(text: str) -> list[str]:
+        words = text.split(" ")
+        return [" ".join(words[i * window:(i + 1) * window])
+                for i in range((len(words) + window - 1) // window or 1)]
+
+    def explode_hashes(batch: pd.DataFrame) -> pa.Table:
+        hs = []
+        for text in batch["text"]:
+            hs.extend(hashlib.md5(s.encode()).hexdigest()
+                      for s in _segments(text))
+        return pa.table({"h": pa.array(hs, type=pa.string())})
+
+    dup_hashes = (
+        _docs(sf_dir).map_batches(explode_hashes, batch_format="pandas")
+        .groupby("h")
+        .aggregate(Count(alias_name="df"))
+        .filter(expr="df >= 2")
+        .select_columns(["h"])
+        .materialize()
+    )
+    n_dup = dup_hashes.count()
+
+    if n_dup <= broadcast_limit:
+        # hash set is dimension-sized: broadcast once, rebuild locally
+        dup_ref = ray.put(
+            frozenset(dup_hashes.to_pandas()["h"]) if n_dup else frozenset()
+        )
+
+        def clean(batch: pd.DataFrame) -> pa.Table:
+            dup = ray.get(dup_ref)
+            ids, outs, removed = [], [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                segs = _segments(text)
+                keep = [s for s in segs
+                        if hashlib.md5(s.encode()).hexdigest() not in dup]
+                ids.append(int(doc_id))
+                outs.append(" ".join(keep))
+                removed.append(len(segs) - len(keep))
+            return pa.table(
+                {"doc_id": pa.array(ids, type=pa.int64()),
+                 "clean_text": pa.array(outs, type=pa.string()),
+                 "n_removed": pa.array(removed, type=pa.int64())},
+                schema=out_schema,
+            )
+
+        return (
+            _docs(sf_dir).map_batches(clean, batch_format="pandas")
+            .sort("doc_id")
+        )
+
+    # join branch: positions + text through a hash-partition anti-join
+    seg_schema = pa.schema(
+        [("h", pa.string()), ("doc_id", pa.int64()), ("i", pa.int64()),
+         ("seg", pa.string()), ("n_segs", pa.int64())]
+    )
+
+    def explode_full(batch: pd.DataFrame) -> pa.Table:
+        hs, ids, idx, segs, totals = [], [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            ss = _segments(text)
+            for i, s in enumerate(ss):
+                hs.append(hashlib.md5(s.encode()).hexdigest())
+                ids.append(int(doc_id))
+                idx.append(i)
+                segs.append(s)
+                totals.append(len(ss))
+            # sentinel: survives the anti-join by construction (not a
+            # 32-hex md5) so a fully-duplicated doc still reaches the
+            # stitch with clean_text='' instead of vanishing
+            hs.append(f"doc:{int(doc_id)}")
+            ids.append(int(doc_id))
+            idx.append(-1)
+            segs.append("")
+            totals.append(len(ss))
+        return pa.table(
+            {"h": pa.array(hs, type=pa.string()),
+             "doc_id": pa.array(ids, type=pa.int64()),
+             "i": pa.array(idx, type=pa.int64()),
+             "seg": pa.array(segs, type=pa.string()),
+             "n_segs": pa.array(totals, type=pa.int64())},
+            schema=seg_schema,
+        )
+
+    exploded = _docs(sf_dir).map_batches(explode_full, batch_format="pandas")
+    kept = exploded.join(
+        dup_hashes, join_type="left_anti",
+        num_partitions=max(1, min(join_partitions, n_dup // 64 + 1)),
+        on=("h",),
+    )
+
+    def stitch(group: pd.DataFrame) -> pa.Table:
+        g = group[group["i"] >= 0].sort_values("i")
+        return pa.table(
+            {"doc_id": [int(group["doc_id"].iloc[0])],
+             "clean_text": [" ".join(g["seg"])],
+             "n_removed": [int(group["n_segs"].iloc[0]) - len(g)]},
+            schema=out_schema,
+        )
+
+    return (
+        kept.groupby("doc_id").map_groups(stitch, batch_format="pandas")
+        .sort("doc_id")
+    )
