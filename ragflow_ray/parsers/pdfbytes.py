@@ -35,19 +35,23 @@ Stream filters: FlateDecode, LZWDecode, ASCII85Decode,
 ASCIIHexDecode, and ordered chains of them; /DecodeParms /Predictor
 post-processing (TIFF 2 and PNG 10–15) on the compression filters.
 
-Encrypted documents: the standard security handler with RC4
-(V∈{1,2}, R∈{2,3}) and an EMPTY user password — the common
-"owner-locked" PDF — decrypts transparently (file key from /O, /P,
-/ID per Algorithm 2, verified against /U; per-object RC4 on stream
-bodies).  AES (V≥4) and real user passwords stay out of subset.
+Encrypted documents: the standard security handler with an EMPTY
+user password — the common "owner-locked" PDF — decrypts
+transparently (file key from /O, /P, /ID per Algorithm 2, verified
+against /U).  RC4 (V∈{1,2}, R∈{2,3}) and crypt-filter documents
+(V=4, R=4) with /CFM /V2 (RC4) or /CFM /AESV2 (AES-128-CBC; a
+from-scratch FIPS-197 inverse cipher whose S-box is derived from the
+GF(2^8) field construction and pinned to the spec's Appendix B/C.1
+known-answer vectors in test_pdfbytes) are in subset; real user
+passwords and 256-bit AESV3 stay out.
 
-Deliberately out of scope (documented subset, not a stub): AES
-encryption, raster filters (DCTDecode/JPX) — bytes outside the
-subset degrade to skipped show-strings, never to a crash.  Good
-enough to round-trip every text PDF this engine writes in its own
-tests, the common single-byte-font documents, Identity-H CID PDFs
-carrying ToUnicode maps, object-stream-packed PDF 1.5 files, and
-RC4-owner-locked documents (the dominant real-world text-PDF forms).
+Deliberately out of scope (documented subset, not a stub): AESV3,
+raster filters (DCTDecode/JPX) — bytes outside the subset degrade
+to skipped show-strings, never to a crash.  Good enough to
+round-trip every text PDF this engine writes in its own tests, the
+common single-byte-font documents, Identity-H CID PDFs carrying
+ToUnicode maps, object-stream-packed PDF 1.5 files, and RC4/AES
+owner-locked documents (the dominant real-world text-PDF forms).
 """
 
 from __future__ import annotations
@@ -288,6 +292,114 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# --- AES-128 inverse cipher (for /CFM /AESV2 crypt filters) ---------------
+#
+# From-scratch FIPS-197: the S-box is DERIVED (multiplicative inverse in
+# GF(2^8) mod x^8+x^4+x^3+x+1, then the affine map with 0x63), not pasted
+# as a table, and the whole cipher is pinned to the spec's Appendix B/C.1
+# known-answer vectors in test_pdfbytes.  Decrypt-only: the parser never
+# encrypts; the test fixture carries its own independent forward cipher.
+
+
+def _gf_mul(a: int, b: int) -> int:
+    r = 0
+    for _ in range(8):
+        if b & 1:
+            r ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return r
+
+
+def _make_aes_boxes() -> tuple[list[int], list[int]]:
+    sbox = [0] * 256
+    for x in range(256):
+        if x == 0:
+            inv = 0
+        else:  # inverse by exponentiation: x^254 = x^-1 in GF(2^8)*
+            inv, p, e = 1, x, 254
+            while e:
+                if e & 1:
+                    inv = _gf_mul(inv, p)
+                p = _gf_mul(p, p)
+                e >>= 1
+        y = 0
+        for i in range(8):
+            bit = (
+                (inv >> i) ^ (inv >> ((i + 4) % 8)) ^ (inv >> ((i + 5) % 8))
+                ^ (inv >> ((i + 6) % 8)) ^ (inv >> ((i + 7) % 8)) ^ (0x63 >> i)
+            ) & 1
+            y |= bit << i
+        sbox[x] = y
+    inv_sbox = [0] * 256
+    for i, v in enumerate(sbox):
+        inv_sbox[v] = i
+    return sbox, inv_sbox
+
+
+_AES_SBOX, _AES_INV_SBOX = _make_aes_boxes()
+_INV_MIX = (14, 11, 13, 9)  # InvMixColumns matrix first row, rotated per row
+
+
+def _aes_key_schedule(key: bytes) -> list[list[int]]:
+    """128-bit key → 11 round keys, each a flat 16-int column-major state."""
+    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = [_AES_SBOX[t[1]], _AES_SBOX[t[2]], _AES_SBOX[t[3]], _AES_SBOX[t[0]]]
+            t[0] ^= rcon
+            rcon = _gf_mul(rcon, 2)
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [sum((w[4 * r + c] for c in range(4)), []) for r in range(11)]
+
+
+def _aes_decrypt_block(ks: list[list[int]], block: bytes) -> bytes:
+    s = [a ^ b for a, b in zip(block, ks[10])]
+    for rnd in range(9, -1, -1):
+        # InvShiftRows: row r rotates right by r (flat index = 4*col + row)
+        s = [s[4 * (((i // 4) - (i % 4)) % 4) + (i % 4)] for i in range(16)]
+        s = [_AES_INV_SBOX[b] for b in s]
+        s = [a ^ b for a, b in zip(s, ks[rnd])]
+        if rnd == 0:
+            break
+        ns = [0] * 16
+        for c in range(0, 16, 4):
+            col = s[c : c + 4]
+            for r in range(4):
+                ns[c + r] = (
+                    _gf_mul(col[0], _INV_MIX[-r % 4])
+                    ^ _gf_mul(col[1], _INV_MIX[(1 - r) % 4])
+                    ^ _gf_mul(col[2], _INV_MIX[(2 - r) % 4])
+                    ^ _gf_mul(col[3], _INV_MIX[(3 - r) % 4])
+                )
+        s = ns
+    return bytes(s)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
+    """PDF AESV2 stream layout: 16-byte IV prefix, AES-128-CBC body,
+    PKCS#7 padding.  None for malformed input (wrong block multiple or
+    bad padding) so callers degrade instead of emitting garbage."""
+    if len(data) < 32 or len(data) % 16:
+        return None
+    ks = _aes_key_schedule(key)
+    prev = data[:16]
+    out = bytearray()
+    for at in range(16, len(data), 16):
+        blk = data[at : at + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(ks, blk), prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        return None
+    return bytes(out[:-pad])
+
+
 def _enc_bytes(body: bytes, key: str) -> bytes | None:
     lit, hexp = _ENC_STR[key]
     m = lit.search(body)
@@ -302,10 +414,10 @@ def _enc_bytes(body: bytes, key: str) -> bytes | None:
     return None
 
 
-def _file_key(enc: bytes, id0: bytes) -> bytes | None:
-    """Algorithm 2 with the empty user password; None when the
-    document is outside the supported subset or /U verification fails
-    (a real user password)."""
+def _file_key(enc: bytes, id0: bytes) -> tuple[bytes, str] | None:
+    """Algorithm 2 with the empty user password → (key, cipher) where
+    cipher is "rc4" or "aes"; None when the document is outside the
+    supported subset or /U verification fails (a real user password)."""
     import hashlib
 
     def num(k: str, default=None):
@@ -313,22 +425,31 @@ def _file_key(enc: bytes, id0: bytes) -> bytes | None:
         return int(m.group(1)) if m else default
 
     v, r = num("V", 0), num("R", 0)
-    if v not in (1, 2) or r not in (2, 3):
+    if v in (1, 2) and r in (2, 3):
+        cipher = "rc4"
+    elif v == 4 and r == 4:
+        # crypt filters: the stream filter's /CFM picks the cipher
+        cm = re.search(rb"/CFM\s*/(\w+)", enc)
+        if cm is None or cm.group(1) not in (b"V2", b"AESV2"):
+            return None
+        cipher = "aes" if cm.group(1) == b"AESV2" else "rc4"
+    else:
         return None
     o, u = _enc_bytes(enc, "O"), _enc_bytes(enc, "U")
     if o is None or u is None or num("P") is None:
         return None
-    n = 5 if r == 2 else max(5, min(16, num("Length", 40) // 8))
+    n = 5 if r == 2 else max(5, min(16, num("Length", 40 if r < 4 else 128) // 8))
     p = num("P") & 0xFFFFFFFF
-    h = hashlib.md5(
-        _PASSWORD_PAD + o[:32] + p.to_bytes(4, "little") + id0
-    ).digest()
+    seed = _PASSWORD_PAD + o[:32] + p.to_bytes(4, "little") + id0
+    if r == 4 and re.search(rb"/EncryptMetadata\s+false", enc):
+        seed += b"\xff\xff\xff\xff"
+    h = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
     key = h[:n]
 
-    # verify against /U (Algorithm 6)
+    # verify against /U (Algorithm 6; R≥3 compares the first 16 bytes)
     if r == 2:
         expect = _rc4(key, _PASSWORD_PAD)
         ok = u[:32] == expect
@@ -338,22 +459,28 @@ def _file_key(enc: bytes, id0: bytes) -> bytes | None:
         for i in range(1, 20):
             x = _rc4(bytes(b ^ i for b in key), x)
         ok = u[:16] == x
-    return key if ok else None
+    return (key, cipher) if ok else None
 
 
-def _object_key(file_key: bytes, num: int) -> bytes:
+def _object_key(file_key: bytes, num: int, aes: bool = False) -> bytes:
+    """Algorithm 1 per-object key; AESV2 appends the spec's "sAlT"
+    bytes (0x73 0x41 0x6C 0x54) to the MD5 input."""
     import hashlib
 
     h = hashlib.md5(
         file_key + (num & 0xFFFFFF).to_bytes(3, "little") + b"\x00\x00"
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
 
 
 def _decrypt_objects(data: bytes, objs: dict[int, bytes]) -> None:
-    """Detect /Encrypt, derive the key, and RC4-decrypt every stream
-    body in place (generation 0 — the only generation the sequential
-    scan records).  No-op for unencrypted or unsupported documents."""
+    """Detect /Encrypt, derive the key, and decrypt every stream body
+    (generation 0 — the only generation the sequential scan records).
+    RC4 is length-preserving and decrypts in place; AESV2 shrinks the
+    body (16-byte IV + PKCS#7 pad stripped), so the header's direct
+    /Length is patched to the plaintext size.  No-op for unencrypted
+    or unsupported documents."""
     em = None
     for em in _ENCRYPT_REF.finditer(data):
         pass  # last trailer wins
@@ -375,9 +502,10 @@ def _decrypt_objects(data: bytes, objs: dict[int, bytes]) -> None:
         for idm in _ID_LIT.finditer(data):
             pass
         id0 = _unescape_bytes(idm.group(1)) if idm is not None else b""
-    key = _file_key(enc, id0)
-    if key is None:
+    derived = _file_key(enc, id0)
+    if derived is None:
         return
+    key, cipher = derived
     for num, body in list(objs.items()):
         if num == enc_num:
             continue
@@ -393,11 +521,19 @@ def _decrypt_objects(data: bytes, objs: dict[int, bytes]) -> None:
             end = body.find(b"endstream", start)
             if end == -1:
                 end = len(body)
-        objs[num] = (
-            body[:start]
-            + _rc4(_object_key(key, num), body[start:end])
-            + body[end:]
-        )
+        if cipher == "rc4":
+            objs[num] = (
+                body[:start]
+                + _rc4(_object_key(key, num), body[start:end])
+                + body[end:]
+            )
+            continue
+        plain = _aes_cbc_decrypt(_object_key(key, num, aes=True), body[start:end])
+        if plain is None:  # malformed ciphertext: leave it, degrade later
+            continue
+        if lm:
+            header = _LENGTH.sub(b"/Length %d" % len(plain), header, count=1)
+        objs[num] = header + body[m.start() : start] + plain + body[end:]
 
 
 def _stream_of(body: bytes, objs: dict[int, bytes] | None = None) -> bytes | None:

@@ -774,3 +774,233 @@ class TestEncryptedPdf:
     def test_unencrypted_unaffected(self):
         pages = [["no encryption here"]]
         assert pdf_text_lines(make_pdf(pages)) == pages
+
+
+# --- encrypted PDFs (V4 crypt filters: AESV2 / V2) ------------------------
+#
+# The fixture carries its own FORWARD AES-128 built from log/antilog
+# tables over the 0x03 generator — a different GF(2^8) construction than
+# the library's square-and-multiply inverse — so encryptor and decryptor
+# only agree if both match FIPS-197.
+
+
+def _aes_tables_ref():
+    log, alog = [0] * 256, [0] * 256
+    x = 1
+    for i in range(255):
+        alog[i] = x
+        log[x] = i
+        y = ((x << 1) & 0xFF) ^ (0x1B if x & 0x80 else 0)  # x*2
+        x = y ^ x  # x*3 (the generator)
+    sbox = [0] * 256
+    for a in range(256):
+        inv = 0 if a == 0 else alog[(255 - log[a]) % 255]
+        b = inv
+        for sh in (1, 2, 3, 4):
+            b ^= ((inv << sh) | (inv >> (8 - sh))) & 0xFF
+        sbox[a] = b ^ 0x63
+    return sbox, log, alog
+
+
+_SBOX_REF, _LOG_REF, _ALOG_REF = _aes_tables_ref()
+
+
+def _mul_ref(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    return _ALOG_REF[(_LOG_REF[a] + _LOG_REF[b]) % 255]
+
+
+def _key_schedule_ref(key: bytes) -> list[list[int]]:
+    w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = [_SBOX_REF[t[1]], _SBOX_REF[t[2]], _SBOX_REF[t[3]],
+                 _SBOX_REF[t[0]]]
+            t[0] ^= rcon
+            rcon = _mul_ref(rcon, 2)
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [sum((w[4 * r + c] for c in range(4)), []) for r in range(11)]
+
+
+def _aes_encrypt_block_ref(ks: list[list[int]], block: bytes) -> bytes:
+    s = [a ^ b for a, b in zip(block, ks[0])]
+    for rnd in range(1, 11):
+        s = [_SBOX_REF[b] for b in s]
+        # ShiftRows: row r rotates left by r (flat index = 4*col + row)
+        s = [s[4 * (((i // 4) + (i % 4)) % 4) + (i % 4)] for i in range(16)]
+        if rnd != 10:
+            ns = [0] * 16
+            for c in range(0, 16, 4):
+                col = s[c:c + 4]
+                for r in range(4):
+                    ns[c + r] = (
+                        _mul_ref(col[r], 2)
+                        ^ _mul_ref(col[(r + 1) % 4], 3)
+                        ^ col[(r + 2) % 4] ^ col[(r + 3) % 4]
+                    )
+            s = ns
+        s = [a ^ b for a, b in zip(s, ks[rnd])]
+    return bytes(s)
+
+
+def _aes_cbc_encrypt_ref(key: bytes, iv: bytes, data: bytes) -> bytes:
+    ks = _key_schedule_ref(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out, prev = bytearray(iv), iv
+    for at in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[at:at + 16], prev))
+        prev = _aes_encrypt_block_ref(ks, blk)
+        out += prev
+    return bytes(out)
+
+
+def encrypt_pdf_v4(blob: bytes, cfm: str = "AESV2") -> bytes:
+    """V=4 R=4 crypt-filter encryption of a make_pdf()-shaped document
+    with an empty user password: /StdCF carries /CFM /AESV2 (AES-128-
+    CBC, IV-prefixed, PKCS#7) or /CFM /V2 (RC4).  Independent of the
+    parser — Algorithms 1–5 re-derived here, forward AES from the
+    log/antilog construction above."""
+    import hashlib
+    import re as _re
+
+    PAD = bytes([
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ])
+    n = 16
+    p = -44 & 0xFFFFFFFF
+    doc_id = hashlib.md5(blob).digest()
+
+    oh = hashlib.md5(b"owner" + PAD[: 32 - 5]).digest()
+    for _ in range(50):
+        oh = hashlib.md5(oh[:n]).digest()
+    okey = oh[:n]
+    o = _rc4_ref(okey, PAD)
+    for i in range(1, 20):
+        o = _rc4_ref(bytes(b ^ i for b in okey), o)
+
+    h = hashlib.md5(PAD + o + p.to_bytes(4, "little") + doc_id).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+
+    u = _rc4_ref(key, hashlib.md5(PAD + doc_id).digest())
+    for i in range(1, 20):
+        u = _rc4_ref(bytes(b ^ i for b in key), u)
+    u = u + b"\x00" * 16
+
+    # rebuild object by object: AES ciphertext is longer than the
+    # plaintext, so /Length is patched (the parser scans sequentially
+    # and ignores xref offsets)
+    pieces: list[bytes] = []
+    last = 0
+    for m in _re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", blob):
+        em = blob.find(b"endobj", m.end())
+        if em == -1:
+            continue
+        span = blob[m.start():em + 6]
+        pieces.append(blob[last:m.start()])
+        last = em + 6
+        sm = _re.compile(rb"stream\r?\n").search(span)
+        lm = _re.search(rb"/Length\s+(\d+)", span[: sm.start()] if sm else b"")
+        if sm is None or lm is None:
+            pieces.append(span)
+            continue
+        num = int(m.group(1))
+        s0, s1 = sm.end(), sm.end() + int(lm.group(1))
+        body = span[s0:s1]
+        salt = b"sAlT" if cfm == "AESV2" else b""
+        okey_obj = hashlib.md5(
+            key + (num & 0xFFFFFF).to_bytes(3, "little") + b"\x00\x00" + salt
+        ).digest()[: min(n + 5, 16)]
+        if cfm == "AESV2":
+            iv = hashlib.md5(b"iv" + num.to_bytes(4, "big")).digest()
+            enc = _aes_cbc_encrypt_ref(okey_obj, iv, body)
+        else:
+            enc = _rc4_ref(okey_obj, body)
+        header = _re.sub(
+            rb"/Length\s+\d+", b"/Length %d" % len(enc), span[: sm.start()],
+            count=1,
+        )
+        pieces.append(header + span[sm.start():s0] + enc + span[s1:])
+    pieces.append(blob[last:])
+    out = b"".join(pieces)
+
+    enc_num = blob.count(b" 0 obj") + 1
+    enc_obj = (
+        f"{enc_num} 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        f"/CF << /StdCF << /CFM /{cfm} /Length 16 >> >> "
+        f"/StmF /StdCF /StrF /StdCF "
+        f"/P -44 /O <{o.hex()}> /U <{u.hex()}> >>\nendobj\n"
+    ).encode()
+    trailer_at = out.rfind(b"trailer")
+    body_out = out[:trailer_at] + enc_obj
+    trailer = (
+        b"trailer\n<< /Size " + str(enc_num + 1).encode()
+        + b" /Root 1 0 R /Encrypt " + str(enc_num).encode() + b" 0 R"
+        + b" /ID [ <" + doc_id.hex().encode() + b"> <"
+        + doc_id.hex().encode() + b"> ] >>\nstartxref\n0\n%%EOF\n"
+    )
+    return body_out + trailer
+
+
+class TestAesEncryptedPdf:
+    def test_fips197_known_answers(self):
+        """Both sides pinned to the spec: the fixture's forward cipher
+        produces the FIPS-197 ciphertexts, the parser's inverse cipher
+        recovers the plaintexts (Appendix C.1 and Appendix B)."""
+        from ragflow_ray.parsers.pdfbytes import (
+            _aes_decrypt_block, _aes_key_schedule,
+        )
+
+        vectors = [
+            ("000102030405060708090a0b0c0d0e0f",
+             "00112233445566778899aabbccddeeff",
+             "69c4e0d86a7b0430d8cdb78070b4c55a"),
+            ("2b7e151628aed2a6abf7158809cf4f3c",
+             "3243f6a8885a308d313198a2e0370734",
+             "3925841d02dc09fbdc118597196a0b32"),
+        ]
+        for k, pt, ct in vectors:
+            key, plain, cipher = (bytes.fromhex(x) for x in (k, pt, ct))
+            assert _aes_encrypt_block_ref(_key_schedule_ref(key), plain) == cipher
+            assert _aes_decrypt_block(_aes_key_schedule(key), cipher) == plain
+
+    def test_aesv2_roundtrip(self):
+        pages = [["AES secret page", "line two"], ["second page"]]
+        blob = encrypt_pdf_v4(make_pdf(pages), cfm="AESV2")
+        assert pdf_text_lines(blob) == pages
+
+    def test_aesv2_uncompressed_roundtrip(self):
+        pages = [["plain aes stream"]]
+        blob = encrypt_pdf_v4(make_pdf(pages, compress=False), cfm="AESV2")
+        assert pdf_text_lines(blob) == pages
+
+    def test_v4_rc4_crypt_filter_roundtrip(self):
+        """V=4 R=4 with /CFM /V2 — RC4 selected through the crypt-filter
+        dictionary rather than the legacy V field."""
+        pages = [["rc4 behind a crypt filter"]]
+        blob = encrypt_pdf_v4(make_pdf(pages), cfm="V2")
+        assert pdf_text_lines(blob) == pages
+
+    def test_aesv2_wrong_user_password_degrades(self):
+        pages = [["hidden aes"]]
+        blob = bytearray(encrypt_pdf_v4(make_pdf(pages), cfm="AESV2"))
+        at = bytes(blob).find(b"/U <") + 4
+        blob[at:at + 2] = b"00" if blob[at:at + 2] != b"00" else b"11"
+        out = pdf_text_lines(bytes(blob))
+        assert all("hidden" not in ln for pg in out for ln in pg)
+
+    def test_aesv3_out_of_subset_degrades(self):
+        """V=5 stays undecrypted — no crash, no text leak."""
+        pages = [["v5 secret"]]
+        blob = encrypt_pdf_v4(make_pdf(pages), cfm="AESV2")
+        blob = blob.replace(b"/V 4 /R 4", b"/V 5 /R 6")
+        out = pdf_text_lines(blob)
+        assert all("v5 secret" not in ln for pg in out for ln in pg)
