@@ -128,6 +128,11 @@ def chunk_naive(doc: dict, cfg: ChunkConfig) -> list[dict]:
 
     if fmt == "html":
         sections = [(s, "") for s in parse_html(doc_text(doc)) if s]
+    elif fmt == "doc":
+        # legacy binary Word: every non-empty line of the extracted
+        # text is a section (rag/app/naive.py:534-545 sections the
+        # Tika text the same way before naive_merge)
+        sections = [(ln, "") for ln in doc_text(doc).split("\n") if ln]
     elif fmt == "json":
         sections = [(s, "") for s in parse_json(doc_text(doc), cfg.chunk_token_num) if s]
     else:  # txt / source code

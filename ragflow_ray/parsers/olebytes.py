@@ -1,0 +1,223 @@
+"""From-scratch legacy binary Word (.doc) text extraction — stdlib only.
+
+The reference routes ``.doc`` through an external Tika server and
+treats every non-empty line of the extracted text as a section
+(``rag/app/naive.py:534-545``).  No Tika (or JVM) exists here, so this
+module reads the two on-disk formats directly:
+
+* **OLE2 / Compound File Binary** ([MS-CFB]): 512/4096-byte sectors,
+  FAT chains assembled from the header DIFAT + chained DIFAT sectors,
+  the directory stream's 128-byte entries, and the mini FAT over the
+  root entry's mini stream for streams under the 4096-byte cutoff.
+* **Word 97-2003 binary** ([MS-DOC]): the ``WordDocument`` stream's
+  FIB (wIdent 0xA5EC; fWhichTblStm picking ``1Table`` vs ``0Table``),
+  the piece table (Clx → Pcdt → PlcPcd) from the table stream, and
+  per-piece text runs — fCompressed pieces are CP1252 bytes at
+  ``fc >> 1``, the rest UTF-16LE at ``fc``.  The main-body range is
+  the FIB's ``ccpText``; Word's in-text control bytes (paragraph mark
+  0x0D, cell mark 0x07, vertical tab 0x0B, page break 0x0C) map to
+  newlines, non-breaking/optional hyphens (0x1E/0x1F) to "-"/"",
+  and field-control bytes (0x13/0x14/0x15) are dropped.
+
+Subset and degradation contract (same as pdfbytes/officebytes):
+encrypted .doc (FIB fEncrypted) and fast-save complexities beyond the
+piece table are out of subset; malformed bytes raise ValueError, which
+the ingest boundary (sources/ingest.rows_from_files) converts to a
+skipped-file row — never a crash, never silent garbage.
+
+Exact Tika parity is NOT a goal (the reference's extraction is
+whatever the external server returns); the invariant mirrored from
+rag/app/naive.py:534-545 is "extracted text, split on newlines,
+non-empty lines become sections", which chunkers/naive.py applies to
+``fmt == "doc"`` rows.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_ENDOFCHAIN = 0xFFFFFFFE
+_FREESECT = 0xFFFFFFFF
+_MAX_SECTORS = 1 << 20  # chain-walk bound: 512 MiB of 512-byte sectors
+
+
+def _u16(b: bytes, at: int) -> int:
+    return struct.unpack_from("<H", b, at)[0]
+
+
+def _u32(b: bytes, at: int) -> int:
+    return struct.unpack_from("<I", b, at)[0]
+
+
+def _sector(blob: bytes, idx: int, size: int) -> bytes:
+    at = (idx + 1) * size
+    if at + size > len(blob):
+        raise ValueError(f"sector {idx} beyond end of file")
+    return blob[at : at + size]
+
+
+def _chain(fat: list[int], start: int) -> list[int]:
+    """Follow a FAT chain, bounded against cycles."""
+    out: list[int] = []
+    cur = start
+    while cur not in (_ENDOFCHAIN, _FREESECT) and cur < len(fat):
+        out.append(cur)
+        if len(out) > _MAX_SECTORS:
+            raise ValueError("FAT chain cycle")
+        cur = fat[cur]
+    return out
+
+
+def ole_streams(blob: bytes) -> dict[str, bytes]:
+    """Compound file → {stream name: bytes} for every stream entry.
+
+    Handles both regular streams (FAT chains) and small streams under
+    the mini-stream cutoff (mini FAT over the root entry's storage).
+    """
+    if len(blob) < 512 or blob[:8] != _MAGIC:
+        raise ValueError("not an OLE2 compound file")
+    sec_size = 1 << _u16(blob, 30)
+    mini_size = 1 << _u16(blob, 32)
+    if sec_size not in (512, 4096) or mini_size != 64:
+        raise ValueError("unsupported sector geometry")
+    mini_cutoff = _u32(blob, 56)
+
+    # FAT sector list: 109 header DIFAT entries, then chained DIFAT
+    # sectors (each holds sec_size//4 - 1 entries + a next pointer)
+    fat_sectors = [
+        _u32(blob, 76 + 4 * i) for i in range(109)
+    ]
+    difat_cur, difat_n = _u32(blob, 68), _u32(blob, 72)
+    for _ in range(difat_n):
+        if difat_cur in (_ENDOFCHAIN, _FREESECT):
+            break
+        sec = _sector(blob, difat_cur, sec_size)
+        per = sec_size // 4 - 1
+        fat_sectors += [_u32(sec, 4 * i) for i in range(per)]
+        difat_cur = _u32(sec, sec_size - 4)
+    fat_sectors = [s for s in fat_sectors if s != _FREESECT]
+
+    fat: list[int] = []
+    for s in fat_sectors:
+        sec = _sector(blob, s, sec_size)
+        fat += [_u32(sec, 4 * i) for i in range(sec_size // 4)]
+
+    def read_chain(start: int) -> bytes:
+        return b"".join(_sector(blob, s, sec_size) for s in _chain(fat, start))
+
+    # directory entries (128 bytes each) across the directory chain
+    directory = read_chain(_u32(blob, 48))
+    entries: list[tuple[str, int, int, int]] = []  # (name, type, start, size)
+    for at in range(0, len(directory) - 127, 128):
+        name_len = _u16(directory, at + 64)
+        obj_type = directory[at + 66]
+        if obj_type == 0 or not 2 <= name_len <= 64:
+            continue
+        name = directory[at : at + name_len - 2].decode("utf-16-le", "replace")
+        entries.append(
+            (name, obj_type, _u32(directory, at + 116), _u32(directory, at + 120))
+        )
+
+    # mini FAT + the root entry's mini stream (small-stream storage)
+    roots = [e for e in entries if e[1] == 5]
+    mini_data = read_chain(roots[0][2]) if roots else b""
+    mini_fat: list[int] = []
+    for s in _chain(fat, _u32(blob, 60)):
+        sec = _sector(blob, s, sec_size)
+        mini_fat += [_u32(sec, 4 * i) for i in range(sec_size // 4)]
+
+    def read_mini_chain(start: int) -> bytes:
+        out: list[bytes] = []
+        cur = start
+        while cur not in (_ENDOFCHAIN, _FREESECT) and cur < len(mini_fat):
+            at = cur * mini_size
+            out.append(mini_data[at : at + mini_size])
+            if len(out) > _MAX_SECTORS:
+                raise ValueError("mini FAT chain cycle")
+            cur = mini_fat[cur]
+        return b"".join(out)
+
+    streams: dict[str, bytes] = {}
+    for name, obj_type, start, size in entries:
+        if obj_type != 2:  # stream objects only
+            continue
+        raw = read_mini_chain(start) if size < mini_cutoff else read_chain(start)
+        streams[name] = raw[:size]
+    return streams
+
+
+# Word in-text control bytes → the line-oriented form the naive
+# chunker sections on (reference splits Tika text on "\n",
+# rag/app/naive.py:539)
+_CTRL_MAP = {
+    0x0D: "\n", 0x07: "\n", 0x0B: "\n", 0x0C: "\n",
+    0x1E: "-", 0x1F: "", 0x13: "", 0x14: "", 0x15: "",
+    0x01: "", 0x02: "", 0x05: "", 0x08: "",
+}
+
+
+def _clean(text: str) -> str:
+    return "".join(_CTRL_MAP.get(ord(c), c) for c in text)
+
+
+def doc_to_text(blob: bytes) -> str:
+    """.doc bytes → extracted main-body text with newline-separated
+    paragraphs (the form rag/app/naive.py:534-545 sections on)."""
+    streams = ole_streams(blob)
+    word = streams.get("WordDocument")
+    if word is None or len(word) < 0x01AA:
+        raise ValueError("no WordDocument stream")
+    if _u16(word, 0) != 0xA5EC:
+        raise ValueError("bad FIB wIdent")
+    flags = _u16(word, 0x000A)
+    if flags & 0x0100:  # fEncrypted — out of subset
+        raise ValueError("encrypted .doc")
+    table_name = "1Table" if flags & 0x0200 else "0Table"
+    table = streams.get(table_name) or streams.get(
+        "0Table" if table_name == "1Table" else "1Table"
+    )
+    if table is None:
+        raise ValueError("no table stream")
+    ccp_text = _u32(word, 0x004C)
+    fc_clx, lcb_clx = _u32(word, 0x01A2), _u32(word, 0x01A6)
+    if lcb_clx == 0 or fc_clx + lcb_clx > len(table):
+        raise ValueError("piece table out of bounds")
+    clx = table[fc_clx : fc_clx + lcb_clx]
+
+    # Clx: Prc blocks (0x01, u16 cb, data) then the Pcdt (0x02, u32 lcb)
+    at = 0
+    plc = None
+    while at < len(clx):
+        kind = clx[at]
+        if kind == 0x01:
+            at += 3 + _u16(clx, at + 1)
+        elif kind == 0x02:
+            lcb = _u32(clx, at + 1)
+            plc = clx[at + 5 : at + 5 + lcb]
+            break
+        else:
+            raise ValueError("malformed Clx")
+    if plc is None or len(plc) < 4 or (len(plc) - 4) % 12:
+        raise ValueError("malformed PlcPcd")
+
+    n = (len(plc) - 4) // 12
+    cps = [_u32(plc, 4 * i) for i in range(n + 1)]
+    parts: list[str] = []
+    remaining = ccp_text
+    for k in range(n):
+        if remaining <= 0:
+            break
+        nchars = min(cps[k + 1] - cps[k], remaining)
+        fc_raw = _u32(plc, 4 * (n + 1) + 8 * k + 2)
+        if fc_raw & 0x40000000:  # fCompressed: one CP1252 byte per char
+            at = fc_raw & 0x3FFFFFFF
+            at >>= 1
+            parts.append(word[at : at + nchars].decode("cp1252", "replace"))
+        else:
+            at = fc_raw & 0x3FFFFFFF
+            parts.append(
+                word[at : at + 2 * nchars].decode("utf-16-le", "replace")
+            )
+        remaining -= nchars
+    return _clean("".join(parts))

@@ -10,7 +10,10 @@ Text-family formats (txt/html/markdown/json/csv/eml) ingest for real;
 .pdf ingests through the from-scratch text-layer extractor
 (``parsers/pdfbytes.py``) into the ``layout_mode="plain"`` path;
 .docx/.xlsx ingest through the stdlib OOXML extractor
-(``parsers/officebytes.py``) into the docx/excel payload forms.
+(``parsers/officebytes.py``) into the docx/excel payload forms;
+legacy binary .doc ingests through the from-scratch OLE2 + piece-table
+extractor (``parsers/olebytes.py``) as newline-sectioned plain text
+(reference semantics: Tika text split on "\\n", rag/app/naive.py:534-545).
 """
 
 from __future__ import annotations
@@ -84,6 +87,23 @@ def _row_of_file(path: str, blob: bytes) -> dict:
                 1 for s in spans if s["kind"] == "media" and s["text"]
             ),
             "spans": spans,
+        }
+    if low.endswith(".doc"):
+        from ..parsers.olebytes import doc_to_text
+
+        return {
+            "doc_id": doc_id,
+            "fmt": "doc",
+            "template": "naive",
+            "n_media": 0,
+            "spans": [
+                {
+                    "kind": "text",
+                    "text": doc_to_text(blob),
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ],
         }
     fmt = fmt_of(path)
     if fmt == "email":

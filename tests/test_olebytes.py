@@ -1,0 +1,236 @@
+"""From-scratch legacy .doc extraction (parsers/olebytes.py).
+
+The writer below builds real OLE2 compound files byte by byte (header,
+DIFAT, FAT chains, directory entries, mini FAT + mini stream) around a
+hand-assembled Word binary (FIB + piece table), so the extractor is
+tested against actual on-disk structure rather than its own
+assumptions — the same pattern as test_pdfbytes/test_officebytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from ragflow_ray.parsers.olebytes import doc_to_text, ole_streams
+
+ENDOFCHAIN = 0xFFFFFFFE
+FREESECT = 0xFFFFFFFF
+FATSECT = 0xFFFFFFFD
+
+
+def make_cfb(streams: dict[str, bytes]) -> bytes:
+    """Independent compound-file writer: streams ≥4096 bytes go into
+    FAT chains, smaller ones into the mini stream via the mini FAT."""
+    sectors: list[bytes] = []
+    chains: dict[int, int] = {}
+
+    def add(data: bytes) -> int:
+        k = max(1, (len(data) + 511) // 512)
+        first = len(sectors)
+        data = data.ljust(512 * k, b"\x00")
+        for i in range(k):
+            sectors.append(data[512 * i : 512 * (i + 1)])
+            chains[first + i] = first + i + 1
+        chains[first + k - 1] = ENDOFCHAIN
+        return first
+
+    big = {n: d for n, d in streams.items() if len(d) >= 4096}
+    small = {n: d for n, d in streams.items() if len(d) < 4096}
+
+    start_of: dict[str, int] = {n: add(d) for n, d in big.items()}
+
+    mini_data = b""
+    mini_fat: list[int] = []
+    for n, d in small.items():
+        k = max(1, (len(d) + 63) // 64)
+        start_of[n] = len(mini_data) // 64
+        mini_data += d.ljust(64 * k, b"\x00")
+        base = len(mini_fat)
+        mini_fat += list(range(base + 1, base + k))
+        mini_fat.append(ENDOFCHAIN)
+
+    mini_start = add(mini_data) if mini_data else ENDOFCHAIN
+    minifat_start = ENDOFCHAIN
+    n_minifat = 0
+    if mini_fat:
+        raw = b"".join(struct.pack("<I", v) for v in mini_fat)
+        raw = raw.ljust(512 * max(1, (len(raw) + 511) // 512), b"\xff")
+        minifat_start = add(raw)
+        n_minifat = len(raw) // 512
+
+    def dirent(name: str, typ: int, start: int, size: int) -> bytes:
+        nm = name.encode("utf-16-le")
+        e = bytearray(128)
+        e[: len(nm)] = nm
+        struct.pack_into("<H", e, 64, len(nm) + 2)
+        e[66] = typ
+        e[67] = 1  # black
+        struct.pack_into("<III", e, 68, FREESECT, FREESECT, FREESECT)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<I", e, 120, size)
+        return bytes(e)
+
+    entries = [dirent("Root Entry", 5, mini_start, len(mini_data))]
+    entries += [
+        dirent(n, 2, start_of[n], len(streams[n])) for n in streams
+    ]
+    dir_start = add(b"".join(entries))
+
+    fat_sector = len(sectors)
+    fat = [chains.get(i, ENDOFCHAIN) for i in range(len(sectors))]
+    fat.append(FATSECT)
+    raw_fat = b"".join(struct.pack("<I", v) for v in fat).ljust(512, b"\xff")
+    assert len(raw_fat) == 512, "test writer supports one FAT sector"
+    sectors.append(raw_fat)
+
+    hdr = bytearray(512)
+    hdr[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", hdr, 24, 0x3E)  # minor
+    struct.pack_into("<H", hdr, 26, 3)  # major (512-byte sectors)
+    struct.pack_into("<H", hdr, 28, 0xFFFE)
+    struct.pack_into("<H", hdr, 30, 9)
+    struct.pack_into("<H", hdr, 32, 6)
+    struct.pack_into("<I", hdr, 44, 1)  # one FAT sector
+    struct.pack_into("<I", hdr, 48, dir_start)
+    struct.pack_into("<I", hdr, 56, 4096)
+    struct.pack_into("<I", hdr, 60, minifat_start)
+    struct.pack_into("<I", hdr, 64, n_minifat)
+    struct.pack_into("<I", hdr, 68, ENDOFCHAIN)  # no DIFAT chain
+    struct.pack_into("<I", hdr, 72, 0)
+    struct.pack_into("<I", hdr, 76, fat_sector)
+    for i in range(1, 109):
+        struct.pack_into("<I", hdr, 76 + 4 * i, FREESECT)
+    return bytes(hdr) + b"".join(sectors)
+
+
+def make_doc(pieces: list[tuple[str, bool]], big_word: bool = True) -> bytes:
+    """Word binary from text pieces [(text, compressed?)]: FIB +
+    text area in WordDocument, Clx (a Prc block, then the Pcdt) in
+    1Table.  big_word pads WordDocument past the 4096 mini cutoff."""
+    word = bytearray(2048)
+    struct.pack_into("<H", word, 0, 0xA5EC)
+    struct.pack_into("<H", word, 2, 0x00C1)  # nFib (Word 97)
+    struct.pack_into("<H", word, 0x0A, 0x0200)  # fWhichTblStm → 1Table
+    struct.pack_into("<I", word, 0x4C, sum(len(t) for t, _ in pieces))
+
+    text_area = bytearray()
+    fcs: list[int] = []
+    for text, compressed in pieces:
+        at = 2048 + len(text_area)
+        if compressed:
+            text_area += text.encode("cp1252")
+            fcs.append((at * 2) | 0x40000000)
+        else:
+            text_area += text.encode("utf-16-le")
+            fcs.append(at)
+
+    cps, cp = [], 0
+    for text, _ in pieces:
+        cps.append(cp)
+        cp += len(text)
+    cps.append(cp)
+    plc = b"".join(struct.pack("<I", c) for c in cps)
+    for fc in fcs:
+        plc += struct.pack("<HIH", 0, fc, 0)
+    clx = b"\x01" + struct.pack("<H", 4) + b"\xde\xad\xbe\xef"  # Prc to skip
+    clx += b"\x02" + struct.pack("<I", len(plc)) + plc
+    fc_clx = 64
+    struct.pack_into("<I", word, 0x01A2, fc_clx)
+    struct.pack_into("<I", word, 0x01A6, len(clx))
+
+    word_stream = bytes(word) + bytes(text_area)
+    if big_word:
+        word_stream = word_stream.ljust(4608, b"\x00")
+    table = b"\x00" * fc_clx + clx
+    return make_cfb({"WordDocument": word_stream, "1Table": table})
+
+
+class TestOleDoc:
+    def test_single_compressed_piece(self):
+        blob = make_doc([("Hello legacy Word\rsecond paragraph\r", True)])
+        assert doc_to_text(blob) == "Hello legacy Word\nsecond paragraph\n"
+
+    def test_mixed_pieces_and_unicode(self):
+        blob = make_doc([
+            ("café ANSI part\r", True),
+            ("Unicode 中文 piece — dash\r", False),
+            ("tail", True),
+        ])
+        assert doc_to_text(blob) == (
+            "café ANSI part\nUnicode 中文 piece — dash\ntail"
+        )
+
+    def test_control_char_mapping(self):
+        text = "cell\x07row\x07para\rhy\x1ephen\x1fopt\x13field\x14res\x15"
+        blob = make_doc([(text, True)])
+        assert doc_to_text(blob) == "cell\nrow\npara\nhy-phenoptfieldres"
+
+    def test_small_streams_use_mini_fat(self):
+        """WordDocument under the 4096 cutoff lives in the mini stream."""
+        blob = make_doc([("mini stream body\r", True)], big_word=False)
+        streams = ole_streams(blob)
+        assert len(streams["WordDocument"]) < 4096
+        assert doc_to_text(blob) == "mini stream body\n"
+
+    def test_ccp_text_bounds_reading(self):
+        """Pieces past ccpText (footnote/header areas) are excluded."""
+        blob = bytearray(make_doc([("main body\r", True), ("footnote", True)]))
+        # shrink ccpText to just the main body: 10 chars
+        # (WordDocument begins at sector 0 = byte 512 in this layout)
+        at = bytes(blob).find(struct.pack("<H", 0xA5EC))
+        struct.pack_into("<I", blob, at + 0x4C, 10)
+        assert doc_to_text(bytes(blob)) == "main body\n"
+
+    def test_encrypted_doc_raises(self):
+        blob = bytearray(make_doc([("secret\r", True)]))
+        at = bytes(blob).find(struct.pack("<H", 0xA5EC))
+        flags = struct.unpack_from("<H", blob, at + 0x0A)[0]
+        struct.pack_into("<H", blob, at + 0x0A, flags | 0x0100)
+        with pytest.raises(ValueError):
+            doc_to_text(bytes(blob))
+
+    def test_not_ole_raises(self):
+        with pytest.raises(ValueError):
+            doc_to_text(b"PK\x03\x04 this is a zip, not OLE")
+        with pytest.raises(ValueError):
+            doc_to_text(b"short")
+
+
+class TestDocIngest:
+    def test_rows_from_files_routes_doc(self, tmp_path):
+        import pyarrow as pa
+
+        from ragflow_ray.sources.ingest import rows_from_files
+
+        good = make_doc([("Line one of the doc\rline two\r", True)])
+        batch = pa.table(
+            {"path": ["a/report.doc", "b/broken.doc"],
+             "bytes": [good, b"\xd0\xcf\x11\xe0 truncated garbage"]}
+        )
+        rows = rows_from_files(batch).to_pylist()
+        by_id = {r["doc_id"]: r for r in rows}
+        ok = by_id["report.doc"]
+        assert ok["fmt"] == "doc" and ok["template"] == "naive"
+        assert ok["spans"][0]["text"] == "Line one of the doc\nline two\n"
+        bad = by_id["broken.doc"]
+        assert bad["fmt"] == "error" and not bad["spans"]
+
+    def test_naive_chunker_sections_on_lines(self):
+        from ragflow_ray.chunkers.common import ChunkConfig
+        from ragflow_ray.chunkers.naive import chunk_naive
+
+        text = "alpha first line\nbeta second line\ngamma third line"
+        doc = {
+            "doc_id": "d.doc",
+            "fmt": "doc",
+            "template": "naive",
+            "spans": [
+                {"kind": "text", "text": text, "media_ref": "", "offset": 0}
+            ],
+        }
+        chunks = chunk_naive(doc, ChunkConfig())
+        joined = "\n".join(c["text"] for c in chunks)
+        for line in text.split("\n"):
+            assert line in joined
