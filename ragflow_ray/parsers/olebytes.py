@@ -1,4 +1,4 @@
-"""From-scratch legacy binary Word (.doc) text extraction — stdlib only.
+"""From-scratch legacy binary Office (.doc/.xls) extraction — stdlib only.
 
 The reference routes ``.doc`` through an external Tika server and
 treats every non-empty line of the extracted text as a section
@@ -9,6 +9,15 @@ module reads the two on-disk formats directly:
   FAT chains assembled from the header DIFAT + chained DIFAT sectors,
   the directory stream's 128-byte entries, and the mini FAT over the
   root entry's mini stream for streams under the 4096-byte cutoff.
+* **Excel 97-2003 binary** ([MS-XLS] BIFF8): the ``Workbook`` stream's
+  record sequence — BOUNDSHEET positions, the SST shared-string table
+  (compressed/UTF-16 strings, rich/ext payload skipping, CONTINUE
+  records with per-boundary option-flag bytes), and the cell records
+  LABELSST / LABEL / NUMBER / RK / MULRK / BOOLERR / FORMULA(+STRING).
+  Output is the same ``[{"name", "rows"}]`` sheet payload the OOXML
+  reader produces (officebytes.xlsx_to_sheets), so the excel chunker
+  path is shared.  The reference reaches .xls through its
+  pandas/xlrd fallback (deepdoc/parser/excel_parser.py:30-65).
 * **Word 97-2003 binary** ([MS-DOC]): the ``WordDocument`` stream's
   FIB (wIdent 0xA5EC; fWhichTblStm picking ``1Table`` vs ``0Table``),
   the piece table (Clx → Pcdt → PlcPcd) from the table stream, and
@@ -221,3 +230,231 @@ def doc_to_text(blob: bytes) -> str:
             )
         remaining -= nchars
     return _clean("".join(parts))
+
+
+# --- Excel 97-2003 (BIFF8) -------------------------------------------------
+
+_XLS_BOF = 0x0809
+_XLS_EOF = 0x000A
+_XLS_CONTINUE = 0x003C
+_XLS_SST = 0x00FC
+_XLS_BOUNDSHEET = 0x0085
+_XLS_LABELSST = 0x00FD
+_XLS_LABEL = 0x0204
+_XLS_NUMBER = 0x0203
+_XLS_RK = 0x027E
+_XLS_MULRK = 0x00BD
+_XLS_BOOLERR = 0x0205
+_XLS_FORMULA = 0x0006
+_XLS_STRING = 0x0207
+_XLS_FILEPASS = 0x002F
+
+
+def _xls_records(data: bytes, at: int):
+    """(opcode, payload) records from ``at`` until the substream EOF."""
+    while at + 4 <= len(data):
+        op, ln = struct.unpack_from("<HH", data, at)
+        yield op, data[at + 4 : at + 4 + ln]
+        at += 4 + ln
+        if op == _XLS_EOF:
+            return
+
+
+def _num(value: float):
+    """float → int when integral (matching officebytes._cell_value)."""
+    return int(value) if float(value).is_integer() else value
+
+
+def _rk_value(v: int):
+    """RK-packed number: bit0 = ×1/100, bit1 = 30-bit int vs double-high-bits."""
+    if v & 2:
+        x = v >> 2
+        if x & 0x20000000:
+            x -= 0x40000000
+        val = float(x)
+    else:
+        val = struct.unpack("<d", struct.pack("<Q", (v & 0xFFFFFFFC) << 32))[0]
+    if v & 1:
+        val /= 100
+    return _num(val)
+
+
+class _SstCursor:
+    """Byte cursor over the SST payload + its CONTINUE payloads.  At a
+    chunk boundary inside a string's character run, the next chunk
+    begins with a fresh option-flags byte that can switch the run
+    between compressed and UTF-16 ([MS-XLS] 2.5.293)."""
+
+    def __init__(self, chunks: list[bytes]):
+        self.chunks = chunks
+        self.ci = 0
+        self.off = 8  # past cstTotal/cstUnique
+
+    def _ensure(self) -> int:
+        while self.off >= len(self.chunks[self.ci]):
+            self.ci += 1
+            self.off = 0
+            if self.ci >= len(self.chunks):
+                raise ValueError("truncated SST")
+        return len(self.chunks[self.ci]) - self.off
+
+    def take(self, n: int) -> bytes:
+        """n raw bytes, spanning chunks (headers/counts/skip areas)."""
+        out = bytearray()
+        while n:
+            avail = self._ensure()
+            k = min(n, avail)
+            out += self.chunks[self.ci][self.off : self.off + k]
+            self.off += k
+            n -= k
+        return bytes(out)
+
+    def chars(self, cch: int, wide: bool) -> str:
+        out: list[str] = []
+        while cch:
+            if self._ensure() == 0:  # pragma: no cover — _ensure raises
+                raise ValueError("truncated SST")
+            if self.off == 0:  # continuation boundary: new flags byte
+                wide = bool(self.chunks[self.ci][0] & 1)
+                self.off = 1
+                if self._ensure() == 0:
+                    continue
+            width = 2 if wide else 1
+            avail = (len(self.chunks[self.ci]) - self.off) // width
+            take = min(cch, avail)
+            if take == 0:  # nothing readable before the boundary
+                self.off = len(self.chunks[self.ci])
+                continue
+            raw = self.chunks[self.ci][self.off : self.off + take * width]
+            out.append(raw.decode("utf-16-le" if wide else "latin-1"))
+            self.off += take * width
+            cch -= take
+        return "".join(out)
+
+
+def _parse_sst(chunks: list[bytes]) -> list[str]:
+    cur = _SstCursor(chunks)
+    unique = _u32(chunks[0], 4)
+    strings: list[str] = []
+    for _ in range(min(unique, 1 << 22)):
+        hdr = cur.take(3)
+        cch = hdr[0] | (hdr[1] << 8)
+        flags = hdr[2]
+        c_run = struct.unpack("<H", cur.take(2))[0] if flags & 8 else 0
+        cb_ext = struct.unpack("<I", cur.take(4))[0] if flags & 4 else 0
+        strings.append(cur.chars(cch, bool(flags & 1)))
+        cur.take(4 * c_run + cb_ext)  # rich runs + ext block
+    return strings
+
+
+def _short_unicode(payload: bytes, at: int) -> str:
+    """XLUnicodeString (u16 cch, u8 flags, chars) — LABEL/BOUNDSHEET forms
+    pass their own width."""
+    cch = _u16(payload, at)
+    wide = payload[at + 2] & 1
+    raw = payload[at + 3 : at + 3 + cch * (2 if wide else 1)]
+    return raw.decode("utf-16-le" if wide else "latin-1")
+
+
+def xls_to_sheets(blob: bytes) -> list[dict]:
+    """.xls bytes → ``[{"name", "rows"}]`` — the same payload shape as
+    officebytes.xlsx_to_sheets, so both route into the excel chunker."""
+    streams = ole_streams(blob)
+    wb = streams.get("Workbook") or streams.get("Book")
+    if wb is None:
+        raise ValueError("no Workbook stream")
+    if len(wb) < 4 or _u16(wb, 0) != _XLS_BOF:
+        raise ValueError("Workbook stream lacks BOF")
+
+    # globals substream: sheet directory + shared strings
+    bound: list[tuple[int, str]] = []
+    sst_chunks: list[bytes] = []
+    in_sst = False
+    for op, payload in _xls_records(wb, 0):
+        if op == _XLS_FILEPASS:
+            raise ValueError("encrypted .xls")
+        if op == _XLS_BOUNDSHEET:
+            name_cch = payload[6]
+            wide = payload[7] & 1
+            raw = payload[8 : 8 + name_cch * (2 if wide else 1)]
+            bound.append(
+                (_u32(payload, 0), raw.decode("utf-16-le" if wide else "latin-1"))
+            )
+            in_sst = False
+        elif op == _XLS_SST:
+            sst_chunks = [payload]
+            in_sst = True
+        elif op == _XLS_CONTINUE and in_sst:
+            sst_chunks.append(payload)
+        else:
+            in_sst = False
+    sst = _parse_sst(sst_chunks) if sst_chunks else []
+
+    sheets: list[dict] = []
+    for pos, name in bound:
+        if pos + 4 > len(wb) or _u16(wb, pos) != _XLS_BOF:
+            continue
+        cells: dict[tuple[int, int], object] = {}
+        pending_string: tuple[int, int] | None = None
+        for op, p in _xls_records(wb, pos):
+            if op == _XLS_LABELSST and len(p) >= 10:
+                idx = _u32(p, 6)
+                cells[(_u16(p, 0), _u16(p, 2))] = (
+                    sst[idx] if idx < len(sst) else ""
+                )
+            elif op == _XLS_LABEL and len(p) >= 9:
+                cells[(_u16(p, 0), _u16(p, 2))] = _short_unicode(p, 6)
+            elif op == _XLS_NUMBER and len(p) >= 14:
+                cells[(_u16(p, 0), _u16(p, 2))] = _num(
+                    struct.unpack_from("<d", p, 6)[0]
+                )
+            elif op == _XLS_RK and len(p) >= 10:
+                cells[(_u16(p, 0), _u16(p, 2))] = _rk_value(_u32(p, 6))
+            elif op == _XLS_MULRK and len(p) >= 12:
+                row, col0 = _u16(p, 0), _u16(p, 2)
+                n = (len(p) - 6) // 6
+                for i in range(n):
+                    cells[(row, col0 + i)] = _rk_value(_u32(p, 4 + 6 * i + 2))
+            elif op == _XLS_BOOLERR and len(p) >= 8:
+                if p[7] == 0:  # fError unset → boolean
+                    cells[(_u16(p, 0), _u16(p, 2))] = "true" if p[6] else "false"
+            elif op == _XLS_FORMULA and len(p) >= 14:
+                row, col = _u16(p, 0), _u16(p, 2)
+                if p[12:14] == b"\xff\xff":  # non-numeric cached result
+                    code = p[6]
+                    if code == 0:  # string value follows in STRING
+                        pending_string = (row, col)
+                    elif code == 1:
+                        cells[(row, col)] = "true" if p[8] else "false"
+                    # code 2 (error) / 3 (empty) → no cell
+                else:
+                    cells[(row, col)] = _num(struct.unpack_from("<d", p, 6)[0])
+            elif op == _XLS_STRING and pending_string is not None:
+                cells[pending_string] = _short_unicode(p, 0)
+                pending_string = None
+
+        if not cells:
+            sheets.append({"name": name, "rows": []})
+            continue
+        width = max(c for _, c in cells) + 1
+        rows = [
+            [cells.get((r, c)) for c in range(width)]
+            for r in sorted({r for r, _ in cells})
+        ]
+        sheets.append({"name": name, "rows": rows})
+    return sheets
+
+
+def xls_to_sheets_span(blob: bytes) -> list[dict]:
+    """Same span form as officebytes.xlsx_to_sheets_span — both feed
+    the excel chunker path untouched."""
+    import json
+
+    return [
+        {
+            "kind": "text",
+            "text": json.dumps({"sheets": xls_to_sheets(blob)}, ensure_ascii=False),
+            "media_ref": "",
+            "offset": 0,
+        }
+    ]

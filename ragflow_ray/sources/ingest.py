@@ -88,6 +88,16 @@ def _row_of_file(path: str, blob: bytes) -> dict:
             ),
             "spans": spans,
         }
+    if low.endswith(".xls"):
+        from ..parsers.olebytes import xls_to_sheets_span
+
+        return {
+            "doc_id": doc_id,
+            "fmt": "excel",
+            "template": "naive",
+            "n_media": 0,
+            "spans": xls_to_sheets_span(blob),
+        }
     if low.endswith(".doc"):
         from ..parsers.olebytes import doc_to_text
 

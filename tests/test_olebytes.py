@@ -1,10 +1,11 @@
-"""From-scratch legacy .doc extraction (parsers/olebytes.py).
+"""From-scratch legacy .doc/.xls extraction (parsers/olebytes.py).
 
-The writer below builds real OLE2 compound files byte by byte (header,
-DIFAT, FAT chains, directory entries, mini FAT + mini stream) around a
-hand-assembled Word binary (FIB + piece table), so the extractor is
-tested against actual on-disk structure rather than its own
-assumptions — the same pattern as test_pdfbytes/test_officebytes.
+The writers below build real OLE2 compound files byte by byte (header,
+DIFAT, FAT chains, directory entries, mini FAT + mini stream) around
+hand-assembled Word (FIB + piece table) and Excel (BIFF8 record
+stream) binaries, so the extractors are tested against actual on-disk
+structure rather than their own assumptions — the same pattern as
+test_pdfbytes/test_officebytes.
 """
 
 from __future__ import annotations
@@ -234,3 +235,154 @@ class TestDocIngest:
         joined = "\n".join(c["text"] for c in chunks)
         for line in text.split("\n"):
             assert line in joined
+
+
+# --- legacy .xls (BIFF8) ---------------------------------------------------
+
+
+def _rec(op: int, payload: bytes) -> bytes:
+    return struct.pack("<HH", op, len(payload)) + payload
+
+
+def _bof(dt: int) -> bytes:
+    return _rec(0x0809, struct.pack("<HH", 0x0600, dt) + b"\x00" * 12)
+
+
+def rk_int(v: int) -> int:
+    return ((v & 0x3FFFFFFF) << 2) | 2
+
+
+def rk_cents(cents: int) -> int:
+    return ((cents & 0x3FFFFFFF) << 2) | 3
+
+
+def rk_float(v: float) -> int:
+    hi = struct.unpack("<Q", struct.pack("<d", v))[0] >> 32
+    return hi & 0xFFFFFFFC
+
+
+def make_xls(sheets: list[tuple[str, list[bytes]]],
+             strings: list[str]) -> bytes:
+    """Independent BIFF8 writer: globals substream (SST + BOUNDSHEETs)
+    then one worksheet substream per sheet from pre-packed cell
+    records.  BOUNDSHEET positions are fixed up after assembly."""
+    sst = struct.pack("<II", len(strings), len(strings))
+    for s in strings:
+        wide = any(ord(c) > 0xFF for c in s)
+        sst += struct.pack("<HB", len(s), 1 if wide else 0)
+        sst += s.encode("utf-16-le" if wide else "latin-1")
+
+    bound_at: list[int] = []
+    globals_recs = _bof(0x0005) + _rec(0x00FC, sst)
+    for name, _ in sheets:
+        bound_at.append(len(globals_recs) + 4)  # payload offset of lbPlyPos
+        nm = name.encode("latin-1")
+        globals_recs += _rec(
+            0x0085, struct.pack("<IBB", 0, 0, 0)
+            + struct.pack("<BB", len(nm), 0) + nm
+        )
+    globals_recs += _rec(0x000A, b"")
+
+    stream = bytearray(globals_recs)
+    for i, (_, cell_recs) in enumerate(sheets):
+        struct.pack_into("<I", stream, bound_at[i], len(stream))
+        stream += _bof(0x0010)
+        for r in cell_recs:
+            stream += r
+        stream += _rec(0x000A, b"")
+    return make_cfb({"Workbook": bytes(stream)})
+
+
+class TestXls:
+    def test_cell_record_types(self):
+        from ragflow_ray.parsers.olebytes import xls_to_sheets
+
+        cells = [
+            _rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0)),  # LABELSST "alpha"
+            _rec(0x0203, struct.pack("<HHHd", 0, 1, 0, 2.5)),  # NUMBER
+            _rec(0x027E, struct.pack("<HHHI", 1, 0, 0, rk_int(7))),
+            _rec(0x027E, struct.pack("<HHHI", 1, 1, 0, rk_cents(250))),  # 2.5
+            _rec(0x027E, struct.pack("<HHHI", 1, 2, 0, rk_float(1.5))),
+            _rec(0x00BD, struct.pack("<HH", 2, 0)
+                 + struct.pack("<HI", 0, rk_int(10))
+                 + struct.pack("<HI", 0, rk_int(-3))
+                 + struct.pack("<H", 1)),  # MULRK cols 0-1
+            _rec(0x0205, struct.pack("<HHHBB", 3, 0, 0, 1, 0)),  # TRUE
+            _rec(0x0205, struct.pack("<HHHBB", 3, 1, 0, 0x2A, 1)),  # error→None
+            _rec(0x0006, struct.pack("<HHHd", 4, 0, 0, 42.0) + b"\x00" * 8),
+            _rec(0x0006, struct.pack("<HHH", 4, 1, 0)
+                 + b"\x00" * 6 + b"\xff\xff" + b"\x00" * 8),  # string result
+            _rec(0x0207, struct.pack("<HB", 6, 0) + b"cached"),
+        ]
+        blob = make_xls([("Data", cells)], ["alpha"])
+        sheets = xls_to_sheets(blob)
+        assert sheets[0]["name"] == "Data"
+        assert sheets[0]["rows"] == [
+            ["alpha", 2.5, None],
+            [7, 2.5, 1.5],
+            [10, -3, None],
+            ["true", None, None],
+            [42, "cached", None],
+        ]
+
+    def test_two_sheets_and_unicode_sst(self):
+        from ragflow_ray.parsers.olebytes import xls_to_sheets
+
+        c1 = [_rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))]
+        c2 = [_rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 1))]
+        blob = make_xls([("first", c1), ("zweite", c2)], ["héllo", "中文字"])
+        sheets = xls_to_sheets(blob)
+        assert [s["name"] for s in sheets] == ["first", "zweite"]
+        assert sheets[0]["rows"] == [["héllo"]]
+        assert sheets[1]["rows"] == [["中文字"]]
+
+    def test_sst_continue_boundary_switches_width(self):
+        """A string split across a CONTINUE whose continuation flag
+        flips between compressed and UTF-16 ([MS-XLS] 2.5.293)."""
+        from ragflow_ray.parsers.olebytes import _parse_sst
+
+        # one string "abcDEF": 3 compressed chars in the SST record,
+        # 3 wide chars after the boundary flag byte in the CONTINUE
+        chunk1 = struct.pack("<II", 1, 1) + struct.pack("<HB", 6, 0) + b"abc"
+        chunk2 = b"\x01" + "DEF".encode("utf-16-le")
+        assert _parse_sst([chunk1, chunk2]) == ["abcDEF"]
+        # and the reverse: wide first, compressed continuation
+        chunk1 = struct.pack("<II", 1, 1) + struct.pack("<HB", 6, 1) \
+            + "ab√".encode("utf-16-le")
+        chunk2 = b"\x00" + b"cde"
+        assert _parse_sst([chunk1, chunk2]) == ["ab√cde"]
+
+    def test_encrypted_xls_raises(self):
+        from ragflow_ray.parsers.olebytes import xls_to_sheets
+
+        stream = _bof(0x0005) + _rec(0x002F, b"\x01\x00\x02\x00") \
+            + _rec(0x000A, b"")
+        with pytest.raises(ValueError):
+            xls_to_sheets(make_cfb({"Workbook": stream}))
+
+    def test_ingest_routes_xls(self):
+        import pyarrow as pa
+
+        from ragflow_ray.sources.ingest import rows_from_files
+
+        cells = [
+            _rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0)),
+            _rec(0x00FD, struct.pack("<HHHI", 0, 1, 0, 1)),
+            _rec(0x027E, struct.pack("<HHHI", 1, 0, 0, rk_int(12))),
+            _rec(0x00FD, struct.pack("<HHHI", 1, 1, 0, 2)),
+        ]
+        blob = make_xls([("People", cells)], ["name", "age", "Ada"])
+        batch = pa.table({"path": ["x/people.xls"], "bytes": [blob]})
+        row = rows_from_files(batch).to_pylist()[0]
+        assert row["fmt"] == "excel" and row["template"] == "naive"
+
+        from ragflow_ray.chunkers.common import ChunkConfig
+        from ragflow_ray.chunkers.naive import chunk_naive
+
+        chunks = chunk_naive(
+            {"doc_id": "people.xls", "fmt": "excel", "template": "naive",
+             "spans": row["spans"]},
+            ChunkConfig(),
+        )
+        joined = "\n".join(c["text"] for c in chunks)
+        assert "Ada" in joined and "12" in joined
