@@ -114,8 +114,14 @@ def make_doc(pieces: list[tuple[str, bool]], big_word: bool = True) -> bytes:
     struct.pack_into("<H", word, 0, 0xA5EC)
     struct.pack_into("<H", word, 2, 0x00C1)  # nFib (Word 97)
     struct.pack_into("<H", word, 0x0A, 0x0200)  # fWhichTblStm → 1Table
-    struct.pack_into("<I", word, 0x4C, sum(len(t) for t, _ in pieces))
 
+    # Word CPs count UTF-16 code units (a surrogate pair is 2 CPs)
+    def units(text: str, compressed: bool) -> int:
+        return len(text) if compressed else len(text.encode("utf-16-le")) // 2
+
+    struct.pack_into(
+        "<I", word, 0x4C, sum(units(t, c) for t, c in pieces)
+    )
     text_area = bytearray()
     fcs: list[int] = []
     for text, compressed in pieces:
@@ -128,9 +134,9 @@ def make_doc(pieces: list[tuple[str, bool]], big_word: bool = True) -> bytes:
             fcs.append(at)
 
     cps, cp = [], 0
-    for text, _ in pieces:
+    for text, compressed in pieces:
         cps.append(cp)
-        cp += len(text)
+        cp += units(text, compressed)
     cps.append(cp)
     plc = b"".join(struct.pack("<I", c) for c in cps)
     for fc in fcs:
@@ -386,3 +392,58 @@ class TestXls:
         )
         joined = "\n".join(c["text"] for c in chunks)
         assert "Ada" in joined and "12" in joined
+
+
+# --- property tests: the degradation contract ------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_PIECE = st.text(
+    alphabet=st.characters(codec="utf-16-le", exclude_characters="\x00"),
+    min_size=1, max_size=60,
+)
+
+
+class TestOleProperties:
+    @settings(max_examples=40)
+    @given(st.lists(st.tuples(_PIECE, st.booleans()), min_size=1, max_size=4))
+    def test_doc_roundtrip_any_pieces(self, pieces):
+        """Arbitrary piece texts survive the piece table: output equals
+        the control-char-mapped concatenation (CP1252 pieces degrade
+        per-char exactly like the encoder, so compare post-encode)."""
+        from ragflow_ray.parsers.olebytes import _clean
+
+        enc = [
+            (t.encode("cp1252", "replace").decode("cp1252") if comp else t, comp)
+            for t, comp in pieces
+        ]
+        blob = make_doc(enc)
+        assert doc_to_text(blob) == _clean("".join(t for t, _ in enc))
+
+    @settings(max_examples=60)
+    @given(st.binary(min_size=1, max_size=40), st.integers(0, 5000))
+    def test_mutated_doc_never_crashes(self, junk, at):
+        """Splicing junk anywhere into a valid file either still parses
+        or raises ValueError — never any other exception (the ingest
+        boundary's documented contract)."""
+        base = make_doc([("stable body\r", True)])
+        at = at % len(base)
+        blob = base[:at] + junk + base[at + len(junk):]
+        try:
+            doc_to_text(blob)
+        except (ValueError, struct.error):
+            pass
+
+    @settings(max_examples=60)
+    @given(st.binary(min_size=1, max_size=40), st.integers(0, 5000))
+    def test_mutated_xls_never_crashes(self, junk, at):
+        from ragflow_ray.parsers.olebytes import xls_to_sheets
+
+        cells = [_rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))]
+        base = make_xls([("S", cells)], ["v"])
+        at = at % len(base)
+        blob = base[:at] + junk + base[at + len(junk):]
+        try:
+            xls_to_sheets(blob)
+        except (ValueError, struct.error):
+            pass
