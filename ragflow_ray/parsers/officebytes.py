@@ -248,15 +248,21 @@ def xlsx_to_sheets(blob: bytes) -> list[dict]:
     return sheets
 
 
-def xlsx_to_sheets_span(blob: bytes) -> list[dict]:
+def sheets_span(sheets: list[dict]) -> list[dict]:
+    """Sheet payloads → the one-span excel corpus form (shared by the
+    .xlsx path here and the legacy .xls path in olebytes)."""
     return [
         {
             "kind": "text",
-            "text": json.dumps({"sheets": xlsx_to_sheets(blob)}, ensure_ascii=False),
+            "text": json.dumps({"sheets": sheets}, ensure_ascii=False),
             "media_ref": "",
             "offset": 0,
         }
     ]
+
+
+def xlsx_to_sheets_span(blob: bytes) -> list[dict]:
+    return sheets_span(xlsx_to_sheets(blob))
 
 
 # -- .pptx -----------------------------------------------------------------

@@ -98,9 +98,14 @@ def ole_streams(blob: bytes) -> dict[str, bytes]:
         _u32(blob, 76 + 4 * i) for i in range(109)
     ]
     difat_cur, difat_n = _u32(blob, 68), _u32(blob, 72)
-    for _ in range(difat_n):
-        if difat_cur in (_ENDOFCHAIN, _FREESECT):
+    seen_difat: set[int] = set()
+    # bound by both the declared count and the file's own sector count:
+    # difat_n is attacker-controlled and a self-pointing DIFAT sector
+    # would otherwise spin forever (the _chain walk has this bound too)
+    for _ in range(min(difat_n, len(blob) // sec_size + 1)):
+        if difat_cur in (_ENDOFCHAIN, _FREESECT) or difat_cur in seen_difat:
             break
+        seen_difat.add(difat_cur)
         sec = _sector(blob, difat_cur, sec_size)
         per = sec_size // 4 - 1
         fat_sectors += [_u32(sec, 4 * i) for i in range(per)]
@@ -115,22 +120,59 @@ def ole_streams(blob: bytes) -> dict[str, bytes]:
     def read_chain(start: int) -> bytes:
         return b"".join(_sector(blob, s, sec_size) for s in _chain(fat, start))
 
-    # directory entries (128 bytes each) across the directory chain
+    # directory entry slots (128 bytes each) across the directory chain;
+    # slot index is the id the tree pointers use, so invalid slots stay
+    # as None placeholders
     directory = read_chain(_u32(blob, 48))
-    entries: list[tuple[str, int, int, int]] = []  # (name, type, start, size)
+    slots: list[dict | None] = []
     for at in range(0, len(directory) - 127, 128):
         name_len = _u16(directory, at + 64)
         obj_type = directory[at + 66]
-        if obj_type == 0 or not 2 <= name_len <= 64:
+        if obj_type not in (1, 2, 5) or not 2 <= name_len <= 64:
+            slots.append(None)
             continue
-        name = directory[at : at + name_len - 2].decode("utf-16-le", "replace")
-        entries.append(
-            (name, obj_type, _u32(directory, at + 116), _u32(directory, at + 120))
+        slots.append(
+            {
+                "name": directory[at : at + name_len - 2].decode(
+                    "utf-16-le", "replace"
+                ),
+                "type": obj_type,
+                "left": _u32(directory, at + 68),
+                "right": _u32(directory, at + 72),
+                "child": _u32(directory, at + 76),
+                "start": _u32(directory, at + 116),
+                "size": _u32(directory, at + 120),
+            }
         )
 
+    # ROOT-LEVEL streams only: walk the root entry's child subtree via
+    # the left/right sibling pointers, without descending into storage
+    # entries' children — an embedded OLE object (ObjectPool/_1234...)
+    # carries its own "WordDocument"/"Workbook" streams which must not
+    # shadow the document's.  Malformed trees fall back to a flat scan.
+    root_idx = next(
+        (i for i, s in enumerate(slots) if s and s["type"] == 5), None
+    )
+    entries: list[dict] = []
+    if root_idx is not None:
+        stack = [slots[root_idx]["child"]]
+        visited: set[int] = set()
+        while stack:
+            i = stack.pop()
+            if i >= len(slots) or i in visited or slots[i] is None:
+                continue
+            visited.add(i)
+            e = slots[i]
+            stack += [e["left"], e["right"]]
+            if e["type"] == 2:
+                entries.append(e)
+    if not entries:  # no/garbled tree pointers: degrade to every stream
+        entries = [s for s in slots if s and s["type"] == 2]
+
     # mini FAT + the root entry's mini stream (small-stream storage)
-    roots = [e for e in entries if e[1] == 5]
-    mini_data = read_chain(roots[0][2]) if roots else b""
+    mini_data = (
+        read_chain(slots[root_idx]["start"]) if root_idx is not None else b""
+    )
     mini_fat: list[int] = []
     for s in _chain(fat, _u32(blob, 60)):
         sec = _sector(blob, s, sec_size)
@@ -148,11 +190,13 @@ def ole_streams(blob: bytes) -> dict[str, bytes]:
         return b"".join(out)
 
     streams: dict[str, bytes] = {}
-    for name, obj_type, start, size in entries:
-        if obj_type != 2:  # stream objects only
-            continue
-        raw = read_mini_chain(start) if size < mini_cutoff else read_chain(start)
-        streams[name] = raw[:size]
+    for e in entries:
+        raw = (
+            read_mini_chain(e["start"])
+            if e["size"] < mini_cutoff
+            else read_chain(e["start"])
+        )
+        streams[e["name"]] = raw[: e["size"]]
     return streams
 
 
@@ -349,7 +393,10 @@ def _parse_sst(chunks: list[bytes]) -> list[str]:
 
 def _short_unicode(payload: bytes, at: int) -> str:
     """XLUnicodeString (u16 cch, u8 flags, chars) — LABEL/BOUNDSHEET forms
-    pass their own width."""
+    pass their own width.  Truncated payloads yield "" (degradation
+    contract: malformed records skip, they don't raise IndexError)."""
+    if at + 3 > len(payload):
+        return ""
     cch = _u16(payload, at)
     wide = payload[at + 2] & 1
     raw = payload[at + 3 : at + 3 + cch * (2 if wide else 1)]
@@ -373,7 +420,7 @@ def xls_to_sheets(blob: bytes) -> list[dict]:
     for op, payload in _xls_records(wb, 0):
         if op == _XLS_FILEPASS:
             raise ValueError("encrypted .xls")
-        if op == _XLS_BOUNDSHEET:
+        if op == _XLS_BOUNDSHEET and len(payload) >= 8:
             name_cch = payload[6]
             wide = payload[7] & 1
             raw = payload[8 : 8 + name_cch * (2 if wide else 1)]
@@ -448,13 +495,6 @@ def xls_to_sheets(blob: bytes) -> list[dict]:
 def xls_to_sheets_span(blob: bytes) -> list[dict]:
     """Same span form as officebytes.xlsx_to_sheets_span — both feed
     the excel chunker path untouched."""
-    import json
+    from .officebytes import sheets_span
 
-    return [
-        {
-            "kind": "text",
-            "text": json.dumps({"sheets": xls_to_sheets(blob)}, ensure_ascii=False),
-            "media_ref": "",
-            "offset": 0,
-        }
-    ]
+    return sheets_span(xls_to_sheets(blob))

@@ -266,7 +266,9 @@ _ENCRYPT_REF = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
 _ID_HEX = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
 _ID_LIT = re.compile(rb"/ID\s*\[\s*\(((?:[^()\\]|\\.)*)\)")
 _ENC_INT = {
-    k: re.compile(rb"/" + k.encode() + rb"\s+(-?\d+)")
+    # the (?!…R) lookahead keeps an indirect "/Length 7 0 R" from
+    # reading as 7 — unresolvable refs fall back to the key's default
+    k: re.compile(rb"/" + k.encode() + rb"\s+(-?\d+)(?![0-9])(?!\s+\d+\s+R)")
     for k in ("V", "R", "P", "Length")
 }
 _ENC_STR = {
@@ -341,6 +343,10 @@ def _make_aes_boxes() -> tuple[list[int], list[int]]:
 
 
 _AES_SBOX, _AES_INV_SBOX = _make_aes_boxes()
+# InvMixColumns coefficients as 256-entry product tables: the naive
+# per-byte _gf_mul is 576 interpreted 8-step loops per block — table
+# lookups make bulk stream decryption ~10x cheaper
+_MUL = {c: [_gf_mul(x, c) for x in range(256)] for c in (9, 11, 13, 14)}
 _INV_MIX = (14, 11, 13, 9)  # InvMixColumns matrix first row, rotated per row
 
 
@@ -372,10 +378,10 @@ def _aes_decrypt_block(ks: list[list[int]], block: bytes) -> bytes:
             col = s[c : c + 4]
             for r in range(4):
                 ns[c + r] = (
-                    _gf_mul(col[0], _INV_MIX[-r % 4])
-                    ^ _gf_mul(col[1], _INV_MIX[(1 - r) % 4])
-                    ^ _gf_mul(col[2], _INV_MIX[(2 - r) % 4])
-                    ^ _gf_mul(col[3], _INV_MIX[(3 - r) % 4])
+                    _MUL[_INV_MIX[-r % 4]][col[0]]
+                    ^ _MUL[_INV_MIX[(1 - r) % 4]][col[1]]
+                    ^ _MUL[_INV_MIX[(2 - r) % 4]][col[2]]
+                    ^ _MUL[_INV_MIX[(3 - r) % 4]][col[3]]
                 )
         s = ns
     return bytes(s)
@@ -414,14 +420,36 @@ def _enc_bytes(body: bytes, key: str) -> bytes | None:
     return None
 
 
+def _mask_cf_dict(enc: bytes) -> bytes:
+    """Drop the /CF << ... >> sub-dictionary (balanced << >> scan) so
+    top-level integer lookups can't match crypt-filter-local keys —
+    /StdCF carries its own /Length 16 (BYTES), and dict key order is
+    writer-dependent, so an unmasked search can read 16 where the
+    top-level key-BIT length 128 was meant."""
+    m = re.search(rb"/CF\s*<<", enc)
+    if m is None:
+        return enc
+    depth, i = 1, m.end()
+    while i < len(enc) and depth:
+        if enc[i : i + 2] == b"<<":
+            depth, i = depth + 1, i + 2
+        elif enc[i : i + 2] == b">>":
+            depth, i = depth - 1, i + 2
+        else:
+            i += 1
+    return enc[: m.start()] + enc[i:]
+
+
 def _file_key(enc: bytes, id0: bytes) -> tuple[bytes, str] | None:
     """Algorithm 2 with the empty user password → (key, cipher) where
     cipher is "rc4" or "aes"; None when the document is outside the
     supported subset or /U verification fails (a real user password)."""
     import hashlib
 
+    enc_top = _mask_cf_dict(enc)
+
     def num(k: str, default=None):
-        m = _ENC_INT[k].search(enc)
+        m = _ENC_INT[k].search(enc_top)
         return int(m.group(1)) if m else default
 
     v, r = num("V", 0), num("R", 0)
@@ -438,7 +466,10 @@ def _file_key(enc: bytes, id0: bytes) -> tuple[bytes, str] | None:
     o, u = _enc_bytes(enc, "O"), _enc_bytes(enc, "U")
     if o is None or u is None or num("P") is None:
         return None
-    n = 5 if r == 2 else max(5, min(16, num("Length", 40 if r < 4 else 128) // 8))
+    if cipher == "aes":
+        n = 16  # AESV2 is 128-bit by definition (PDF 1.7 §7.6.5)
+    else:
+        n = 5 if r == 2 else max(5, min(16, num("Length", 40 if r < 4 else 128) // 8))
     p = num("P") & 0xFFFFFFFF
     seed = _PASSWORD_PAD + o[:32] + p.to_bytes(4, "little") + id0
     if r == 4 and re.search(rb"/EncryptMetadata\s+false", enc):
@@ -514,8 +545,15 @@ def _decrypt_objects(data: bytes, objs: dict[int, bytes]) -> None:
             continue
         header = body[: m.start()]
         lm = _LENGTH.search(header)
-        if lm:
-            start, end = m.end(), m.end() + int(lm.group(1))
+        rm = None if lm else _LENGTH_REF.search(header)
+        length = int(lm.group(1)) if lm else None
+        if length is None and rm is not None:
+            # indirect /Length N 0 R: the target is a bare integer object
+            tm = re.match(rb"\s*(\d+)\s*$", objs.get(int(rm.group(1)), b""))
+            if tm:
+                length = int(tm.group(1))
+        if length is not None:
+            start, end = m.end(), m.end() + length
         else:
             start = m.end()
             end = body.find(b"endstream", start)
@@ -528,11 +566,28 @@ def _decrypt_objects(data: bytes, objs: dict[int, bytes]) -> None:
                 + body[end:]
             )
             continue
-        plain = _aes_cbc_decrypt(_object_key(key, num, aes=True), body[start:end])
+        cipher_bytes = body[start:end]
+        if length is None:
+            # endstream fallback includes the EOL before the keyword;
+            # AES ciphertext is a 16-multiple, so trim at most one EOL
+            for trim in (0, 1, 2):
+                tail = cipher_bytes[len(cipher_bytes) - trim :]
+                if (len(cipher_bytes) - trim) % 16 == 0 and tail in (
+                    b"", b"\n", b"\r", b"\r\n"
+                ):
+                    cipher_bytes = cipher_bytes[: len(cipher_bytes) - trim]
+                    break
+        plain = _aes_cbc_decrypt(_object_key(key, num, aes=True), cipher_bytes)
         if plain is None:  # malformed ciphertext: leave it, degrade later
             continue
+        # AES shrinks the body: point the header's /Length (direct or
+        # indirect) at the plaintext size so _stream_of slices correctly
         if lm:
             header = _LENGTH.sub(b"/Length %d" % len(plain), header, count=1)
+        elif rm is not None and length is not None:
+            header = _LENGTH_REF.sub(
+                b"/Length %d" % len(plain), header, count=1
+            )
         objs[num] = header + body[m.start() : start] + plain + body[end:]
 
 

@@ -21,9 +21,14 @@ FREESECT = 0xFFFFFFFF
 FATSECT = 0xFFFFFFFD
 
 
-def make_cfb(streams: dict[str, bytes]) -> bytes:
+def make_cfb(streams: dict[str, bytes],
+             embedded: dict[str, bytes] | None = None) -> bytes:
     """Independent compound-file writer: streams ≥4096 bytes go into
-    FAT chains, smaller ones into the mini stream via the mini FAT."""
+    FAT chains, smaller ones into the mini stream via the mini FAT.
+    Directory tree pointers are real (root.child → a right-sibling
+    chain of the root-level entries); ``embedded`` adds an
+    "ObjectPool" storage whose child subtree holds its own streams —
+    the embedded-OLE-object layout real .doc files carry."""
     sectors: list[bytes] = []
     chains: dict[int, int] = {}
 
@@ -37,20 +42,20 @@ def make_cfb(streams: dict[str, bytes]) -> bytes:
         chains[first + k - 1] = ENDOFCHAIN
         return first
 
-    big = {n: d for n, d in streams.items() if len(d) >= 4096}
-    small = {n: d for n, d in streams.items() if len(d) < 4096}
-
-    start_of: dict[str, int] = {n: add(d) for n, d in big.items()}
-
+    items = list(streams.items()) + list((embedded or {}).items())
     mini_data = b""
     mini_fat: list[int] = []
-    for n, d in small.items():
-        k = max(1, (len(d) + 63) // 64)
-        start_of[n] = len(mini_data) // 64
-        mini_data += d.ljust(64 * k, b"\x00")
-        base = len(mini_fat)
-        mini_fat += list(range(base + 1, base + k))
-        mini_fat.append(ENDOFCHAIN)
+    starts: list[int] = []
+    for _, d in items:
+        if len(d) >= 4096:
+            starts.append(add(d))
+        else:
+            k = max(1, (len(d) + 63) // 64)
+            starts.append(len(mini_data) // 64)
+            mini_data += d.ljust(64 * k, b"\x00")
+            base = len(mini_fat)
+            mini_fat += list(range(base + 1, base + k))
+            mini_fat.append(ENDOFCHAIN)
 
     mini_start = add(mini_data) if mini_data else ENDOFCHAIN
     minifat_start = ENDOFCHAIN
@@ -61,22 +66,41 @@ def make_cfb(streams: dict[str, bytes]) -> bytes:
         minifat_start = add(raw)
         n_minifat = len(raw) // 512
 
-    def dirent(name: str, typ: int, start: int, size: int) -> bytes:
+    def dirent(name: str, typ: int, start: int, size: int,
+               right: int = FREESECT, child: int = FREESECT) -> bytes:
         nm = name.encode("utf-16-le")
         e = bytearray(128)
         e[: len(nm)] = nm
         struct.pack_into("<H", e, 64, len(nm) + 2)
         e[66] = typ
         e[67] = 1  # black
-        struct.pack_into("<III", e, 68, FREESECT, FREESECT, FREESECT)
+        struct.pack_into("<III", e, 68, FREESECT, right, child)
         struct.pack_into("<I", e, 116, start)
         struct.pack_into("<I", e, 120, size)
         return bytes(e)
 
-    entries = [dirent("Root Entry", 5, mini_start, len(mini_data))]
-    entries += [
-        dirent(n, 2, start_of[n], len(streams[n])) for n in streams
+    n_root = len(streams)
+    root_names = list(streams)
+    emb_names = list(embedded or {})
+    entries = [
+        dirent("Root Entry", 5, mini_start, len(mini_data),
+               child=1 if items or embedded is not None else FREESECT)
     ]
+    for j, n in enumerate(root_names):
+        last = j + 1 == n_root and not emb_names
+        entries.append(
+            dirent(n, 2, starts[j], len(streams[n]),
+                   right=FREESECT if last else len(entries) + 1)
+        )
+    if emb_names:
+        storage_idx = len(entries)
+        entries.append(dirent("ObjectPool", 1, 0, 0, child=storage_idx + 1))
+        for j, n in enumerate(emb_names):
+            last = j + 1 == len(emb_names)
+            entries.append(
+                dirent(n, 2, starts[n_root + j], len((embedded or {})[n]),
+                       right=FREESECT if last else len(entries) + 1)
+            )
     dir_start = add(b"".join(entries))
 
     fat_sector = len(sectors)
@@ -106,7 +130,8 @@ def make_cfb(streams: dict[str, bytes]) -> bytes:
     return bytes(hdr) + b"".join(sectors)
 
 
-def make_doc(pieces: list[tuple[str, bool]], big_word: bool = True) -> bytes:
+def make_doc(pieces: list[tuple[str, bool]], big_word: bool = True,
+             embedded: dict[str, bytes] | None = None) -> bytes:
     """Word binary from text pieces [(text, compressed?)]: FIB +
     text area in WordDocument, Clx (a Prc block, then the Pcdt) in
     1Table.  big_word pads WordDocument past the 4096 mini cutoff."""
@@ -151,7 +176,9 @@ def make_doc(pieces: list[tuple[str, bool]], big_word: bool = True) -> bytes:
     if big_word:
         word_stream = word_stream.ljust(4608, b"\x00")
     table = b"\x00" * fc_clx + clx
-    return make_cfb({"WordDocument": word_stream, "1Table": table})
+    return make_cfb(
+        {"WordDocument": word_stream, "1Table": table}, embedded=embedded
+    )
 
 
 class TestOleDoc:
@@ -447,3 +474,50 @@ class TestOleProperties:
             xls_to_sheets(blob)
         except (ValueError, struct.error):
             pass
+
+
+class TestReviewRegressions:
+    """Pinned fixes from the round-3 code review of the OLE/AES work."""
+
+    def test_embedded_object_does_not_shadow_root_streams(self):
+        """An ObjectPool storage with its own WordDocument/1Table (an
+        embedded Word object) must not shadow the root document's
+        streams — the directory walk stays at root level."""
+        blob = make_doc(
+            [("real main body\r", True)],
+            embedded={"WordDocument": b"\xff" * 600, "1Table": b"\xee" * 128},
+        )
+        assert doc_to_text(blob) == "real main body\n"
+
+    def test_difat_cycle_is_bounded(self):
+        """csectDifat = 0xFFFFFFFF with a self-pointing DIFAT sector
+        must terminate instead of spinning for 4 billion iterations."""
+        hdr = bytearray(make_doc([("x\r", True)])[:512])
+        struct.pack_into("<I", hdr, 68, 0)  # first DIFAT sector = 0
+        struct.pack_into("<I", hdr, 72, 0xFFFFFFFF)  # huge declared count
+        difat = bytearray(b"\xff" * 512)
+        struct.pack_into("<I", difat, 508, 0)  # next DIFAT → itself
+        with pytest.raises(ValueError):
+            ole_streams(bytes(hdr) + bytes(difat))
+
+    def test_truncated_boundsheet_and_string_records_skip(self):
+        """Short BIFF records degrade per-record (no IndexError)."""
+        from ragflow_ray.parsers.olebytes import xls_to_sheets
+
+        cells = [_rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))]
+        stream = _bof(0x0005) + _rec(0x00FC, struct.pack("<II", 1, 1)
+                                     + struct.pack("<HB", 1, 0) + b"v")
+        stream += _rec(0x0085, b"\x00\x00\x00")  # truncated BOUNDSHEET
+        bound_payload = struct.pack("<IBB", 0, 0, 0) + struct.pack("<BB", 1, 0) + b"S"
+        bound_at = len(stream) + 4
+        stream += _rec(0x0085, bound_payload)
+        stream += _rec(0x000A, b"")
+        fixed = bytearray(stream)
+        struct.pack_into("<I", fixed, bound_at, len(stream))
+        stream = bytes(fixed) + _bof(0x0010)
+        for r in cells:
+            stream += r
+        stream += _rec(0x0207, b"\x01")  # truncated STRING record
+        stream += _rec(0x000A, b"")
+        sheets = xls_to_sheets(make_cfb({"Workbook": stream}))
+        assert sheets == [{"name": "S", "rows": [["v"]]}]

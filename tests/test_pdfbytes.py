@@ -858,12 +858,15 @@ def _aes_cbc_encrypt_ref(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def encrypt_pdf_v4(blob: bytes, cfm: str = "AESV2") -> bytes:
+def encrypt_pdf_v4(blob: bytes, cfm: str = "AESV2",
+                   cf_first: bool = False) -> bytes:
     """V=4 R=4 crypt-filter encryption of a make_pdf()-shaped document
     with an empty user password: /StdCF carries /CFM /AESV2 (AES-128-
     CBC, IV-prefixed, PKCS#7) or /CFM /V2 (RC4).  Independent of the
     parser — Algorithms 1–5 re-derived here, forward AES from the
-    log/antilog construction above."""
+    log/antilog construction above.  ``cf_first`` serializes the /CF
+    dict before (and without) the top-level /Length, the writer
+    ordering that can mislead a naive key-length lookup."""
     import hashlib
     import re as _re
 
@@ -933,12 +936,24 @@ def encrypt_pdf_v4(blob: bytes, cfm: str = "AESV2") -> bytes:
     out = b"".join(pieces)
 
     enc_num = blob.count(b" 0 obj") + 1
-    enc_obj = (
-        f"{enc_num} 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
-        f"/CF << /StdCF << /CFM /{cfm} /Length 16 >> >> "
-        f"/StmF /StdCF /StrF /StdCF "
-        f"/P -44 /O <{o.hex()}> /U <{u.hex()}> >>\nendobj\n"
-    ).encode()
+    if cf_first:
+        # dict key order is writer-dependent: /CF (whose /StdCF carries
+        # its own BYTE-count /Length 16) before the top-level key-bit
+        # /Length — and the top-level /Length omitted (default 128)
+        enc_dict = (
+            f"<< /Filter /Standard "
+            f"/CF << /StdCF << /CFM /{cfm} /Length 16 >> >> "
+            f"/StmF /StdCF /StrF /StdCF /V 4 /R 4 "
+            f"/P -44 /O <{o.hex()}> /U <{u.hex()}> >>"
+        )
+    else:
+        enc_dict = (
+            f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            f"/CF << /StdCF << /CFM /{cfm} /Length 16 >> >> "
+            f"/StmF /StdCF /StrF /StdCF "
+            f"/P -44 /O <{o.hex()}> /U <{u.hex()}> >>"
+        )
+    enc_obj = f"{enc_num} 0 obj\n{enc_dict}\nendobj\n".encode()
     trailer_at = out.rfind(b"trailer")
     body_out = out[:trailer_at] + enc_obj
     trailer = (
@@ -1004,3 +1019,53 @@ class TestAesEncryptedPdf:
         blob = blob.replace(b"/V 4 /R 4", b"/V 5 /R 6")
         out = pdf_text_lines(blob)
         assert all("v5 secret" not in ln for pg in out for ln in pg)
+
+
+def indirect_lengths(blob: bytes) -> bytes:
+    """Rewrite every stream object's direct /Length N to an indirect
+    '/Length <new> 0 R' whose target integer object is appended before
+    the trailer — the Acrobat-style layout (post-encryption safe: only
+    headers and the tail change)."""
+    import re as _re
+
+    next_num = max(
+        int(m.group(1)) for m in _re.finditer(rb"(\d+)\s+0\s+obj\b", blob)
+    ) + 1
+    extra = []
+
+    def swap(m):
+        nonlocal next_num
+        extra.append(
+            b"%d 0 obj\n%s\nendobj\n" % (next_num, m.group(1))
+        )
+        out = b"/Length %d 0 R" % next_num
+        next_num += 1
+        return out
+
+    body = _re.sub(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", swap, blob)
+    at = body.rfind(b"trailer")
+    return body[:at] + b"".join(extra) + body[at:]
+
+
+class TestAesReviewRegressions:
+    """Pinned fixes from the round-3 code review of the AES work."""
+
+    def test_cf_dict_before_top_level_length(self):
+        """/CF << /Length 16 >> serialized first (and the top-level
+        /Length omitted) must not poison the key-length lookup."""
+        pages = [["cf-first ordering"]]
+        for cfm in ("AESV2", "V2"):
+            blob = encrypt_pdf_v4(make_pdf(pages), cfm=cfm, cf_first=True)
+            assert pdf_text_lines(blob) == pages, cfm
+
+    def test_aes_stream_with_indirect_length(self):
+        """AES streams whose /Length is an indirect reference decrypt,
+        and the resolved target is re-pointed at the plaintext size."""
+        pages = [["indirect length aes", "line two"], ["page two"]]
+        blob = indirect_lengths(encrypt_pdf_v4(make_pdf(pages), cfm="AESV2"))
+        assert pdf_text_lines(blob) == pages
+
+    def test_rc4_stream_with_indirect_length(self):
+        pages = [["indirect length rc4"]]
+        blob = indirect_lengths(encrypt_pdf_v4(make_pdf(pages), cfm="V2"))
+        assert pdf_text_lines(blob) == pages
