@@ -53,6 +53,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from ragflow_ray.ops import (
         ann,
+        cluster,
         curation,
         dedup,
         extract_queries,
@@ -112,6 +113,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_and_pack": curation.curate_and_pack,
         "per_source_cap": curation.per_source_cap,
         "pii_scrub": lambda d: curation.pii_scrub(d).to_pandas(),
+        "dsir_importance": curation.dsir_importance,
+        "stratified_split": curation.stratified_split,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
+        # --- embedding clustering (fixture-oracled iterative k-means) ---
+        "kmeans_clusters": cluster.kmeans_clusters,
+        "semdedup": cluster.semdedup,
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -219,6 +226,17 @@ from ragflow_ray.ops.curation import (  # noqa: E402
 # whitespace: Python strip() vs SQL trim(); and counted empty text as
 # 1 token)
 _NTOK = "length(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+'))"
+_NTOK_RUN = "[^ \\t\\n\\r\\f\\v]+"
+# clustering / DSIR / split / tfidf constants imported from the engine
+# so the oracle SQL can never drift from the map_batches specs
+from ragflow_ray.ops.curation import (  # noqa: E402
+    DSIR_BUCKETS as _DSIR_B,
+    DSIR_TARGET_LANG as _DSIR_LANG,
+    SPLIT_MOD as _SPLIT_MOD,
+    SPLIT_TRAIN_LT as _SPLIT_TRAIN,
+    SPLIT_VAL_LT as _SPLIT_VAL,
+)
+from ragflow_ray.ops.textstats import TFIDF_TOPK as _TFIDF_K  # noqa: E402
 _NONWS = "length(regexp_replace(text, '[ \\t\\n\\r\\f\\v]', '', 'g'))"
 _TXT_DELIMS = r"[\n!?;。；！？]"
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/fixtures")
@@ -973,6 +991,108 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_FIXTURES}/corpus_extract.parquet')
             WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
             ORDER BY doc_id
+        """,
+        # clustering: independent naive Lloyd + greedy-sweep
+        # re-derivation (tools/make_cluster_fixtures.py)
+        "kmeans_clusters": f"""
+            SELECT vec_id, cluster, cluster_size
+            FROM read_parquet('{_FIXTURES}/kmeans_clusters.parquet')
+            WHERE corpus_key = (
+                SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT))
+                FROM embeddings)
+            ORDER BY vec_id
+        """,
+        "semdedup": f"""
+            SELECT vec_id, cluster, keep, dup_of
+            FROM read_parquet('{_FIXTURES}/semdedup.parquet')
+            WHERE corpus_key = (
+                SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT))
+                FROM embeddings)
+            ORDER BY vec_id
+        """,
+        # DSIR hashed-unigram importance weights: the bucket spec is
+        # the md5-hex idiom shared with mixture_sample; weights via ln
+        # on add-one-smoothed bucket models, sum rounded to 6 dp (the
+        # lm_cross_entropy float-absorb convention)
+        "dsir_importance": f"""
+            WITH words AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(text, '{_NTOK_RUN}')) AS w
+                FROM documents
+            ),
+            bw AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                           % {_DSIR_B} AS b
+                FROM words
+            ),
+            cnt AS (
+                SELECT b,
+                       SUM(CASE WHEN lang = '{_DSIR_LANG}' THEN 1 ELSE 0 END) AS t,
+                       COUNT(*) AS r
+                FROM bw GROUP BY b
+            ),
+            tot AS (SELECT SUM(t) AS bt, SUM(r) AS br FROM cnt),
+            wt AS (
+                SELECT b,
+                       ln((t + 1.0) / (bt + {_DSIR_B}.0))
+                         - ln((r + 1.0) / (br + {_DSIR_B}.0)) AS w
+                FROM cnt, tot
+            ),
+            doc_b AS (
+                SELECT doc_id, b, COUNT(*) AS c FROM bw GROUP BY doc_id, b
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   round(SUM(c * w), 6) AS dsir_logw
+            FROM doc_b JOIN wt USING (b)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        # content-hash split gate: same md5 idiom; duplicate texts
+        # always share a split (leak safety)
+        "stratified_split": f"""
+            SELECT source,
+                   CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                             % {_SPLIT_MOD} < {_SPLIT_TRAIN} THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                             % {_SPLIT_MOD} < {_SPLIT_VAL} THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM({_NTOK})::BIGINT AS n_tokens
+            FROM documents
+            GROUP BY source, split ORDER BY source, split
+        """,
+        # tf·idf with idf = ln((N+1)/(df+1)); score rounded to 6 dp
+        # BEFORE ranking, ties broken term-ascending (engine spec)
+        "tfidf_top_terms": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '{_NTOK_RUN}')) AS w
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w
+            ),
+            df AS (
+                SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w
+            ),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+                SELECT doc_id, w,
+                       round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS s
+                FROM tf JOIN df USING (w), n
+            ),
+            ranked AS (
+                SELECT doc_id, w, s,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY s DESC, w) AS rank
+                FROM scored
+            )
+            SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank,
+                   w AS term, s AS tfidf_r6
+            FROM ranked WHERE rank <= {_TFIDF_K}
+            ORDER BY doc_id, rank
         """,
         **_template_oracles(),
         **_tokenize_oracles(),

@@ -1,0 +1,271 @@
+"""Embedding clustering ops: distributed Lloyd k-means and
+SemDeDup-style within-cluster semantic pruning.
+
+* :func:`kmeans_clusters` — the canonical iterative distributed
+  algorithm: a fixed number of Lloyd rounds where each round is ONE
+  streaming pass over the embeddings (assign inside ``map_batches``,
+  per-batch integer-scaled partial sums per cluster, a K×dim-row
+  groupby reduce, centroid update on the driver).  Only
+  ``k × dim``-sized partials ever shuffle; the table itself never
+  collects.  Float safety: per-cluster sums are micro-scaled int64
+  (the ``label_vector_sums`` convention), so the reduced sums — and
+  therefore the next round's centroids — are exact integers regardless
+  of batch partitioning, making every round bit-deterministic under
+  any parallelism.
+* :func:`semdedup` — SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+  shape: cluster with k-means, then inside each cluster greedily keep
+  the id-minimal representative of every cosine-similar group.  The
+  per-cluster prune runs in ``groupby("cluster").map_groups`` — at
+  corpus scale k grows with the corpus (the paper's own scaling rule),
+  so each group stays bounded and no driver state exists.
+
+Both are oracled by an independent naive re-derivation fixture
+(``tools/make_cluster_fixtures.py`` — no ragflow_ray imports), keyed
+by the embeddings corpus key ``SUM(floor(embedding[0]*1e6+0.5))``.
+
+Reference anchor: the reference's RAPTOR stage clusters chunk
+embeddings with GMM+UMAP around an LLM summarizer
+(/root/reference/rag/raptor.py:86-140) — out of scope as an LLM stage;
+these ops are the deterministic, engine-native clustering equivalents
+a training-data pipeline needs (semantic dedup, corpus bucketing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+SEMDEDUP_TAU = 0.25
+_SCALE = 1_000_000
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("cluster", pa.int64()),
+        ("dim", pa.int64()),
+        ("sum_x1e6", pa.int64()),
+        ("n", pa.int64()),
+    ]
+)
+
+_ASSIGN_SCHEMA = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
+
+
+def _embeddings(sf_dir: str):
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _seed_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the k id-minimal vectors, normalized (the
+    corpus writer emits vec_id-sorted files; head-only read)."""
+    from .ann import _head_rows
+
+    df = (
+        _head_rows(f"{sf_dir}/embeddings.parquet", k, ["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(k)
+    )
+    return _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+
+
+def _assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest centroid by cosine; np.argmax tie-break = lowest index
+    (pinned, mirrored by the fixture)."""
+    return np.argmax(mat @ centroids.T, axis=1)
+
+
+def _lloyd_rounds(sf_dir: str, k: int, iters: int, concurrency) -> np.ndarray:
+    """Run ``iters`` Lloyd rounds, one streaming pass each; returns the
+    final normalized centroid matrix."""
+    import ray
+
+    centroids = _seed_centroids(sf_dir, k)
+    ds = _embeddings(sf_dir)
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        class PartialSums:
+            def __init__(self):
+                self.centroids = ray.get(cref)
+
+            def __call__(self, batch: pd.DataFrame) -> pa.Table:
+                mat = _norm_rows(
+                    np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+                )
+                scaled = np.floor(mat * _SCALE + 0.5).astype(np.int64)
+                assign = _assign(mat, self.centroids)
+                kk, dim = self.centroids.shape
+                sums = np.zeros((kk, dim), dtype=np.int64)
+                np.add.at(sums, assign, scaled)
+                counts = np.bincount(assign, minlength=kk).astype(np.int64)
+                return pa.table(
+                    {
+                        "cluster": np.repeat(np.arange(kk, dtype=np.int64), dim),
+                        "dim": np.tile(np.arange(dim, dtype=np.int64), kk),
+                        "sum_x1e6": sums.reshape(-1),
+                        "n": np.repeat(counts, dim),
+                    },
+                    schema=_PARTIAL_SCHEMA,
+                )
+
+        from ray.data.aggregate import Sum
+
+        reduced = (
+            ds.map_batches(
+                PartialSums,
+                batch_format="pandas",
+                concurrency=concurrency or (1, 4),
+                batch_size=4096,
+            )
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("sum_x1e6", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        new = centroids.copy()
+        dim = centroids.shape[1]
+        piv = reduced.sort_values(["cluster", "dim"])
+        for c, grp in piv.groupby("cluster"):
+            n = int(grp["n"].iloc[0])  # same count repeated per dim
+            if n == 0:
+                continue
+            vec = grp["s"].to_numpy(dtype=np.float64) / _SCALE / n
+            if len(vec) == dim:
+                new[int(c)] = vec
+        centroids = _norm_rows(new)
+    return centroids
+
+
+def kmeans_clusters(
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    iters: int = KMEANS_ITERS,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Final (vec_id, cluster) assignment after ``iters`` Lloyd rounds
+    plus the per-cluster member count."""
+    import ray
+
+    centroids = _lloyd_rounds(sf_dir, k, iters, concurrency)
+    cref = ray.put(centroids)
+
+    class Assigner:
+        def __init__(self):
+            self.centroids = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            mat = _norm_rows(
+                np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            )
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+                    "cluster": _assign(mat, self.centroids).astype(np.int64),
+                },
+                schema=_ASSIGN_SCHEMA,
+            )
+
+    df = (
+        _embeddings(sf_dir)
+        .map_batches(
+            Assigner,
+            batch_format="pandas",
+            concurrency=concurrency or (1, 4),
+            batch_size=4096,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    sizes = df.groupby("cluster")["vec_id"].transform("size").astype("int64")
+    df["cluster_size"] = sizes
+    return df
+
+
+def semdedup(
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    iters: int = KMEANS_ITERS,
+    tau: float = SEMDEDUP_TAU,
+    concurrency=None,
+) -> pd.DataFrame:
+    """SemDeDup: within each k-means cluster, greedy id-order sweep —
+    a vector is dropped when its cosine to an already-kept member of
+    the same cluster reaches ``tau``; ``dup_of`` is the id-minimal
+    such keeper.  Similarities are rounded to 9 dp before the
+    threshold test (the ann.py float-jitter convention, mirrored by
+    the fixture)."""
+    import ray
+
+    centroids = _lloyd_rounds(sf_dir, k, iters, concurrency)
+    cref = ray.put(centroids)
+
+    class Assigner:
+        def __init__(self):
+            self.centroids = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _norm_rows(
+                np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            )
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+                    "cluster": _assign(mat, self.centroids).astype(np.int64),
+                    "embedding": batch["embedding"],
+                }
+            )
+
+    def prune(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("vec_id")
+        ids = group["vec_id"].to_numpy().astype(np.int64)
+        mat = _norm_rows(np.stack(group["embedding"].to_numpy()).astype(np.float64))
+        kept_rows: list[int] = []
+        keep = np.zeros(len(ids), dtype=bool)
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        for i in range(len(ids)):
+            if kept_rows:
+                sims = np.round(mat[kept_rows] @ mat[i], 9)
+                hit = np.nonzero(sims >= tau)[0]
+                if hit.size:
+                    dup_of[i] = ids[kept_rows[int(hit[0])]]
+                    continue
+            keep[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": group["cluster"].to_numpy().astype(np.int64),
+                "keep": keep.astype(np.int64),
+                "dup_of": dup_of,
+            }
+        )
+
+    out = (
+        _embeddings(sf_dir)
+        .map_batches(
+            Assigner,
+            batch_format="pandas",
+            concurrency=concurrency or (1, 4),
+            batch_size=4096,
+        )
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for c in ("vec_id", "cluster", "keep", "dup_of"):
+        out[c] = out[c].astype("int64")
+    return out

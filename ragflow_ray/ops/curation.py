@@ -973,3 +973,182 @@ def pii_scrub(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(scrub, batch_format="pandas").sort("doc_id")
+
+
+# ---- DSIR importance weighting ------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance(sf_dir: str, n_buckets: int = DSIR_BUCKETS,
+                    target_lang: str = DSIR_TARGET_LANG, concurrency=None):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) over hashed unigram features: per-doc
+    log-importance weight ``log p_target(doc) - log p_raw(doc)`` under
+    add-one-smoothed hashed bag-of-words models.
+
+    Two streaming passes, no corpus collection:
+
+    1. model build — per-batch partial (bucket, target_count,
+       raw_count) rows (``n_buckets`` rows per batch at most) into one
+       vocabulary-sized groupby; the target distribution is the
+       ``lang == target_lang`` subset, the raw distribution is the
+       whole corpus;
+    2. scoring — the 1024-float weight vector broadcasts via
+       ``ray.put``; each doc's score is its bucket-count vector dotted
+       with the weights (one ``np.bincount`` + one dot per doc).
+
+    Bucket spec (mirrored in SQL): ``int(md5(word)[:8], 16) %
+    n_buckets`` over the unified ASCII token runs.  Scores are rounded
+    to 6 dp after the sum (the lm_cross_entropy float-absorb
+    convention).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    word_re = re.compile(_TOKEN_RUN)
+
+    partial_schema = pa.schema(
+        [("bucket", pa.int64()), ("t_cnt", pa.int64()), ("r_cnt", pa.int64())]
+    )
+
+    class BucketCounts:
+        def __init__(self):
+            self.memo: dict[str, int] = {}
+
+        def _buckets(self, words):
+            memo = self.memo
+            out = np.empty(len(words), dtype=np.int64)
+            for i, w in enumerate(words):
+                b = memo.get(w)
+                if b is None:
+                    b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+                    memo[w] = b
+                out[i] = b
+            return out
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            tgt = np.zeros(n_buckets, dtype=np.int64)
+            raw = np.zeros(n_buckets, dtype=np.int64)
+            for text, lang in zip(batch["text"], batch["lang"]):
+                counts = np.bincount(
+                    self._buckets(word_re.findall(text)), minlength=n_buckets
+                )
+                raw += counts
+                if lang == target_lang:
+                    tgt += counts
+            nz = np.nonzero(raw)[0]
+            return pa.table(
+                {"bucket": nz, "t_cnt": tgt[nz], "r_cnt": raw[nz]},
+                schema=partial_schema,
+            )
+
+    from ray.data.aggregate import Sum
+
+    reduced = (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(BucketCounts, batch_format="pandas",
+                     concurrency=concurrency or (1, 4))
+        .groupby("bucket")
+        .aggregate(Sum("t_cnt", alias_name="t"), Sum("r_cnt", alias_name="r"))
+        .to_pandas()
+    )
+    t = np.zeros(n_buckets, dtype=np.float64)
+    r = np.zeros(n_buckets, dtype=np.float64)
+    t[reduced["bucket"].to_numpy()] = reduced["t"].to_numpy()
+    r[reduced["bucket"].to_numpy()] = reduced["r"].to_numpy()
+    big_t, big_r = t.sum(), r.sum()
+    weights = np.log((t + 1.0) / (big_t + n_buckets)) - np.log(
+        (r + 1.0) / (big_r + n_buckets)
+    )
+    wref = ray.put(weights)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("dsir_logw", pa.float64())])
+
+    class Scorer(BucketCounts):
+        def __init__(self):
+            super().__init__()
+            self.weights = ray.get(wref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            ids, scores = [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                counts = np.bincount(
+                    self._buckets(word_re.findall(text)), minlength=n_buckets
+                )
+                ids.append(int(doc_id))
+                scores.append(round(float(counts @ self.weights), 6))
+            return pa.table(
+                {"doc_id": pa.array(ids, type=pa.int64()),
+                 "dsir_logw": pa.array(scores, type=pa.float64())},
+                schema=out_schema,
+            )
+
+    df = (
+        _docs(sf_dir)
+        .map_batches(Scorer, batch_format="pandas",
+                     concurrency=concurrency or (1, 4))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
+# ---- deterministic train/val/test split ---------------------------------
+
+SPLIT_MOD = 1000
+SPLIT_TRAIN_LT = 900
+SPLIT_VAL_LT = 950
+
+
+def stratified_split(sf_dir: str):
+    """Leak-safe train/val/test assignment: the split bucket is
+    ``int(md5(text)[:8], 16) % 1000`` (train < 900 <= val < 950 <=
+    test) — CONTENT-hashed, so byte-identical duplicate docs always
+    land in the same split and can never leak across the boundary.
+    Output is the per-(source, split) rollup: doc count + exact token
+    count.  One stateless pass with per-batch partial aggregation; the
+    groupby sees ≤ sources×3 rows per block."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [("source", pa.string()), ("split", pa.string()),
+         ("n_docs", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        n_tok = batch["text"].str.count(_TOKEN_RUN).astype("int64")
+        buckets = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % SPLIT_MOD
+             for t in batch["text"]),
+            dtype=np.int64, count=len(batch),
+        )
+        split = np.where(
+            buckets < SPLIT_TRAIN_LT, "train",
+            np.where(buckets < SPLIT_VAL_LT, "val", "test"),
+        )
+        df = pd.DataFrame(
+            {"source": batch["source"].to_numpy(), "split": split,
+             "n_docs": 1, "n_tokens": n_tok.to_numpy()}
+        ).groupby(["source", "split"], as_index=False).sum()
+        return pa.table(
+            {c: pa.array(df[c]) for c in ("source", "split", "n_docs", "n_tokens")},
+            schema=schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    df = (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["source", "split"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas().sort_values(["source", "split"]).reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_tokens"):
+        df[c] = df[c].astype("int64")
+    return df

@@ -522,3 +522,110 @@ def bpe_encode(sf_dir: str, n_merges: int = 8):
         .to_pandas()
     )
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---- TF-IDF top terms ----------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOPK, concurrency=None):
+    """Per-document top-``k`` TF-IDF terms — the keyword-extraction
+    pattern behind the reference's statistical term weighting
+    (/root/reference/rag/nlp/term_weight.py:150-209 mixes idf-shaped
+    scores into retrieval; the serving side is out of scope, this is
+    the corpus-scan equivalent).
+
+    Two streaming passes:
+
+    1. document frequency — per-batch (term, df-partial) rows over each
+       doc's DISTINCT terms into a vocabulary-sized groupby (natural
+       language vocabulary grows ~O(corpus^0.5) — Heaps' law — so the
+       reduce side stays far below corpus size);
+    2. scoring — the idf table broadcasts via ``ray.put``; each doc
+       computes tf via one ``np.unique`` and keeps its local top-k
+       (score desc, term asc) — only k rows per doc leave the batch.
+
+    Spec (mirrored in SQL): tf = term count in doc over the unified
+    ASCII token runs; idf = ln((N+1)/(df+1)); score = round(tf*idf, 6)
+    BEFORE ranking, ties broken by term ascending.
+    """
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    word_re = _re.compile(_TOKEN_RUN)
+    docs = _docs(sf_dir)
+
+    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+
+    def df_partial(batch: pd.DataFrame) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch["text"]:
+            for w in set(word_re.findall(text)):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {"term": list(counts.keys()),
+             "df": pa.array(list(counts.values()), type=pa.int64())},
+            schema=df_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    # corpus row count from parquet footer metadata — no second pass
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    idf = {
+        t: float(np.log((n_docs + 1.0) / (d + 1.0)))
+        for t, d in zip(df_tbl["term"], df_tbl["df"])
+    }
+    iref = ray.put(idf)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("rank", pa.int64()),
+         ("term", pa.string()), ("tfidf_r6", pa.float64())]
+    )
+
+    class Scorer:
+        def __init__(self):
+            self.idf = ray.get(iref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            ids, ranks, terms, scores = [], [], [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                words, tf = np.unique(word_re.findall(text), return_counts=True)
+                scored = sorted(
+                    ((round(int(c) * self.idf[w], 6), w)
+                     for w, c in zip(words, tf)),
+                    key=lambda sw: (-sw[0], sw[1]),
+                )[:k]
+                for rank, (s, w) in enumerate(scored, 1):
+                    ids.append(int(doc_id))
+                    ranks.append(rank)
+                    terms.append(w)
+                    scores.append(s)
+            return pa.table(
+                {"doc_id": pa.array(ids, type=pa.int64()),
+                 "rank": pa.array(ranks, type=pa.int64()),
+                 "term": pa.array(terms, type=pa.string()),
+                 "tfidf_r6": pa.array(scores, type=pa.float64())},
+                schema=out_schema,
+            )
+
+    out = (
+        docs.map_batches(Scorer, batch_format="pandas",
+                         concurrency=concurrency or (1, 4))
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+    for c in ("doc_id", "rank"):
+        out[c] = out[c].astype("int64")
+    return out
