@@ -119,7 +119,15 @@ def run_bench() -> dict:
             "corpus_docs": n_docs,
             "docs_per_sec": round(n_docs / extract_sec, 2),
         }
-    from ragflow_ray.ops import ann, curation, dedup, multimodal, relational, textstats
+    from ragflow_ray.ops import (
+        ann,
+        cluster,
+        curation,
+        dedup,
+        multimodal,
+        relational,
+        textstats,
+    )
     from ragflow_ray.ops.extract_queries import html_extract_roundtrip
 
     # sketch/scoring stages are light: a small actor pool amortizes
@@ -152,6 +160,14 @@ def run_bench() -> dict:
         "bpe_train": textstats.bpe_train,
         "lm_cross_entropy": curation.lm_cross_entropy,
         "media_phash_dedup": lambda d: multimodal.media_phash_dedup(
+            d, concurrency=pool),
+        "kmeans_clusters": lambda d: cluster.kmeans_clusters(
+            d, concurrency=pool),
+        "semdedup": lambda d: cluster.semdedup(d, concurrency=pool),
+        "dsir_importance": lambda d: curation.dsir_importance(
+            d, concurrency=pool),
+        "stratified_split": curation.stratified_split,
+        "tfidf_top_terms": lambda d: textstats.tfidf_top_terms(
             d, concurrency=pool),
     }
     for name, fn in bench_queries.items():
