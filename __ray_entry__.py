@@ -213,6 +213,8 @@ _NGRAM_PAIRS_CTE = """base AS (
 # quality-gate definition imported from the engine so the oracle SQL
 # can never drift from the map_batches gates that claim to match it
 from ragflow_ray.ops.curation import (  # noqa: E402
+    DSIR_BUCKETS as _DSIR_B,
+    DSIR_TARGET_LANG as _DSIR_LANG,
     PII_EMAIL as _PII_EMAIL,
     PII_IPV4 as _PII_IPV4,
     PII_PHONE as _PII_PHONE,
@@ -220,6 +222,9 @@ from ragflow_ray.ops.curation import (  # noqa: E402
     QF_MIN_TOKENS as _QF_MINTOK,
     QF_PUNCT as _PUNCT,
     QF_STOP_WORDS as _STOP,
+    SPLIT_MOD as _SPLIT_MOD,
+    SPLIT_TRAIN_LT as _SPLIT_TRAIN,
+    SPLIT_VAL_LT as _SPLIT_VAL,
 )
 # exact ASCII token count — same explicit class as the engine's
 # textstats._TOKEN_RUN (trim+split-\s+ diverged on leading/trailing
@@ -227,15 +232,6 @@ from ragflow_ray.ops.curation import (  # noqa: E402
 # 1 token)
 _NTOK = "length(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+'))"
 _NTOK_RUN = "[^ \\t\\n\\r\\f\\v]+"
-# clustering / DSIR / split / tfidf constants imported from the engine
-# so the oracle SQL can never drift from the map_batches specs
-from ragflow_ray.ops.curation import (  # noqa: E402
-    DSIR_BUCKETS as _DSIR_B,
-    DSIR_TARGET_LANG as _DSIR_LANG,
-    SPLIT_MOD as _SPLIT_MOD,
-    SPLIT_TRAIN_LT as _SPLIT_TRAIN,
-    SPLIT_VAL_LT as _SPLIT_VAL,
-)
 from ragflow_ray.ops.textstats import TFIDF_TOPK as _TFIDF_K  # noqa: E402
 _NONWS = "length(regexp_replace(text, '[ \\t\\n\\r\\f\\v]', '', 'g'))"
 _TXT_DELIMS = r"[\n!?;。；！？]"

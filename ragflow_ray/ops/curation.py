@@ -1020,6 +1020,12 @@ def dsir_importance(sf_dir: str, n_buckets: int = DSIR_BUCKETS,
 
         def _buckets(self, words):
             memo = self.memo
+            if len(memo) > 1 << 20:
+                # the cache trades md5 calls for memory; on a
+                # high-cardinality corpus (urls, ids) it would grow
+                # O(distinct tokens) for the actor's lifetime — reset
+                # past 1M entries, hot tokens repopulate immediately
+                memo.clear()
             out = np.empty(len(words), dtype=np.int64)
             for i, w in enumerate(words):
                 b = memo.get(w)
@@ -1075,9 +1081,12 @@ def dsir_importance(sf_dir: str, n_buckets: int = DSIR_BUCKETS,
         def __call__(self, batch: pd.DataFrame) -> pa.Table:
             ids, scores = [], []
             for doc_id, text in zip(batch["doc_id"], batch["text"]):
-                counts = np.bincount(
-                    self._buckets(word_re.findall(text)), minlength=n_buckets
-                )
+                words = word_re.findall(text)
+                if not words:
+                    # zero-token docs carry no evidence either way and
+                    # are absent from the oracle's unnest-CTE rows
+                    continue
+                counts = np.bincount(self._buckets(words), minlength=n_buckets)
                 ids.append(int(doc_id))
                 scores.append(round(float(counts @ self.weights), 6))
             return pa.table(

@@ -839,3 +839,47 @@ class TestBpeEncode:
         assert list(df.n_tokens_bpe) == [6, 5]
         assert df.loc[0, "sig"] == hashlib.md5(b"low low low e s t").hexdigest()
         assert df.loc[1, "sig"] == hashlib.md5(b"low low e s t").hexdigest()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDsirSplit:
+    """DSIR importance weights + the content-hash split rollup."""
+
+    def _write(self, tmp_path, texts, langs=None, sources=None):
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts),
+             "lang": pa.array(langs or ["en"] * len(texts)),
+             "source": pa.array(sources or ["web"] * len(texts))}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    def test_dsir_skips_zero_token_docs(self, tmp_path):
+        # a whitespace-only doc has no unnest rows on the oracle side;
+        # the engine must omit it too (review finding, round 3)
+        from ragflow_ray.ops.curation import dsir_importance
+
+        self._write(tmp_path, ["alpha beta", "   \t\n ", "alpha gamma"],
+                    langs=["en", "en", "fr"])
+        df = dsir_importance(str(tmp_path))
+        assert list(df.doc_id) == [0, 2]
+
+    def test_dsir_target_tokens_weigh_positive(self, tmp_path):
+        from ragflow_ray.ops.curation import dsir_importance
+
+        # 'en en en' is pure target vocabulary, 'fr fr fr' pure raw-only
+        self._write(tmp_path, ["en en en", "fr fr fr"], langs=["en", "fr"])
+        df = dsir_importance(str(tmp_path))
+        w = dict(zip(df.doc_id, df.dsir_logw))
+        assert w[0] > 0 > w[1]
+
+    def test_split_duplicate_texts_share_split(self, tmp_path):
+        from ragflow_ray.ops.curation import stratified_split
+
+        self._write(tmp_path, ["same text"] * 50 + ["other"] * 50,
+                    sources=["a"] * 50 + ["b"] * 50)
+        df = stratified_split(str(tmp_path))
+        # every source contributes exactly one (split) row: all 50
+        # byte-identical docs hash to the same bucket
+        assert (df.groupby("source").size() == 1).all()
+        assert df.n_docs.sum() == 100
