@@ -88,45 +88,42 @@ def _assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
 def _lloyd_rounds(sf_dir: str, k: int, iters: int, concurrency) -> np.ndarray:
     """Run ``iters`` Lloyd rounds, one streaming pass each; returns the
     final normalized centroid matrix."""
-    import ray
-
     centroids = _seed_centroids(sf_dir, k)
     ds = _embeddings(sf_dir)
 
     for _ in range(iters):
-        cref = ray.put(centroids)
+        # plain stateless function, NOT an actor pool: a fresh pool per
+        # Lloyd round pays actor spin-up every iteration, while the
+        # centroid matrix is k×dim floats (~4 KB) — cheap to ship in
+        # the task closure to warm workers
+        cts = centroids
 
-        class PartialSums:
-            def __init__(self):
-                self.centroids = ray.get(cref)
-
-            def __call__(self, batch: pd.DataFrame) -> pa.Table:
-                mat = _norm_rows(
-                    np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-                )
-                scaled = np.floor(mat * _SCALE + 0.5).astype(np.int64)
-                assign = _assign(mat, self.centroids)
-                kk, dim = self.centroids.shape
-                sums = np.zeros((kk, dim), dtype=np.int64)
-                np.add.at(sums, assign, scaled)
-                counts = np.bincount(assign, minlength=kk).astype(np.int64)
-                return pa.table(
-                    {
-                        "cluster": np.repeat(np.arange(kk, dtype=np.int64), dim),
-                        "dim": np.tile(np.arange(dim, dtype=np.int64), kk),
-                        "sum_x1e6": sums.reshape(-1),
-                        "n": np.repeat(counts, dim),
-                    },
-                    schema=_PARTIAL_SCHEMA,
-                )
+        def partial_sums(batch: pd.DataFrame, _c=cts) -> pa.Table:
+            mat = _norm_rows(
+                np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            )
+            scaled = np.floor(mat * _SCALE + 0.5).astype(np.int64)
+            assign = _assign(mat, _c)
+            kk, dim = _c.shape
+            sums = np.zeros((kk, dim), dtype=np.int64)
+            np.add.at(sums, assign, scaled)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": np.repeat(np.arange(kk, dtype=np.int64), dim),
+                    "dim": np.tile(np.arange(dim, dtype=np.int64), kk),
+                    "sum_x1e6": sums.reshape(-1),
+                    "n": np.repeat(counts, dim),
+                },
+                schema=_PARTIAL_SCHEMA,
+            )
 
         from ray.data.aggregate import Sum
 
         reduced = (
             ds.map_batches(
-                PartialSums,
+                partial_sums,
                 batch_format="pandas",
-                concurrency=concurrency or (1, 4),
                 batch_size=4096,
             )
             .groupby(["cluster", "dim"])
@@ -155,33 +152,25 @@ def kmeans_clusters(
 ) -> pd.DataFrame:
     """Final (vec_id, cluster) assignment after ``iters`` Lloyd rounds
     plus the per-cluster member count."""
-    import ray
-
     centroids = _lloyd_rounds(sf_dir, k, iters, concurrency)
-    cref = ray.put(centroids)
 
-    class Assigner:
-        def __init__(self):
-            self.centroids = ray.get(cref)
-
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            mat = _norm_rows(
-                np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            )
-            return pa.table(
-                {
-                    "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
-                    "cluster": _assign(mat, self.centroids).astype(np.int64),
-                },
-                schema=_ASSIGN_SCHEMA,
-            )
+    def assigner(batch: pd.DataFrame, _c=centroids) -> pa.Table:
+        mat = _norm_rows(
+            np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+                "cluster": _assign(mat, _c).astype(np.int64),
+            },
+            schema=_ASSIGN_SCHEMA,
+        )
 
     df = (
         _embeddings(sf_dir)
         .map_batches(
-            Assigner,
+            assigner,
             batch_format="pandas",
-            concurrency=concurrency or (1, 4),
             batch_size=4096,
         )
         .to_pandas()
@@ -206,26 +195,19 @@ def semdedup(
     such keeper.  Similarities are rounded to 9 dp before the
     threshold test (the ann.py float-jitter convention, mirrored by
     the fixture)."""
-    import ray
-
     centroids = _lloyd_rounds(sf_dir, k, iters, concurrency)
-    cref = ray.put(centroids)
 
-    class Assigner:
-        def __init__(self):
-            self.centroids = ray.get(cref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            mat = _norm_rows(
-                np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            )
-            return pd.DataFrame(
-                {
-                    "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
-                    "cluster": _assign(mat, self.centroids).astype(np.int64),
-                    "embedding": batch["embedding"],
-                }
-            )
+    def assigner(batch: pd.DataFrame, _c=centroids) -> pd.DataFrame:
+        mat = _norm_rows(
+            np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+                "cluster": _assign(mat, _c).astype(np.int64),
+                "embedding": batch["embedding"],
+            }
+        )
 
     def prune(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values("vec_id")
@@ -255,9 +237,8 @@ def semdedup(
     out = (
         _embeddings(sf_dir)
         .map_batches(
-            Assigner,
+            assigner,
             batch_format="pandas",
-            concurrency=concurrency or (1, 4),
             batch_size=4096,
         )
         .groupby("cluster")
