@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "fingerprints": lambda d: textstats.fingerprints(d).to_pandas(),
         "bm25_lite_topk": textstats.bm25_lite_topk,
+        "hybrid_topk": textstats.hybrid_topk,
         "vocab_topk": textstats.vocab_topk,
         "bpe_pair_counts": textstats.bpe_pair_counts,
         "bpe_train": textstats.bpe_train,
@@ -285,6 +286,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id, score::BIGINT AS score,
                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
             FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # hybrid fusion: integer bm25-lite tk channel + cosine vt
+        # channel (rounded 9 dp), hybrid = round(0.3*tk/max(tkmax,1)
+        # + 0.7*vt, 6), ranked on the ROUNDED score, ties doc_id asc
+        "hybrid_topk": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            n AS (SELECT COUNT(*) AS n FROM d),
+            stats AS (
+                SELECT doc_id, len(ws) AS len_d,
+                       len(list_filter(ws, x -> x = 'table'))  AS tf_table,
+                       len(list_filter(ws, x -> x = 'join'))   AS tf_join,
+                       len(list_filter(ws, x -> x = 'vector')) AS tf_vector
+                FROM d),
+            df AS (SELECT
+                       SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END)::BIGINT AS dft,
+                       SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)::BIGINT AS dfj,
+                       SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END)::BIGINT AS dfv
+                   FROM stats),
+            tk AS (
+                SELECT doc_id,
+                       (  tf_table  * ((n.n - df.dft + 1) * 1000000 // (df.dft + 1))
+                        + tf_join   * ((n.n - df.dfj + 1) * 1000000 // (df.dfj + 1))
+                        + tf_vector * ((n.n - df.dfv + 1) * 1000000 // (df.dfv + 1))
+                       ) // (len_d + 50) AS tk_score
+                FROM stats, df, n),
+            tkmax AS (SELECT GREATEST(MAX(tk_score), 1) AS m FROM tk),
+            q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
+            vt AS (
+                SELECT e.vec_id AS doc_id,
+                       round(list_cosine_similarity(q.qe::DOUBLE[],
+                                                    e.embedding::DOUBLE[]), 9) AS vt_r9
+                FROM embeddings e, q),
+            scored AS (
+                SELECT tk.doc_id, tk_score, vt_r9,
+                       round(0.3 * (tk_score / CAST(m AS DOUBLE))
+                             + 0.7 * vt_r9, 6) AS hybrid_r6
+                FROM tk JOIN vt USING (doc_id), tkmax)
+            SELECT doc_id::BIGINT AS doc_id, tk_score::BIGINT AS tk_score,
+                   vt_r9, hybrid_r6,
+                   ROW_NUMBER() OVER (ORDER BY hybrid_r6 DESC, doc_id)::BIGINT AS rank
+            FROM scored ORDER BY hybrid_r6 DESC, doc_id LIMIT 20
         """,
         "lang_id": """
             SELECT CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 5

@@ -169,6 +169,7 @@ def run_bench() -> dict:
         "stratified_split": curation.stratified_split,
         "tfidf_top_terms": lambda d: textstats.tfidf_top_terms(
             d, concurrency=pool),
+        "hybrid_topk": textstats.hybrid_topk,
     }
     for name, fn in bench_queries.items():
         t0 = time.time()

@@ -137,6 +137,42 @@ BM25_QUERY_TERMS = ("table", "join", "vector")
 BM25_LEN_NORM = 50  # additive length normalization (integer stand-in for b/k1)
 
 
+def _bm25_idf(docs) -> dict[str, int]:
+    """Per-term integer idf over one streaming document-frequency pass
+    (shared by :func:`bm25_lite_topk` and :func:`hybrid_topk`):
+    ``idf_q(t) = (N - df + 1) * 1_000_000 // (df + 1)``."""
+    import pyarrow as pa
+
+    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                           ("n_docs", pa.int64())])
+
+    def partial_df(batch: pd.DataFrame):
+        rows = {"term": [], "df": [], "n_docs": []}
+        for term in BM25_QUERY_TERMS:
+            rows["term"].append(term)
+            # \b-bounded count == whitespace-token membership for this
+            # alphanumeric vocabulary, and stays vectorized
+            rows["df"].append(
+                int(batch["text"].str.contains(rf"\b{term}\b", regex=True).sum())
+            )
+            rows["n_docs"].append(len(batch))
+        return pa.table(rows, schema=df_schema)
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        docs.map_batches(partial_df, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    n_total = int(df_tbl["n_docs"].iloc[0])  # per-term sum == N
+    return {
+        row["term"]: (n_total - int(row["df"]) + 1) * 1_000_000 // (int(row["df"]) + 1)
+        for _, row in df_tbl.iterrows()
+    }
+
+
 def bm25_lite_topk(sf_dir: str, k: int = 20):
     """Integer-quantized BM25-shaped relevance scoring — the engine's
     distributed retrieval-scoring pattern (the reference's ES/Infinity
@@ -164,36 +200,7 @@ def bm25_lite_topk(sf_dir: str, k: int = 20):
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-
-    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
-                           ("n_docs", pa.int64())])
-
-    def partial_df(batch: pd.DataFrame):
-        rows = {"term": [], "df": [], "n_docs": []}
-        for term in BM25_QUERY_TERMS:
-            rows["term"].append(term)
-            # \b-bounded count == whitespace-token membership for this
-            # alphanumeric vocabulary, and stays vectorized
-            rows["df"].append(
-                int(batch["text"].str.contains(rf"\b{term}\b", regex=True).sum())
-            )
-            rows["n_docs"].append(len(batch))
-        return pa.table(rows, schema=df_schema)
-
-    from ray.data.aggregate import Sum
-
-    df_tbl = (
-        docs.map_batches(partial_df, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Sum("n_docs", alias_name="n_docs"))
-        .to_pandas()
-    )
-    n_total = int(df_tbl["n_docs"].iloc[0])  # per-term sum == N
-    idf = {
-        row["term"]: (n_total - int(row["df"]) + 1) * 1_000_000 // (int(row["df"]) + 1)
-        for _, row in df_tbl.iterrows()
-    }
-    idf_ref = ray.put(idf)
+    idf_ref = ray.put(_bm25_idf(docs))
 
     score_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64())])
 
@@ -629,3 +636,154 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOPK, concurrency=None):
     for c in ("doc_id", "rank"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---- hybrid token+vector retrieval fusion --------------------------------
+
+HYBRID_TK_WEIGHT = 0.3
+HYBRID_VT_WEIGHT = 0.7
+
+
+def hybrid_topk(sf_dir: str, k: int = 20, concurrency=None):
+    """Hybrid retrieval scoring: weighted fusion of the BM25-lite
+    token score and cosine vector similarity — the reference's rerank
+    fusion (``hybrid_similarity`` with tkweight=0.3 / vtweight=0.7,
+    /root/reference/rag/nlp/query.py:219; the search path fuses the
+    same two channels via a ``weighted_sum`` FusionExpr,
+    /root/reference/rag/nlp/search.py:114).
+
+    Three streaming stages, none corpus-collecting:
+
+    1. token side — the shared :func:`_bm25_idf` document-frequency
+       pass, then one scoring scan kept as a narrow
+       ``(doc_id, tk_score)`` Dataset (materialized once: it has two
+       consumers).  The normalizer ``tk_max`` is one tiny ``max()``
+       aggregate.
+    2. vector side — one embeddings pass against the broadcast
+       id-minimal query vector: ``(doc_id, vt_r9)`` with the cosine
+       rounded to 9 dp (the ann.py jitter convention) BEFORE fusion.
+    3. fusion — the two narrow score tables co-partition on a coarse
+       ``doc_id // 65536`` bucket (common-schema union + ONE groupby;
+       only ids + scalars move — the events_order_asof co-partition
+       pattern, measured ~4 s cheaper than Ray's hash-join operator
+       at this scale), each bucket vector-merges on doc_id, computes
+       ``hybrid_r6 = round(0.3·tk/max(tk_max,1) + 0.7·vt_r9, 6)`` and
+       emits a local top-k partial; the driver merge sees
+       ≤ k × n_buckets rows — no all-to-all sort.
+
+    Ranking is on the ROUNDED score, ties doc_id-ascending; the whole
+    chain is mirrored in SQL (integer tk, list_cosine_similarity vt).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    idf = _bm25_idf(docs)
+    idf_ref = ray.put(idf)
+
+    # common side-tagged schema so the two channels union into ONE
+    # groupby; tk rows carry vt_r9 = NaN, vt rows carry tk_score = -1
+    side_schema = pa.schema(
+        [("bucket", pa.int64()), ("doc_id", pa.int64()),
+         ("tk_score", pa.int64()), ("vt_r9", pa.float64())]
+    )
+    _BUCKET = 65536
+
+    def tk_score(batch: pd.DataFrame):
+        weights = ray.get(idf_ref)
+        lengths = batch["text"].str.count(" ").to_numpy() + 1
+        total = np.zeros(len(batch), dtype=np.int64)
+        for term, w in weights.items():
+            total += batch["text"].str.count(rf"\b{term}\b").to_numpy() * w
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"bucket": ids // _BUCKET, "doc_id": ids,
+             "tk_score": total // (lengths + BM25_LEN_NORM),
+             "vt_r9": np.full(len(ids), np.nan)},
+            schema=side_schema,
+        )
+
+    # narrow derived table; materialized because it has two consumers
+    # (the max aggregate and the fusion union) — never the raw corpus
+    tk_ds = docs.map_batches(tk_score, batch_format="pandas").materialize()
+    tk_max = tk_ds.max("tk_score")
+    denom = float(max(int(tk_max or 0), 1))
+
+    # id-minimal embedding = the deterministic query vector (head-only
+    # read; the corpus writer emits vec_id-sorted files)
+    from .ann import _head_rows
+
+    qdf = (
+        _head_rows(f"{sf_dir}/embeddings.parquet", 1, ["vec_id", "embedding"])
+        .to_pandas().sort_values("vec_id").head(1)
+    )
+    q = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
+    qref = ray.put(q)
+
+    def vt_score(batch: pd.DataFrame):
+        qv = ray.get(qref)
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        # dot/(|a||b|) association mirrors list_cosine_similarity
+        dots = mat @ qv
+        denoms = np.linalg.norm(mat, axis=1) * np.linalg.norm(qv)
+        vt = np.round(dots / np.maximum(denoms, 1e-300), 9)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"bucket": ids // _BUCKET, "doc_id": ids,
+             "tk_score": np.full(len(ids), -1, dtype=np.int64),
+             "vt_r9": vt},
+            schema=side_schema,
+        )
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vt_ds = emb.map_batches(vt_score, batch_format="pandas")
+
+    fused_schema = pa.schema(
+        [("doc_id", pa.int64()), ("tk_score", pa.int64()),
+         ("vt_r9", pa.float64()), ("hybrid_r6", pa.float64())]
+    )
+
+    def fuse_topk(group: pd.DataFrame):
+        is_tk = group["tk_score"].to_numpy() >= 0
+        tk_side = group[is_tk]
+        vt_side = group[~is_tk]
+        both = pd.merge(
+            tk_side[["doc_id", "tk_score"]],
+            vt_side[["doc_id", "vt_r9"]],
+            on="doc_id", how="inner",
+        )
+        if both.empty:
+            return fused_schema.empty_table()
+        ids = both["doc_id"].to_numpy().astype(np.int64)
+        tk = both["tk_score"].to_numpy().astype(np.int64)
+        vt = both["vt_r9"].to_numpy()
+        hybrid = np.round(
+            HYBRID_TK_WEIGHT * (tk / denom) + HYBRID_VT_WEIGHT * vt, 6
+        )
+        order = np.lexsort((ids, -hybrid))[:k]
+        return pa.table(
+            {"doc_id": ids[order], "tk_score": tk[order],
+             "vt_r9": vt[order], "hybrid_r6": hybrid[order]},
+            schema=fused_schema,
+        )
+
+    out = (
+        tk_ds.union(vt_ds)
+        .groupby("bucket")
+        .map_groups(fuse_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["hybrid_r6", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = range(1, len(out) + 1)
+    for c in ("doc_id", "tk_score", "rank"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "tk_score", "vt_r9", "hybrid_r6", "rank"]]
