@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_incremental": dedup.dedup_incremental,
         "passage_dedup": dedup.passage_dedup,
+        "winnow_fingerprints": dedup.winnow_fingerprints,
         "segment_dedup_clean": lambda d: dedup.segment_dedup_clean(d).to_pandas(),
         # --- corpus curation ---
         "decontaminate": curation.decontaminate,
@@ -441,6 +442,44 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_dup_passages
             FROM p JOIN d USING (ph)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # winnowing (Schleimer et al. 2003): 4-word-gram md5 hashes,
+        # window-4 minimum with RIGHTMOST tie-break = MAX(position)
+        # over the positions attaining the window MIN; distinct
+        # selected hashes per doc
+        "winnow_fingerprints": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i,
+                       CAST(('0x' || substr(md5(array_to_string(
+                           list_slice(ws, CAST(i AS INT),
+                                      CAST(i + 3 AS INT)), ' ')), 1, 8))
+                           AS BIGINT) AS h
+                FROM d, LATERAL (
+                    SELECT unnest(range(1, len(ws) - 4 + 2)) AS i) t
+            ),
+            wmin AS (
+                SELECT doc_id, i AS iend,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN 3 PRECEDING
+                                             AND CURRENT ROW) AS m
+                FROM g
+            ),
+            sel AS (
+                SELECT w.doc_id, w.iend, MAX(g.i) AS jsel
+                FROM wmin w JOIN g
+                  ON g.doc_id = w.doc_id
+                 AND g.i BETWEEN w.iend - 3 AND w.iend
+                 AND g.h = w.m
+                WHERE w.iend >= 4
+                GROUP BY w.doc_id, w.iend
+            )
+            SELECT DISTINCT s.doc_id::BIGINT AS doc_id, g.h AS fp
+            FROM (SELECT DISTINCT doc_id, jsel FROM sel) s
+            JOIN g ON g.doc_id = s.doc_id AND g.i = s.jsel
+            ORDER BY doc_id, fp
         """,
         # word = split(' ') segment; ties break on the word ascending
         "vocab_topk": """

@@ -170,6 +170,7 @@ def run_bench() -> dict:
         "tfidf_top_terms": lambda d: textstats.tfidf_top_terms(
             d, concurrency=pool),
         "hybrid_topk": textstats.hybrid_topk,
+        "winnow_fingerprints": lambda d: len(dedup.winnow_fingerprints(d)),
     }
     for name, fn in bench_queries.items():
         t0 = time.time()

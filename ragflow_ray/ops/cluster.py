@@ -85,7 +85,8 @@ def _assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.argmax(mat @ centroids.T, axis=1)
 
 
-def _lloyd_rounds(sf_dir: str, k: int, iters: int, concurrency) -> np.ndarray:
+def _lloyd_rounds(sf_dir: str, k: int, iters: int, concurrency,
+                  batch_size: int = 4096) -> np.ndarray:
     """Run ``iters`` Lloyd rounds, one streaming pass each; returns the
     final normalized centroid matrix."""
     centroids = _seed_centroids(sf_dir, k)
@@ -124,7 +125,7 @@ def _lloyd_rounds(sf_dir: str, k: int, iters: int, concurrency) -> np.ndarray:
             ds.map_batches(
                 partial_sums,
                 batch_format="pandas",
-                batch_size=4096,
+                batch_size=batch_size,
             )
             .groupby(["cluster", "dim"])
             .aggregate(Sum("sum_x1e6", alias_name="s"), Sum("n", alias_name="n"))
@@ -149,10 +150,14 @@ def kmeans_clusters(
     k: int = K_CLUSTERS,
     iters: int = KMEANS_ITERS,
     concurrency=None,
+    batch_size: int = 4096,
 ) -> pd.DataFrame:
     """Final (vec_id, cluster) assignment after ``iters`` Lloyd rounds
-    plus the per-cluster member count."""
-    centroids = _lloyd_rounds(sf_dir, k, iters, concurrency)
+    plus the per-cluster member count.  ``batch_size`` only re-slices
+    the streaming passes — the integer-scaled partial sums make the
+    result bit-identical under ANY batching/parallelism (pinned by
+    test_ops.TestCluster)."""
+    centroids = _lloyd_rounds(sf_dir, k, iters, concurrency, batch_size)
 
     def assigner(batch: pd.DataFrame, _c=centroids) -> pa.Table:
         mat = _norm_rows(
@@ -171,7 +176,7 @@ def kmeans_clusters(
         .map_batches(
             assigner,
             batch_format="pandas",
-            batch_size=4096,
+            batch_size=batch_size,
         )
         .to_pandas()
         .sort_values("vec_id")

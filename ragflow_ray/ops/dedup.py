@@ -1440,3 +1440,77 @@ def segment_dedup_clean(sf_dir: str, window: int = SEGMENT_WORDS,
         kept.groupby("doc_id").map_groups(stitch, batch_format="pandas")
         .sort("doc_id")
     )
+
+
+# ---- winnowing fingerprints (local document fingerprinting) ---------------
+
+WINNOW_K = 4  # words per k-gram
+WINNOW_W = 4  # winnowing window (guarantee threshold t = w + k - 1 grams)
+
+
+def winnow_fingerprints(sf_dir: str, kgram: int = WINNOW_K,
+                        window: int = WINNOW_W, concurrency=None):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local-fingerprinting scheme): per doc, hash
+    every ``kgram``-word shingle, slide a ``window`` of consecutive
+    hashes, and select each window's minimum (RIGHTMOST position on
+    ties — the paper's robust-winnowing rule); the distinct selected
+    hashes are the doc's fingerprint set.
+
+    Any shared substring of at least ``window + kgram - 1`` words is
+    GUARANTEED to contribute at least one common fingerprint between
+    two documents, while only ~2/(window+1) of the gram hashes are
+    kept — the index a partial-overlap dedup builds is a fraction of
+    the full shingle index (complementary to ``ngram_jaccard_dups``,
+    which measures whole-doc set similarity, and to
+    ``passage_dedup``'s aligned fixed windows).
+
+    One stateless streaming pass, vectorized per doc (sliding-window
+    min + rightmost-argmin via reversed argmax over a stride view);
+    md5-derived gram hashes keep the selection mirrored bit-exactly in
+    the SQL oracle.  Docs with fewer than ``window + kgram - 1`` words
+    have no complete window and emit nothing (mirrored by the oracle's
+    window ranges).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("fp", pa.int64())])
+
+    def per_batch(batch: pd.DataFrame) -> pa.Table:
+        ids_out, fps_out = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split(" ")
+            n_g = len(words) - kgram + 1
+            if n_g < window:
+                continue
+            h = np.fromiter(
+                (int(hashlib.md5(
+                    " ".join(words[i : i + kgram]).encode()
+                 ).hexdigest()[:8], 16) for i in range(n_g)),
+                dtype=np.int64, count=n_g,
+            )
+            win = np.lib.stride_tricks.sliding_window_view(h, window)
+            # rightmost argmin = (window-1) - argmin over the reversed
+            # window (np.argmin returns the FIRST minimum)
+            rev_arg = np.argmin(win[:, ::-1], axis=1)
+            sel = np.arange(len(win)) + (window - 1) - rev_arg
+            fps = np.unique(h[sel])
+            ids_out.extend([int(doc_id)] * len(fps))
+            fps_out.extend(fps.tolist())
+        return pa.table(
+            {"doc_id": pa.array(ids_out, type=pa.int64()),
+             "fp": pa.array(fps_out, type=pa.int64())},
+            schema=out_schema,
+        )
+
+    df = (
+        _docs(sf_dir)
+        .map_batches(per_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["doc_id", "fp"])
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "fp"):
+        df[c] = df[c].astype("int64")
+    return df

@@ -883,3 +883,30 @@ class TestDsirSplit:
         # byte-identical docs hash to the same bucket
         assert (df.groupby("source").size() == 1).all()
         assert df.n_docs.sum() == 100
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCluster:
+    """Distributed Lloyd k-means: the integer-scaled partial sums make
+    every round bit-deterministic under any batching/parallelism."""
+
+    def test_kmeans_batching_independence(self):
+        from ragflow_ray.ops.cluster import kmeans_clusters
+
+        a = kmeans_clusters("/root/testdata/sf0.001", batch_size=32)
+        b = kmeans_clusters("/root/testdata/sf0.001", batch_size=4096)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_semdedup_keep_is_prefix_closed(self):
+        from ragflow_ray.ops.cluster import semdedup
+
+        df = semdedup("/root/testdata/sf0.001")
+        # every dropped vector names an id-smaller KEPT keeper in its
+        # own cluster
+        kept = set(df[df.keep == 1].vec_id)
+        dropped = df[df.keep == 0]
+        assert (dropped.dup_of < dropped.vec_id).all()
+        assert set(dropped.dup_of).issubset(kept)
+        by_id = dict(zip(df.vec_id, df.cluster))
+        assert all(by_id[d] == c for d, c in
+                   zip(dropped.dup_of, dropped.cluster))
