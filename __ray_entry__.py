@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup.dedup_incremental,
         "passage_dedup": dedup.passage_dedup,
         "winnow_fingerprints": dedup.winnow_fingerprints,
+        "winnow_overlap_pairs": dedup.winnow_overlap_pairs,
         "segment_dedup_clean": lambda d: dedup.segment_dedup_clean(d).to_pandas(),
         # --- corpus curation ---
         "decontaminate": curation.decontaminate,
@@ -236,6 +237,41 @@ _NTOK = "length(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+'))"
 _NTOK_RUN = "[^ \\t\\n\\r\\f\\v]+"
 from ragflow_ray.ops.textstats import TFIDF_TOPK as _TFIDF_K  # noqa: E402
 _NONWS = "length(regexp_replace(text, '[ \\t\\n\\r\\f\\v]', '', 'g'))"
+# winnowing fingerprint selection (ops/dedup._winnow_batch mirrored):
+# 4-word grams, window-4 min, rightmost tie-break via MAX(position)
+_WINNOW_FPS_CTE = """wd AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            wg AS (
+                SELECT doc_id, i,
+                       CAST(('0x' || substr(md5(array_to_string(
+                           list_slice(ws, CAST(i AS INT),
+                                      CAST(i + 3 AS INT)), ' ')), 1, 8))
+                           AS BIGINT) AS h
+                FROM wd, LATERAL (
+                    SELECT unnest(range(1, len(ws) - 4 + 2)) AS i) t
+            ),
+            wmin AS (
+                SELECT doc_id, i AS iend,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN 3 PRECEDING
+                                             AND CURRENT ROW) AS m
+                FROM wg
+            ),
+            wsel AS (
+                SELECT w.doc_id, w.iend, MAX(wg.i) AS jsel
+                FROM wmin w JOIN wg
+                  ON wg.doc_id = w.doc_id
+                 AND wg.i BETWEEN w.iend - 3 AND w.iend
+                 AND wg.h = w.m
+                WHERE w.iend >= 4
+                GROUP BY w.doc_id, w.iend
+            ),
+            fps AS (
+                SELECT DISTINCT s.doc_id, wg.h AS fp
+                FROM (SELECT DISTINCT doc_id, jsel FROM wsel) s
+                JOIN wg ON wg.doc_id = s.doc_id AND wg.i = s.jsel
+            )"""
 _TXT_DELIMS = r"[\n!?;。；！？]"
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/fixtures")
 
@@ -446,40 +482,30 @@ def oracle_sql() -> dict[str, str]:
         # winnowing (Schleimer et al. 2003): 4-word-gram md5 hashes,
         # window-4 minimum with RIGHTMOST tie-break = MAX(position)
         # over the positions attaining the window MIN; distinct
-        # selected hashes per doc
-        "winnow_fingerprints": """
-            WITH d AS (
-                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        # selected hashes per doc (shared CTE _WINNOW_FPS_CTE)
+        "winnow_fingerprints": f"""
+            WITH {_WINNOW_FPS_CTE}
+            SELECT doc_id::BIGINT AS doc_id, fp
+            FROM fps ORDER BY doc_id, fp
+        """,
+        # shared-fingerprint pair counts with the engine's identical
+        # 2..64 document-frequency gate on each fingerprint
+        "winnow_overlap_pairs": f"""
+            WITH {_WINNOW_FPS_CTE},
+            gate AS (
+                SELECT fp FROM fps GROUP BY fp
+                HAVING COUNT(*) BETWEEN 2 AND 64
             ),
-            g AS (
-                SELECT doc_id, i,
-                       CAST(('0x' || substr(md5(array_to_string(
-                           list_slice(ws, CAST(i AS INT),
-                                      CAST(i + 3 AS INT)), ' ')), 1, 8))
-                           AS BIGINT) AS h
-                FROM d, LATERAL (
-                    SELECT unnest(range(1, len(ws) - 4 + 2)) AS i) t
-            ),
-            wmin AS (
-                SELECT doc_id, i AS iend,
-                       MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-                                    ROWS BETWEEN 3 PRECEDING
-                                             AND CURRENT ROW) AS m
-                FROM g
-            ),
-            sel AS (
-                SELECT w.doc_id, w.iend, MAX(g.i) AS jsel
-                FROM wmin w JOIN g
-                  ON g.doc_id = w.doc_id
-                 AND g.i BETWEEN w.iend - 3 AND w.iend
-                 AND g.h = w.m
-                WHERE w.iend >= 4
-                GROUP BY w.doc_id, w.iend
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*)::BIGINT AS n_shared
+                FROM fps a JOIN fps b USING (fp) JOIN gate USING (fp)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
             )
-            SELECT DISTINCT s.doc_id::BIGINT AS doc_id, g.h AS fp
-            FROM (SELECT DISTINCT doc_id, jsel FROM sel) s
-            JOIN g ON g.doc_id = s.doc_id AND g.i = s.jsel
-            ORDER BY doc_id, fp
+            SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+                   n_shared
+            FROM p WHERE n_shared >= 2 ORDER BY doc_a, doc_b
         """,
         # word = split(' ') segment; ties break on the word ascending
         "vocab_topk": """

@@ -171,6 +171,7 @@ def run_bench() -> dict:
             d, concurrency=pool),
         "hybrid_topk": textstats.hybrid_topk,
         "winnow_fingerprints": lambda d: len(dedup.winnow_fingerprints(d)),
+        "winnow_overlap_pairs": lambda d: len(dedup.winnow_overlap_pairs(d)),
     }
     for name, fn in bench_queries.items():
         t0 = time.time()

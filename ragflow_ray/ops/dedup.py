@@ -1446,6 +1446,53 @@ def segment_dedup_clean(sf_dir: str, window: int = SEGMENT_WORDS,
 
 WINNOW_K = 4  # words per k-gram
 WINNOW_W = 4  # winnowing window (guarantee threshold t = w + k - 1 grams)
+WINNOW_DF_CAP = 64  # fingerprints shared by more docs are boilerplate
+WINNOW_MIN_SHARED = 2
+
+_WINNOW_SCHEMA = None
+
+
+def _winnow_schema():
+    import pyarrow as pa
+
+    global _WINNOW_SCHEMA
+    if _WINNOW_SCHEMA is None:
+        _WINNOW_SCHEMA = pa.schema([("doc_id", pa.int64()), ("fp", pa.int64())])
+    return _WINNOW_SCHEMA
+
+
+def _winnow_batch(batch: pd.DataFrame, kgram: int, window: int):
+    """(doc_id, fp) rows for one batch — the winnowing selection kernel
+    shared by :func:`winnow_fingerprints` and
+    :func:`winnow_overlap_pairs`."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids_out, fps_out = [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        words = text.split(" ")
+        n_g = len(words) - kgram + 1
+        if n_g < window:
+            continue
+        h = np.fromiter(
+            (int(hashlib.md5(
+                " ".join(words[i : i + kgram]).encode()
+             ).hexdigest()[:8], 16) for i in range(n_g)),
+            dtype=np.int64, count=n_g,
+        )
+        win = np.lib.stride_tricks.sliding_window_view(h, window)
+        # rightmost argmin = (window-1) - argmin over the reversed
+        # window (np.argmin returns the FIRST minimum)
+        rev_arg = np.argmin(win[:, ::-1], axis=1)
+        sel = np.arange(len(win)) + (window - 1) - rev_arg
+        fps = np.unique(h[sel])
+        ids_out.extend([int(doc_id)] * len(fps))
+        fps_out.extend(fps.tolist())
+    return pa.table(
+        {"doc_id": pa.array(ids_out, type=pa.int64()),
+         "fp": pa.array(fps_out, type=pa.int64())},
+        schema=_winnow_schema(),
+    )
 
 
 def winnow_fingerprints(sf_dir: str, kgram: int = WINNOW_K,
@@ -1472,41 +1519,10 @@ def winnow_fingerprints(sf_dir: str, kgram: int = WINNOW_K,
     have no complete window and emit nothing (mirrored by the oracle's
     window ranges).
     """
-    import numpy as np
-    import pyarrow as pa
-
-    out_schema = pa.schema([("doc_id", pa.int64()), ("fp", pa.int64())])
-
-    def per_batch(batch: pd.DataFrame) -> pa.Table:
-        ids_out, fps_out = [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            words = text.split(" ")
-            n_g = len(words) - kgram + 1
-            if n_g < window:
-                continue
-            h = np.fromiter(
-                (int(hashlib.md5(
-                    " ".join(words[i : i + kgram]).encode()
-                 ).hexdigest()[:8], 16) for i in range(n_g)),
-                dtype=np.int64, count=n_g,
-            )
-            win = np.lib.stride_tricks.sliding_window_view(h, window)
-            # rightmost argmin = (window-1) - argmin over the reversed
-            # window (np.argmin returns the FIRST minimum)
-            rev_arg = np.argmin(win[:, ::-1], axis=1)
-            sel = np.arange(len(win)) + (window - 1) - rev_arg
-            fps = np.unique(h[sel])
-            ids_out.extend([int(doc_id)] * len(fps))
-            fps_out.extend(fps.tolist())
-        return pa.table(
-            {"doc_id": pa.array(ids_out, type=pa.int64()),
-             "fp": pa.array(fps_out, type=pa.int64())},
-            schema=out_schema,
-        )
-
     df = (
         _docs(sf_dir)
-        .map_batches(per_batch, batch_format="pandas")
+        .map_batches(lambda b: _winnow_batch(b, kgram, window),
+                     batch_format="pandas")
         .to_pandas()
         .sort_values(["doc_id", "fp"])
         .reset_index(drop=True)
@@ -1514,3 +1530,122 @@ def winnow_fingerprints(sf_dir: str, kgram: int = WINNOW_K,
     for c in ("doc_id", "fp"):
         df[c] = df[c].astype("int64")
     return df
+
+
+def winnow_overlap_pairs(sf_dir: str, kgram: int = WINNOW_K,
+                         window: int = WINNOW_W,
+                         df_cap: int = WINNOW_DF_CAP,
+                         min_shared: int = WINNOW_MIN_SHARED,
+                         concurrency=None):
+    """Partial-overlap candidate pairs from shared winnowing
+    fingerprints: (doc_a, doc_b, n_shared) for every pair sharing at
+    least ``min_shared`` selected fingerprints — the MOSS-style
+    "did these documents copy a passage from each other" sweep that
+    whole-document similarity misses.
+
+    Plan (the ngram_jaccard_dups shuffle discipline, but counting
+    shared keys per pair instead of deduping):
+
+    1. fingerprint pass (shared :func:`_winnow_batch` kernel) —
+       (doc_id, fp) rows, already distinct per doc;
+    2. df gate — one count aggregate keeps fps held by 2..``df_cap``
+       docs (hotter fps are boilerplate: at corpus scale a viral
+       footer would otherwise emit O(df²) pairs; the cap is mirrored
+       in the oracle so both sides see the identical pair universe);
+    3. coarse ``fp & 1023`` bucket groupby → one vectorized run-walk
+       emits each fp's pairs; a second small groupby on the 64-way
+       ``pkey`` counts each pair's shared fps (only pair rows
+       shuffle, never documents).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("n_shared", pa.int64())]
+    )
+    run_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("pkey", pa.int64())]
+    )
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy()
+        return t.append_column(
+            "fbkt", pa.array(fp & np.int64(1023), type=pa.int64())
+        )
+
+    fps = (
+        _docs(sf_dir)
+        .map_batches(lambda b: _winnow_batch(b, kgram, window),
+                     batch_format="pandas")
+        .map_batches(with_bucket, batch_format="pyarrow")
+        .materialize()  # two consumers: df gate + pair join
+    )
+    gate = (
+        fps.groupby("fp")
+        .aggregate(Count(alias_name="df"))
+        .filter(expr=f"df >= 2 and df <= {df_cap}")
+        .select_columns(["fp"])
+        .materialize()
+    )
+    if gate.count() == 0:
+        return rd.from_arrow(out_schema.empty_table()).to_pandas()
+
+    def bucket_pairs(group: pd.DataFrame):
+        """All pairs of every fp run inside one coarse bucket (one
+        sort + run-length walk; each fp contributes a pair at most
+        once because fingerprints are distinct per doc)."""
+        df = group.sort_values(["fp", "doc_id"])
+        vals = df["fp"].to_numpy()
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, vals[1:] != vals[:-1]])
+        ends = np.r_[starts[1:], len(vals)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            run = ids[s:e]
+            if len(run) < 2:
+                continue
+            ii, jj = np.triu_indices(len(run), k=1)
+            out_a.append(run[ii])
+            out_b.append(run[jj])
+        if not out_a:
+            return run_schema.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table(
+            {"doc_a": a, "doc_b": b,
+             "pkey": (a * 1_000_003 + b) % _PAIR_BUCKETS},
+            schema=run_schema,
+        )
+
+    def count_pairs(g: pd.DataFrame):
+        arr, counts = np.unique(
+            np.stack([g["doc_a"].to_numpy().astype(np.int64),
+                      g["doc_b"].to_numpy().astype(np.int64)], axis=1),
+            axis=0, return_counts=True,
+        )
+        keep = counts >= min_shared
+        return pa.table(
+            {"doc_a": arr[keep, 0], "doc_b": arr[keep, 1],
+             "n_shared": counts[keep].astype(np.int64)},
+            schema=out_schema,
+        )
+
+    raw = (
+        fps.join(gate, join_type="inner", num_partitions=4, on=("fp",))
+        .groupby("fbkt")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()  # cut the plan between the two all-to-alls
+    )
+    df = (
+        raw.groupby("pkey")
+        .map_groups(count_pairs, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    for c in ("doc_a", "doc_b", "n_shared"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_a", "doc_b", "n_shared"]]
