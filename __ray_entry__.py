@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": dedup.winnow_fingerprints,
         "winnow_overlap_pairs": dedup.winnow_overlap_pairs,
         "segment_dedup_clean": lambda d: dedup.segment_dedup_clean(d).to_pandas(),
+        "substring_dedup": lambda d: dedup.substring_dedup(d).to_pandas(),
         # --- corpus curation ---
         "decontaminate": curation.decontaminate,
         "stratified_sample": curation.stratified_sample,
@@ -458,6 +459,38 @@ def oracle_sql() -> dict[str, str]:
                    (COUNT(*) FILTER (WHERE d.h IS NOT NULL))::BIGINT AS n_removed
             FROM p LEFT JOIN d ON md5(p.seg) = d.h
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # exact stride-1 substring dedup (Lee et al. 2022): every word
+        # covered by a corpus-duplicated 16-word window (any offset,
+        # counting multiplicity) is cut; survivors restitch in order
+        "substring_dedup": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            win AS (
+                SELECT doc_id, i,
+                       md5(array_to_string(ws[i+1:i+16], ' ')) AS h
+                FROM base, unnest(range(len(ws) - 16 + 1)) AS t(i)
+                WHERE len(ws) >= 16
+            ),
+            dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
+            cov AS (
+                SELECT DISTINCT w.doc_id, u.j
+                FROM win w JOIN dup USING (h),
+                     unnest(range(w.i, w.i + 16)) AS u(j)
+            ),
+            wordidx AS (
+                SELECT doc_id, i, ws[i+1] AS w
+                FROM base, unnest(range(len(ws))) AS t(i)
+            )
+            SELECT wi.doc_id,
+                   COALESCE(string_agg(CASE WHEN cov.j IS NULL THEN wi.w END,
+                                       ' ' ORDER BY wi.i)
+                            FILTER (WHERE cov.j IS NULL), '') AS clean_text,
+                   COUNT(cov.j)::BIGINT AS n_removed
+            FROM wordidx wi
+            LEFT JOIN cov ON cov.doc_id = wi.doc_id AND cov.j = wi.i
+            GROUP BY wi.doc_id ORDER BY wi.doc_id
         """,
         "passage_dedup": """
             WITH base AS (

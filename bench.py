@@ -155,6 +155,7 @@ def run_bench() -> dict:
         "curate_and_pack": curation.curate_and_pack,
         "passage_dedup": dedup.passage_dedup,
         "segment_dedup_clean": lambda d: dedup.segment_dedup_clean(d).count(),
+        "substring_dedup": lambda d: dedup.substring_dedup(d).count(),
         "pii_scrub": lambda d: curation.pii_scrub(d).count(),
         "vocab_topk": textstats.vocab_topk,
         "bpe_train": textstats.bpe_train,

@@ -1442,6 +1442,220 @@ def segment_dedup_clean(sf_dir: str, window: int = SEGMENT_WORDS,
     )
 
 
+# ---- exact substring dedup (stride-1 windows, Lee et al. 2022) -----------
+
+SUBSTR_WINDOW = 16  # words per stride-1 window
+
+
+def substring_dedup(sf_dir: str, window: int = SUBSTR_WINDOW,
+                    broadcast_limit: int = 200_000,
+                    join_partitions: int = 8):
+    """Exact duplicated-SUBSTRING removal in the style of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"):
+    where :func:`segment_dedup_clean` cuts ALIGNED non-overlapping
+    segments, this pass slides a ``window``-word window at stride 1, so
+    a duplicated run is caught at ANY word offset, and every word
+    covered by at least one corpus-duplicated window is cut.
+    Overlapping duplicated windows merge naturally into maximal removed
+    ranges — the per-word coverage union IS the range merge.
+
+    Duplicated = the window's md5 occurs ≥ 2 times corpus-wide counting
+    multiplicity (self-repeats cut too, as in the paper's suffix-array
+    formulation which counts positions, not documents).  Docs shorter
+    than ``window`` words have no windows and pass through unchanged.
+
+    Distributed plan (mirrors :func:`segment_dedup_clean`): pass 1
+    explodes hash-only rows (stride 1 → ~W rows/doc; the full 128-bit
+    digest ships as two int64 columns under a 1024-way coarse bucket
+    key — the text never shuffles) into a bucketed vectorized count
+    (not a high-cardinality groupby(hash) aggregate); reconstruction is
+    size-adaptive on the duplicated-hash count — broadcast set +
+    second streaming pass under ``broadcast_limit`` (text moves zero
+    times), else the dup (doc_id, i) start positions are aggregated
+    per doc (output-bounded: ≤ one list per doc) and hash-join
+    co-partitioned back onto the docs by doc_id, so the text moves
+    once and the driver never sees it.
+
+    Output (all docs): ``doc_id, clean_text, n_removed`` where
+    ``n_removed`` counts removed WORDS (covered positions), sorted by
+    doc_id.
+    """
+    import pyarrow as pa
+    import ray
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("clean_text", pa.string()),
+         ("n_removed", pa.int64())]
+    )
+    dup_schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64())])
+
+    # the testdata parquet is one row group → one read block → the
+    # md5-heavy explode/clean passes would run as a single task;
+    # splitting to small row blocks (no shuffle) restores task
+    # parallelism.  On a real sharded corpus the reader already
+    # produces many blocks and this split is a cheap no-op.
+    def docs():
+        return _docs(sf_dir).repartition(target_num_rows_per_block=256)
+
+    def _win_digests(words: list[str]) -> list[bytes]:
+        return [
+            hashlib.md5(" ".join(words[i:i + window]).encode()).digest()
+            for i in range(len(words) - window + 1)
+        ]
+
+    def _split64(ds_: list[bytes]):
+        h1 = np.array([int.from_bytes(d[:8], "big", signed=True) for d in ds_],
+                      dtype=np.int64)
+        h2 = np.array([int.from_bytes(d[8:], "big", signed=True) for d in ds_],
+                      dtype=np.int64)
+        return h1, h2
+
+    def explode_hashes(batch: pd.DataFrame) -> pa.Table:
+        digests = []
+        for text in batch["text"]:
+            digests.extend(_win_digests(text.split(" ")))
+        # stride-1 hashes are almost all unique, so a direct
+        # groupby(hash) is a high-cardinality aggregate (the slow
+        # path — see the ngram pair-dedup precedent above): instead
+        # the full 128-bit digest ships as two int64 columns (2.4
+        # bytes-per-window vs 32-char hex) under a 1024-way coarse
+        # bucket key, and each bucket counts vectorized
+        h1, h2 = _split64(digests)
+        return pa.table(
+            {"gbkt": pa.array((h1 & 1023).astype(np.int32)),
+             "h1": pa.array(h1), "h2": pa.array(h2)}
+        )
+
+    def bucket_dups(group: pd.DataFrame) -> pa.Table:
+        sizes = group.groupby(["h1", "h2"]).size()
+        dup = sizes.index[sizes.values >= 2]
+        if len(dup) == 0:
+            return dup_schema.empty_table()
+        h1, h2 = zip(*dup)
+        return pa.table(
+            {"h1": pa.array(list(h1), type=pa.int64()),
+             "h2": pa.array(list(h2), type=pa.int64())},
+            schema=dup_schema,
+        )
+
+    dup_hashes = (
+        docs().map_batches(explode_hashes, batch_format="pandas")
+        .groupby("gbkt")
+        .map_groups(bucket_dups, batch_format="pandas")
+        .materialize()
+    )
+    n_dup = dup_hashes.count()
+
+    def _cut(words: list[str], starts: list[int]) -> tuple[str, int]:
+        covered = np.zeros(len(words), dtype=bool)
+        for i in starts:
+            covered[i:i + window] = True
+        n_cut = int(covered.sum())
+        if not n_cut:
+            return " ".join(words), 0
+        kept = [w for w, c in zip(words, covered) if not c]
+        return " ".join(kept), n_cut
+
+    if n_dup <= broadcast_limit:
+        df = dup_hashes.to_pandas()
+        dup_ref = ray.put(
+            frozenset(zip(df["h1"], df["h2"])) if n_dup else frozenset()
+        )
+
+        def clean(batch: pd.DataFrame) -> pa.Table:
+            dup = ray.get(dup_ref)
+            ids, outs, removed = [], [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                words = text.split(" ")
+                h1, h2 = _split64(_win_digests(words))
+                starts = [i for i, k in enumerate(zip(h1, h2)) if k in dup]
+                clean_text, n_cut = _cut(words, starts)
+                ids.append(int(doc_id))
+                outs.append(clean_text)
+                removed.append(n_cut)
+            return pa.table(
+                {"doc_id": pa.array(ids, type=pa.int64()),
+                 "clean_text": pa.array(outs, type=pa.string()),
+                 "n_removed": pa.array(removed, type=pa.int64())},
+                schema=out_schema,
+            )
+
+        return (
+            docs().map_batches(clean, batch_format="pandas")
+            .sort("doc_id")
+        )
+
+    # join branch: dup start positions per doc (small), co-partitioned
+    # back onto the docs — the stride-1 window TEXT is never exploded
+    pos_schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                            ("doc_id", pa.int64()), ("i", pa.int64())])
+
+    def explode_pos(batch: pd.DataFrame) -> pa.Table:
+        digests, ids, idx = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            ds_ = _win_digests(text.split(" "))
+            digests.extend(ds_)
+            ids.extend([int(doc_id)] * len(ds_))
+            idx.extend(range(len(ds_)))
+        h1, h2 = _split64(digests)
+        return pa.table(
+            {"h1": pa.array(h1), "h2": pa.array(h2),
+             "doc_id": pa.array(ids, type=pa.int64()),
+             "i": pa.array(idx, type=pa.int64())},
+            schema=pos_schema,
+        )
+
+    dup_pos = (
+        docs().map_batches(explode_pos, batch_format="pandas")
+        .join(dup_hashes, join_type="inner",
+              num_partitions=max(1, min(join_partitions, n_dup // 64 + 1)),
+              on=("h1", "h2"))
+        .select_columns(["doc_id", "i"])
+    )
+
+    # common-schema union + one groupby co-partitions dup starts with
+    # their doc text (the hybrid_topk join pattern — no join operator)
+    union_schema = pa.schema(
+        [("doc_id", pa.int64()), ("i", pa.int64()), ("text", pa.string())]
+    )
+
+    def tag_pos(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "i": t["i"],
+             "text": pa.nulls(t.num_rows, type=pa.string())},
+            schema=union_schema,
+        )
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "i": pa.array([-1] * t.num_rows, type=pa.int64()),
+             "text": t["text"]},
+            schema=union_schema,
+        )
+
+    both = dup_pos.map_batches(tag_pos, batch_format="pyarrow").union(
+        docs().map_batches(tag_doc, batch_format="pyarrow")
+    )
+
+    def stitch(group: pd.DataFrame) -> pa.Table:
+        text_rows = group[group["i"] < 0]
+        words = str(text_rows["text"].iloc[0]).split(" ")
+        starts = [int(i) for i in group["i"] if i >= 0]
+        clean_text, n_cut = _cut(words, starts)
+        return pa.table(
+            {"doc_id": [int(group["doc_id"].iloc[0])],
+             "clean_text": [clean_text],
+             "n_removed": [n_cut]},
+            schema=out_schema,
+        )
+
+    return (
+        both.groupby("doc_id").map_groups(stitch, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
 # ---- winnowing fingerprints (local document fingerprinting) ---------------
 
 WINNOW_K = 4  # words per k-gram

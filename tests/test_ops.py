@@ -910,3 +910,92 @@ class TestCluster:
         by_id = dict(zip(df.vec_id, df.cluster))
         assert all(by_id[d] == c for d, c in
                    zip(dropped.dup_of, dropped.cluster))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSubstringDedup:
+    """Stride-1 exact substring dedup (Lee et al. 2022 style): a
+    duplicated run is cut at ANY word offset, unlike the aligned
+    segment_dedup_clean."""
+
+    def _corpus(self, tmp_path, texts):
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_unaligned_duplicate_cut(self, tmp_path):
+        from ragflow_ray.ops.dedup import substring_dedup
+
+        boiler = " ".join(f"b{i}" for i in range(16))
+        uniq = [" ".join(f"u{d}w{i}" for i in range(10)) for d in range(3)]
+        texts = [
+            uniq[0] + " " + boiler,          # boiler at offset 10
+            boiler + " " + uniq[1],          # boiler at offset 0
+            uniq[2],                          # untouched
+        ] + [" ".join(f"f{d}w{i}" for i in range(30)) for d in range(40)]
+        df = substring_dedup(self._corpus(tmp_path, texts)).to_pandas()
+        got = df.set_index("doc_id")
+        # both copies cut despite different offsets
+        assert got.loc[0, "clean_text"] == uniq[0]
+        assert got.loc[0, "n_removed"] == 16
+        assert got.loc[1, "clean_text"] == uniq[1]
+        assert got.loc[1, "n_removed"] == 16
+        assert got.loc[2, "clean_text"] == texts[2]
+        assert got.loc[2, "n_removed"] == 0
+
+    def test_overlapping_windows_merge_to_maximal_range(self, tmp_path):
+        """A 20-word duplicated run -> 5 overlapping dup windows whose
+        coverage union is exactly the 20 words, not 5 * 16."""
+        from ragflow_ray.ops.dedup import substring_dedup
+
+        run = " ".join(f"r{i}" for i in range(20))
+        texts = [
+            " ".join(f"a{i}" for i in range(8)) + " " + run,
+            run + " " + " ".join(f"c{i}" for i in range(8)),
+        ] + [" ".join(f"f{d}w{i}" for i in range(30)) for d in range(30)]
+        df = substring_dedup(self._corpus(tmp_path, texts)).to_pandas()
+        got = df.set_index("doc_id")
+        assert got.loc[0, "n_removed"] == 20
+        assert got.loc[0, "clean_text"] == " ".join(f"a{i}" for i in range(8))
+        assert got.loc[1, "n_removed"] == 20
+
+    def test_join_branch_matches_broadcast(self, tmp_path):
+        from ragflow_ray.ops.dedup import substring_dedup
+
+        boiler = " ".join(f"b{i}" for i in range(18))
+        texts = [
+            boiler + " tail" + str(d) if d % 3 == 0
+            else " ".join(f"d{d}w{i}" for i in range(25))
+            for d in range(24)
+        ]
+        sf = self._corpus(tmp_path, texts)
+        a = substring_dedup(sf).to_pandas()
+        b = substring_dedup(sf, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_short_and_empty_docs_pass_through(self, tmp_path):
+        from ragflow_ray.ops.dedup import substring_dedup
+
+        texts = ["", "one two three", "short doc here", "", "x"]
+        df = substring_dedup(self._corpus(tmp_path, texts)).to_pandas()
+        assert list(df.clean_text) == texts
+        assert list(df.n_removed) == [0] * len(texts)
+
+    def test_self_repeat_counts_multiplicity(self, tmp_path):
+        """A window repeated WITHIN one doc is duplicated (count >= 2
+        over positions) and every copy is cut."""
+        from ragflow_ray.ops.dedup import substring_dedup
+
+        run = " ".join(f"s{i}" for i in range(16))
+        texts = [run + " " + run] + [
+            " ".join(f"f{d}w{i}" for i in range(30)) for d in range(20)
+        ]
+        df = substring_dedup(self._corpus(tmp_path, texts)).to_pandas()
+        got = df.set_index("doc_id")
+        # windows at offsets 0 and 16 are equal -> both cut -> all 32
+        # words covered, the doc is emptied (but the row survives)
+        assert got.loc[0, "n_removed"] == 32
+        assert got.loc[0, "clean_text"] == ""
