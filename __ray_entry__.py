@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_order_asof": relational.events_order_asof,
         "events_sliding": relational.events_sliding,
         "nation_customer_counts": relational.nation_customer_counts,
+        "regional_revenue": relational.regional_revenue,
         "part_type_stats": relational.part_type_stats,
         # --- pdf text-block assembly (pdf_parser.__call__ path;
         #     value-hash oracled via an independent naive re-derivation
@@ -1066,6 +1067,22 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT))::BIGINT AS sum_acctbal_cents
             FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        # TPC-H Q5 shape: dimension chain folded to broadcast maps,
+        # orders ⋈ lineitem size-adaptive; per-element c4 rounding
+        # makes the revenue sum order-independent
+        "regional_revenue": """
+            SELECT n_name,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                                  + 0.5) AS BIGINT))::BIGINT AS revenue_c4
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY n_name ORDER BY revenue_c4 DESC, n_name
         """,
         "part_type_stats": """
             SELECT p_type,

@@ -565,3 +565,219 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     for c in ("user_id", "n_events", "n_sessions"):
         df[c] = df[c].astype("int64")
     return df
+
+
+def regional_revenue(sf_dir: str, region: str = "ASIA",
+                     date_lo: str = "1995-01-01", date_hi: str = "1996-01-01",
+                     broadcast_limit: int = 5_000_000):
+    """TPC-H Q5-style multi-way join: revenue per nation for lineitems
+    whose customer and supplier share a nation inside ``region``, over
+    orders placed in [date_lo, date_hi).
+
+    Join plan (six tables, ONE potentially-wide exchange):
+
+    * region → nation → customer / supplier are dimension-sized:
+      folded into two broadcast maps on the driver (custkey →
+      nationkey and suppkey → nationkey, both already restricted to
+      the target region) — never a shuffle.
+    * orders ⋈ lineitem is the fact-fact edge; size-adaptive on the
+      FILTERED orders row count (date window applied at the read):
+
+      - ≤ ``broadcast_limit`` filtered orders → ``ray.put`` one
+        orderkey → customer-nation dict and stream lineitem ONCE:
+        filter + revenue partial-aggregate per batch, then a 25-row
+        final groupby.  No all-to-all at any point.
+      - above the limit → both sides project to a common (key, side,
+        nation, revenue_c4) schema, union, and co-partition in ONE
+        hash exchange on orderkey (`groupby.map_groups`), with the
+        same per-batch revenue pre-aggregation applied before the
+        exchange so only (orderkey, nation, partial-revenue) rows
+        move, never full lineitems.
+
+    Revenue is integer c4 (price × (1-discount) in 1e-4 currency
+    units, per-element rounded) so the DuckDB oracle matches
+    bit-exactly under any summation order.  Output: (n_name,
+    revenue_c4) sorted by revenue desc, nation asc.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_parquet_clean
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    # --- dimension side: region → nation → {customer, supplier} maps
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    region_keys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(region_keys)]
+    nation_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nation_name)]
+    cust_nation = dict(
+        zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int))
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nation_name)]
+    supp_ref = ray.put(
+        dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int)))
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        okey = t["o_orderkey"].to_numpy()
+        ckey = t["o_custkey"].to_numpy()
+        cnat = np.array([cust_nation.get(int(c), -1) for c in ckey],
+                        dtype=np.int64)
+        keep = cnat >= 0
+        return pa.table(
+            {"o_orderkey": pa.array(okey[keep]),
+             "c_nation": pa.array(cnat[keep])}
+        )
+
+    filt_orders = orders.map_batches(
+        orders_prep, batch_format="pyarrow"
+    ).materialize()
+    n_orders = filt_orders.count()
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        """lineitem batch → (l_orderkey, s_nation, revenue_c4) partial
+        rows, already restricted to in-region suppliers."""
+        smap = ray.get(supp_ref)
+        snat = np.array([smap.get(int(s), -1) for s in b["l_suppkey"]],
+                        dtype=np.int64)
+        keep = snat >= 0
+        b = b[keep]
+        rev = _cents(b["l_extendedprice"] * (1.0 - b["l_discount"]), 10_000)
+        return pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"].astype("int64"),
+             "s_nation": snat[keep],
+             "revenue_c4": rev.to_numpy()}
+        ).groupby(["l_orderkey", "s_nation"], as_index=False)["revenue_c4"].sum()
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # empty aggregates come back column-less
+            return pd.DataFrame(
+                {"n_name": pd.Series([], dtype=object),
+                 "revenue_c4": pd.Series([], dtype="int64")}
+            )
+        out = df.groupby("n_nationkey", as_index=False)["revenue_c4"].sum()
+        out["n_name"] = out["n_nationkey"].map(nation_name)
+        out = out[["n_name", "revenue_c4"]]
+        out["revenue_c4"] = out["revenue_c4"].astype("int64")
+        return (
+            out.sort_values(["revenue_c4", "n_name"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+
+    if n_orders == 0:  # inner join with an empty orders side
+        return _final(pd.DataFrame())
+
+    if n_orders <= broadcast_limit:
+        odf = filt_orders.to_pandas()
+        omap_ref = ray.put(
+            dict(zip(odf["o_orderkey"].astype(int), odf["c_nation"].astype(int)))
+        )
+
+        def li_join(b: pd.DataFrame) -> pd.DataFrame:
+            omap = ray.get(omap_ref)
+            part = _li_partial(b)
+            cnat = np.array(
+                [omap.get(int(k), -1) for k in part["l_orderkey"]],
+                dtype=np.int64,
+            )
+            keep = cnat == part["s_nation"].to_numpy()
+            part = part[keep]
+            return pd.DataFrame(
+                {"n_nationkey": part["s_nation"].to_numpy(),
+                 "revenue_c4": part["revenue_c4"].to_numpy()}
+            ).groupby("n_nationkey", as_index=False)["revenue_c4"].sum()
+
+        partials = lineitem.map_batches(li_join, batch_format="pandas")
+        agg = partials.groupby("n_nationkey").aggregate(
+            Sum("revenue_c4", alias_name="revenue_c4")
+        )
+        return _final(agg.to_pandas())
+
+    # co-partition branch: one hash exchange on orderkey
+    common = pa.schema(
+        [("key", pa.int64()), ("side", pa.int8()),
+         ("nation", pa.int64()), ("revenue_c4", pa.int64())]
+    )
+
+    def or_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": t["o_orderkey"], "side": pa.array(
+                np.zeros(t.num_rows, np.int8)),
+             "nation": pc.cast(t["c_nation"], pa.int64()),
+             "revenue_c4": pa.array(np.zeros(t.num_rows, np.int64))},
+            schema=common,
+        )
+
+    def li_side(b: pd.DataFrame) -> pa.Table:
+        part = _li_partial(b)
+        return pa.table(
+            {"key": pa.array(part["l_orderkey"].to_numpy()),
+             "side": pa.array(np.ones(len(part), np.int8)),
+             "nation": pa.array(part["s_nation"].to_numpy()),
+             "revenue_c4": pa.array(part["revenue_c4"].to_numpy())},
+            schema=common,
+        )
+
+    uni = filt_orders.map_batches(or_side, batch_format="pyarrow").union(
+        lineitem.map_batches(li_side, batch_format="pandas")
+    )
+
+    out_schema = pa.schema(
+        [("n_nationkey", pa.int64()), ("revenue_c4", pa.int64())]
+    )
+
+    def join_group(group: pd.DataFrame) -> pa.Table:
+        ords = group[group["side"] == 0]
+        if ords.empty:
+            return out_schema.empty_table()
+        cnat = int(ords["nation"].iloc[0])
+        lis = group[(group["side"] == 1) & (group["nation"] == cnat)]
+        if lis.empty:
+            return out_schema.empty_table()
+        return pa.table(
+            {"n_nationkey": [cnat],
+             "revenue_c4": [int(lis["revenue_c4"].sum())]},
+            schema=out_schema,
+        )
+
+    agg = (
+        uni.groupby("key").map_groups(join_group, batch_format="pandas")
+        .groupby("n_nationkey")
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+    )
+    return _final(agg.to_pandas())

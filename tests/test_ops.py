@@ -999,3 +999,29 @@ class TestSubstringDedup:
         # words covered, the doc is emptied (but the row survives)
         assert got.loc[0, "n_removed"] == 32
         assert got.loc[0, "clean_text"] == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRegionalRevenue:
+    """TPC-H Q5-style multi-way join: both size-adaptive branches must
+    agree (the oracle test exercises the broadcast branch)."""
+
+    def test_join_branch_matches_broadcast(self):
+        from ragflow_ray.ops.relational import regional_revenue
+
+        sf = "/root/testdata/sf0.001"
+        a = regional_revenue(sf)
+        b = regional_revenue(sf, broadcast_limit=0)
+        pd.testing.assert_frame_equal(a, b)
+        assert list(a.columns) == ["n_name", "revenue_c4"]
+        assert (a["revenue_c4"] > 0).all()
+
+    def test_empty_date_window(self):
+        from ragflow_ray.ops.relational import regional_revenue
+
+        df = regional_revenue(
+            "/root/testdata/sf0.001",
+            date_lo="1990-01-01", date_hi="1990-01-02",
+        )
+        assert df.empty
+        assert list(df.columns) == ["n_name", "revenue_c4"]
