@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,
         "events_sliding": relational.events_sliding,
+        "events_range_join": relational.events_range_join,
         "nation_customer_counts": relational.nation_customer_counts,
         "regional_revenue": relational.regional_revenue,
         "part_type_stats": relational.part_type_stats,
@@ -1067,6 +1068,18 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT))::BIGINT AS sum_acctbal_cents
             FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        # range join via bucketized interval replication: clicks in
+        # the half-open hour before each purchase, LEFT semantics
+        "events_range_join": """
+            SELECT p.event_id,
+                   COUNT(c.event_id)::BIGINT AS n_prior_clicks
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id ORDER BY p.event_id
         """,
         # TPC-H Q5 shape: dimension chain folded to broadcast maps,
         # orders ⋈ lineitem size-adaptive; per-element c4 rounding

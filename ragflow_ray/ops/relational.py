@@ -781,3 +781,107 @@ def regional_revenue(sf_dir: str, region: str = "ASIA",
         .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
     )
     return _final(agg.to_pandas())
+
+
+def events_range_join(sf_dir: str, window_minutes: int = 60):
+    """Range (interval) join inside the events stream: for every
+    ``purchase`` event, the number of the same user's ``click`` events
+    in the preceding ``window_minutes`` (half-open ``[t-W, t)``) —
+    LEFT semantics, so zero-click purchases are reported too.
+
+    Ray Data has no range join; the scale plan is the bucketized
+    replicate-the-interval pattern: time is cut into fixed buckets of
+    exactly the window width W, each probe row (click) lands in its
+    ONE bucket, each interval row (purchase) is replicated to the at
+    most TWO buckets its ``[t-W, t)`` window can overlap, both sides
+    co-partition in a single hash exchange on (user, bucket), the
+    exact interval predicate is applied vectorized per group, and a
+    tiny per-purchase groupby sums the ≤2 bucket partials.  Cost is
+    O(rows) exchange with ≤2× replication of the interval side only —
+    no per-pair blowup, no all-to-all sort.  Partitioning assumption:
+    (user, time-bucket) keys distribute; a user hammering one bucket
+    is the skew case and would salt the bucket key.
+
+    Output: ``event_id, n_prior_clicks`` for every purchase, sorted.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_parquet_clean
+
+    w_us = window_minutes * 60_000_000
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    common = pa.schema(
+        [("ukey", pa.int64()), ("bkt", pa.int64()), ("side", pa.int8()),
+         ("rid", pa.int64()), ("t_us", pa.int64())]
+    )
+
+    def prep(b: pd.DataFrame) -> pa.Table:
+        t_us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        uid = b["user_id"].to_numpy().astype("int64")
+        rid = b["event_id"].to_numpy().astype("int64")
+        is_click = (b["event_type"] == "click").to_numpy()
+        is_purch = (b["event_type"] == "purchase").to_numpy()
+
+        cols = {k: [] for k in ("ukey", "bkt", "side", "rid", "t_us")}
+
+        def emit(u, bk, side, r, t):
+            cols["ukey"].append(u)
+            cols["bkt"].append(bk)
+            cols["side"].append(side)
+            cols["rid"].append(r)
+            cols["t_us"].append(t)
+
+        for u, r, t in zip(uid[is_click], rid[is_click], t_us[is_click]):
+            emit(u, t // w_us, 0, r, t)
+        for u, r, t in zip(uid[is_purch], rid[is_purch], t_us[is_purch]):
+            lo_b = (t - w_us) // w_us
+            hi_b = (t - 1) // w_us
+            emit(u, lo_b, 1, r, t)
+            if hi_b != lo_b:
+                emit(u, hi_b, 1, r, t)
+        return pa.table(
+            {"ukey": pa.array(cols["ukey"], type=pa.int64()),
+             "bkt": pa.array(cols["bkt"], type=pa.int64()),
+             "side": pa.array(cols["side"], type=pa.int8()),
+             "rid": pa.array(cols["rid"], type=pa.int64()),
+             "t_us": pa.array(cols["t_us"], type=pa.int64())},
+            schema=common,
+        )
+
+    part_schema = pa.schema([("event_id", pa.int64()),
+                             ("n_prior_clicks", pa.int64())])
+
+    def count_group(group: pd.DataFrame) -> pa.Table:
+        purch = group[group["side"] == 1]
+        if purch.empty:
+            return part_schema.empty_table()
+        clicks = np.sort(group.loc[group["side"] == 0, "t_us"].to_numpy())
+        pt = purch["t_us"].to_numpy()
+        # clicks are probe rows of THIS bucket only; the exact
+        # half-open [t-W, t) predicate via two searchsorteds
+        n = (np.searchsorted(clicks, pt, "left")
+             - np.searchsorted(clicks, pt - w_us, "left"))
+        return pa.table(
+            {"event_id": pa.array(purch["rid"].to_numpy()),
+             "n_prior_clicks": pa.array(n.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby(["ukey", "bkt"])
+        .map_groups(count_group, batch_format="pandas")
+        .groupby("event_id")
+        .aggregate(Sum("n_prior_clicks", alias_name="n_prior_clicks"))
+    )
+    df = out.sort("event_id").to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

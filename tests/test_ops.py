@@ -1025,3 +1025,43 @@ class TestRegionalRevenue:
         )
         assert df.empty
         assert list(df.columns) == ["n_name", "revenue_c4"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsRangeJoin:
+    def _events(self, tmp_path, rows):
+        t = pa.table(
+            {"event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+             "ts": pa.array([pd.Timestamp(r[1]) for r in rows],
+                             type=pa.timestamp("us")),
+             "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+             "event_type": pa.array([r[3] for r in rows]),
+             "value": pa.array([0.0] * len(rows)),
+             "props": pa.array([""] * len(rows))}
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_halfopen_boundaries(self, tmp_path):
+        from ragflow_ray.ops.relational import events_range_join
+
+        rows = [
+            # user 1: purchase at 12:00; clicks at exactly 11:00
+            # (included: t-W), 11:30 (in), 12:00 (excluded: = t)
+            (0, "2024-01-01 11:00:00", 1, "click"),
+            (1, "2024-01-01 11:30:00", 1, "click"),
+            (2, "2024-01-01 12:00:00", 1, "click"),
+            (3, "2024-01-01 12:00:00", 1, "purchase"),
+            # user 2: clicks from another user never count
+            (4, "2024-01-01 11:59:00", 2, "click"),
+            # user 3: zero-click purchase still reported
+            (5, "2024-01-01 09:00:00", 3, "purchase"),
+            # user 1: purchase crossing a bucket boundary (12:30 looks
+            # back into both the 12:00 and 11:00 buckets)
+            (6, "2024-01-01 12:30:00", 1, "purchase"),
+        ]
+        df = events_range_join(self._events(tmp_path, rows))
+        got = dict(zip(df.event_id, df.n_prior_clicks))
+        # purchase 6 window [11:30, 12:30): clicks at 11:30 (= t-W,
+        # included) and 12:00 — both qualify
+        assert got == {3: 2, 5: 0, 6: 2}
