@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": curation.per_source_cap,
         "pii_scrub": lambda d: curation.pii_scrub(d).to_pandas(),
         "dsir_importance": curation.dsir_importance,
+        "nb_lang_classify": curation.nb_lang_classify,
         "stratified_split": curation.stratified_split,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         # --- embedding clustering (fixture-oracled iterative k-means) ---
@@ -221,6 +222,8 @@ _NGRAM_PAIRS_CTE = """base AS (
 from ragflow_ray.ops.curation import (  # noqa: E402
     DSIR_BUCKETS as _DSIR_B,
     DSIR_TARGET_LANG as _DSIR_LANG,
+    NBC_BUCKETS as _NBC_B,
+    NBC_SCALE as _NBC_S,
     PII_EMAIL as _PII_EMAIL,
     PII_IPV4 as _PII_IPV4,
     PII_PHONE as _PII_PHONE,
@@ -1214,6 +1217,53 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(c * w), 6) AS dsir_logw
             FROM doc_b JOIN wt USING (b)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # hashed-unigram multinomial Naive Bayes: integer-quantized
+        # log weights (floor(1e6·ln) — math.log and DuckDB ln share
+        # the platform libm) make the argmax bit-exact; ties break to
+        # the ascending language; token-less docs skipped (dsir
+        # convention)
+        "nb_lang_classify": f"""
+            WITH words AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(text, '{_NTOK_RUN}')) AS w
+                FROM documents
+            ),
+            bw AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                           % {_NBC_B} AS b
+                FROM words
+            ),
+            cnt AS (SELECT lang, b, COUNT(*) AS n FROM bw GROUP BY lang, b),
+            ltot AS (SELECT lang, COUNT(*) AS tot FROM bw GROUP BY lang),
+            prior AS (
+                SELECT lang,
+                       CAST(FLOOR({_NBC_S} * ln(COUNT(*) * 1.0 /
+                            (SELECT COUNT(*) FROM documents))) AS BIGINT) AS pq
+                FROM documents GROUP BY lang
+            ),
+            doc_b AS (SELECT doc_id, b, COUNT(*) AS c FROM bw
+                      GROUP BY doc_id, b),
+            scores AS (
+                SELECT d.doc_id, p.lang,
+                       MAX(p.pq) + SUM(d.c * CAST(FLOOR({_NBC_S} *
+                           ln((COALESCE(cnt.n, 0) + 1.0) /
+                              (COALESCE(lt.tot, 0) + {_NBC_B}.0)))
+                           AS BIGINT)) AS s
+                FROM doc_b d
+                CROSS JOIN prior p
+                LEFT JOIN ltot lt ON lt.lang = p.lang
+                LEFT JOIN cnt ON cnt.lang = p.lang AND cnt.b = d.b
+                GROUP BY d.doc_id, p.lang
+            )
+            SELECT s.doc_id, s.lang AS pred_lang, s.s::BIGINT AS score_q,
+                   (CASE WHEN s.lang = doc.lang THEN 1 ELSE 0 END)::BIGINT
+                       AS correct
+            FROM scores s JOIN documents doc USING (doc_id)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                       ORDER BY s.s DESC, s.lang) = 1
+            ORDER BY s.doc_id
         """,
         # content-hash split gate: same md5 idiom; duplicate texts
         # always share a split (leak safety)

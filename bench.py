@@ -170,6 +170,8 @@ def run_bench() -> dict:
         "dsir_importance": lambda d: curation.dsir_importance(
             d, concurrency=pool),
         "stratified_split": curation.stratified_split,
+        "nb_lang_classify": lambda d: curation.nb_lang_classify(
+            d, concurrency=pool),
         "tfidf_top_terms": lambda d: textstats.tfidf_top_terms(
             d, concurrency=pool),
         "hybrid_topk": textstats.hybrid_topk,

@@ -1161,3 +1161,170 @@ def stratified_split(sf_dir: str):
     for c in ("n_docs", "n_tokens"):
         df[c] = df[c].astype("int64")
     return df
+
+
+# ---- Naive Bayes language classifier ------------------------------------
+
+NBC_BUCKETS = 4096
+NBC_SCALE = 1_000_000
+
+
+def nb_lang_classify(sf_dir: str, n_buckets: int = NBC_BUCKETS,
+                     concurrency=None):
+    """Multinomial Naive Bayes language classifier, trained and applied
+    as pure distributed aggregation (the fastText-style hashed
+    bag-of-words baseline a curation pipeline runs when no pretrained
+    langid model ships): add-one-smoothed per-language hashed-unigram
+    counts → integer-quantized log weights → per-doc argmax.
+
+    Scale plan: training is ONE streaming pass emitting per-batch
+    partial (lang, bucket, cnt) rows — at most langs × ``n_buckets``
+    rows per batch, a constant-size exchange like
+    :func:`dsir_importance`; the reduced model (langs × n_buckets
+    int64) broadcasts via ``ray.put`` and scoring is a second
+    streaming pass (one ``np.bincount`` + one integer matvec per doc).
+    No shuffle ever sees document text.
+
+    Determinism: weights are ``floor(1e6 · ln((cnt+1)/(tot+B)))`` and
+    priors ``floor(1e6 · ln(docs_L/docs))`` — ``math.log`` here and
+    DuckDB ``ln`` both resolve to the platform libm (verified bitwise
+    over 50k random ratios), and every downstream sum/argmax is
+    int64, so the oracle reproduces predictions exactly, ties broken
+    by ascending language.  Token-less docs carry no evidence and are
+    skipped on both sides (the dsir convention).
+
+    Output: ``doc_id, pred_lang, score_q, correct`` sorted by doc_id.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    word_re = re.compile(_TOKEN_RUN)
+
+    partial_schema = pa.schema(
+        [("lang", pa.string()), ("bucket", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    class TrainCounts:
+        def __init__(self):
+            self.memo: dict[str, int] = {}
+
+        def _buckets(self, words):
+            memo = self.memo
+            if len(memo) > 1 << 20:
+                memo.clear()
+            out = np.empty(len(words), dtype=np.int64)
+            for i, w in enumerate(words):
+                b = memo.get(w)
+                if b is None:
+                    b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+                    memo[w] = b
+                out[i] = b
+            return out
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            acc: dict[str, np.ndarray] = {}
+            for text, lang in zip(batch["text"], batch["lang"]):
+                words = word_re.findall(text)
+                if not words:
+                    continue
+                cur = acc.get(lang)
+                if cur is None:
+                    cur = acc[lang] = np.zeros(n_buckets, dtype=np.int64)
+                cur += np.bincount(self._buckets(words), minlength=n_buckets)
+            langs_out, buckets_out, cnts_out = [], [], []
+            for lang, vec in acc.items():
+                nz = np.nonzero(vec)[0]
+                langs_out.extend([lang] * len(nz))
+                buckets_out.append(nz)
+                cnts_out.append(vec[nz])
+            return pa.table(
+                {"lang": pa.array(langs_out, type=pa.string()),
+                 "bucket": pa.array(
+                     np.concatenate(buckets_out) if buckets_out
+                     else np.array([], dtype=np.int64)),
+                 "cnt": pa.array(
+                     np.concatenate(cnts_out) if cnts_out
+                     else np.array([], dtype=np.int64))},
+                schema=partial_schema,
+            )
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    model_df = (
+        docs.map_batches(TrainCounts, batch_format="pandas",
+                         concurrency=concurrency or (1, 4))
+        .groupby(["lang", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    prior_df = (
+        docs.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    )
+
+    langs = sorted(prior_df["lang"])
+    lidx = {l: i for i, l in enumerate(langs)}
+    counts = np.zeros((len(langs), n_buckets), dtype=np.int64)
+    for lang, b, c in zip(model_df["lang"], model_df["bucket"], model_df["cnt"]):
+        counts[lidx[lang], int(b)] = int(c)
+    totals = counts.sum(axis=1)
+    n_total_docs = int(prior_df["n_docs"].sum())
+
+    weights = np.empty((len(langs), n_buckets), dtype=np.int64)
+    priors = np.empty(len(langs), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        tot = float(totals[li] + n_buckets)
+        weights[li] = [
+            math.floor(NBC_SCALE * math.log((c + 1.0) / tot))
+            for c in counts[li]
+        ]
+        n_docs_l = int(prior_df.loc[prior_df["lang"] == lang, "n_docs"].iloc[0])
+        priors[li] = math.floor(
+            NBC_SCALE * math.log(n_docs_l * 1.0 / n_total_docs)
+        )
+    model_ref = ray.put((langs, weights, priors))
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pred_lang", pa.string()),
+         ("score_q", pa.int64()), ("correct", pa.int64())]
+    )
+
+    class Scorer(TrainCounts):
+        def __init__(self):
+            super().__init__()
+            self.langs, self.weights, self.priors = ray.get(model_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            ids, preds, scores, correct = [], [], [], []
+            for doc_id, text, lang in zip(
+                batch["doc_id"], batch["text"], batch["lang"]
+            ):
+                words = word_re.findall(text)
+                if not words:
+                    continue
+                c = np.bincount(self._buckets(words), minlength=n_buckets)
+                s = self.weights @ c + self.priors
+                li = int(np.argmax(s))  # langs sorted asc -> first max
+                ids.append(int(doc_id))
+                preds.append(self.langs[li])
+                scores.append(int(s[li]))
+                correct.append(int(self.langs[li] == lang))
+            return pa.table(
+                {"doc_id": pa.array(ids, type=pa.int64()),
+                 "pred_lang": pa.array(preds, type=pa.string()),
+                 "score_q": pa.array(scores, type=pa.int64()),
+                 "correct": pa.array(correct, type=pa.int64())},
+                schema=out_schema,
+            )
+
+    df = (
+        docs.map_batches(Scorer, batch_format="pandas",
+                         concurrency=concurrency or (1, 4))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in ("doc_id", "score_q", "correct"):
+        df[c] = df[c].astype("int64")
+    return df

@@ -1065,3 +1065,46 @@ class TestEventsRangeJoin:
         # purchase 6 window [11:30, 12:30): clicks at 11:30 (= t-W,
         # included) and 12:00 — both qualify
         assert got == {3: 2, 5: 0, 6: 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNbLangClassify:
+    def test_separable_corpus_is_learned(self, tmp_path):
+        """Distinct per-language vocabularies: the hashed-NB model must
+        classify every training doc correctly (the shared testdata has
+        identical vocab across lang labels, so the oracle there only
+        checks majority-prior behavior)."""
+        from ragflow_ray.ops.curation import nb_lang_classify
+
+        rs = np.random.RandomState(11)
+        vocab = {
+            "aa": [f"aw{i}" for i in range(40)],
+            "bb": [f"bw{i}" for i in range(40)],
+            "cc": [f"cw{i}" for i in range(40)],
+        }
+        texts, langs = [], []
+        for lang, words in vocab.items():
+            for _ in range(30):
+                texts.append(" ".join(rs.choice(words, 25)))
+                langs.append(lang)
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts), "lang": pa.array(langs)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = nb_lang_classify(str(tmp_path))
+        assert len(df) == 90
+        assert df["correct"].all()
+
+    def test_tokenless_docs_skipped(self, tmp_path):
+        from ragflow_ray.ops.curation import nb_lang_classify
+
+        docs = pa.table(
+            {"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+             "text": pa.array(["hello world", "", "   "]),
+             "lang": pa.array(["en", "en", "en"])}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = nb_lang_classify(str(tmp_path))
+        assert list(df.doc_id) == [0]
+        assert df.iloc[0]["pred_lang"] == "en"
