@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_lite_topk": textstats.bm25_lite_topk,
         "hybrid_topk": textstats.hybrid_topk,
         "vocab_topk": textstats.vocab_topk,
+        "hll_distinct_tokens": textstats.hll_distinct_tokens,
         "bpe_pair_counts": textstats.bpe_pair_counts,
         "bpe_train": textstats.bpe_train,
         "lm_cross_entropy": curation.lm_cross_entropy,
@@ -721,6 +722,16 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY doc_a, doc_b
+        """,
+        # HyperLogLog registers/estimate re-derived by an independent
+        # single-pass pure-Python implementation of the pinned spec
+        # (tools/make_hll_fixture.py); the fixture also freezes the
+        # TRUE distinct counts as an accuracy pin
+        "hll_distinct_tokens": f"""
+            SELECT source, nonzero_regs, est_distinct
+            FROM read_parquet('{_FIXTURES}/hll_distinct.parquet')
+            WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)
+            ORDER BY source
         """,
         "minhash_near_dups": f"""
             SELECT doc_a, doc_b, jaccard

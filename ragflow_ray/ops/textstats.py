@@ -787,3 +787,122 @@ def hybrid_topk(sf_dir: str, k: int = 20, concurrency=None):
     for c in ("doc_id", "tk_score", "rank"):
         out[c] = out[c].astype("int64")
     return out[["doc_id", "tk_score", "vt_r9", "hybrid_r6", "rank"]]
+
+
+# ---- HyperLogLog distinct-token sketch -----------------------------------
+
+HLL_P = 12                      # 2^12 = 4096 registers, ~1.6% rel. error
+HLL_M = 1 << HLL_P
+
+
+def _hll_partial(texts, word_re) -> "np.ndarray":
+    """Register vector for one batch of texts — the HLL pinned spec:
+    h = first 64 bits of md5(token); register = top HLL_P bits; rho =
+    leading-zero count + 1 within the remaining 52 bits (53 when they
+    are all zero)."""
+    import numpy as np
+
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    rest_bits = 64 - HLL_P
+    mask = (1 << rest_bits) - 1
+    for text in texts:
+        for w in word_re.findall(text):
+            h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+            reg = h >> rest_bits
+            rest = h & mask
+            rho = rest_bits - rest.bit_length() + 1
+            if rho > regs[reg]:
+                regs[reg] = rho
+    return regs
+
+
+def hll_estimate(regs) -> int:
+    """Flajolet et al. 2007 estimator with the small-range linear
+    counting correction; registers iterate in index order so the float
+    sum is reproducible bit-for-bit."""
+    import math
+
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = 0.0
+    zeros = 0
+    for r in regs:
+        s += 2.0 ** (-int(r))
+        if r == 0:
+            zeros += 1
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return int(math.floor(est + 0.5))
+
+
+def hll_distinct_tokens(sf_dir: str):
+    """Approximate per-source distinct-token counts via a mergeable
+    HyperLogLog sketch — the cardinality primitive a 100 TB pipeline
+    uses where exact COUNT(DISTINCT) would shuffle every token: each
+    batch folds its tokens into a 4096-register vector, only nonzero
+    (source, register, rho) rows leave the task (≤ 4096 per source per
+    batch, CONSTANT in corpus size), and a register-wise distributed
+    Max merges partials — max is associative/commutative, so the
+    estimate is independent of batch boundaries and parallelism.
+
+    Oracled via an independent pure-Python re-derivation
+    (tools/make_hll_fixture.py) — approximate vs the TRUE count, exact
+    vs the pinned sketch spec.  Output: ``source, nonzero_regs,
+    est_distinct`` sorted by source.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Max
+
+    from ..sources.readers import read_parquet_clean
+
+    word_re = re.compile(_TOKEN_RUN)
+
+    partial_schema = pa.schema(
+        [("source", pa.string()), ("reg", pa.int64()), ("rho", pa.int64())]
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        srcs, regs_out, rhos = [], [], []
+        for source, grp in batch.groupby("source"):
+            regs = _hll_partial(grp["text"], word_re)
+            nz = np.nonzero(regs)[0]
+            srcs.extend([source] * len(nz))
+            regs_out.append(nz)
+            rhos.append(regs[nz])
+        return pa.table(
+            {"source": pa.array(srcs, type=pa.string()),
+             "reg": pa.array(
+                 np.concatenate(regs_out) if regs_out
+                 else np.array([], dtype=np.int64)),
+             "rho": pa.array(
+                 np.concatenate(rhos) if rhos
+                 else np.array([], dtype=np.int64))},
+            schema=partial_schema,
+        )
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    merged = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+
+    rows = []
+    for source, grp in merged.groupby("source"):
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        regs[grp["reg"].to_numpy()] = grp["rho"].to_numpy()
+        rows.append(
+            {"source": source,
+             "nonzero_regs": int((regs > 0).sum()),
+             "est_distinct": hll_estimate(regs)}
+        )
+    df = pd.DataFrame(rows, columns=["source", "nonzero_regs", "est_distinct"])
+    df = df.sort_values("source").reset_index(drop=True)
+    for c in ("nonzero_regs", "est_distinct"):
+        df[c] = df[c].astype("int64")
+    return df

@@ -1108,3 +1108,52 @@ class TestNbLangClassify:
         df = nb_lang_classify(str(tmp_path))
         assert list(df.doc_id) == [0]
         assert df.iloc[0]["pred_lang"] == "en"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHll:
+    def test_estimator_regime_accuracy(self, tmp_path):
+        """A corpus with ~40k distinct tokens leaves the linear-counting
+        regime; the HLL estimate must land within 5% (theory: 1.04/64 ≈
+        1.6% std) and the distributed register merge must equal a
+        single-pass local computation."""
+        import re as _re
+        from ragflow_ray.ops.textstats import (
+            _hll_partial, hll_distinct_tokens, hll_estimate,
+        )
+
+        rs = np.random.RandomState(5)
+        texts = [
+            " ".join(f"tok{rs.randint(0, 60000)}" for _ in range(400))
+            for _ in range(100)
+        ]
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts),
+             "source": pa.array(["web"] * len(texts)),
+             "n_chars": pa.array([len(t) for t in texts], type=pa.int64())}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+        df = hll_distinct_tokens(str(tmp_path))
+        assert list(df.source) == ["web"]
+        true = len({w for t in texts for w in t.split()})
+        est = int(df.est_distinct.iloc[0])
+        assert abs(est - true) / true < 0.05
+
+        # distributed (batched max-merge) == one local pass
+        regs = _hll_partial(texts, _re.compile(r"[^ \t\n\r\f\v]+"))
+        assert est == hll_estimate(regs)
+
+    def test_small_range_linear_counting(self, tmp_path):
+        from ragflow_ray.ops.textstats import hll_distinct_tokens
+
+        docs = pa.table(
+            {"doc_id": pa.array([0, 1], type=pa.int64()),
+             "text": pa.array(["a b c d", "c d e"]),
+             "source": pa.array(["s1", "s1"]),
+             "n_chars": pa.array([7, 5], type=pa.int64())}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = hll_distinct_tokens(str(tmp_path))
+        assert int(df.est_distinct.iloc[0]) == 5  # exact in LC regime
