@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_topk": textstats.hybrid_topk,
         "vocab_topk": textstats.vocab_topk,
         "hll_distinct_tokens": textstats.hll_distinct_tokens,
+        "heavy_hitters": textstats.heavy_hitters,
         "bpe_pair_counts": textstats.bpe_pair_counts,
         "bpe_train": textstats.bpe_train,
         "lm_cross_entropy": curation.lm_cross_entropy,
@@ -243,6 +244,7 @@ from ragflow_ray.ops.curation import (  # noqa: E402
 _NTOK = "length(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+'))"
 _NTOK_RUN = "[^ \\t\\n\\r\\f\\v]+"
 from ragflow_ray.ops.textstats import TFIDF_TOPK as _TFIDF_K  # noqa: E402
+from ragflow_ray.ops.textstats import HH_PHI_X1000 as _HH_PHI  # noqa: E402
 _NONWS = "length(regexp_replace(text, '[ \\t\\n\\r\\f\\v]', '', 'g'))"
 # winnowing fingerprint selection (ops/dedup._winnow_batch mirrored):
 # 4-word grams, window-4 min, rightmost tie-break via MAX(position)
@@ -722,6 +724,20 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY doc_a, doc_b
+        """,
+        # exact φ-heavy hitters: the Misra-Gries candidate pass is a
+        # completeness mechanism only — the answer is plain HAVING
+        "heavy_hitters": f"""
+            WITH words AS (
+                SELECT unnest(regexp_extract_all(text, '{_NTOK_RUN}')) AS w
+                FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS n FROM words)
+            SELECT w AS token, COUNT(*)::BIGINT AS cnt
+            FROM words, tot
+            GROUP BY w, tot.n
+            HAVING COUNT(*) > ({_HH_PHI} * tot.n) // 1000
+            ORDER BY cnt DESC, token
         """,
         # HyperLogLog registers/estimate re-derived by an independent
         # single-pass pure-Python implementation of the pinned spec

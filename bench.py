@@ -161,6 +161,7 @@ def run_bench() -> dict:
         "pii_scrub": lambda d: curation.pii_scrub(d).count(),
         "vocab_topk": textstats.vocab_topk,
         "hll_distinct_tokens": textstats.hll_distinct_tokens,
+        "heavy_hitters": textstats.heavy_hitters,
         "bpe_train": textstats.bpe_train,
         "lm_cross_entropy": curation.lm_cross_entropy,
         "media_phash_dedup": lambda d: multimodal.media_phash_dedup(

@@ -906,3 +906,107 @@ def hll_distinct_tokens(sf_dir: str):
     for c in ("nonzero_regs", "est_distinct"):
         df[c] = df[c].astype("int64")
     return df
+
+
+# ---- exact heavy hitters via Misra-Gries candidates -----------------------
+
+HH_PHI_X1000 = 10  # heavy = count > floor(0.01 * total_tokens)
+
+
+def heavy_hitters(sf_dir: str, phi_x1000: int = HH_PHI_X1000):
+    """EXACT φ-heavy-hitter tokens (corpus count > floor(φ·N)) with
+    bounded state: a per-batch Misra-Gries summary with ⌈1/φ⌉ counters
+    nominates candidates, then one exact counting pass over the
+    candidate set verifies.
+
+    Why this is exact: a token with global count > φ·N must have
+    batch-local count > φ·n_b in at least one batch (averaging), and
+    Misra-Gries with ⌈1/φ⌉ counters never evicts an item with
+    batch-frequency above φ — so the union of per-batch candidate sets
+    is a SUPERSET of the true heavy hitters, and the exact second pass
+    (broadcast candidate set, per-batch ``value_counts`` partials into
+    a candidate-sized groupby) trims it to the precise answer.  State
+    per task is O(1/φ); only candidate tokens and their partial counts
+    ever shuffle.  The plain-SQL ``HAVING COUNT(*) > floor(φ·N)``
+    oracle checks the completeness guarantee end-to-end.
+
+    Output: ``token, cnt`` for every heavy token, sorted by
+    (cnt desc, token).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(_TOKEN_RUN)
+    k = (1000 + phi_x1000 - 1) // phi_x1000  # ceil(1/phi) counters
+
+    docs = _docs(sf_dir)
+
+    cand_schema = pa.schema([("token", pa.string())])
+    cnt_schema = pa.schema([("token", pa.string()), ("cnt", pa.int64()),
+                            ("n_tokens", pa.int64())])
+
+    def mg_candidates(batch: pd.DataFrame) -> pa.Table:
+        counters: dict[str, int] = {}
+        for text in batch["text"]:
+            for w in word_re.findall(text):
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        return pa.table(
+            {"token": pa.array(sorted(counters), type=pa.string())},
+            schema=cand_schema,
+        )
+
+    candidates = (
+        docs.map_batches(mg_candidates, batch_format="pandas")
+        .to_pandas()["token"]
+    )
+    cand_ref = ray.put(frozenset(candidates))
+
+    def exact_partial(batch: pd.DataFrame) -> pa.Table:
+        cand = ray.get(cand_ref)
+        counts: dict[str, int] = {}
+        total = 0
+        for text in batch["text"]:
+            ws = word_re.findall(text)
+            total += len(ws)
+            for w in ws:
+                if w in cand:
+                    counts[w] = counts.get(w, 0) + 1
+        toks = sorted(counts)
+        return pa.table(
+            {"token": pa.array(toks + ["\x00total"], type=pa.string()),
+             "cnt": pa.array([counts[t] for t in toks] + [0],
+                              type=pa.int64()),
+             "n_tokens": pa.array([0] * len(toks) + [total],
+                                   type=pa.int64())},
+            schema=cnt_schema,
+        )
+
+    reduced = (
+        docs.map_batches(exact_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"),
+                   Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    total = int(reduced["n_tokens"].sum())
+    thresh = (phi_x1000 * total) // 1000
+    out = reduced[(reduced["token"] != "\x00total")
+                  & (reduced["cnt"] > thresh)][["token", "cnt"]]
+    out = out.sort_values(["cnt", "token"], ascending=[False, True])
+    out = out.reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out

@@ -1157,3 +1157,31 @@ class TestHll:
         pq.write_table(docs, str(tmp_path / "documents.parquet"))
         df = hll_distinct_tokens(str(tmp_path))
         assert int(df.est_distinct.iloc[0]) == 5  # exact in LC regime
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHitters:
+    def test_long_tail_pruned_exactly(self, tmp_path):
+        """Heavy tokens planted against a huge unique long tail: the
+        MG candidate pass must not lose any true heavy hitter and the
+        verify pass must produce exact counts."""
+        from ragflow_ray.ops.textstats import heavy_hitters
+
+        rs = np.random.RandomState(17)
+        texts = []
+        for d in range(60):
+            toks = [f"u{d}x{i}" for i in range(150)]      # unique tail
+            toks += ["hot"] * 30 + ["warm"] * 12           # planted heavy
+            rs.shuffle(toks)
+            texts.append(" ".join(toks))
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts),
+             "lang": pa.array(["en"] * len(texts))}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        # total = 60*192 = 11520; floor(1% of N) = 115;
+        # hot = 1800 > 115 heavy, warm = 720 > 115 heavy, tail = 1 each
+        df = heavy_hitters(str(tmp_path))
+        assert list(df.token) == ["hot", "warm"]
+        assert list(df.cnt) == [1800, 720]
