@@ -46,11 +46,11 @@ QF_STOP_RE = re.compile(rf"\b(?:{QF_STOP_WORDS})\b")
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    from ..sources.readers import read_parquet_clean
+    from ..sources.readers import read_docs_split
 
-    return read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=list(columns)
-    )
+    # split-on-read: the shared one-row-group parquet would otherwise
+    # run every Python-heavy per-doc pass as a single task
+    return read_docs_split(sf_dir, columns=list(columns))
 
 
 def _grams(text: str, n: int) -> set[str]:

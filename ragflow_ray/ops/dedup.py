@@ -38,11 +38,11 @@ _WS = re.compile(r"\s+")
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
+    from ..sources.readers import read_docs_split
 
-    from ..sources.readers import read_parquet_clean
-
-    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
+    # split-on-read: the shared one-row-group parquet would otherwise
+    # run every Python-heavy per-doc pass as a single task
+    return read_docs_split(sf_dir, columns=list(columns))
 
 
 # -- exact ---------------------------------------------------------------
@@ -1489,13 +1489,10 @@ def substring_dedup(sf_dir: str, window: int = SUBSTR_WINDOW,
     )
     dup_schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64())])
 
-    # the testdata parquet is one row group → one read block → the
-    # md5-heavy explode/clean passes would run as a single task;
-    # splitting to small row blocks (no shuffle) restores task
-    # parallelism.  On a real sharded corpus the reader already
-    # produces many blocks and this split is a cheap no-op.
+    # _docs already splits to small row blocks (read_docs_split), so
+    # the md5-heavy explode/clean passes get task parallelism
     def docs():
-        return _docs(sf_dir).repartition(target_num_rows_per_block=256)
+        return _docs(sf_dir)
 
     def _win_digests(words: list[str]) -> list[bytes]:
         return [

@@ -29,11 +29,11 @@ _STOPWORDS = ("the", "a", "of", "to", "and")
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from ..sources.readers import read_docs_split
 
-    from ..sources.readers import read_parquet_clean
-
-    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    # split-on-read: the shared one-row-group parquet would otherwise
+    # run every Python-heavy per-doc pass as a single task
+    return read_docs_split(sf_dir, columns=["doc_id", "text", "lang"])
 
 
 def token_stats(sf_dir: str):
@@ -882,9 +882,9 @@ def hll_distinct_tokens(sf_dir: str):
             schema=partial_schema,
         )
 
-    docs = read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["text", "source"]
-    )
+    from ..sources.readers import read_docs_split
+
+    docs = read_docs_split(sf_dir, columns=["text", "source"])
     merged = (
         docs.map_batches(partial, batch_format="pandas")
         .groupby(["source", "reg"])

@@ -38,3 +38,20 @@ def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
             pass
     ds = rd.read_parquet(path, columns=columns, **kwargs)
     return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
+
+
+def read_docs_split(sf_dir: str, columns: list[str] | None = None,
+                    rows_per_block: int = 256):
+    """documents.parquet reader for Python-heavy per-doc passes.
+
+    The shared testdata writes the documents table as ONE row group,
+    so a plain read yields one block and every downstream map_batches
+    runs as a single task regardless of cluster size.  A streaming
+    (no-shuffle) repartition to small row blocks restores task
+    parallelism; on a real sharded corpus the reader already produces
+    many blocks and the split is a near-no-op."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=columns or ["doc_id", "text"],
+    )
+    return ds.repartition(target_num_rows_per_block=rows_per_block)
