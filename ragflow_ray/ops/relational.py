@@ -783,7 +783,8 @@ def regional_revenue(sf_dir: str, region: str = "ASIA",
     return _final(agg.to_pandas())
 
 
-def events_range_join(sf_dir: str, window_minutes: int = 60):
+def events_range_join(sf_dir: str, window_minutes: int = 60,
+                      n_partitions: int = 256):
     """Range (interval) join inside the events stream: for every
     ``purchase`` event, the number of the same user's ``click`` events
     in the preceding ``window_minutes`` (half-open ``[t-W, t)``) —
@@ -794,19 +795,25 @@ def events_range_join(sf_dir: str, window_minutes: int = 60):
     exactly the window width W, each probe row (click) lands in its
     ONE bucket, each interval row (purchase) is replicated to the at
     most TWO buckets its ``[t-W, t)`` window can overlap, both sides
-    co-partition in a single hash exchange on (user, bucket), the
-    exact interval predicate is applied vectorized per group, and a
-    tiny per-purchase groupby sums the ≤2 bucket partials.  Cost is
-    O(rows) exchange with ≤2× replication of the interval side only —
-    no per-pair blowup, no all-to-all sort.  Partitioning assumption:
-    (user, time-bucket) keys distribute; a user hammering one bucket
-    is the skew case and would salt the bucket key.
+    co-partition in ONE hash exchange, the exact interval predicate
+    is applied vectorized, and a tiny per-purchase groupby sums the
+    ≤2 bucket partials.  Cost is O(rows) exchange with ≤2×
+    replication of the interval side only — no per-pair blowup, no
+    all-to-all sort.
+
+    The exchange key is a COARSE hash of (user, time-bucket) into
+    ``n_partitions`` groups — grouping by the raw pair would dispatch
+    one ``map_groups`` call per (user, bucket) (the per-group tax that
+    dominated the first cut); inside each coarse group one lexsort
+    lines both sides up and a run-walk applies searchsorted per
+    (user, bucket) run.  Partitioning assumption: (user, bucket)
+    pairs hash-distribute; a user hammering one bucket is the skew
+    case and would salt the key.
 
     Output: ``event_id, n_prior_clicks`` for every purchase, sorted.
     """
     import numpy as np
     import pyarrow as pa
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     from ..sources.readers import read_parquet_clean
@@ -817,10 +824,15 @@ def events_range_join(sf_dir: str, window_minutes: int = 60):
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
+    # ckey packs (user, bucket): user in the high bits, the window
+    # bucket (µs//W, < 2^31 for any realistic epoch) in the low 32
     common = pa.schema(
-        [("ukey", pa.int64()), ("bkt", pa.int64()), ("side", pa.int8()),
+        [("pkey", pa.int64()), ("ckey", pa.int64()), ("side", pa.int8()),
          ("rid", pa.int64()), ("t_us", pa.int64())]
     )
+
+    def _pack(uid: "np.ndarray", bkt: "np.ndarray") -> "np.ndarray":
+        return (uid << np.int64(32)) | (bkt & np.int64(0xFFFFFFFF))
 
     def prep(b: pd.DataFrame) -> pa.Table:
         t_us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
@@ -829,29 +841,29 @@ def events_range_join(sf_dir: str, window_minutes: int = 60):
         is_click = (b["event_type"] == "click").to_numpy()
         is_purch = (b["event_type"] == "purchase").to_numpy()
 
-        cols = {k: [] for k in ("ukey", "bkt", "side", "rid", "t_us")}
+        ck_c = _pack(uid[is_click], t_us[is_click] // w_us)
+        # purchase window [t-W, t) overlaps buckets B(t-W) and B(t-1)
+        pu, pt = uid[is_purch], t_us[is_purch]
+        lo_b = (pt - w_us) // w_us
+        hi_b = (pt - 1) // w_us
+        two = hi_b != lo_b
+        ck_p = np.concatenate([_pack(pu, lo_b), _pack(pu[two], hi_b[two])])
+        rid_p = np.concatenate([rid[is_purch], rid[is_purch][two]])
+        t_p = np.concatenate([pt, pt[two]])
 
-        def emit(u, bk, side, r, t):
-            cols["ukey"].append(u)
-            cols["bkt"].append(bk)
-            cols["side"].append(side)
-            cols["rid"].append(r)
-            cols["t_us"].append(t)
-
-        for u, r, t in zip(uid[is_click], rid[is_click], t_us[is_click]):
-            emit(u, t // w_us, 0, r, t)
-        for u, r, t in zip(uid[is_purch], rid[is_purch], t_us[is_purch]):
-            lo_b = (t - w_us) // w_us
-            hi_b = (t - 1) // w_us
-            emit(u, lo_b, 1, r, t)
-            if hi_b != lo_b:
-                emit(u, hi_b, 1, r, t)
+        ckey = np.concatenate([ck_c, ck_p])
+        side = np.concatenate(
+            [np.zeros(len(ck_c), np.int8), np.ones(len(ck_p), np.int8)]
+        )
+        rids = np.concatenate([rid[is_click], rid_p])
+        ts = np.concatenate([t_us[is_click], t_p])
+        # Fibonacci mix so sequential users spread across partitions
+        pkey = ((ckey * np.int64(-7046029254386353131)) >> np.int64(40)) \
+            % np.int64(n_partitions)
         return pa.table(
-            {"ukey": pa.array(cols["ukey"], type=pa.int64()),
-             "bkt": pa.array(cols["bkt"], type=pa.int64()),
-             "side": pa.array(cols["side"], type=pa.int8()),
-             "rid": pa.array(cols["rid"], type=pa.int64()),
-             "t_us": pa.array(cols["t_us"], type=pa.int64())},
+            {"pkey": pa.array(np.abs(pkey)), "ckey": pa.array(ckey),
+             "side": pa.array(side), "rid": pa.array(rids),
+             "t_us": pa.array(ts)},
             schema=common,
         )
 
@@ -859,24 +871,40 @@ def events_range_join(sf_dir: str, window_minutes: int = 60):
                              ("n_prior_clicks", pa.int64())])
 
     def count_group(group: pd.DataFrame) -> pa.Table:
-        purch = group[group["side"] == 1]
-        if purch.empty:
+        ckey = group["ckey"].to_numpy()
+        side = group["side"].to_numpy()
+        t = group["t_us"].to_numpy()
+        rid = group["rid"].to_numpy()
+        order = np.lexsort((t, side, ckey))
+        ckey, side, t, rid = ckey[order], side[order], t[order], rid[order]
+        # per (user, bucket) run: clicks first (side 0, time-sorted),
+        # then purchases — searchsorted within the click slice
+        starts = np.flatnonzero(np.r_[True, ckey[1:] != ckey[:-1]])
+        ends = np.r_[starts[1:], len(ckey)]
+        out_rid, out_n = [], []
+        for s, e in zip(starts, ends):
+            n_clicks = int(np.searchsorted(side[s:e], 1, "left"))
+            p0 = s + n_clicks
+            if p0 == e:
+                continue  # clicks only
+            clicks = t[s:p0]
+            pt = t[p0:e]
+            n = (np.searchsorted(clicks, pt, "left")
+                 - np.searchsorted(clicks, pt - w_us, "left"))
+            out_rid.append(rid[p0:e])
+            out_n.append(n)
+        if not out_rid:
             return part_schema.empty_table()
-        clicks = np.sort(group.loc[group["side"] == 0, "t_us"].to_numpy())
-        pt = purch["t_us"].to_numpy()
-        # clicks are probe rows of THIS bucket only; the exact
-        # half-open [t-W, t) predicate via two searchsorteds
-        n = (np.searchsorted(clicks, pt, "left")
-             - np.searchsorted(clicks, pt - w_us, "left"))
         return pa.table(
-            {"event_id": pa.array(purch["rid"].to_numpy()),
-             "n_prior_clicks": pa.array(n.astype(np.int64))},
+            {"event_id": pa.array(np.concatenate(out_rid)),
+             "n_prior_clicks": pa.array(
+                 np.concatenate(out_n).astype(np.int64))},
             schema=part_schema,
         )
 
     out = (
         ds.map_batches(prep, batch_format="pandas")
-        .groupby(["ukey", "bkt"])
+        .groupby("pkey")
         .map_groups(count_group, batch_format="pandas")
         .groupby("event_id")
         .aggregate(Sum("n_prior_clicks", alias_name="n_prior_clicks"))
