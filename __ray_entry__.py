@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_order_asof": relational.events_order_asof,
         "events_sliding": relational.events_sliding,
         "events_range_join": relational.events_range_join,
+        "props_extract_stats": relational.props_extract_stats,
         "nation_customer_counts": relational.nation_customer_counts,
         "regional_revenue": relational.regional_revenue,
         "part_type_stats": relational.part_type_stats,
@@ -1098,6 +1099,18 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT))::BIGINT AS sum_acctbal_cents
             FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        # schema-on-read JSON extraction, aggregated per event type
+        "props_extract_stats": """
+            SELECT event_type,
+                   COUNT(*)::BIGINT AS n_events,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       ::BIGINT AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       ::BIGINT AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       ::BIGINT AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # range join via bucketized interval replication: clicks in
         # the half-open hour before each purchase, LEFT semantics

@@ -913,3 +913,43 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def props_extract_stats(sf_dir: str):
+    """Semi-structured extraction: parse the ``props`` JSON column
+    (``{"k": <int>}``) inside map_batches — vectorized regex extract,
+    no per-row json.loads — and aggregate per event type.  The
+    schema-on-read pattern for log/event pipelines: the JSON never
+    shuffles, only the extracted (event_type, k) pairs feed per-batch
+    partials into a 5-row groupby."""
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        df = pd.DataFrame({"event_type": b["event_type"],
+                           "k": k.astype("int64")})
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"),
+        )
+        return g
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_k", alias_name="sum_k"),
+                   Min("min_k", alias_name="min_k"),
+                   Max("max_k", alias_name="max_k"))
+    )
+    df = out.sort("event_type").to_pandas()
+    for c in ("n_events", "sum_k", "min_k", "max_k"):
+        df[c] = df[c].astype("int64")
+    return df
