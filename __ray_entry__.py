@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_rollup": curation.source_rollup,
         "length_quantiles": curation.length_quantiles,
         "mixture_sample": curation.mixture_sample,
+        "temperature_mix": curation.temperature_mix,
         "curate_and_pack": curation.curate_and_pack,
         "per_source_cap": curation.per_source_cap,
         "pii_scrub": lambda d: curation.pii_scrub(d).to_pandas(),
@@ -1257,6 +1258,30 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(c * w), 6) AS dsir_logw
             FROM doc_b JOIN wt USING (b)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # UniMax temperature mixture: rate_s = min(S, B·S·w_s//(W·n_s)),
+        # w_s = floor(sqrt(n_s)) (IEEE sqrt is correctly rounded, so
+        # both sides agree bit-for-bit); same md5 content-hash gate
+        "temperature_mix": f"""
+            WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents
+                       GROUP BY source),
+            w AS (SELECT source, n_s,
+                         CAST(FLOOR(sqrt(n_s)) AS BIGINT) AS w_s FROM n),
+            tot AS (SELECT SUM(w_s) AS w_total,
+                           SUM(n_s) // {curation_mod.TMIX_BUDGET_HALF} AS budget
+                    FROM w),
+            rate AS (
+                SELECT source,
+                       LEAST({curation_mod.TMIX_SCALE},
+                             (budget * {curation_mod.TMIX_SCALE} * w_s)
+                                 // (w_total * n_s)) AS r
+                FROM w, tot
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rate USING (source)
+            WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT)
+                      % {curation_mod.TMIX_SCALE} < rate.r
+            ORDER BY d.doc_id
         """,
         # hashed-unigram multinomial Naive Bayes: integer-quantized
         # log weights (floor(1e6·ln) — math.log and DuckDB ln share

@@ -1328,3 +1328,72 @@ def nb_lang_classify(sf_dir: str, n_buckets: int = NBC_BUCKETS,
     for c in ("doc_id", "score_q", "correct"):
         df[c] = df[c].astype("int64")
     return df
+
+
+# ---- UniMax-style temperature mixture ------------------------------------
+
+TMIX_BUDGET_HALF = 2   # target corpus = total_docs // TMIX_BUDGET_HALF
+TMIX_SCALE = 1_000_000
+
+
+def temperature_mix(sf_dir: str):
+    """UniMax-style temperature sampling of the source mixture
+    (Chung et al. 2023 — flatten the source distribution so the crawl
+    head stops dominating): per-source keep probability proportional
+    to ``sqrt(n_s)/n_s`` under a ``total//2`` doc budget,
+
+        ``rate_s = min(SCALE, budget·SCALE·w_s // (W·n_s))``,
+        ``w_s = floor(sqrt(n_s))``,  ``W = Σ w_s``,
+
+    all integer except IEEE-exact ``sqrt`` (correctly rounded by the
+    754 spec, so Python and DuckDB agree bit-for-bit).  The keep gate
+    is the shared deterministic content-hash idiom
+    (``int(md5(text)[:8], 16) % SCALE < rate_s``) — stable across
+    parallelism, reruns and row order.
+
+    Plan: one tiny per-source count aggregate (per-batch partials), a
+    constant-size rate dict in the task closure, one streaming filter
+    pass.  Output: kept ``doc_id, source`` rows sorted by doc_id.
+    """
+    import math
+
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    counts = (
+        _docs(sf_dir, columns=("doc_id", "source"))
+        .groupby("source").aggregate(Count(alias_name="n")).to_pandas()
+    )
+    n_by_src = dict(zip(counts["source"], counts["n"].astype(int)))
+    w_by_src = {s: math.floor(math.sqrt(float(n))) for s, n in n_by_src.items()}
+    w_total = sum(w_by_src.values())
+    budget = sum(n_by_src.values()) // TMIX_BUDGET_HALF
+    rate = {
+        s: min(TMIX_SCALE, (budget * TMIX_SCALE * w_by_src[s])
+               // (w_total * n_by_src[s]))
+        for s in n_by_src
+    }
+
+    schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+
+    def pick(batch: pd.DataFrame) -> pa.Table:
+        ids, srcs = [], []
+        for doc_id, text, src in zip(batch["doc_id"], batch["text"],
+                                     batch["source"]):
+            h = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+            if h % TMIX_SCALE < rate[src]:
+                ids.append(int(doc_id))
+                srcs.append(src)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "source": pa.array(srcs, type=pa.string())},
+            schema=schema,
+        )
+
+    df = (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
