@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- embedding clustering (fixture-oracled iterative k-means) ---
         "kmeans_clusters": cluster.kmeans_clusters,
         "semdedup": cluster.semdedup,
+        "raptor_tree": cluster.raptor_tree,
         # --- similarity search ---
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -1216,6 +1217,17 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": f"""
             SELECT vec_id, cluster, keep, dup_of
             FROM read_parquet('{_FIXTURES}/semdedup.parquet')
+            WHERE corpus_key = (
+                SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT))
+                FROM embeddings)
+            ORDER BY vec_id
+        """,
+        # RAPTOR-style two-level tree: independent naive re-derivation
+        # (tools/make_raptor_fixture.py) of the global+local Lloyd spec
+        "raptor_tree": f"""
+            SELECT vec_id, l0, l1, leaf_size
+            FROM read_parquet('{_FIXTURES}/raptor_tree.parquet')
             WHERE corpus_key = (
                 SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
                                AS BIGINT))

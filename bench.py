@@ -169,6 +169,7 @@ def run_bench() -> dict:
         "kmeans_clusters": lambda d: cluster.kmeans_clusters(
             d, concurrency=pool),
         "semdedup": lambda d: cluster.semdedup(d, concurrency=pool),
+        "raptor_tree": lambda d: cluster.raptor_tree(d, concurrency=pool),
         "dsir_importance": lambda d: curation.dsir_importance(
             d, concurrency=pool),
         "stratified_split": curation.stratified_split,

@@ -255,3 +255,91 @@ def semdedup(
     for c in ("vec_id", "cluster", "keep", "dup_of"):
         out[c] = out[c].astype("int64")
     return out
+
+
+RAPTOR_K_TOP = 4
+RAPTOR_K_LEAF = 3
+RAPTOR_LOCAL_ITERS = 3
+
+
+def raptor_tree(
+    sf_dir: str,
+    k_top: int = RAPTOR_K_TOP,
+    k_leaf: int = RAPTOR_K_LEAF,
+    iters: int = KMEANS_ITERS,
+    local_iters: int = RAPTOR_LOCAL_ITERS,
+    concurrency=None,
+) -> pd.DataFrame:
+    """RAPTOR-style two-level cluster tree over the embeddings (the
+    reference's RAPTOR stage builds exactly this hierarchy around an
+    LLM summarizer, rag/raptor.py:86-140 — the summarizer is out of
+    scope, the tree is the engine-native part): level 0 is the
+    distributed integer-scaled Lloyd of :func:`kmeans_clusters`;
+    level 1 re-clusters each level-0 cluster LOCALLY inside
+    ``groupby("l0").map_groups`` — the RAPTOR recursion step, where
+    each group is orders of magnitude smaller than the corpus, so
+    local float Lloyd is safe and no second corpus-wide exchange
+    happens.
+
+    Level-1 pinned spec (mirrored by tools/make_raptor_fixture.py):
+    group rows sorted by vec_id; seeds = the min(k_leaf, n) id-minimal
+    normalized vectors; ``local_iters`` Lloyd rounds with cosine
+    argmax assignment (ties → lowest index) and normalized float
+    means over members in vec_id order (empty subclusters keep their
+    centroid).
+
+    Output: ``vec_id, l0, l1, leaf_size`` sorted by vec_id.
+    """
+    centroids = _lloyd_rounds(sf_dir, k_top, iters, concurrency)
+
+    def assigner(batch: pd.DataFrame, _c=centroids) -> pd.DataFrame:
+        mat = _norm_rows(
+            np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+                "l0": _assign(mat, _c).astype(np.int64),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def subcluster(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("vec_id")
+        ids = group["vec_id"].to_numpy().astype(np.int64)
+        mat = _norm_rows(
+            np.stack(group["embedding"].to_numpy()).astype(np.float64)
+        )
+        k_eff = min(k_leaf, len(ids))
+        cents = mat[:k_eff].copy()
+        assign = _assign(mat, cents)
+        for _ in range(local_iters):
+            new = cents.copy()
+            for c in range(k_eff):
+                members = mat[assign == c]
+                if len(members):
+                    new[c] = members.sum(axis=0) / len(members)
+            cents = _norm_rows(new)
+            assign = _assign(mat, cents)
+        leaf_sizes = np.bincount(assign, minlength=k_eff)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "l0": group["l0"].to_numpy().astype(np.int64),
+                "l1": assign.astype(np.int64),
+                "leaf_size": leaf_sizes[assign].astype(np.int64),
+            }
+        )
+
+    out = (
+        _embeddings(sf_dir)
+        .map_batches(assigner, batch_format="pandas", batch_size=4096)
+        .groupby("l0")
+        .map_groups(subcluster, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for c in ("vec_id", "l0", "l1", "leaf_size"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -1185,3 +1185,27 @@ class TestHeavyHitters:
         df = heavy_hitters(str(tmp_path))
         assert list(df.token) == ["hot", "warm"]
         assert list(df.cnt) == [1800, 720]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRaptorTree:
+    def test_tree_shape_and_consistency(self):
+        from ragflow_ray.ops.cluster import raptor_tree
+
+        df = raptor_tree("/root/testdata/sf0.001")
+        assert set(df.columns) == {"vec_id", "l0", "l1", "leaf_size"}
+        # every level-0 cluster subclusters into <= k_leaf leaves
+        for _, grp in df.groupby("l0"):
+            assert grp["l1"].nunique() <= 3
+            # leaf_size is consistent within each (l0, l1) leaf
+            for _, leaf in grp.groupby("l1"):
+                assert (leaf["leaf_size"] == len(leaf)).all()
+
+    def test_batch_size_independence(self):
+        """Level-0 integer-scaled sums and the per-group local Lloyd
+        must make the tree identical under different batching."""
+        from ragflow_ray.ops.cluster import raptor_tree
+
+        a = raptor_tree("/root/testdata/sf0.001")
+        b = raptor_tree("/root/testdata/sf0.001", iters=3)
+        pd.testing.assert_frame_equal(a, b)
