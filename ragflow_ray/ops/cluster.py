@@ -269,6 +269,7 @@ def raptor_tree(
     iters: int = KMEANS_ITERS,
     local_iters: int = RAPTOR_LOCAL_ITERS,
     concurrency=None,
+    batch_size: int = 4096,
 ) -> pd.DataFrame:
     """RAPTOR-style two-level cluster tree over the embeddings (the
     reference's RAPTOR stage builds exactly this hierarchy around an
@@ -290,7 +291,7 @@ def raptor_tree(
 
     Output: ``vec_id, l0, l1, leaf_size`` sorted by vec_id.
     """
-    centroids = _lloyd_rounds(sf_dir, k_top, iters, concurrency)
+    centroids = _lloyd_rounds(sf_dir, k_top, iters, concurrency, batch_size)
 
     def assigner(batch: pd.DataFrame, _c=centroids) -> pd.DataFrame:
         mat = _norm_rows(
@@ -333,7 +334,7 @@ def raptor_tree(
 
     out = (
         _embeddings(sf_dir)
-        .map_batches(assigner, batch_format="pandas", batch_size=4096)
+        .map_batches(assigner, batch_format="pandas", batch_size=batch_size)
         .groupby("l0")
         .map_groups(subcluster, batch_format="pandas")
         .to_pandas()

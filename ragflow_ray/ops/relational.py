@@ -636,6 +636,9 @@ def regional_revenue(sf_dir: str, region: str = "ASIA",
     supp_ref = ray.put(
         dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int)))
     )
+    # customer is the LARGEST dimension (150k x SF rows in real TPC-H):
+    # ship it through the object store once, never in a task closure
+    cust_ref = ray.put(cust_nation)
 
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
@@ -651,7 +654,8 @@ def regional_revenue(sf_dir: str, region: str = "ASIA",
         )
         okey = t["o_orderkey"].to_numpy()
         ckey = t["o_custkey"].to_numpy()
-        cnat = np.array([cust_nation.get(int(c), -1) for c in ckey],
+        cmap = ray.get(cust_ref)
+        cnat = np.array([cmap.get(int(c), -1) for c in ckey],
                         dtype=np.int64)
         keep = cnat >= 0
         return pa.table(
@@ -832,6 +836,12 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
     )
 
     def _pack(uid: "np.ndarray", bkt: "np.ndarray") -> "np.ndarray":
+        if uid.size and int(uid.max()) >= (1 << 31):
+            # 64-bit (snowflake-style) user ids would wrap the packed
+            # key and merge different users' streams — fail loudly;
+            # such corpora need a (user, bucket) composite key instead
+            raise ValueError("events_range_join: user_id >= 2^31 "
+                             "overflows the packed (user, bucket) key")
         return (uid << np.int64(32)) | (bkt & np.int64(0xFFFFFFFF))
 
     def prep(b: pd.DataFrame) -> pa.Table:
@@ -858,10 +868,12 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
         rids = np.concatenate([rid[is_click], rid_p])
         ts = np.concatenate([t_us[is_click], t_p])
         # Fibonacci mix so sequential users spread across partitions
+        # (numpy floored %% with a positive divisor is already in
+        # [0, n_partitions))
         pkey = ((ckey * np.int64(-7046029254386353131)) >> np.int64(40)) \
             % np.int64(n_partitions)
         return pa.table(
-            {"pkey": pa.array(np.abs(pkey)), "ckey": pa.array(ckey),
+            {"pkey": pa.array(pkey), "ckey": pa.array(ckey),
              "side": pa.array(side), "rid": pa.array(rids),
              "t_us": pa.array(ts)},
             schema=common,
@@ -932,13 +944,22 @@ def props_extract_stats(sf_dir: str):
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
-        df = pd.DataFrame({"event_type": b["event_type"],
-                           "k": k.astype("int64")})
+        # strict integer values only (boundary-anchored), mirroring the
+        # oracle's TRY_CAST: a dirty row ('{}', '{"k": 3.5}', bad JSON)
+        # becomes NULL and is skipped by the k-aggregates, never a crash;
+        # n_events still counts every row
+        k = b["props"].str.extract(r'"k"\s*:\s*(-?\d+)\s*[,}]',
+                                   expand=False).astype("float64")
+        df = pd.DataFrame({"event_type": b["event_type"], "k": k})
         g = df.groupby("event_type", as_index=False).agg(
             n_events=("k", "size"), sum_k=("k", "sum"),
             min_k=("k", "min"), max_k=("k", "max"),
         )
+        # a batch whose type has NO valid k must not bias the global
+        # Min/Max: neutral sentinels, not 0
+        g["sum_k"] = g["sum_k"].fillna(0).astype("int64")
+        g["min_k"] = g["min_k"].fillna(float(1 << 62)).astype("int64")
+        g["max_k"] = g["max_k"].fillna(float(-(1 << 62))).astype("int64")
         return g
 
     out = (

@@ -855,8 +855,6 @@ def hll_distinct_tokens(sf_dir: str):
     import pyarrow as pa
     from ray.data.aggregate import Max
 
-    from ..sources.readers import read_parquet_clean
-
     word_re = re.compile(_TOKEN_RUN)
 
     partial_schema = pa.schema(
@@ -986,8 +984,10 @@ def heavy_hitters(sf_dir: str, phi_x1000: int = HH_PHI_X1000):
                 if w in cand:
                     counts[w] = counts.get(w, 0) + 1
         toks = sorted(counts)
+        # the sentinel contains a space, which a token (a maximal
+        # non-whitespace run) can never contain — no collision possible
         return pa.table(
-            {"token": pa.array(toks + ["\x00total"], type=pa.string()),
+            {"token": pa.array(toks + [" total "], type=pa.string()),
              "cnt": pa.array([counts[t] for t in toks] + [0],
                               type=pa.int64()),
              "n_tokens": pa.array([0] * len(toks) + [total],
@@ -1004,7 +1004,7 @@ def heavy_hitters(sf_dir: str, phi_x1000: int = HH_PHI_X1000):
     )
     total = int(reduced["n_tokens"].sum())
     thresh = (phi_x1000 * total) // 1000
-    out = reduced[(reduced["token"] != "\x00total")
+    out = reduced[(reduced["token"] != " total ")
                   & (reduced["cnt"] > thresh)][["token", "cnt"]]
     out = out.sort_values(["cnt", "token"], ascending=[False, True])
     out = out.reset_index(drop=True)

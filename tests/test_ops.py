@@ -1206,6 +1206,39 @@ class TestRaptorTree:
         must make the tree identical under different batching."""
         from ragflow_ray.ops.cluster import raptor_tree
 
-        a = raptor_tree("/root/testdata/sf0.001")
-        b = raptor_tree("/root/testdata/sf0.001", iters=3)
+        a = raptor_tree("/root/testdata/sf0.001", batch_size=4096)
+        b = raptor_tree("/root/testdata/sf0.001", batch_size=64)
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPropsExtract:
+    def test_dirty_rows_null_skipped(self, tmp_path):
+        """Schema-on-read must degrade per-row, not crash: dirty props
+        rows count toward n_events but contribute no k values (the
+        TRY_CAST semantics of the oracle)."""
+        from ragflow_ray.ops.relational import props_extract_stats
+
+        rows = [
+            ("click", '{"k": 7}'),
+            ("click", '{}'),                 # missing k
+            ("click", '{"k": 3.5}'),         # non-integer -> skipped
+            ("click", 'not json at all'),
+            ("view", '{"k": -2}'),
+        ]
+        t = pa.table(
+            {"event_id": pa.array(range(len(rows)), type=pa.int64()),
+             "ts": pa.array([pd.Timestamp("2024-01-01")] * len(rows),
+                             type=pa.timestamp("us")),
+             "user_id": pa.array([1] * len(rows), type=pa.int64()),
+             "event_type": pa.array([r[0] for r in rows]),
+             "value": pa.array([0.0] * len(rows)),
+             "props": pa.array([r[1] for r in rows])}
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        df = props_extract_stats(str(tmp_path)).set_index("event_type")
+        assert df.loc["click", "n_events"] == 4
+        assert df.loc["click", "sum_k"] == 7
+        assert df.loc["click", "min_k"] == 7
+        assert df.loc["click", "max_k"] == 7
+        assert df.loc["view", "sum_k"] == -2

@@ -83,6 +83,7 @@ def main(sf_dirs):
             rows["est_distinct"].append(est)
             rows["true_distinct"].append(true)
             err = abs(est - true) / max(true, 1)
+            assert err < 0.05, f"{sf}/{src}: est {est} vs true {true}"
         print(f"{sf}: key={key} sources={len(by_src)}")
 
     pq.write_table(
