@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
         "ann_lsh_topk": ann.lsh_topk,
+        "ann_pq_topk": ann.pq_topk,
         "label_vector_sums": ann.label_vector_sums,
         # --- multimodal plumbing ---
         "media_meta": media_meta,
@@ -1222,6 +1223,18 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT))
                 FROM embeddings)
             ORDER BY vec_id
+        """,
+        # product-quantization ADC top-k: independent re-derivation of
+        # the codebook Lloyd + table-lookup scoring spec
+        # (tools/make_pq_fixture.py)
+        "ann_pq_topk": f"""
+            SELECT q_vec_id, vec_id, rank
+            FROM read_parquet('{_FIXTURES}/pq_topk.parquet')
+            WHERE corpus_key = (
+                SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT))
+                FROM embeddings)
+            ORDER BY q_vec_id, rank
         """,
         # RAPTOR-style two-level tree: independent naive re-derivation
         # (tools/make_raptor_fixture.py) of the global+local Lloyd spec

@@ -328,3 +328,167 @@ def lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=None):
         batch_size=4096,
     )
     return _merge_partials(partials.to_pandas(), k)
+
+
+# ---- product quantization (ADC) top-k -------------------------------------
+
+PQ_SUBSPACES = 8     # 64-dim vectors -> 8 subvectors of 8 dims
+PQ_CENTROIDS = 16    # 4-bit codes per subspace
+PQ_ITERS = 3
+
+
+def _pq_assign(sub: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Euclidean nearest sub-centroid; np.argmin tie-break = lowest
+    index (pinned, mirrored by tools/make_pq_fixture.py)."""
+    d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1)
+    return np.argmin(d, axis=1)
+
+
+def pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
+            m: int = PQ_SUBSPACES, n_cent: int = PQ_CENTROIDS,
+            iters: int = PQ_ITERS, concurrency=None,
+            batch_size: int = 4096):
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011) — the memory-bounded scale path of the ANN
+    family: at 10^12 vectors neither the float matrix (brute force)
+    nor per-list float storage (IVF) fits, but ``m`` 4-bit codes per
+    vector (4 bytes here vs 256 for the raw float32s) do.
+
+    Codebook training is the same distributed integer-scaled Lloyd
+    discipline as ops/cluster.py, run for ALL subspaces in one
+    streaming pass per round: per batch, each subvector assigns to its
+    Euclidean-nearest sub-centroid and only (subspace, centroid, dim)
+    partial sums leave the task — m × n_cent × (D/m) = D × n_cent
+    rows, constant in corpus size.  Scoring streams once more: each
+    batch encodes its vectors (argmin per subspace) and scores every
+    query via the ADC table (query-subvector · sub-centroid inner
+    products, summed over subspaces in fixed order), emitting only
+    per-batch partial top-k rows.
+
+    Deterministic: integer-scaled training sums, batch-independent
+    per-row encode/score, scores rounded to 9 dp in the tiny driver
+    merge, ties to ascending vec_id.  Oracled by the independent
+    re-derivation tools/make_pq_fixture.py.  Output: (q_vec_id,
+    vec_id, rank).
+    """
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    query_ids, queries = _load_queries(sf_dir, n_queries)
+
+    # ---- codebook: seeds = sub-slices of the n_cent id-minimal vectors
+    seed_df = (
+        _head_rows(f"{sf_dir}/embeddings.parquet", n_cent,
+                   ["vec_id", "embedding"])
+        .to_pandas().sort_values("vec_id").head(n_cent)
+    )
+    seed = np.stack(seed_df["embedding"].to_numpy()).astype(np.float64)
+    seed /= np.maximum(np.linalg.norm(seed, axis=1, keepdims=True), 1e-12)
+    dim = seed.shape[1]
+    dsub = dim // m
+    cents = seed.reshape(n_cent, m, dsub).transpose(1, 0, 2).copy()  # [m, K, dsub]
+
+    partial_schema = pa.schema(
+        [("sub", pa.int64()), ("cent", pa.int64()), ("dim", pa.int64()),
+         ("sum_x1e6", pa.int64()), ("n", pa.int64())]
+    )
+
+    ds = _embeddings(sf_dir)
+    scale = 1_000_000
+
+    for _ in range(iters):
+        cts = cents
+
+        def train_partial(batch: pd.DataFrame, _c=cts) -> pa.Table:
+            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            scaled = np.floor(mat * scale + 0.5).astype(np.int64)
+            subs, cs, dims, sums, ns = [], [], [], [], []
+            for s in range(m):
+                sub = mat[:, s * dsub:(s + 1) * dsub]
+                a = _pq_assign(sub, _c[s])
+                ssum = np.zeros((n_cent, dsub), dtype=np.int64)
+                np.add.at(ssum, a, scaled[:, s * dsub:(s + 1) * dsub])
+                cnt = np.bincount(a, minlength=n_cent).astype(np.int64)
+                subs.append(np.full(n_cent * dsub, s, dtype=np.int64))
+                cs.append(np.repeat(np.arange(n_cent, dtype=np.int64), dsub))
+                dims.append(np.tile(np.arange(dsub, dtype=np.int64), n_cent))
+                sums.append(ssum.reshape(-1))
+                ns.append(np.repeat(cnt, dsub))
+            return pa.table(
+                {"sub": np.concatenate(subs), "cent": np.concatenate(cs),
+                 "dim": np.concatenate(dims), "sum_x1e6": np.concatenate(sums),
+                 "n": np.concatenate(ns)},
+                schema=partial_schema,
+            )
+
+        reduced = (
+            ds.map_batches(train_partial, batch_format="pandas",
+                           batch_size=batch_size)
+            .groupby(["sub", "cent", "dim"])
+            .aggregate(Sum("sum_x1e6", alias_name="s"),
+                       Sum("n", alias_name="n"))
+            .to_pandas().sort_values(["sub", "cent", "dim"])
+        )
+        new = cents.copy()
+        for (s, c), grp in reduced.groupby(["sub", "cent"]):
+            n = int(grp["n"].iloc[0])
+            if n == 0:
+                continue
+            vec = grp["s"].to_numpy(dtype=np.float64) / scale / n
+            if len(vec) == dsub:
+                new[int(s), int(c)] = vec
+        cents = new
+
+    # ---- ADC scoring pass: encode per batch, score via table lookups
+    qsub = queries.reshape(len(queries), m, dsub)
+    # table[q, s, j] = <query q's subvector s, sub-centroid j>
+    table = np.einsum("qsd,sjd->qsj", qsub, cents)
+    tref = ray.put((cents, table))
+
+    score_schema = pa.schema(
+        [("q_vec_id", pa.int64()), ("vec_id", pa.int64()),
+         ("score", pa.float64())]
+    )
+
+    class PqScorer:
+        def __init__(self, query_ids, k):
+            self.cents, self.table = ray.get(tref)
+            self.query_ids = query_ids
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            ids = batch["vec_id"].to_numpy().astype(np.int64)
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for s in range(m):
+                codes[:, s] = _pq_assign(
+                    mat[:, s * dsub:(s + 1) * dsub], self.cents[s]
+                )
+            qs, vs, sc = [], [], []
+            for qi, qid in enumerate(self.query_ids):
+                # score = Σ_s table[qi, s, code_s] in fixed s order
+                scores = self.table[qi, np.arange(m), codes].sum(axis=1)
+                kk = min(self.k, len(ids))
+                top = np.argpartition(-scores, kk - 1)[:kk]
+                qs.append(np.full(kk, int(qid), dtype=np.int64))
+                vs.append(ids[top])
+                sc.append(scores[top])
+            return pa.table(
+                {"q_vec_id": np.concatenate(qs),
+                 "vec_id": np.concatenate(vs),
+                 "score": np.concatenate(sc)},
+                schema=score_schema,
+            )
+
+    partials = ds.map_batches(
+        PqScorer,
+        fn_constructor_kwargs={"query_ids": query_ids, "k": k},
+        batch_format="pandas", concurrency=concurrency or 2,
+        batch_size=batch_size,
+    )
+    return _merge_partials(partials.to_pandas(), k)

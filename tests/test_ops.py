@@ -1242,3 +1242,30 @@ class TestPropsExtract:
         assert df.loc["click", "min_k"] == 7
         assert df.loc["click", "max_k"] == 7
         assert df.loc["view", "sum_k"] == -2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPqTopk:
+    def test_batching_independence_and_shape(self):
+        from ragflow_ray.ops.ann import pq_topk
+
+        a = pq_topk("/root/testdata/sf0.001", batch_size=4096)
+        # NOT concurrency=4: an actor pool that large starves the
+        # 4-CPU test session's read tasks
+        b = pq_topk("/root/testdata/sf0.001", batch_size=64)
+        pd.testing.assert_frame_equal(a, b)
+        assert list(a.columns) == ["q_vec_id", "vec_id", "rank"]
+        assert a.groupby("q_vec_id")["rank"].max().eq(10).all()
+
+    def test_adc_recall_against_exact(self):
+        """PQ is approximate, but with 8x16 codes over 64 dims the
+        exact top-1 (the query itself) should be recalled in the ADC
+        top-10 for most queries."""
+        from ragflow_ray.ops.ann import pq_topk
+
+        df = pq_topk("/root/testdata/sf0.001")
+        hits = sum(
+            int(q in set(df[df.q_vec_id == q]["vec_id"]))
+            for q in df["q_vec_id"].unique()
+        )
+        assert hits >= 3  # at least 3 of the 5 queries recall themselves
