@@ -776,7 +776,11 @@ def lm_cross_entropy(sf_dir: str, broadcast_limit: int = 2_000_000):
 
     model = (
         _docs(sf_dir, columns=("text",))
-        .map_batches(count_partial, batch_format="pandas")
+        # bundle the split-read's small blocks back into big batches:
+        # this pass emits VOCAB-sized partials per batch, so more
+        # batches = a linearly bigger (a, b) count shuffle
+        .map_batches(count_partial, batch_format="pandas",
+                     batch_size=2048)
         .groupby(["a", "b"])
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
@@ -1256,6 +1260,7 @@ def nb_lang_classify(sf_dir: str, n_buckets: int = NBC_BUCKETS,
 
     model_df = (
         docs.map_batches(TrainCounts, batch_format="pandas",
+                         batch_size=2048,
                          concurrency=concurrency or (1, 4))
         .groupby(["lang", "bucket"])
         .aggregate(Sum("cnt", alias_name="cnt"))
@@ -1322,6 +1327,7 @@ def nb_lang_classify(sf_dir: str, n_buckets: int = NBC_BUCKETS,
 
     df = (
         docs.map_batches(Scorer, batch_format="pandas",
+                         batch_size=2048,
                          concurrency=concurrency or (1, 4))
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )

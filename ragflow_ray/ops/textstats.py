@@ -805,8 +805,14 @@ def _hll_partial(texts, word_re) -> "np.ndarray":
     regs = np.zeros(HLL_M, dtype=np.int64)
     rest_bits = 64 - HLL_P
     mask = (1 << rest_bits) - 1
+    seen: set[str] = set()
     for text in texts:
         for w in word_re.findall(text):
+            # a repeated token can never raise a register again —
+            # hash each DISTINCT token once per batch
+            if w in seen:
+                continue
+            seen.add(w)
             h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
             reg = h >> rest_bits
             rest = h & mask
