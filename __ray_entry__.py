@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": curation.pack_sequences,
         "training_order": curation.training_order,
         "source_rollup": curation.source_rollup,
+        "source_lang_rollup": curation.source_lang_rollup,
         "length_quantiles": curation.length_quantiles,
         "mixture_sample": curation.mixture_sample,
         "temperature_mix": curation.temperature_mix,
@@ -1283,6 +1284,17 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(c * w), 6) AS dsir_logw
             FROM doc_b JOIN wt USING (b)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # ROLLUP: all three levels pre-aggregated per batch in one
+        # pass; '*' spells the ALL bucket
+        "source_lang_rollup": f"""
+            SELECT COALESCE(source, '*') AS source,
+                   COALESCE(lang, '*') AS lang,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM({_NTOK})::BIGINT AS n_tokens
+            FROM documents
+            GROUP BY ROLLUP (source, lang)
+            ORDER BY source, lang
         """,
         # UniMax temperature mixture: rate_s = min(S, B·S·w_s//(W·n_s)),
         # w_s = floor(sqrt(n_s)) (IEEE sqrt is correctly rounded, so

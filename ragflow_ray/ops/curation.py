@@ -1403,3 +1403,61 @@ def temperature_mix(sf_dir: str):
     )
     df["doc_id"] = df["doc_id"].astype("int64")
     return df
+
+
+def source_lang_rollup(sf_dir: str):
+    """Multi-level corpus dashboard: doc/token totals at (source,
+    lang), per-source subtotal, and grand total — the GROUPING
+    SETS/ROLLUP pattern.  One streaming pass pre-aggregates ALL
+    THREE levels inside each batch (at most ``sources × langs + sources
+    + 1`` partial rows per batch, constant in corpus size), then one
+    tiny groupby sums the partials — never three scans, never a
+    row-level shuffle.  The ALL bucket is spelled ``*`` (matches the
+    SQL oracle's COALESCE over ROLLUP nulls).
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    schema = pa.schema(
+        [("source", pa.string()), ("lang", pa.string()),
+         ("n_docs", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].str.count(_TOKEN_RUN)
+        base = pd.DataFrame(
+            {"source": batch["source"], "lang": batch["lang"],
+             "n_docs": 1, "n_tokens": toks}
+        )
+        lvl2 = base.groupby(["source", "lang"], as_index=False).sum()
+        lvl1 = lvl2.groupby("source", as_index=False)[
+            ["n_docs", "n_tokens"]].sum()
+        lvl1["lang"] = "*"
+        lvl0 = pd.DataFrame(
+            {"source": ["*"], "lang": ["*"],
+             "n_docs": [lvl2["n_docs"].sum()],
+             "n_tokens": [lvl2["n_tokens"].sum()]}
+        )
+        out = pd.concat(
+            [lvl2, lvl1[["source", "lang", "n_docs", "n_tokens"]], lvl0],
+            ignore_index=True,
+        )
+        return pa.table(
+            {"source": pa.array(out["source"], type=pa.string()),
+             "lang": pa.array(out["lang"], type=pa.string()),
+             "n_docs": pa.array(out["n_docs"].astype("int64")),
+             "n_tokens": pa.array(out["n_tokens"].astype("int64"))},
+            schema=schema,
+        )
+
+    df = (
+        _docs(sf_dir, columns=("text", "source", "lang"))
+        .map_batches(partial, batch_format="pandas", batch_size=2048)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas().sort_values(["source", "lang"]).reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_tokens"):
+        df[c] = df[c].astype("int64")
+    return df
