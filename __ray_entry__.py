@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relational.top_customers,
         "event_type_stats": relational.event_type_stats,
         "events_hourly": relational.events_hourly,
+        "events_hourly_uniques": relational.events_hourly_uniques,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,
@@ -1103,6 +1104,12 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT))::BIGINT AS sum_acctbal_cents
             FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        # exact COUNT(DISTINCT) per tumbling hour via two-level dedup
+        "events_hourly_uniques": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_unique_users
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         # schema-on-read JSON extraction, aggregated per event type
         "props_extract_stats": """

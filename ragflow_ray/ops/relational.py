@@ -974,3 +974,58 @@ def props_extract_stats(sf_dir: str):
     for c in ("n_events", "sum_k", "min_k", "max_k"):
         df[c] = df[c].astype("int64")
     return df
+
+
+def events_hourly_uniques(sf_dir: str):
+    """Distinct users per tumbling hour — the COUNT(DISTINCT) window
+    aggregate, done EXACTLY with two-level aggregation: each batch
+    first dedups its own (hour, user) pairs locally (so at most
+    |users| rows per hour leave any task, not |events|), then ONE
+    groupby on the hour key counts uniques per group vectorized.
+    Group count = number of windows (bounded), group size = active
+    users in that hour; a hot hour is the skew case and would salt on
+    a user-hash prefix.  The raw event stream never shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    pair_schema = pa.schema([("hour_us", pa.int64()),
+                             ("user_id", pa.int64())])
+
+    def local_pairs(b: pd.DataFrame) -> pa.Table:
+        d = pd.DataFrame(
+            {"hour_us": b["ts"].dt.floor("h").to_numpy()
+                 .astype("datetime64[us]").astype("int64"),
+             "user_id": b["user_id"].astype("int64")}
+        ).drop_duplicates()
+        return pa.table(
+            {"hour_us": pa.array(d["hour_us"].astype("int64")),
+             "user_id": pa.array(d["user_id"].astype("int64"))},
+            schema=pair_schema,
+        )
+
+    cnt_schema = pa.schema([("hour_us", pa.int64()),
+                            ("n_unique_users", pa.int64())])
+
+    def hour_uniques(g: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {"hour_us": [int(g["hour_us"].iloc[0])],
+             "n_unique_users": [int(g["user_id"].nunique())]},
+            schema=cnt_schema,
+        )
+
+    df = (
+        ds.map_batches(local_pairs, batch_format="pandas")
+        .groupby("hour_us")
+        .map_groups(hour_uniques, batch_format="pandas")
+        .sort("hour_us")
+        .to_pandas()
+    )
+    df["hour"] = df["hour_us"].astype("datetime64[us]")
+    df["n_unique_users"] = df["n_unique_users"].astype("int64")
+    return df[["hour", "n_unique_users"]]
