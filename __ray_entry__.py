@@ -1112,16 +1112,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY 1
         """,
         # schema-on-read JSON extraction, aggregated per event type
-        "props_extract_stats": """
+        # regexp_extract + TRY_CAST mirrors the engine's strict-integer
+        # regex EXACTLY on dirty rows: '{"k": 3.5}' and non-JSON both
+        # yield NULL on BOTH sides (plain CAST would crash DuckDB on
+        # bad JSON, and TRY_CAST of json_extract_string('3.5') ROUNDS
+        # to 4 — both diverge from the engine's null-skip contract)
+        "props_extract_stats": r"""
+            WITH k_vals AS (
+                SELECT event_type,
+                       TRY_CAST(regexp_extract(
+                           props, '"k"\s*:\s*(-?\d+)\s*[,}]', 1
+                       ) AS BIGINT) AS k
+                FROM events
+            )
             SELECT event_type,
                    COUNT(*)::BIGINT AS n_events,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       ::BIGINT AS sum_k,
-                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       ::BIGINT AS min_k,
-                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       ::BIGINT AS max_k
-            FROM events GROUP BY event_type ORDER BY event_type
+                   SUM(k)::BIGINT AS sum_k,
+                   MIN(k)::BIGINT AS min_k,
+                   MAX(k)::BIGINT AS max_k
+            FROM k_vals GROUP BY event_type ORDER BY event_type
         """,
         # range join via bucketized interval replication: clicks in
         # the half-open hour before each purchase, LEFT semantics

@@ -98,6 +98,33 @@ def _score_wanted(ids, mat, assignment, wanted, queries, query_ids, k):
     )
 
 
+def _reduce_topk(partials, k: int):
+    """Distributed per-query top-k reduce over the partial Dataset:
+    ONE ``groupby(q_vec_id)`` collapses the nq × k × n_blocks partial
+    rows to nq × k BEFORE anything reaches the driver — at 100 TB
+    n_blocks is 10^5-10^6 and a driver-side pandas merge of the raw
+    partials (the r3 shape) would grow with block count.  The group
+    key cardinality is nq (small) and each group is k × n_blocks
+    short fixed-width rows, so the reduce task is bounded and the
+    rounding / tie-break contract matches :func:`_merge_partials`
+    exactly (which re-applies it idempotently on the nq × k result)."""
+
+    def local_topk(group: pd.DataFrame):
+        g = group.copy()
+        g["score_r"] = g["score"].round(9)
+        g = g.sort_values(["score_r", "vec_id"],
+                          ascending=[False, True]).head(k)
+        return pa.table(
+            {"q_vec_id": g["q_vec_id"].to_numpy().astype(np.int64),
+             "vec_id": g["vec_id"].to_numpy().astype(np.int64),
+             "score": g["score"].to_numpy().astype(np.float64)},
+            schema=_PARTIAL_SCHEMA,
+        )
+
+    return partials.groupby("q_vec_id").map_groups(
+        local_topk, batch_format="pandas")
+
+
 def _merge_partials(df: pd.DataFrame, k: int) -> pd.DataFrame:
     """Tiny driver-side merge of the per-batch partial top-k set
     (nq × k × n_blocks rows): round scores to absorb summation-order
@@ -166,7 +193,9 @@ def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=N
         batch_size=4096,
     )
     # final merge: the partial top-k set is tiny (nq × k × n_blocks)
-    return _merge_partials(partials.to_pandas(), k)
+    # distributed nq-x-k reduce first: the driver never sees a
+    # block-count-proportional row set
+    return _merge_partials(_reduce_topk(partials, k).to_pandas(), k)
 
 
 def label_vector_sums(sf_dir: str):
@@ -264,7 +293,9 @@ def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
     partials = _embeddings(sf_dir).map_batches(
         IvfScorer, batch_format="pandas", concurrency=concurrency or 2, batch_size=4096
     )
-    return _merge_partials(partials.to_pandas(), k)
+    # distributed nq-x-k reduce first: the driver never sees a
+    # block-count-proportional row set
+    return _merge_partials(_reduce_topk(partials, k).to_pandas(), k)
 
 
 LSH_PLANES = 8
@@ -327,7 +358,9 @@ def lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=None):
         LshScorer, batch_format="pandas", concurrency=concurrency or 2,
         batch_size=4096,
     )
-    return _merge_partials(partials.to_pandas(), k)
+    # distributed nq-x-k reduce first: the driver never sees a
+    # block-count-proportional row set
+    return _merge_partials(_reduce_topk(partials, k).to_pandas(), k)
 
 
 # ---- product quantization (ADC) top-k -------------------------------------
@@ -491,4 +524,6 @@ def pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
         batch_format="pandas", concurrency=concurrency or 2,
         batch_size=batch_size,
     )
-    return _merge_partials(partials.to_pandas(), k)
+    # distributed nq-x-k reduce first: the driver never sees a
+    # block-count-proportional row set
+    return _merge_partials(_reduce_topk(partials, k).to_pandas(), k)

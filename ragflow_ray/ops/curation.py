@@ -45,12 +45,15 @@ QF_PUNCT_RE = re.compile(QF_PUNCT)
 QF_STOP_RE = re.compile(rf"\b(?:{QF_STOP_WORDS})\b")
 
 
-def _docs(sf_dir: str, columns=("doc_id", "text")):
+def _docs(sf_dir: str, columns=("doc_id", "text"), rows_per_block: int = 256):
     from ..sources.readers import read_docs_split
 
     # split-on-read: the shared one-row-group parquet would otherwise
-    # run every Python-heavy per-doc pass as a single task
-    return read_docs_split(sf_dir, columns=list(columns))
+    # run every Python-heavy per-doc pass as a single task.  Block size
+    # is a per-op choice (r3 verdict): 256 for per-doc Python loops,
+    # >=2048 where a C-level kernel does the work.
+    return read_docs_split(sf_dir, columns=list(columns),
+                           rows_per_block=rows_per_block)
 
 
 def _grams(text: str, n: int) -> set[str]:
@@ -1424,6 +1427,13 @@ def source_lang_rollup(sf_dir: str):
     )
 
     def partial(batch: pd.DataFrame) -> pa.Table:
+        # the ALL bucket is spelled '*' on both engine and oracle side
+        # (COALESCE), so a REAL source/lang named '*' would silently
+        # merge with the rollup subtotals — fail loudly instead
+        if (batch["source"] == "*").any() or (batch["lang"] == "*").any():
+            raise ValueError(
+                "source_lang_rollup: literal '*' occurs as a source/"
+                "lang value and would collide with the ALL bucket")
         toks = batch["text"].str.count(_TOKEN_RUN)
         base = pd.DataFrame(
             {"source": batch["source"], "lang": batch["lang"],

@@ -37,12 +37,17 @@ import pandas as pd
 _WS = re.compile(r"\s+")
 
 
-def _docs(sf_dir: str, columns=("doc_id", "text")):
+def _docs(sf_dir: str, columns=("doc_id", "text"), rows_per_block: int = 256):
     from ..sources.readers import read_docs_split
 
     # split-on-read: the shared one-row-group parquet would otherwise
-    # run every Python-heavy per-doc pass as a single task
-    return read_docs_split(sf_dir, columns=list(columns))
+    # run every Python-heavy per-doc pass as a single task.  The block
+    # size is a PER-OP choice (r3 verdict): per-doc Python loops want
+    # small blocks for parallelism; C-level vectorized partials want
+    # few big blocks — a 256-row split in front of a cheap kernel costs
+    # more in task overhead than the work itself.
+    return read_docs_split(sf_dir, columns=list(columns),
+                           rows_per_block=rows_per_block)
 
 
 # -- exact ---------------------------------------------------------------
@@ -61,7 +66,8 @@ def exact_dedup(sf_dir: str):
 
     from ray.data.aggregate import Count, Min
 
-    ds = _docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, rows_per_block=2048).map_batches(
+        hash_batch, batch_format="pyarrow")
     out = ds.groupby("content_hash").aggregate(
         Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies")
     )
@@ -86,7 +92,8 @@ def dedup_keepers(sf_dir: str):
         ]
         return pa.table({"content_hash": pa.array(digests), "doc_id": batch["doc_id"]})
 
-    ds = _docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, rows_per_block=2048).map_batches(
+        hash_batch, batch_format="pyarrow")
     out = ds.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
     df = out.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
     df["doc_id"] = df["doc_id"].astype("int64")
@@ -1151,42 +1158,68 @@ def dedup_incremental(sf_dir: str, new_source: str = "src19",
     ``dup_of`` = the id-minimal existing doc sharing it.
 
     The distributed plan an incremental ingest pipeline needs: both
-    sides stream through the same signature ``map_batches``, the
-    existing corpus collapses to one row per signature via a C-level
-    min aggregate, and a hash join on the signature (never on text)
-    lands the verdicts — no driver-side set, no re-scan of the corpus
-    per new doc.
+    sides stream through the same signature ``map_batches`` (text is
+    stripped there — only ``(bucket, hash, id, flag)`` ever shuffles),
+    then ONE common-schema union + ONE coarse-bucket groupby
+    co-partitions old and new rows and each bucket vector-matches new
+    docs against the id-minimal old doc per signature.  This is the
+    hybrid_topk / events_order_asof co-partition pattern — it replaced
+    a ``Dataset.join`` whose hash-join finalize crashed
+    nondeterministically on empty/schema-less left partitions
+    (CORRECTNESS_r03's one red row) and BASELINE measured the pattern
+    ~2x cheaper than the join operator at this scale anyway.
+    ``join_partitions`` is kept for API compatibility; the coarse
+    bucket count is fixed and every block carries the pinned schema,
+    so no partition can be schema-less.
     """
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    from ray.data.aggregate import Min
+    _N_BUCKETS = 256
+    side_schema = pa.schema(
+        [("bucket", pa.int64()), ("token_set_hash", pa.string()),
+         ("doc_id", pa.int64()), ("is_new", pa.int64())]
+    )
 
-    def sig(batch: pa.Table) -> pa.Table:
-        sigs = [token_set_signature(t) for t in batch["text"].to_pylist()]
-        return pa.table({"token_set_hash": pa.array(sigs), "doc_id": batch["doc_id"]})
-
-    # empty join partitions yield schema-less blocks that break Arrow's
-    # hash join — size the partition count to the corpus (O(1) footer read)
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    join_partitions = max(1, min(join_partitions, n_docs // 64 + 1))
+    def sig(flag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            sigs = [token_set_signature(t) for t in batch["text"].to_pylist()]
+            ids = batch["doc_id"].cast(pa.int64())
+            return pa.table(
+                {"bucket": pa.array(
+                    [int(s[:4], 16) % _N_BUCKETS for s in sigs],
+                    type=pa.int64()),
+                 "token_set_hash": pa.array(sigs, type=pa.string()),
+                 "doc_id": ids,
+                 "is_new": pa.array([flag] * len(sigs), type=pa.int64())},
+                schema=side_schema,
+            )
+        return fn
 
     docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
-    new = docs.filter(expr=f"source == '{new_source}'")
-    old = docs.filter(expr=f"source != '{new_source}'")
+    new_sig = (docs.filter(expr=f"source == '{new_source}'")
+               .map_batches(sig(1), batch_format="pyarrow"))
+    old_sig = (docs.filter(expr=f"source != '{new_source}'")
+               .map_batches(sig(0), batch_format="pyarrow"))
 
-    old_min = (
-        old.map_batches(sig, batch_format="pyarrow")
-        .groupby("token_set_hash")
-        .aggregate(Min("doc_id", alias_name="dup_of"))
-    )
-    new_sig = new.map_batches(sig, batch_format="pyarrow")
-    joined = new_sig.join(
-        old_min, join_type="inner", num_partitions=join_partitions,
-        on=("token_set_hash",),
-    )
+    out_schema = pa.schema([("doc_id", pa.int64()), ("dup_of", pa.int64())])
+
+    def match(group: pd.DataFrame):
+        is_new = group["is_new"].to_numpy() == 1
+        old_min = group[~is_new].groupby("token_set_hash")["doc_id"].min()
+        news = group[is_new]
+        dup = news["token_set_hash"].map(old_min)
+        keep = dup.notna().to_numpy()
+        return pa.table(
+            {"doc_id": news["doc_id"].to_numpy()[keep].astype("int64"),
+             "dup_of": dup.to_numpy()[keep].astype("int64")},
+            schema=out_schema,
+        )
+
     df = (
-        joined.select_columns(["doc_id", "dup_of"]).to_pandas()
+        new_sig.union(old_sig)
+        .groupby("bucket")
+        .map_groups(match, batch_format="pandas")
+        .to_pandas()
         .sort_values("doc_id").reset_index(drop=True)
     )
     if df.empty:

@@ -836,13 +836,19 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
     )
 
     def _pack(uid: "np.ndarray", bkt: "np.ndarray") -> "np.ndarray":
-        if uid.size and int(uid.max()) >= (1 << 31):
-            # 64-bit (snowflake-style) user ids would wrap the packed
-            # key and merge different users' streams — fail loudly;
-            # such corpora need a (user, bucket) composite key instead
-            raise ValueError("events_range_join: user_id >= 2^31 "
-                             "overflows the packed (user, bucket) key")
-        return (uid << np.int64(32)) | (bkt & np.int64(0xFFFFFFFF))
+        if uid.size and (int(uid.max()) >= (1 << 31) or int(uid.min()) < 0):
+            # 64-bit (snowflake-style) or negative user ids would wrap
+            # the packed key and merge different users' streams — fail
+            # loudly; such corpora need a (user, bucket) composite key
+            raise ValueError("events_range_join: user_id outside "
+                             "[0, 2^31) overflows the packed "
+                             "(user, bucket) key")
+        if bkt.size and (int(bkt.max()) >= (1 << 32) or int(bkt.min()) < 0):
+            # buckets 2^32 apart (tiny windows x far-future timestamps)
+            # would silently merge under a mask — assert, don't mask
+            raise ValueError("events_range_join: window bucket outside "
+                             "[0, 2^32) would collide in the packed key")
+        return (uid << np.int64(32)) | bkt
 
     def prep(b: pd.DataFrame) -> pa.Table:
         t_us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
@@ -948,8 +954,11 @@ def props_extract_stats(sf_dir: str):
         # oracle's TRY_CAST: a dirty row ('{}', '{"k": 3.5}', bad JSON)
         # becomes NULL and is skipped by the k-aggregates, never a crash;
         # n_events still counts every row
-        k = b["props"].str.extract(r'"k"\s*:\s*(-?\d+)\s*[,}]',
-                                   expand=False).astype("float64")
+        # ASCII-explicit classes pin Python-re and DuckDB-RE2 \s/\d to
+        # the same semantics (the repo-wide _TOKEN_RUN convention)
+        k = b["props"].str.extract(
+            r'"k"[ \t\n\r\f\v]*:[ \t\n\r\f\v]*(-?[0-9]+)[ \t\n\r\f\v]*[,}]',
+            expand=False).astype("float64")
         df = pd.DataFrame({"event_type": b["event_type"], "k": k})
         g = df.groupby("event_type", as_index=False).agg(
             n_events=("k", "size"), sum_k=("k", "sum"),
@@ -971,8 +980,19 @@ def props_extract_stats(sf_dir: str):
                    Max("max_k", alias_name="max_k"))
     )
     df = out.sort("event_type").to_pandas()
-    for c in ("n_events", "sum_k", "min_k", "max_k"):
-        df[c] = df[c].astype("int64")
+    # a type with ZERO valid k corpus-wide still carries the neutral
+    # sentinels here; the SQL contract for an all-NULL aggregate is
+    # NULL — emit NaN (float64, matching DuckDB's pandas conversion)
+    # for those rows instead of leaking ±2^62 (r3 ADVICE)
+    dirty = df["min_k"] == float(1 << 62)
+    df["n_events"] = df["n_events"].astype("int64")
+    if dirty.any():
+        for c in ("sum_k", "min_k", "max_k"):
+            df[c] = df[c].astype("float64")
+            df.loc[dirty, c] = float("nan")
+    else:
+        for c in ("sum_k", "min_k", "max_k"):
+            df[c] = df[c].astype("int64")
     return df
 
 

@@ -28,12 +28,16 @@ _PUNCT = re.compile(r"[.,!?;:]")
 _STOPWORDS = ("the", "a", "of", "to", "and")
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, rows_per_block: int = 256):
     from ..sources.readers import read_docs_split
 
     # split-on-read: the shared one-row-group parquet would otherwise
-    # run every Python-heavy per-doc pass as a single task
-    return read_docs_split(sf_dir, columns=["doc_id", "text", "lang"])
+    # run every Python-heavy per-doc pass as a single task.  Block size
+    # is a PER-OP choice (r3 verdict): 256 for per-doc Python loops,
+    # >=2048 for C-level vectorized partials where the split tax would
+    # exceed the kernel work.
+    return read_docs_split(sf_dir, columns=["doc_id", "text", "lang"],
+                           rows_per_block=rows_per_block)
 
 
 def token_stats(sf_dir: str):
@@ -54,7 +58,8 @@ def token_stats(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    partials = _docs(sf_dir).map_batches(partial, batch_format="pandas")
+    partials = _docs(sf_dir, rows_per_block=4096).map_batches(
+        partial, batch_format="pandas")
     out = partials.groupby("lang").aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("n_tokens", alias_name="n_tokens"),
@@ -90,7 +95,8 @@ def quality_scores(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir).map_batches(score, batch_format="pandas").sort("doc_id")
+    return _docs(sf_dir, rows_per_block=2048).map_batches(
+        score, batch_format="pandas").sort("doc_id")
 
 
 def lang_id(sf_dir: str):
@@ -106,7 +112,8 @@ def lang_id(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    partials = _docs(sf_dir).map_batches(ident, batch_format="pandas")
+    partials = _docs(sf_dir, rows_per_block=4096).map_batches(
+        ident, batch_format="pandas")
     df = (
         partials.groupby("pred_lang")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
@@ -130,7 +137,8 @@ def fingerprints(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir).map_batches(fp, batch_format="pandas").sort("doc_id")
+    return _docs(sf_dir, rows_per_block=2048).map_batches(
+        fp, batch_format="pandas").sort("doc_id")
 
 
 BM25_QUERY_TERMS = ("table", "join", "vector")
