@@ -99,12 +99,30 @@ def run_bench() -> dict:
     warm = rd.read_parquet(corpus_dir).limit(32)
     extract_dataset(warm, cfg=ChunkConfig(), batch_size=16).count()
 
-    start = time.time()
-    out = extract_parquet(corpus_dir, cfg=ChunkConfig(), batch_size=16)
-    total = out.count()
-    extract_sec = time.time() - start
+    # min-of-N: this is a shared VM with contended windows (BASELINE's
+    # measured noise experiment: same binary 3.7 s idle, 24.5 s
+    # contended) — a single sample can masquerade as a regression, so
+    # every reported number is the best of N_SAMPLES back-to-back runs
+    n_samples = int(os.environ.get("GRAFT_BENCH_SAMPLES", "3"))
+
+    def best_of(fn) -> float:
+        best = float("inf")
+        for _ in range(n_samples):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    total = 0
+
+    def _extract_once():
+        nonlocal total
+        out = extract_parquet(corpus_dir, cfg=ChunkConfig(), batch_size=16)
+        total = out.count()
+
+    extract_sec = best_of(_extract_once)
     log(f"extract: {n_docs} docs -> {total} rows in {extract_sec:.2f}s "
-        f"({n_docs / extract_sec:.1f} docs/s)")
+        f"min-of-{n_samples} ({n_docs / extract_sec:.1f} docs/s)")
 
     queries = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
@@ -184,14 +202,12 @@ def run_bench() -> dict:
         "winnow_overlap_pairs": lambda d: len(dedup.winnow_overlap_pairs(d)),
     }
     for name, fn in bench_queries.items():
-        t0 = time.time()
         try:
-            fn(SF_DIR)
-            queries[name] = round(time.time() - t0, 3)
+            queries[name] = round(best_of(lambda: fn(SF_DIR)), 3)
         except Exception as exc:  # noqa: BLE001
             log(f"query {name} failed: {exc}")
             queries[name] = -1.0
-        log(f"query {name}: {queries[name]}s")
+        log(f"query {name}: {queries[name]}s (min of {n_samples})")
 
     ray.shutdown()
     return {

@@ -788,7 +788,9 @@ def regional_revenue(sf_dir: str, region: str = "ASIA",
 
 
 def events_range_join(sf_dir: str, window_minutes: int = 60,
-                      n_partitions: int = 256):
+                      n_partitions: int = 256,
+                      hot_key_threshold: int = 1_000_000,
+                      n_salt: int = 16):
     """Range (interval) join inside the events stream: for every
     ``purchase`` event, the number of the same user's ``click`` events
     in the preceding ``window_minutes`` (half-open ``[t-W, t)``) —
@@ -812,7 +814,14 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
     lines both sides up and a run-walk applies searchsorted per
     (user, bucket) run.  Partitioning assumption: (user, bucket)
     pairs hash-distribute; a user hammering one bucket is the skew
-    case and would salt the key.
+    case and IS salted: a constant-size per-batch key-count partial +
+    tiny groupby finds (user, bucket) keys with more than
+    ``hot_key_threshold`` rows, hot CLICKS shard into ``n_salt``
+    sub-partitions by event-id hash, hot PURCHASES replicate to the
+    DISTINCT sub-partitions those shards hash to (distinct, because
+    two shards colliding on one coarse partition would double-count),
+    and the existing per-purchase Sum merges the shard partials — the
+    hot group shrinks by ~n_salt with exact results.
 
     Output: ``event_id, n_prior_clicks`` for every purchase, sorted.
     """
@@ -920,8 +929,84 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
             schema=part_schema,
         )
 
+    import ray
+
+    _MIX = np.int64(-7046029254386353131)
+
+    # materialized once: the narrow prepped table feeds both the
+    # hot-key count pass and the join itself (never re-reads/re-preps)
+    prepped = ds.map_batches(prep, batch_format="pandas").materialize()
+
+    # hot-key detection: per-batch value_counts (constant-size partial
+    # per distinct key per batch), one tiny groupby, driver sees only
+    # keys above threshold
+    cnt_schema = pa.schema([("ckey", pa.int64()), ("n", pa.int64())])
+
+    def key_counts(b: pa.Table) -> pa.Table:
+        vc = b["ckey"].combine_chunks().value_counts()
+        return pa.table(
+            {"ckey": vc.field("values"),
+             "n": vc.field("counts").cast(pa.int64())},
+            schema=cnt_schema,
+        )
+
+    hot_df = (
+        prepped.map_batches(key_counts, batch_format="pyarrow")
+        .groupby("ckey").aggregate(Sum("n", alias_name="n"))
+        .filter(expr=f"n > {hot_key_threshold}")
+        .to_pandas()
+    )
+
+    if len(hot_df):
+        hot_ref = ray.put(np.sort(hot_df["ckey"].to_numpy().astype(np.int64)))
+        S = np.int64(n_salt)
+
+        def mix_salt(keys: "np.ndarray", s) -> "np.ndarray":
+            # same Fibonacci mix, offset by the shard id (+1 so shard 0
+            # never collides with the unsalted pkey of the same key)
+            return (((keys * S + s + np.int64(1)) * _MIX)
+                    >> np.int64(40)) % np.int64(n_partitions)
+
+        def salt(b: pd.DataFrame) -> pa.Table:
+            hot = ray.get(hot_ref)
+            ck = b["ckey"].to_numpy().astype(np.int64)
+            side = b["side"].to_numpy()
+            rid = b["rid"].to_numpy().astype(np.int64)
+            t = b["t_us"].to_numpy().astype(np.int64)
+            pk = b["pkey"].to_numpy().astype(np.int64).copy()
+            m = hot[np.searchsorted(hot, ck).clip(0, len(hot) - 1)] == ck
+            mc = m & (side == 0)
+            if mc.any():
+                pk[mc] = mix_salt(ck[mc], rid[mc] % S)
+            mp = m & (side == 1)
+            if mp.any():
+                # purchase copies go to the DISTINCT shard partitions:
+                # row-sort the (n_hot, S) pkey matrix and mask repeats
+                # so a shard collision can never count a click twice
+                pmat = np.sort(np.stack(
+                    [mix_salt(ck[mp], np.int64(s)) for s in range(n_salt)],
+                    axis=1), axis=1)
+                keep_m = np.ones_like(pmat, dtype=bool)
+                keep_m[:, 1:] = pmat[:, 1:] != pmat[:, :-1]
+                reps = keep_m.sum(axis=1)
+                flat = keep_m.ravel()
+                pk = np.concatenate([pk[~mp], pmat.ravel()[flat]])
+                ck = np.concatenate([ck[~mp], np.repeat(ck[mp], reps)])
+                side = np.concatenate(
+                    [side[~mp], np.ones(int(reps.sum()), np.int8)])
+                rid = np.concatenate([rid[~mp], np.repeat(rid[mp], reps)])
+                t = np.concatenate([t[~mp], np.repeat(t[mp], reps)])
+            return pa.table(
+                {"pkey": pa.array(pk), "ckey": pa.array(ck),
+                 "side": pa.array(side.astype(np.int8)),
+                 "rid": pa.array(rid), "t_us": pa.array(t)},
+                schema=common,
+            )
+
+        prepped = prepped.map_batches(salt, batch_format="pandas")
+
     out = (
-        ds.map_batches(prep, batch_format="pandas")
+        prepped
         .groupby("pkey")
         .map_groups(count_group, batch_format="pandas")
         .groupby("event_id")
