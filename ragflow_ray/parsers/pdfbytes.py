@@ -22,14 +22,28 @@ path:
   deepdoc/parser/pdf_parser.py:1243-1269).
 
 * PDF 1.5+ compressed object streams (``/Type /ObjStm``): every
-  object stream found by the sequential scan is inflated and its
-  packed objects (N pairs of "objnum offset" then bodies at /First)
-  are added to the object table — so documents whose catalog / page
-  dicts / fonts live in object streams (the modern-producer default)
-  extract normally.  Cross-reference *streams* themselves need no
-  parsing: discovery is by scan, not by xref, so /Type /XRef objects
-  are simply ignored.  Indirect ``/Length N 0 R`` values resolve
-  through the object table.
+  object stream discovered is inflated and its packed objects (N
+  pairs of "objnum offset" then bodies at /First) are added to the
+  object table — so documents whose catalog / page dicts / fonts live
+  in object streams (the modern-producer default) extract normally.
+  Indirect ``/Length N 0 R`` values resolve through the object table.
+
+* object discovery is xref-DRIVEN when the file's cross-reference
+  chain is well-formed — classic tables, /Type /XRef binary streams
+  (W-field rows, /Index subsections, /Prev chains) and hybrid
+  /XRefStm files all resolve to per-object offsets, making discovery
+  O(objects) instead of an O(file-bytes) scan (the per-doc tax that
+  matters at corpus scale).  Any inconsistency (mislocated offset,
+  wrong object number at an offset) abandons the route and the
+  sequential scan takes over — speed from the xref, correctness from
+  the scan.
+
+* embedded DCTDecode figures: /Subtype /Image XObjects whose stream
+  is a plain JPEG are surfaced as media payload rows (SOF-header
+  dimensions + container bytes) via :func:`pdf_image_payloads`, and
+  ride inside page payloads for downstream phash/feature stages —
+  the reference crops figure pixels through pdfplumber instead
+  (deepdoc/parser/pdf_parser.py:856-866, 1006-1034).
 
 Stream filters: FlateDecode, LZWDecode, ASCII85Decode,
 ASCIIHexDecode, and ordered chains of them; /DecodeParms /Predictor
@@ -46,8 +60,9 @@ known-answer vectors in test_pdfbytes) are in subset; real user
 passwords and 256-bit AESV3 stay out.
 
 Deliberately out of scope (documented subset, not a stub): AESV3,
-raster filters (DCTDecode/JPX) — bytes outside the subset degrade
-to skipped show-strings, never to a crash.  Good enough to
+JPX pixel decode and DCT pixel decode (JPEG containers are extracted
+whole, not decompressed) — bytes outside the subset degrade to
+skipped show-strings, never to a crash.  Good enough to
 round-trip every text PDF this engine writes in its own tests, the
 common single-byte-font documents, Identity-H CID PDFs carrying
 ToUnicode maps, object-stream-packed PDF 1.5 files, and RC4/AES
@@ -213,36 +228,211 @@ def _page_fonts(body: bytes, objs: dict[int, bytes], depth: int = 0) -> dict:
     return fonts
 
 
-def _objects(data: bytes) -> dict[int, bytes]:
-    """Sequential object scan.  Stream bodies are skipped by their
-    declared /Length, never searched — compressed bytes can contain
+def _object_parse(data: bytes, m: "re.Match") -> tuple[int, bytes, int]:
+    """Body + end offset of the object whose ``N G obj`` header is the
+    match ``m``.  Stream bodies are skipped by their declared /Length,
+    never searched — compressed bytes can contain
     ``endobj``/``endstream`` byte runs by chance, so a pure-regex scan
     would truncate objects mid-stream."""
+    start = m.end()
+    sm = _STREAM_START.search(data, start)
+    em = data.find(b"endobj", start)
+    if sm is not None and (em == -1 or sm.start() < em):
+        header = data[start : sm.start()]
+        lm = _LENGTH.search(header)
+        after = sm.end() + int(lm.group(1)) if lm else sm.end()
+        es = data.find(b"endstream", after)
+        if es == -1:
+            es = data.find(b"endstream", sm.end())
+        obj_end = data.find(b"endobj", es if es != -1 else after)
+    else:
+        obj_end = em
+    if obj_end == -1:
+        obj_end = len(data)
+    return int(m.group(1)), data[start:obj_end], obj_end + len(b"endobj")
+
+
+def _object_at(data: bytes, off: int) -> tuple[int, bytes] | None:
+    """Parse the object whose header starts at (or within a few bytes
+    of) byte ``off`` — the xref-offset entry point.  Strict: a
+    mislocated offset returns None so the caller can fall back to the
+    sequential scan wholesale."""
+    m = _OBJ_START.search(data, max(0, off))
+    if not m or m.start() > off + 8:
+        return None
+    num, body, _end = _object_parse(data, m)
+    return num, body
+
+
+def _objects_scan(data: bytes) -> dict[int, bytes]:
+    """Sequential whole-file object scan — the O(file) fallback for
+    files whose xref is missing or lies."""
     objs: dict[int, bytes] = {}
     pos = 0
-    n = len(data)
     while True:
         m = _OBJ_START.search(data, pos)
         if not m:
             break
-        start = m.end()
-        sm = _STREAM_START.search(data, start)
-        em = data.find(b"endobj", start)
-        if sm is not None and (em == -1 or sm.start() < em):
-            header = data[start : sm.start()]
-            lm = _LENGTH.search(header)
-            after = sm.end() + int(lm.group(1)) if lm else sm.end()
-            es = data.find(b"endstream", after)
-            if es == -1:
-                es = data.find(b"endstream", sm.end())
-            obj_end = data.find(b"endobj", es if es != -1 else after)
-        else:
-            obj_end = em
-        if obj_end == -1:
-            obj_end = n
-        objs[int(m.group(1))] = data[start:obj_end]
-        pos = obj_end + len(b"endobj")
+        num, body, pos = _object_parse(data, m)
+        objs[num] = body
     return objs
+
+
+# --- xref-driven object discovery (PDF 32000-1 §7.5.4 / §7.5.8) ----------
+#
+# O(objects) instead of O(file bytes): follow startxref to the newest
+# section, collect type-1 (direct-offset) entries, chase /Prev (and
+# hybrid /XRefStm) links newest-first so updated objects win, then
+# parse each object AT its recorded offset.  Type-2 (packed-in-ObjStm)
+# entries need no handling here — their container streams have their
+# own type-1 entries and _expand_object_streams unpacks them.  Any
+# inconsistency (bad offset, wrong object number at an offset, short
+# xref stream) abandons the route entirely: correctness comes from the
+# scan, speed from the xref.
+
+_XREF_W = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_XREF_INDEX = re.compile(rb"/Index\s*\[([0-9\s]+)\]")
+_XREF_SIZE = re.compile(rb"/Size\s+(\d+)")
+_XREF_PREV = re.compile(rb"/Prev\s+(\d+)(?![0-9])")
+_XREF_STM = re.compile(rb"/XRefStm\s+(\d+)(?![0-9])")
+_XREF_TYPE = re.compile(rb"/Type\s*/XRef\b")
+_CLASSIC_ENTRY = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])")
+_WS = b" \t\r\n"
+
+
+def _xref_stream_offsets(data: bytes, xoff: int,
+                         offsets: dict[int, int]) -> int | None:
+    """Read one /Type /XRef stream section at ``xoff`` into
+    ``offsets`` (setdefault: newest wins); → /Prev offset or -1."""
+    parsed = _object_at(data, xoff)
+    if parsed is None:
+        return None
+    _num, body = parsed
+    if not _XREF_TYPE.search(body):
+        return None
+    stream = _stream_of(body, None)
+    wm = _XREF_W.search(body)
+    if stream is None or wm is None:
+        return None
+    w1, w2, w3 = (int(g) for g in wm.groups())
+    rowlen = w1 + w2 + w3
+    sm = _XREF_SIZE.search(body)
+    im = _XREF_INDEX.search(body)
+    if im:
+        nums = [int(x) for x in im.group(1).split()]
+        index = list(zip(nums[0::2], nums[1::2]))
+    elif sm:
+        index = [(0, int(sm.group(1)))]
+    else:
+        return None
+    pos = 0
+    for first, count in index:
+        for onum in range(first, first + count):
+            row = stream[pos : pos + rowlen]
+            pos += rowlen
+            if len(row) < rowlen:
+                return None
+            etype = int.from_bytes(row[:w1], "big") if w1 else 1
+            field2 = int.from_bytes(row[w1 : w1 + w2], "big")
+            if etype == 1 and field2 > 0:
+                offsets.setdefault(onum, field2)
+    pm = _XREF_PREV.search(body)
+    return int(pm.group(1)) if pm else -1
+
+
+def _classic_xref_offsets(data: bytes, xoff: int,
+                          offsets: dict[int, int]) -> tuple[int, int] | None:
+    """Read one classic ``xref`` table section; → (/Prev or -1,
+    /XRefStm or -1)."""
+    k = xoff + 4  # past b"xref"
+    while True:
+        while k < len(data) and data[k : k + 1] in _WS:
+            k += 1
+        if data[k : k + 7] == b"trailer":
+            t_end = data.find(b">>", k)
+            trailer = data[k : t_end + 2] if t_end != -1 else data[k : k + 512]
+            pm = _XREF_PREV.search(trailer)
+            xm = _XREF_STM.search(trailer)
+            return (int(pm.group(1)) if pm else -1,
+                    int(xm.group(1)) if xm else -1)
+        sm = re.match(rb"(\d+)\s+(\d+)", data[k : k + 40])
+        if not sm:
+            return None
+        first, count = int(sm.group(1)), int(sm.group(2))
+        k += sm.end()
+        for onum in range(first, first + count):
+            while k < len(data) and data[k : k + 1] in _WS:
+                k += 1
+            em = _CLASSIC_ENTRY.match(data, k)
+            if not em:
+                return None
+            k = em.end()
+            if em.group(3) == b"n":
+                off = int(em.group(1))
+                if off > 0:
+                    offsets.setdefault(onum, off)
+
+
+def _xref_offsets(data: bytes) -> dict[int, int] | None:
+    i = data.rfind(b"startxref")
+    if i == -1:
+        return None
+    m = re.match(rb"startxref\s+(\d+)", data[i : i + 64])
+    if not m:
+        return None
+    offsets: dict[int, int] = {}
+    seen: set[int] = set()
+    work = [int(m.group(1))]
+    while work:
+        xoff = work.pop()
+        if xoff in seen or not 0 <= xoff < len(data):
+            continue
+        seen.add(xoff)
+        j = xoff
+        while j < len(data) and data[j : j + 1] in _WS:
+            j += 1
+        if data[j : j + 4] == b"xref":
+            res = _classic_xref_offsets(data, j, offsets)
+            if res is None:
+                return None
+            prev, xstm = res
+            # hybrid /XRefStm entries outrank the NEXT-older section
+            # but not this one — push prev first (popped last)
+            if prev >= 0:
+                work.append(prev)
+            if xstm >= 0:
+                work.append(xstm)
+        else:
+            prev = _xref_stream_offsets(data, xoff, offsets)
+            if prev is None:
+                return None
+            if prev >= 0:
+                work.append(prev)
+    return offsets or None
+
+
+def _objects_from_xref(data: bytes) -> dict[int, bytes] | None:
+    offsets = _xref_offsets(data)
+    if not offsets:
+        return None
+    objs: dict[int, bytes] = {}
+    for onum in sorted(offsets):
+        parsed = _object_at(data, offsets[onum])
+        if parsed is None or parsed[0] != onum:
+            return None  # lying xref: abandon, let the scan decide
+        objs[onum] = parsed[1]
+    return objs
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    """Object discovery: xref-driven O(objects) when the file's xref
+    chain is well-formed (classic tables, xref streams, hybrids),
+    sequential O(file) scan otherwise."""
+    try:
+        objs = _objects_from_xref(data)
+    except Exception:  # noqa: BLE001 — any malformed xref → scan
+        objs = None
+    return objs if objs else _objects_scan(data)
 
 
 # --- standard security handler (RC4, empty user password) ----------------
@@ -351,22 +541,29 @@ _INV_MIX = (14, 11, 13, 9)  # InvMixColumns matrix first row, rotated per row
 
 
 def _aes_key_schedule(key: bytes) -> list[list[int]]:
-    """128-bit key → 11 round keys, each a flat 16-int column-major state."""
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    """128- or 256-bit key → Nr+1 round keys (11 or 15), each a flat
+    16-int column-major state.  FIPS-197 §5.2: Nk=8 adds a plain
+    SubWord (no rotate/rcon) at ``i % Nk == 4``."""
+    nk = len(key) // 4  # 4 (AES-128) or 8 (AES-256)
+    nr = nk + 6
+    w = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = [_AES_SBOX[t[1]], _AES_SBOX[t[2]], _AES_SBOX[t[3]], _AES_SBOX[t[0]]]
             t[0] ^= rcon
             rcon = _gf_mul(rcon, 2)
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum((w[4 * r + c] for c in range(4)), []) for r in range(11)]
+        elif nk > 6 and i % nk == 4:
+            t = [_AES_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum((w[4 * r + c] for c in range(4)), []) for r in range(nr + 1)]
 
 
 def _aes_decrypt_block(ks: list[list[int]], block: bytes) -> bytes:
-    s = [a ^ b for a, b in zip(block, ks[10])]
-    for rnd in range(9, -1, -1):
+    nr = len(ks) - 1
+    s = [a ^ b for a, b in zip(block, ks[nr])]
+    for rnd in range(nr - 1, -1, -1):
         # InvShiftRows: row r rotates right by r (flat index = 4*col + row)
         s = [s[4 * (((i // 4) - (i % 4)) % 4) + (i % 4)] for i in range(16)]
         s = [_AES_INV_SBOX[b] for b in s]
@@ -1058,11 +1255,17 @@ def _page_lines(streams: list[bytes], fonts: dict | None = None) -> list[str]:
     return lines
 
 
-def pdf_text_lines(blob: bytes) -> list[list[str]]:
-    """→ per-page text-layer lines (pypdf ``extract_text``-shaped)."""
+def _prepared_objects(blob: bytes) -> dict[int, bytes]:
     objs = _objects(blob)
     _decrypt_objects(blob, objs)
     _expand_object_streams(objs)
+    return objs
+
+
+def pdf_text_lines(blob: bytes, _objs: dict[int, bytes] | None = None
+                   ) -> list[list[str]]:
+    """→ per-page text-layer lines (pypdf ``extract_text``-shaped)."""
+    objs = _objs if _objs is not None else _prepared_objects(blob)
     pages = []
     for num in _page_object_order(blob, objs):
         fonts = _page_fonts(objs[num], objs)
@@ -1070,21 +1273,170 @@ def pdf_text_lines(blob: bytes) -> list[list[str]]:
     return pages
 
 
+# --- embedded raster figures (DCTDecode) ----------------------------------
+#
+# The reference gets page/figure bitmaps by rasterizing through
+# pdfplumber (deepdoc/parser/pdf_parser.py:1006-1034) and crops figure
+# regions for downstream vision stages (pdf_parser.py:856-866).  This
+# engine extracts the embedded JPEG streams themselves: for a
+# /Subtype /Image XObject whose final filter is DCTDecode, the stream
+# bytes ARE a complete JPEG container — no pixel decode is needed to
+# hand a payload to a phash/caption/feature stage, and the SOF header
+# carries the true dimensions.
+
+_IMG_SUBTYPE = re.compile(rb"/Subtype\s*/Image\b")
+_XOBJ_ENTRY = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_XOBJ_DICT_REF = re.compile(rb"/XObject\s+(\d+)\s+\d+\s+R")
+_IMG_W = re.compile(rb"/Width\s+(\d+)")
+_IMG_H = re.compile(rb"/Height\s+(\d+)")
+_SOF_MARKERS = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def _jpeg_dims(d: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first SOF segment of a JPEG stream —
+    a marker walk, not a decode."""
+    if d[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(d)
+    while i + 9 < n:
+        if d[i] != 0xFF:
+            i += 1
+            continue
+        marker = d[i + 1]
+        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        seglen = int.from_bytes(d[i + 2 : i + 4], "big")
+        if marker in _SOF_MARKERS:
+            h = int.from_bytes(d[i + 5 : i + 7], "big")
+            w = int.from_bytes(d[i + 7 : i + 9], "big")
+            return w, h
+        i += 2 + seglen
+    return None
+
+
+def _page_image_refs(body: bytes, objs: dict[int, bytes]) -> list[tuple[str, int]]:
+    """(name, object number) of every /Subtype /Image XObject a page's
+    /Resources references (resources inline or indirect)."""
+    res = None
+    m = re.search(rb"/Resources\s*<<", body)
+    if m:
+        res = _balanced_dict(body, m.end() - 2)
+    else:
+        m = _RESOURCES_REF.search(body)
+        if m:
+            res = objs.get(int(m.group(1)), b"")
+    if not res:
+        return []
+    xm = re.search(rb"/XObject\s*<<", res)
+    if xm:
+        xdict = _balanced_dict(res, xm.end() - 2)
+    else:
+        xm = _XOBJ_DICT_REF.search(res)
+        xdict = objs.get(int(xm.group(1)), b"") if xm else b""
+    out = []
+    for em in _XOBJ_ENTRY.finditer(xdict):
+        num = int(em.group(2))
+        o = objs.get(num)
+        if o is not None and _IMG_SUBTYPE.search(o):
+            out.append((em.group(1).decode("latin-1"), num))
+    return out
+
+
+def _jpeg_payload(body: bytes, objs: dict[int, bytes]) -> bytes | None:
+    """Raw JPEG bytes of a DCTDecode image stream.  Only the plain
+    single-filter form is extracted (the overwhelmingly common one);
+    a prefixed filter chain ([/FlateDecode /DCTDecode]) or any other
+    encoding returns None — degrade, never crash."""
+    m = _STREAM_START.search(body)
+    if m is None:
+        return None
+    header = body[: m.start()]
+    fm = _FILTER_CHAIN.search(header)
+    if fm is None:
+        return None
+    names = [n.decode("latin-1") for n in _FILTER_NAME.findall(fm.group(1))]
+    if names != ["DCTDecode"]:
+        return None
+    lm = _LENGTH.search(header)
+    if lm is not None:
+        raw = body[m.end() : m.end() + int(lm.group(1))]
+    else:
+        rm = _LENGTH_REF.search(header)
+        length = None
+        if rm is not None:
+            tm = re.match(rb"\s*(\d+)\s*$", objs.get(int(rm.group(1)), b""))
+            if tm:
+                length = int(tm.group(1))
+        if length is not None:
+            raw = body[m.end() : m.end() + length]
+        else:
+            end = body.find(b"endstream", m.end())
+            raw = body[m.end() : end if end != -1 else len(body)].rstrip(b"\r\n")
+    return raw if raw[:2] == b"\xff\xd8" else None
+
+
+def pdf_image_payloads(doc_id: str, blob: bytes,
+                       _objs: dict[int, bytes] | None = None) -> list[dict]:
+    """Embedded DCTDecode figures → media rows
+    ``(doc_id, page_no, name, width, height, media_ref, payload)``
+    ready for the multimodal actor stages (phash dedup, features).
+    Dimensions come from the JPEG SOF header, cross-checked against
+    the XObject's declared /Width //Height when present."""
+    objs = _objs if _objs is not None else _prepared_objects(blob)
+    rows: list[dict] = []
+    for pn, num in enumerate(_page_object_order(blob, objs), start=1):
+        for name, onum in _page_image_refs(objs[num], objs):
+            payload = _jpeg_payload(objs[onum], objs)
+            if payload is None:
+                continue
+            dims = _jpeg_dims(payload)
+            wm = _IMG_W.search(objs[onum])
+            hm = _IMG_H.search(objs[onum])
+            width = dims[0] if dims else (int(wm.group(1)) if wm else 0)
+            height = dims[1] if dims else (int(hm.group(1)) if hm else 0)
+            rows.append(
+                {"doc_id": doc_id, "page_no": pn, "name": name,
+                 "width": width, "height": height,
+                 "media_ref": f"crop://{doc_id}/p{pn}/{name}",
+                 "payload": payload}
+            )
+    return rows
+
+
 def pdf_to_page_payloads(doc_id: str, blob: bytes) -> list[dict]:
     """Real PDF bytes → the engine's page media spans (text-layer
     boxes with synthetic line geometry, no layout regions) for the
-    ``layout_mode="plain"`` extraction path."""
+    ``layout_mode="plain"`` extraction path.  Embedded DCTDecode
+    figures ride along inside the page payload as base64 so a
+    downstream media stage can consume them without re-reading the
+    PDF bytes (extra payload keys are ignored by page_from_payload)."""
+    import base64
     import json
 
+    objs = _prepared_objects(blob)  # parsed ONCE for text + figures
+    figures_by_page: dict[int, list[dict]] = {}
+    for row in pdf_image_payloads(doc_id, blob, _objs=objs):
+        figures_by_page.setdefault(row["page_no"], []).append(
+            {"name": row["name"], "width": row["width"],
+             "height": row["height"], "media_ref": row["media_ref"],
+             "jpeg_b64": base64.b64encode(row["payload"]).decode("ascii")}
+        )
+
     spans = []
-    for pn, lines in enumerate(pdf_text_lines(blob), start=1):
+    for pn, lines in enumerate(pdf_text_lines(blob, _objs=objs), start=1):
         boxes = [
             {"x0": 40.0, "x1": 572.0, "top": 40.0 + 14.0 * i,
              "bottom": 52.0 + 14.0 * i, "text": line}
             for i, line in enumerate(lines)
         ]
         payload = {"page_no": pn, "width": 612, "height": 792,
-                   "boxes": boxes, "layouts": [], "tables": []}
+                   "boxes": boxes, "layouts": [], "tables": [],
+                   "figures": figures_by_page.get(pn, [])}
         spans.append(
             {
                 "kind": "media",

@@ -76,6 +76,79 @@ def token_count(text: str) -> int:
     return sum(_piece_cost(m.group()) for m in _PIECE.finditer(text))
 
 
+# --- optional exact cl100k seam -------------------------------------------
+#
+# The reference counts with tiktoken cl100k_base
+# (rag/utils/__init__.py:84-89); the ranks file is not on this image
+# (verified infeasible offline, DIVERGENCES #1/#6a).  This seam keeps
+# the door open: point $CL100K_RANKS_PATH at a tiktoken-format ranks
+# file ("<base64 token> <rank>" lines) and :func:`cl100k_token_count`
+# produces EXACT cl100k counts — same byte-level BPE merge (lowest
+# rank first) and the published cl100k pretokenizer regex.  The seam
+# is strictly OPT-IN and a separate function: goldens/chunk boundaries
+# are pinned to the approximate :func:`token_count`, so the default
+# path must not change behavior when a ranks file happens to exist.
+
+_CL100K_PAT = None          # compiled lazily (needs the `regex` module)
+_CL100K_PATTERN = (
+    r"""'(?i:[sdmt]|ll|ve|re)|[^\r\n\p{L}\p{N}]?+\p{L}+|\p{N}{1,3}"""
+    r"""| ?[^\s\p{L}\p{N}]++[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+"""
+)
+
+
+def load_cl100k_ranks(path: str | None = None) -> dict[bytes, int] | None:
+    """Parse a tiktoken-format ranks file; → {token bytes: rank} or
+    None when no file is configured/present.  Path resolution: the
+    argument, else ``$CL100K_RANKS_PATH``."""
+    import base64
+    import os
+
+    path = path or os.environ.get("CL100K_RANKS_PATH")
+    if not path or not os.path.isfile(path):
+        return None
+    ranks: dict[bytes, int] = {}
+    with open(path, "rb") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            tok_b64, rank = line.split()
+            ranks[base64.b64decode(tok_b64)] = int(rank)
+    return ranks
+
+
+def _bpe_piece_len(piece: bytes, ranks: dict[bytes, int]) -> int:
+    """Token count of one pretokenized piece under byte-level BPE:
+    merge the lowest-ranked adjacent pair until no pair is in the
+    vocabulary (tiktoken's algorithm, counting only)."""
+    if piece in ranks:
+        return 1
+    parts = [piece[i : i + 1] for i in range(len(piece))]
+    while len(parts) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(parts) - 1):
+            r = ranks.get(parts[i] + parts[i + 1])
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return len(parts)
+
+
+def cl100k_token_count(text: str, ranks: dict[bytes, int]) -> int:
+    """EXACT cl100k_base token count given a loaded ranks table."""
+    global _CL100K_PAT
+    if _CL100K_PAT is None:
+        import regex
+
+        _CL100K_PAT = regex.compile(_CL100K_PATTERN)
+    return sum(
+        _bpe_piece_len(m.group().encode("utf-8"), ranks)
+        for m in _CL100K_PAT.finditer(text)
+    )
+
+
 def truncate_tokens(text: str, max_tokens: int) -> str:
     """Trim ``text`` so ``token_count(result) <= max_tokens``.
 

@@ -1069,3 +1069,149 @@ class TestAesReviewRegressions:
         pages = [["indirect length rc4"]]
         blob = indirect_lengths(encrypt_pdf_v4(make_pdf(pages), cfm="V2"))
         assert pdf_text_lines(blob) == pages
+
+
+# --- xref-driven object discovery + embedded JPEG figures ----------------
+
+
+def make_tiny_jpeg(width: int = 6, height: int = 4) -> bytes:
+    """A structurally valid JPEG container (SOI, SOF0 with dims, EOI).
+    The payload contract needs a parseable header, not decodable
+    pixels — downstream decode is stubbed in this container anyway."""
+    sof = (b"\xff\xc0" + (8 + 3 * 1).to_bytes(2, "big") + b"\x08"
+           + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+           + b"\x01" + b"\x01\x11\x00")
+    return b"\xff\xd8" + sof + b"\xff\xd9"
+
+
+def make_pdf_with_jpeg(lines: list[str], width: int = 6,
+                       height: int = 4) -> bytes:
+    """One text page whose /Resources reference a DCTDecode image."""
+    jpeg = make_tiny_jpeg(width, height)
+    content = b"BT /F1 12 Tf 72 720 Td (" + lines[0].encode() + b") Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"),
+        (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+         + content + b"\nendstream"),
+        (b"<< /Type /XObject /Subtype /Image /Width "
+         + str(width).encode() + b" /Height " + str(height).encode()
+         + b" /ColorSpace /DeviceRGB /BitsPerComponent 8 "
+         b"/Filter /DCTDecode /Length " + str(len(jpeg)).encode()
+         + b" >>\nstream\n" + jpeg + b"\nendstream"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)
+
+
+class TestXrefDiscovery:
+    def test_classic_xref_route_used(self):
+        from ragflow_ray.parsers.pdfbytes import _objects_from_xref, _objects_scan
+
+        blob = make_pdf([["alpha"], ["beta"]])
+        via_xref = _objects_from_xref(blob)
+        assert via_xref is not None
+        assert via_xref == _objects_scan(blob)
+
+    def test_xref_stream_route_used(self):
+        from ragflow_ray.parsers.pdfbytes import _objects_from_xref
+
+        blob = make_pdf15([["packed page one"], ["packed page two"]])
+        via_xref = _objects_from_xref(blob)
+        assert via_xref is not None
+        # the /Type /XRef stream file still extracts identically
+        assert pdf_text_lines(blob) == [["packed page one"],
+                                        ["packed page two"]]
+
+    def test_lying_xref_falls_back_to_scan(self):
+        from ragflow_ray.parsers.pdfbytes import _objects, _objects_from_xref
+
+        blob = bytearray(make_pdf([["resilient"]]))
+        # lie in the xref: object 1's entry now points at object 2's
+        # header, so the strict number check must reject the route
+        xref_at = bytes(blob).rfind(b"\nxref\n")
+        first_entry = bytes(blob).find(b"0000000000 65535 f", xref_at)
+        assert first_entry != -1
+        entry2 = first_entry + 20
+        obj2_at = bytes(blob).find(b"2 0 obj")
+        blob[entry2 : entry2 + 10] = f"{obj2_at:010d}".encode()
+        blob = bytes(blob)
+        assert _objects_from_xref(blob) is None
+        assert 1 in _objects(blob)  # scan still finds everything
+        assert pdf_text_lines(blob) == [["resilient"]]
+
+    def test_truncated_no_trailer_uses_scan(self):
+        blob = make_pdf([["no xref at all"]])
+        blob = blob[: blob.rfind(b"xref")]  # drop table + trailer
+        assert pdf_text_lines(blob) == [["no xref at all"]]
+
+
+class TestEmbeddedJpeg:
+    def test_image_payload_extracted(self):
+        from ragflow_ray.parsers.pdfbytes import pdf_image_payloads
+
+        blob = make_pdf_with_jpeg(["figure page"], width=9, height=7)
+        rows = pdf_image_payloads("docA", blob)
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["page_no"], r["name"]) == (1, "Im1")
+        assert (r["width"], r["height"]) == (9, 7)  # SOF, not /Width
+        assert r["media_ref"] == "crop://docA/p1/Im1"
+        assert r["payload"].startswith(b"\xff\xd8")
+        assert r["payload"].endswith(b"\xff\xd9")
+
+    def test_figures_ride_in_page_payload(self):
+        import base64
+        import json
+
+        from ragflow_ray.parsers.pdfbytes import pdf_to_page_payloads
+
+        blob = make_pdf_with_jpeg(["figure page"])
+        spans = pdf_to_page_payloads("docB", blob)
+        payload = json.loads(spans[0]["text"])
+        figs = payload["figures"]
+        assert len(figs) == 1
+        jpeg = base64.b64decode(figs[0]["jpeg_b64"])
+        assert jpeg.startswith(b"\xff\xd8")
+        # text layer unaffected
+        assert payload["boxes"][0]["text"] == "figure page"
+
+    def test_media_feature_stage_consumes_pdf_figures(self, ray_session):
+        """The multimodal actor stage runs over ingested-PDF media
+        rows end-to-end (r3 verdict task 6's done condition)."""
+        import hashlib
+
+        import ray.data as rd
+
+        from ragflow_ray.ops.multimodal import MediaFeatureStage
+        from ragflow_ray.parsers.pdfbytes import pdf_image_payloads
+
+        rows = []
+        for d in range(4):
+            blob = make_pdf_with_jpeg([f"doc {d}"], width=4 + d, height=3)
+            for r in pdf_image_payloads(f"doc{d}", blob):
+                rows.append({"doc_id": r["doc_id"], "payload": r["payload"]})
+        ds = rd.from_items(rows).map_batches(
+            MediaFeatureStage, fn_constructor_kwargs={"fake_decode": True},
+            batch_format="pandas", batch_size=2, concurrency=2,
+        )
+        out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == 4
+        expect_md5 = hashlib.md5(
+            bytes(rows[0]["payload"])).hexdigest()
+        got = out.loc[out["doc_id"] == "doc0", "payload_md5"].iloc[0]
+        assert got == expect_md5

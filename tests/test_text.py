@@ -213,3 +213,68 @@ class TestMisc:
     def test_is_chinese(self):
         assert is_chinese_text("这是中文文本")
         assert not is_chinese_text("pure english")
+
+
+class TestCl100kSeam:
+    """The opt-in exact-cl100k seam (r3 verdict task 10): loader +
+    byte-level BPE merge are exercised with a tiny synthetic ranks
+    file; the real-vocabulary test runs only where a ranks file
+    exists (skip-if-absent)."""
+
+    def _write_ranks(self, tmp_path, vocab):
+        import base64
+
+        p = tmp_path / "ranks.tiktoken"
+        lines = [
+            base64.b64encode(tok).decode() + f" {rank}"
+            for tok, rank in vocab.items()
+        ]
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_loader_and_merge(self, tmp_path):
+        from ragflow_ray.text.tokens import (
+            cl100k_token_count,
+            load_cl100k_ranks,
+        )
+
+        vocab = {bytes([b]): b for b in range(256)}
+        vocab[b"th"] = 256
+        vocab[b"he"] = 257
+        vocab[b"the"] = 258
+        path = self._write_ranks(tmp_path, vocab)
+        ranks = load_cl100k_ranks(path)
+        assert ranks[b"the"] == 258
+        # "the" pretokenizes to one piece; merges th+e -> the -> 1 tok
+        assert cl100k_token_count("the", ranks) == 1
+        # "then": the + n (no 'en'/'hen' merges) -> 2
+        assert cl100k_token_count("then", ranks) == 2
+        # leading space rides with the word piece in cl100k's regex:
+        # " the" is one piece, b" the" not in vocab, b" " + b"the" -> 2
+        assert cl100k_token_count("a the", ranks) == 3
+
+    def test_absent_path_returns_none(self, monkeypatch):
+        from ragflow_ray.text.tokens import load_cl100k_ranks
+
+        monkeypatch.delenv("CL100K_RANKS_PATH", raising=False)
+        assert load_cl100k_ranks() is None
+        assert load_cl100k_ranks("/nonexistent/ranks.tiktoken") is None
+
+    def test_real_cl100k_if_present(self):
+        import os
+
+        import pytest as _pytest
+
+        from ragflow_ray.text.tokens import (
+            cl100k_token_count,
+            load_cl100k_ranks,
+        )
+
+        if not os.environ.get("CL100K_RANKS_PATH"):
+            _pytest.skip("no cl100k ranks file on this image")
+        ranks = load_cl100k_ranks()
+        assert ranks is not None and len(ranks) > 100_000
+        # pinned tiktoken goldens: cl100k_base("hello world") == 2,
+        # and the merged " world" token exists
+        assert cl100k_token_count("hello world", ranks) == 2
+        assert b" world" in ranks
