@@ -52,17 +52,20 @@ post-processing (TIFF 2 and PNG 10–15) on the compression filters.
 Encrypted documents: the standard security handler with an EMPTY
 user password — the common "owner-locked" PDF — decrypts
 transparently (file key from /O, /P, /ID per Algorithm 2, verified
-against /U).  RC4 (V∈{1,2}, R∈{2,3}) and crypt-filter documents
-(V=4, R=4) with /CFM /V2 (RC4) or /CFM /AESV2 (AES-128-CBC; a
-from-scratch FIPS-197 inverse cipher whose S-box is derived from the
-GF(2^8) field construction and pinned to the spec's Appendix B/C.1
-known-answer vectors in test_pdfbytes) are in subset; real user
-passwords and 256-bit AESV3 stay out.
+against /U).  RC4 (V∈{1,2}, R∈{2,3}), crypt-filter documents
+(V=4, R=4) with /CFM /V2 (RC4) or /CFM /AESV2 (AES-128-CBC), and
+AESV3 (V=5, R∈{5,6}: AES-256-CBC under the /UE-unwrapped file key,
+R6's Algorithm 2.B iterated-hash KDF) are all in subset.  The AES
+cipher is from-scratch FIPS-197 — the S-box is derived from the
+GF(2^8) field construction, 128- and 256-bit key schedules — pinned
+to the spec's Appendix B/C.1/C.3 known-answer vectors in
+test_pdfbytes; real user passwords stay out (they degrade to skipped
+strings, never crash).
 
-Deliberately out of scope (documented subset, not a stub): AESV3,
-JPX pixel decode and DCT pixel decode (JPEG containers are extracted
-whole, not decompressed) — bytes outside the subset degrade to
-skipped show-strings, never to a crash.  Good enough to
+Deliberately out of scope (documented subset, not a stub): JPX pixel
+decode and DCT pixel decode (JPEG containers are extracted whole,
+not decompressed) — bytes outside the subset degrade to skipped
+show-strings, never to a crash.  Good enough to
 round-trip every text PDF this engine writes in its own tests, the
 common single-byte-font documents, Identity-H CID PDFs carrying
 ToUnicode maps, object-stream-packed PDF 1.5 files, and RC4/AES
@@ -464,7 +467,7 @@ _ENC_INT = {
 _ENC_STR = {
     k: (re.compile(rb"/" + k.encode() + rb"\s*\(((?:[^()\\]|\\.)*)\)"),
         re.compile(rb"/" + k.encode() + rb"\s*<([0-9A-Fa-f]+)>"))
-    for k in ("O", "U")
+    for k in ("O", "U", "UE")
 }
 
 
@@ -584,10 +587,69 @@ def _aes_decrypt_block(ks: list[list[int]], block: bytes) -> bytes:
     return bytes(s)
 
 
+# forward cipher — needed ONLY by the R6 password hash (Algorithm
+# 2.B runs AES-128-CBC *encryption* inside the KDF); object/stream
+# decryption never encrypts
+_MIX = (2, 3, 1, 1)  # MixColumns matrix first row, rotated per row
+_MUL_FWD = {c: [_gf_mul(x, c) for x in range(256)] for c in (2, 3)}
+_MUL_FWD[1] = list(range(256))
+
+
+def _aes_encrypt_block(ks: list[list[int]], block: bytes) -> bytes:
+    nr = len(ks) - 1
+    s = [a ^ b for a, b in zip(block, ks[0])]
+    for rnd in range(1, nr + 1):
+        s = [_AES_SBOX[b] for b in s]
+        # ShiftRows: row r rotates LEFT by r (flat index = 4*col + row)
+        s = [s[4 * (((i // 4) + (i % 4)) % 4) + (i % 4)] for i in range(16)]
+        if rnd < nr:
+            ns = [0] * 16
+            for c in range(0, 16, 4):
+                col = s[c : c + 4]
+                for r in range(4):
+                    ns[c + r] = (
+                        _MUL_FWD[_MIX[-r % 4]][col[0]]
+                        ^ _MUL_FWD[_MIX[(1 - r) % 4]][col[1]]
+                        ^ _MUL_FWD[_MIX[(2 - r) % 4]][col[2]]
+                        ^ _MUL_FWD[_MIX[(3 - r) % 4]][col[3]]
+                    )
+            s = ns
+        s = [a ^ b for a, b in zip(s, ks[rnd])]
+    return bytes(s)
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC encryption, no padding, no IV prefix (Algorithm 2.B's
+    KDF shape; ``data`` is always a 16-multiple there)."""
+    ks = _aes_key_schedule(key)
+    prev = iv
+    out = bytearray()
+    for at in range(0, len(data), 16):
+        prev = _aes_encrypt_block(
+            ks, bytes(a ^ b for a, b in zip(data[at : at + 16], prev)))
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC decryption, no padding, no IV prefix (the /UE unwrap:
+    ISO 32000-2 §7.6.4.4.2 decrypts the 32-byte file key with a zero
+    IV and no padding)."""
+    ks = _aes_key_schedule(key)
+    prev = iv
+    out = bytearray()
+    for at in range(0, len(data), 16):
+        blk = data[at : at + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(ks, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
-    """PDF AESV2 stream layout: 16-byte IV prefix, AES-128-CBC body,
-    PKCS#7 padding.  None for malformed input (wrong block multiple or
-    bad padding) so callers degrade instead of emitting garbage."""
+    """PDF AESV2/AESV3 stream layout: 16-byte IV prefix, AES-CBC body
+    (key length picks 128 vs 256), PKCS#7 padding.  None for malformed
+    input (wrong block multiple or bad padding) so callers degrade
+    instead of emitting garbage."""
     if len(data) < 32 or len(data) % 16:
         return None
     ks = _aes_key_schedule(key)
@@ -637,9 +699,54 @@ def _mask_cf_dict(enc: bytes) -> bytes:
     return enc[: m.start()] + enc[i:]
 
 
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 password hash: seed SHA-256,
+    then rounds of (repeat pwd+K+udata 64x → AES-128-CBC-encrypt with
+    K's halves → pick SHA-256/384/512 by the ciphertext head mod 3),
+    at least 64 rounds, stopping when the last ciphertext byte is
+    ≤ round-32."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    hashers = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = hashers[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _file_key_v5(enc: bytes, r: int) -> tuple[bytes, str] | None:
+    """AESV3 (/V 5, /R 5 or 6) with the empty USER password:
+    verify against /U's hash+validation-salt, then unwrap the 32-byte
+    file key from /UE with the key-salt intermediate key
+    (ISO 32000-2 §7.6.4.4.9/.10 + §7.6.4.4.2)."""
+    import hashlib
+
+    u = _enc_bytes(enc, "U")
+    ue = _enc_bytes(enc, "UE")
+    if u is None or ue is None or len(u) < 48 or len(ue) < 32:
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        if _hash_2b(b"", vsalt) != u[:32]:
+            return None  # real user password — stay undecrypted
+        ik = _hash_2b(b"", ksalt)
+    else:  # r == 5 (deprecated Adobe extension: plain SHA-256)
+        if hashlib.sha256(vsalt).digest() != u[:32]:
+            return None
+        ik = hashlib.sha256(ksalt).digest()
+    file_key = _aes_cbc_decrypt_nopad(ik, b"\x00" * 16, ue[:32])
+    return file_key, "aes5"
+
+
 def _file_key(enc: bytes, id0: bytes) -> tuple[bytes, str] | None:
     """Algorithm 2 with the empty user password → (key, cipher) where
-    cipher is "rc4" or "aes"; None when the document is outside the
+    cipher is "rc4", "aes" (AESV2, per-object keys) or "aes5" (AESV3,
+    the file key used directly); None when the document is outside the
     supported subset or /U verification fails (a real user password)."""
     import hashlib
 
@@ -650,6 +757,8 @@ def _file_key(enc: bytes, id0: bytes) -> tuple[bytes, str] | None:
         return int(m.group(1)) if m else default
 
     v, r = num("V", 0), num("R", 0)
+    if v == 5 and r in (5, 6):
+        return _file_key_v5(enc, r)
     if v in (1, 2) and r in (2, 3):
         cipher = "rc4"
     elif v == 4 and r == 4:
@@ -774,7 +883,10 @@ def _decrypt_objects(data: bytes, objs: dict[int, bytes]) -> None:
                 ):
                     cipher_bytes = cipher_bytes[: len(cipher_bytes) - trim]
                     break
-        plain = _aes_cbc_decrypt(_object_key(key, num, aes=True), cipher_bytes)
+        # AESV3 uses the 32-byte file key for every object; AESV2
+        # derives a per-object key (Algorithm 1 + "sAlT")
+        okey = key if cipher == "aes5" else _object_key(key, num, aes=True)
+        plain = _aes_cbc_decrypt(okey, cipher_bytes)
         if plain is None:  # malformed ciphertext: leave it, degrade later
             continue
         # AES shrinks the body: point the header's /Length (direct or

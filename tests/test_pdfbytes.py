@@ -812,26 +812,31 @@ def _mul_ref(a: int, b: int) -> int:
 
 
 def _key_schedule_ref(key: bytes) -> list[list[int]]:
-    w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
+    nk = len(key) // 4  # 4 (AES-128) or 8 (AES-256)
+    nr = nk + 6
+    w = [list(key[i:i + 4]) for i in range(0, len(key), 4)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = [_SBOX_REF[t[1]], _SBOX_REF[t[2]], _SBOX_REF[t[3]],
                  _SBOX_REF[t[0]]]
             t[0] ^= rcon
             rcon = _mul_ref(rcon, 2)
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum((w[4 * r + c] for c in range(4)), []) for r in range(11)]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX_REF[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum((w[4 * r + c] for c in range(4)), []) for r in range(nr + 1)]
 
 
 def _aes_encrypt_block_ref(ks: list[list[int]], block: bytes) -> bytes:
+    nr = len(ks) - 1
     s = [a ^ b for a, b in zip(block, ks[0])]
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         s = [_SBOX_REF[b] for b in s]
         # ShiftRows: row r rotates left by r (flat index = 4*col + row)
         s = [s[4 * (((i // 4) + (i % 4)) % 4) + (i % 4)] for i in range(16)]
-        if rnd != 10:
+        if rnd != nr:
             ns = [0] * 16
             for c in range(0, 16, 4):
                 col = s[c:c + 4]
@@ -1215,3 +1220,162 @@ class TestEmbeddedJpeg:
             bytes(rows[0]["payload"])).hexdigest()
         got = out.loc[out["doc_id"] == "doc0", "payload_md5"].iloc[0]
         assert got == expect_md5
+
+
+# --- AESV3 (V5 R5/R6, AES-256) --------------------------------------------
+
+
+def _aes_cbc_encrypt_nopad_ref(key: bytes, iv: bytes, data: bytes) -> bytes:
+    ks = _key_schedule_ref(key)
+    out, prev = bytearray(), iv
+    for at in range(0, len(data), 16):
+        prev = _aes_encrypt_block_ref(
+            ks, bytes(a ^ b for a, b in zip(data[at:at + 16], prev)))
+        out += prev
+    return bytes(out)
+
+
+def _hash_2b_ref(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Independent Algorithm 2.B (ISO 32000-2) built on the fixture's
+    log/antilog forward cipher — agrees with the parser's only if both
+    match the spec."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    hashers = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    rnd = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad_ref(k[:16], k[16:32], k1)
+        k = hashers[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def encrypt_pdf_v5(blob: bytes, r: int = 6) -> bytes:
+    """AESV3 encryption (V=5, R=6 — or the deprecated R=5) of a
+    make_pdf()-shaped document with an empty USER password: /U carries
+    hash+validation-salt+key-salt, /UE the AES-256-wrapped file key;
+    every stream body becomes IV-prefixed PKCS#7 AES-256-CBC under the
+    file key directly (no per-object keys in V5)."""
+    import hashlib
+    import re as _re
+
+    file_key = hashlib.sha256(b"v5-file-key-fixture").digest()  # 32 bytes
+    vsalt = hashlib.md5(b"vsalt").digest()[:8]
+    ksalt = hashlib.md5(b"ksalt").digest()[:8]
+    if r == 6:
+        u_hash = _hash_2b_ref(b"", vsalt)
+        ik = _hash_2b_ref(b"", ksalt)
+    else:
+        u_hash = hashlib.sha256(vsalt).digest()
+        ik = hashlib.sha256(ksalt).digest()
+    u = u_hash + vsalt + ksalt  # 48 bytes
+    ue = _aes_cbc_encrypt_nopad_ref(ik, b"\x00" * 16, file_key)
+    # owner entries: present for shape, unused by the empty-user path
+    o = hashlib.sha256(b"owner-hash").digest() + b"\x11" * 16
+    oe = b"\x22" * 32
+
+    def enc_stream(num: int, body: bytes) -> bytes:
+        iv = hashlib.md5(b"iv5" + num.to_bytes(4, "big")).digest()
+        pad = 16 - len(body) % 16
+        data = body + bytes([pad]) * pad
+        return iv + _aes_cbc_encrypt_nopad_ref(file_key, iv, data)
+
+    pieces: list[bytes] = []
+    last = 0
+    for m in _re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", blob):
+        em = blob.find(b"endobj", m.end())
+        if em == -1:
+            continue
+        span = blob[m.start():em + 6]
+        pieces.append(blob[last:m.start()])
+        last = em + 6
+        sm = _re.compile(rb"stream\r?\n").search(span)
+        lm = _re.search(rb"/Length\s+(\d+)", span[: sm.start()] if sm else b"")
+        if sm is None or lm is None:
+            pieces.append(span)
+            continue
+        s0, s1 = sm.end(), sm.end() + int(lm.group(1))
+        enc = enc_stream(int(m.group(1)), span[s0:s1])
+        header = _re.sub(
+            rb"/Length\s+\d+", b"/Length %d" % len(enc), span[: sm.start()],
+            count=1,
+        )
+        pieces.append(header + span[sm.start():s0] + enc + span[s1:])
+    pieces.append(blob[last:])
+    out = b"".join(pieces)
+
+    enc_num = blob.count(b" 0 obj") + 1
+    enc_dict = (
+        f"<< /Filter /Standard /V 5 /R {r} /Length 256 "
+        f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        f"/StmF /StdCF /StrF /StdCF /P -44 "
+        f"/O <{o.hex()}> /U <{u.hex()}> /OE <{oe.hex()}> /UE <{ue.hex()}> >>"
+    )
+    enc_obj = f"{enc_num} 0 obj\n{enc_dict}\nendobj\n".encode()
+    doc_id = __import__("hashlib").md5(blob).digest()
+    trailer_at = out.rfind(b"trailer")
+    body_out = out[:trailer_at] + enc_obj
+    trailer = (
+        b"trailer\n<< /Size " + str(enc_num + 1).encode()
+        + b" /Root 1 0 R /Encrypt " + str(enc_num).encode() + b" 0 R"
+        + b" /ID [ <" + doc_id.hex().encode() + b"> <"
+        + doc_id.hex().encode() + b"> ] >>\nstartxref\n0\n%%EOF\n"
+    )
+    return body_out + trailer
+
+
+class TestAesV3EncryptedPdf:
+    def test_fips197_aes256_known_answer(self):
+        """FIPS-197 Appendix C.3 (AES-256): fixture forward cipher
+        produces the spec ciphertext, parser inverse recovers it."""
+        from ragflow_ray.parsers.pdfbytes import (
+            _aes_decrypt_block, _aes_key_schedule,
+        )
+
+        key = bytes.fromhex(
+            "000102030405060708090a0b0c0d0e0f"
+            "101112131415161718191a1b1c1d1e1f")
+        plain = bytes.fromhex("00112233445566778899aabbccddeeff")
+        cipher = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+        assert _aes_encrypt_block_ref(_key_schedule_ref(key), plain) == cipher
+        assert _aes_decrypt_block(_aes_key_schedule(key), cipher) == plain
+
+    def test_hash_2b_agrees_across_cipher_cores(self):
+        from ragflow_ray.parsers.pdfbytes import _hash_2b
+
+        for pwd, salt in [(b"", b"saltsalt"), (b"pw", b"\x00" * 8),
+                          (b"longer password bytes", b"abcdefgh")]:
+            assert _hash_2b(pwd, salt) == _hash_2b_ref(pwd, salt)
+
+    def test_aesv3_r6_roundtrip(self):
+        pages = [["AES-256 secret page", "second line"], ["page two"]]
+        blob = encrypt_pdf_v5(make_pdf(pages), r=6)
+        assert pdf_text_lines(blob) == pages
+
+    def test_aesv3_r5_roundtrip(self):
+        pages = [["deprecated r5 revision"]]
+        blob = encrypt_pdf_v5(make_pdf(pages), r=5)
+        assert pdf_text_lines(blob) == pages
+
+    def test_aesv3_uncompressed_roundtrip(self):
+        pages = [["plain aes256 stream body"]]
+        blob = encrypt_pdf_v5(make_pdf(pages, compress=False), r=6)
+        assert pdf_text_lines(blob) == pages
+
+    def test_real_user_password_degrades(self):
+        """A non-empty user password fails /U verification: the doc
+        stays undecrypted and extraction degrades to no text, without
+        raising (the module's no-crash contract)."""
+        blob = bytearray(encrypt_pdf_v5(make_pdf([["locked"]]), r=6))
+        # corrupt the validation hash so the empty password can't verify
+        import re as _re
+
+        m = _re.search(rb"/U <([0-9a-f]+)>", bytes(blob))
+        flipped = bytearray(bytes.fromhex(m.group(1).decode()))
+        flipped[0] ^= 0xFF
+        blob[m.start(1):m.end(1)] = flipped.hex().encode()
+        pages = pdf_text_lines(bytes(blob))
+        assert all(not any(ln.strip() for ln in page) for page in pages)
