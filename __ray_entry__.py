@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": curation.length_quantiles,
         "mixture_sample": curation.mixture_sample,
         "temperature_mix": curation.temperature_mix,
+        "gopher_quality_flags": curation.gopher_quality_flags,
+        "c4_line_filter": curation.c4_line_filter,
         "curate_and_pack": curation.curate_and_pack,
         "per_source_cap": curation.per_source_cap,
         "pii_scrub": lambda d: curation.pii_scrub(d).to_pandas(),
@@ -1311,6 +1313,71 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY ROLLUP (source, lang)
             ORDER BY source, lang
+        """,
+        # Gopher quality rules (Rae et al. 2021 A1.1): x100/x1000
+        # fixed-point floors so both sides are integer-exact; line trim
+        # and token classes are the repo's ASCII-explicit conventions
+        "gopher_quality_flags": rf"""
+            WITH lines AS (
+                SELECT doc_id,
+                       trim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) AS sl
+                FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                      FROM documents)
+            ),
+            lstats AS (
+                SELECT doc_id, COUNT(*) AS n_lines,
+                       SUM(CASE WHEN sl LIKE '-%' OR sl LIKE '•%'
+                                  OR sl LIKE '*%' THEN 1 ELSE 0 END) AS bullet,
+                       SUM(CASE WHEN sl LIKE '%...' OR sl LIKE '%…'
+                           THEN 1 ELSE 0 END) AS ellipsis
+                FROM lines GROUP BY doc_id
+            ),
+            dstats AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS n_words,
+                       len(regexp_replace(text, '[ \t\n\r\f\v]+', '', 'g')) AS nonws,
+                       len(regexp_extract_all(text, '#'))
+                           + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   n_words::BIGINT AS n_words,
+                   (nonws * 100 // greatest(n_words, 1))::BIGINT AS mean_wordlen_x100,
+                   (bullet * 1000 // greatest(n_lines, 1))::BIGINT AS bullet_lines_x1000,
+                   (ellipsis * 1000 // greatest(n_lines, 1))::BIGINT AS ellipsis_lines_x1000,
+                   (n_symbols * 1000 // greatest(n_words, 1))::BIGINT AS symbol_ratio_x1000,
+                   (CASE WHEN n_words BETWEEN {curation_mod.GOPHER_MIN_WORDS}
+                                          AND {curation_mod.GOPHER_MAX_WORDS}
+                          AND (nonws * 100 // greatest(n_words, 1))
+                              BETWEEN {curation_mod.GOPHER_MIN_WORDLEN_X100}
+                                  AND {curation_mod.GOPHER_MAX_WORDLEN_X100}
+                          AND bullet * 1000 // greatest(n_lines, 1)
+                              <= {curation_mod.GOPHER_MAX_BULLET_X1000}
+                          AND ellipsis * 1000 // greatest(n_lines, 1)
+                              <= {curation_mod.GOPHER_MAX_ELLIPSIS_X1000}
+                          AND n_symbols * 1000 // greatest(n_words, 1)
+                              <= {curation_mod.GOPHER_MAX_SYMBOL_X1000}
+                     THEN 1 ELSE 0 END)::BIGINT AS gopher_keep
+            FROM dstats d JOIN lstats USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # C4 line filter: keep lines ending in terminal punctuation
+        # ('' inside the SQL literal = one apostrophe)
+        "c4_line_filter": """
+            WITH lines AS (
+                SELECT doc_id,
+                       trim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) AS sl
+                FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                      FROM documents)
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
+                   SUM(CASE WHEN sl LIKE '%.' OR sl LIKE '%!' OR sl LIKE '%?'
+                              OR sl LIKE '%"' OR sl LIKE '%'''
+                       THEN 1 ELSE 0 END)::BIGINT AS n_kept_lines,
+                   SUM(CASE WHEN sl LIKE '%.' OR sl LIKE '%!' OR sl LIKE '%?'
+                              OR sl LIKE '%"' OR sl LIKE '%'''
+                       THEN len(sl) ELSE 0 END)::BIGINT AS kept_chars
+            FROM lines GROUP BY doc_id ORDER BY doc_id
         """,
         # UniMax temperature mixture: rate_s = min(S, B·S·w_s//(W·n_s)),
         # w_s = floor(sqrt(n_s)) (IEEE sqrt is correctly rounded, so

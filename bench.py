@@ -198,6 +198,8 @@ def run_bench() -> dict:
         "tfidf_top_terms": lambda d: textstats.tfidf_top_terms(
             d, concurrency=pool),
         "hybrid_topk": textstats.hybrid_topk,
+        "gopher_quality_flags": curation.gopher_quality_flags,
+        "c4_line_filter": curation.c4_line_filter,
         "winnow_fingerprints": lambda d: len(dedup.winnow_fingerprints(d)),
         "winnow_overlap_pairs": lambda d: len(dedup.winnow_overlap_pairs(d)),
     }

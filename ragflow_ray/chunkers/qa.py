@@ -65,8 +65,9 @@ def qa_pairs_from_lines(lines: list[str]) -> list[tuple[str, str]]:
 
 
 def qa_pairs_from_markdown(lines: list[str]) -> list[tuple[str, str]]:
-    """Heading-stack extraction (qa.py:419-448); answers keep their raw
-    markdown (the reference HTML-renders them — codecs out of scope)."""
+    """Heading-stack extraction (qa.py:419-448); answers are raw
+    markdown here — the CHUNKER renders them to HTML at emission
+    (text/mdhtml.py, mirroring qa.py:438,450)."""
     pairs: list[tuple[str, str]] = []
     last_answer = ""
     question_stack: list[str] = []
@@ -276,7 +277,13 @@ def chunk_qa(doc: dict, cfg: ChunkConfig) -> list[dict]:
     else:
         lines = doc_text(doc).split("\n")
         if fmt == "markdown":
-            pairs = qa_pairs_from_markdown(lines)
+            # the reference HTML-renders markdown answers
+            # (rag/app/qa.py:438,450: markdown(last_answer,
+            # extensions=['markdown.extensions.tables']))
+            from ..text.mdhtml import markdown_to_html
+
+            pairs = [(q, markdown_to_html(a))
+                     for q, a in qa_pairs_from_markdown(lines)]
         else:
             pairs = qa_pairs_from_lines(lines)
     for q, a in pairs:

@@ -28,7 +28,7 @@ import re
 import pandas as pd
 
 # shared ASCII-exact token definition (see textstats._TOKEN_RUN)
-from .textstats import _TOKEN_RUN  # noqa: E402
+from .textstats import _TOKEN_RUN, _WS_ASCII  # noqa: E402
 
 DECON_NGRAM = 8
 DECON_BENCHMARK_DOCS = 20
@@ -1469,5 +1469,139 @@ def source_lang_rollup(sf_dir: str):
         .to_pandas().sort_values(["source", "lang"]).reset_index(drop=True)
     )
     for c in ("n_docs", "n_tokens"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+# ---- Gopher-style quality rules -------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORDLEN_X100 = 300
+GOPHER_MAX_WORDLEN_X100 = 1000
+GOPHER_MAX_BULLET_X1000 = 900
+GOPHER_MAX_ELLIPSIS_X1000 = 300
+GOPHER_MAX_SYMBOL_X1000 = 100
+
+
+def gopher_quality_flags(sf_dir: str):
+    """Gopher repetition/format quality rules (Rae et al. 2021 §A1.1),
+    the document-level gate a crawl-curation pipeline applies before
+    dedup: word-count window, mean-word-length window, bullet-line and
+    ellipsis-line fractions, symbol-to-word ratio.  All features are
+    integers (x100/x1000 fixed-point, floor semantics) so the SQL
+    oracle mirrors bit-for-bit.
+
+    One vectorized pass: lines explode per batch (pandas split+explode,
+    C-level), per-doc fractions reduce in the same map — only the
+    per-doc feature row ever leaves a task.  Output: one row per doc,
+    ``gopher_keep`` = 1 iff every rule passes.
+    """
+    import numpy as np
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_words = text.str.count(_TOKEN_RUN).astype("int64")
+        nonws = text.str.replace(_WS_ASCII, "", regex=True).str.len()
+        mean_wl = (nonws * 100) // np.maximum(n_words, 1)
+
+        lines = text.str.split("\n")
+        n_lines = lines.str.len().astype("int64")
+        ldf = pd.DataFrame(
+            {"i": np.repeat(np.arange(len(batch)), n_lines.to_numpy()),
+             "line": [ln for doc in lines for ln in doc]}
+        )
+        stripped = ldf["line"].str.strip(" \t\r\f\v")
+        ldf["bullet"] = stripped.str.startswith(("-", "•", "*")).astype("int64")
+        ldf["ellipsis"] = stripped.str.endswith(("...", "…")).astype("int64")
+        g = ldf.groupby("i")[["bullet", "ellipsis"]].sum()
+        bullet = np.zeros(len(batch), dtype=np.int64)
+        ellipsis = np.zeros(len(batch), dtype=np.int64)
+        bullet[g.index.to_numpy()] = g["bullet"].to_numpy()
+        ellipsis[g.index.to_numpy()] = g["ellipsis"].to_numpy()
+
+        n_symbols = (text.str.count("#") + text.str.count(r"\.\.\.")
+                     ).astype("int64")
+        denom_lines = np.maximum(n_lines.to_numpy(), 1)
+        bullet_x1000 = bullet * 1000 // denom_lines
+        ellipsis_x1000 = ellipsis * 1000 // denom_lines
+        symbol_x1000 = n_symbols.to_numpy() * 1000 // np.maximum(
+            n_words.to_numpy(), 1)
+
+        keep = (
+            (n_words.to_numpy() >= GOPHER_MIN_WORDS)
+            & (n_words.to_numpy() <= GOPHER_MAX_WORDS)
+            & (mean_wl.to_numpy() >= GOPHER_MIN_WORDLEN_X100)
+            & (mean_wl.to_numpy() <= GOPHER_MAX_WORDLEN_X100)
+            & (bullet_x1000 <= GOPHER_MAX_BULLET_X1000)
+            & (ellipsis_x1000 <= GOPHER_MAX_ELLIPSIS_X1000)
+            & (symbol_x1000 <= GOPHER_MAX_SYMBOL_X1000)
+        ).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"],
+             "n_words": n_words,
+             "mean_wordlen_x100": mean_wl.astype("int64"),
+             "bullet_lines_x1000": bullet_x1000,
+             "ellipsis_lines_x1000": ellipsis_x1000,
+             "symbol_ratio_x1000": symbol_x1000,
+             "gopher_keep": keep}
+        )
+
+    df = (
+        _docs(sf_dir, rows_per_block=2048)
+        .map_batches(score, batch_format="pandas")
+        .sort("doc_id").to_pandas()
+    )
+    for c in df.columns:
+        if c != "doc_id":
+            df[c] = df[c].astype("int64")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
+# ---- C4 terminal-punctuation line filter ----------------------------------
+
+C4_TERMINALS = ('.', '!', '?', '"', "'")
+
+
+def c4_line_filter(sf_dir: str):
+    """C4's line-level cleaning rule (Raffel et al. 2020 §2.2): keep
+    only lines ending in a terminal punctuation mark.  Per doc:
+    total lines, kept lines, and the character count of the kept lines
+    (post-trim) — the integers a downstream rebuild needs, mirrored
+    exactly by the SQL oracle.
+
+    Same explode-reduce shape as :func:`gopher_quality_flags`: lines
+    never leave the task, one row per doc does."""
+    import numpy as np
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lines = batch["text"].str.split("\n")
+        n_lines = lines.str.len().astype("int64")
+        ldf = pd.DataFrame(
+            {"i": np.repeat(np.arange(len(batch)), n_lines.to_numpy()),
+             "line": [ln for doc in lines for ln in doc]}
+        )
+        stripped = ldf["line"].str.strip(" \t\r\f\v")
+        ldf["keep"] = stripped.str.endswith(C4_TERMINALS).astype("int64")
+        ldf["kept_chars"] = stripped.str.len().astype("int64") * ldf["keep"]
+        g = ldf.groupby("i")[["keep", "kept_chars"]].sum()
+        kept = np.zeros(len(batch), dtype=np.int64)
+        chars = np.zeros(len(batch), dtype=np.int64)
+        kept[g.index.to_numpy()] = g["keep"].to_numpy()
+        chars[g.index.to_numpy()] = g["kept_chars"].to_numpy()
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"],
+             "n_lines": n_lines.to_numpy(),
+             "n_kept_lines": kept,
+             "kept_chars": chars}
+        )
+
+    df = (
+        _docs(sf_dir, rows_per_block=2048)
+        .map_batches(score, batch_format="pandas")
+        .sort("doc_id").to_pandas()
+    )
+    for c in df.columns:
         df[c] = df[c].astype("int64")
     return df

@@ -505,9 +505,11 @@ def oracle_sql() -> dict[str, str]:
         "array_to_string(ws[g*16+9 : g*16+16], ' ') ELSE '' END"
     )
     g9_qa = (
+        # markdown answers are HTML-rendered by the chunker (a single
+        # body line -> one <p> block), mirroring rag/app/qa.py:438
         "CASE WHEN nw > g*9+3 THEN "
         "'Question: z ' || array_to_string(ws[g*9+1 : g*9+3], ' ') || chr(9) || "
-        "'Answer: z ' || array_to_string(ws[g*9+4 : g*9+9], ' ') "
+        "'Answer: <p>z ' || array_to_string(ws[g*9+4 : g*9+9], ' ') || '</p>' "
         "ELSE NULL END"
     )
     g6_table = (

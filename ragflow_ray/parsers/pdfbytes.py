@@ -1459,11 +1459,32 @@ def _page_image_refs(body: bytes, objs: dict[int, bytes]) -> list[tuple[str, int
     return out
 
 
-def _jpeg_payload(body: bytes, objs: dict[int, bytes]) -> bytes | None:
-    """Raw JPEG bytes of a DCTDecode image stream.  Only the plain
-    single-filter form is extracted (the overwhelmingly common one);
-    a prefixed filter chain ([/FlateDecode /DCTDecode]) or any other
-    encoding returns None — degrade, never crash."""
+def _jp2_dims(d: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JP2 container's ``ihdr`` box (ISO
+    15444-1 §I.5.3.1: HEIGHT then WIDTH, 4 bytes each) or, for a raw
+    JPEG 2000 codestream, the SIZ marker segment (§A.5.1)."""
+    i = d.find(b"ihdr")
+    if i != -1 and i + 12 <= len(d):
+        h = int.from_bytes(d[i + 4 : i + 8], "big")
+        w = int.from_bytes(d[i + 8 : i + 12], "big")
+        return w, h
+    if d[:4] == b"\xff\x4f\xff\x51" and len(d) >= 24:  # SOC + SIZ
+        w = int.from_bytes(d[8:12], "big")   # Xsiz
+        h = int.from_bytes(d[12:16], "big")  # Ysiz
+        return w, h
+    return None
+
+
+_JP2_MAGIC = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+
+
+def _image_payload(body: bytes, objs: dict[int, bytes]
+                   ) -> tuple[bytes, str] | None:
+    """(container bytes, codec) of a DCTDecode (JPEG) or JPXDecode
+    (JPEG 2000) image stream.  Only the plain single-filter form is
+    extracted (the overwhelmingly common one); a prefixed filter chain
+    ([/FlateDecode /DCTDecode]) or any other encoding returns None —
+    degrade, never crash."""
     m = _STREAM_START.search(body)
     if m is None:
         return None
@@ -1472,7 +1493,7 @@ def _jpeg_payload(body: bytes, objs: dict[int, bytes]) -> bytes | None:
     if fm is None:
         return None
     names = [n.decode("latin-1") for n in _FILTER_NAME.findall(fm.group(1))]
-    if names != ["DCTDecode"]:
+    if names not in (["DCTDecode"], ["JPXDecode"]):
         return None
     lm = _LENGTH.search(header)
     if lm is not None:
@@ -1489,31 +1510,36 @@ def _jpeg_payload(body: bytes, objs: dict[int, bytes]) -> bytes | None:
         else:
             end = body.find(b"endstream", m.end())
             raw = body[m.end() : end if end != -1 else len(body)].rstrip(b"\r\n")
-    return raw if raw[:2] == b"\xff\xd8" else None
+    if names == ["DCTDecode"]:
+        return (raw, "jpeg") if raw[:2] == b"\xff\xd8" else None
+    ok = raw[: len(_JP2_MAGIC)] == _JP2_MAGIC or raw[:4] == b"\xff\x4f\xff\x51"
+    return (raw, "jp2") if ok else None
 
 
 def pdf_image_payloads(doc_id: str, blob: bytes,
                        _objs: dict[int, bytes] | None = None) -> list[dict]:
-    """Embedded DCTDecode figures → media rows
-    ``(doc_id, page_no, name, width, height, media_ref, payload)``
-    ready for the multimodal actor stages (phash dedup, features).
-    Dimensions come from the JPEG SOF header, cross-checked against
-    the XObject's declared /Width //Height when present."""
+    """Embedded DCTDecode / JPXDecode figures → media rows
+    ``(doc_id, page_no, name, codec, width, height, media_ref,
+    payload)`` ready for the multimodal actor stages (phash dedup,
+    features).  Dimensions come from the container header (JPEG SOF /
+    JP2 ihdr or SIZ), falling back to the XObject's declared
+    /Width //Height."""
     objs = _objs if _objs is not None else _prepared_objects(blob)
     rows: list[dict] = []
     for pn, num in enumerate(_page_object_order(blob, objs), start=1):
         for name, onum in _page_image_refs(objs[num], objs):
-            payload = _jpeg_payload(objs[onum], objs)
-            if payload is None:
+            extracted = _image_payload(objs[onum], objs)
+            if extracted is None:
                 continue
-            dims = _jpeg_dims(payload)
+            payload, codec = extracted
+            dims = _jpeg_dims(payload) if codec == "jpeg" else _jp2_dims(payload)
             wm = _IMG_W.search(objs[onum])
             hm = _IMG_H.search(objs[onum])
             width = dims[0] if dims else (int(wm.group(1)) if wm else 0)
             height = dims[1] if dims else (int(hm.group(1)) if hm else 0)
             rows.append(
                 {"doc_id": doc_id, "page_no": pn, "name": name,
-                 "width": width, "height": height,
+                 "codec": codec, "width": width, "height": height,
                  "media_ref": f"crop://{doc_id}/p{pn}/{name}",
                  "payload": payload}
             )
@@ -1534,9 +1560,10 @@ def pdf_to_page_payloads(doc_id: str, blob: bytes) -> list[dict]:
     figures_by_page: dict[int, list[dict]] = {}
     for row in pdf_image_payloads(doc_id, blob, _objs=objs):
         figures_by_page.setdefault(row["page_no"], []).append(
-            {"name": row["name"], "width": row["width"],
-             "height": row["height"], "media_ref": row["media_ref"],
-             "jpeg_b64": base64.b64encode(row["payload"]).decode("ascii")}
+            {"name": row["name"], "codec": row["codec"],
+             "width": row["width"], "height": row["height"],
+             "media_ref": row["media_ref"],
+             "image_b64": base64.b64encode(row["payload"]).decode("ascii")}
         )
 
     spans = []

@@ -1,0 +1,129 @@
+"""Markdown → HTML rendering for qa answers (python-markdown subset).
+
+The reference renders markdown qa answers to HTML with
+``markdown(last_answer, extensions=['markdown.extensions.tables'])``
+(/root/reference/rag/app/qa.py:438,450).  python-markdown is not in
+this container, so this module implements the block-level subset its
+output shape uses — the same documented-subset approach as the Tika /
+pdfplumber replacements:
+
+* paragraphs — blank-line-separated blocks → ``<p>…</p>``, soft-wrapped
+  lines joined with a newline INSIDE the tag (python-markdown keeps
+  them);
+* pipe tables (the ``tables`` extension) → the extension's exact tag
+  layout: one tag per line, ``<thead>``/``<tbody>`` sections,
+  ``:---:``-style alignment as ``style="text-align: …;"`` attributes;
+* unordered (``- `` / ``* `` / ``+ ``) and ordered (``1. ``) lists →
+  ``<ul>/<ol>`` with one ``<li>`` per line;
+* ATX headings ``#``–``######`` → ``<h1>``–``<h6>`` (deeper runs fall
+  back to paragraphs, as python-markdown does);
+* ``&`` and ``<`` escape to entities inside text content.
+
+Out of subset (documented, inline text passes through verbatim):
+inline emphasis/links/code, fenced code blocks (the reference enables
+only the tables extension, so fences are paragraph text there too),
+reference links, setext headings.
+"""
+
+from __future__ import annotations
+
+import re
+
+_HEADING = re.compile(r"^(#{1,6})\s+(.*)$")
+_UL_ITEM = re.compile(r"^[-*+]\s+(.*)$")
+_OL_ITEM = re.compile(r"^\d+\.\s+(.*)$")
+_TABLE_SEP = re.compile(r"^\s*\|?\s*:?-+:?\s*(\|\s*:?-+:?\s*)*\|?\s*$")
+
+
+def _esc(text: str) -> str:
+    return text.replace("&", "&amp;").replace("<", "&lt;")
+
+
+def _split_row(line: str) -> list[str]:
+    row = line.strip()
+    if row.startswith("|"):
+        row = row[1:]
+    if row.endswith("|"):
+        row = row[:-1]
+    return [c.strip() for c in row.split("|")]
+
+
+def _alignments(sep_line: str) -> list[str | None]:
+    out: list[str | None] = []
+    for cell in _split_row(sep_line):
+        left, right = cell.startswith(":"), cell.endswith(":")
+        if left and right:
+            out.append("center")
+        elif right:
+            out.append("right")
+        elif left:
+            out.append("left")
+        else:
+            out.append(None)
+    return out
+
+
+def _render_table(lines: list[str]) -> list[str]:
+    headers = _split_row(lines[0])
+    aligns = _alignments(lines[1])
+    aligns += [None] * (len(headers) - len(aligns))
+
+    def cell(tag: str, text: str, align: str | None) -> str:
+        attr = f' style="text-align: {align};"' if align else ""
+        return f"<{tag}{attr}>{_esc(text)}</{tag}>"
+
+    out = ["<table>", "<thead>", "<tr>"]
+    out += [cell("th", h, a) for h, a in zip(headers, aligns)]
+    out += ["</tr>", "</thead>", "<tbody>"]
+    for line in lines[2:]:
+        cells = _split_row(line)
+        # python-markdown pads/truncates body rows to the header width
+        cells = (cells + [""] * len(headers))[: len(headers)]
+        out.append("<tr>")
+        out += [cell("td", c, a) for c, a in zip(cells, aligns)]
+        out.append("</tr>")
+    out += ["</tbody>", "</table>"]
+    return out
+
+
+def markdown_to_html(text: str) -> str:
+    """Render ``text`` to HTML (see module docstring for the subset)."""
+    blocks: list[list[str]] = []
+    cur: list[str] = []
+    for raw in text.split("\n"):
+        if raw.strip():
+            cur.append(raw)
+        elif cur:
+            blocks.append(cur)
+            cur = []
+    if cur:
+        blocks.append(cur)
+
+    out: list[str] = []
+    for block in blocks:
+        first = block[0].strip()
+        # pipe table: a header row and a separator row
+        if (len(block) >= 2 and "|" in first
+                and _TABLE_SEP.match(block[1])):
+            out += _render_table([ln.strip() for ln in block])
+            continue
+        m = _HEADING.match(first)
+        if m and len(block) == 1:
+            level = len(m.group(1))
+            out.append(f"<h{level}>{_esc(m.group(2).strip())}</h{level}>")
+            continue
+        if all(_UL_ITEM.match(ln.strip()) for ln in block):
+            out.append("<ul>")
+            out += [f"<li>{_esc(_UL_ITEM.match(ln.strip()).group(1))}</li>"
+                    for ln in block]
+            out.append("</ul>")
+            continue
+        if all(_OL_ITEM.match(ln.strip()) for ln in block):
+            out.append("<ol>")
+            out += [f"<li>{_esc(_OL_ITEM.match(ln.strip()).group(1))}</li>"
+                    for ln in block]
+            out.append("</ol>")
+            continue
+        body = "\n".join(_esc(ln.strip()) for ln in block)
+        out.append(f"<p>{body}</p>")
+    return "\n".join(out)

@@ -1190,7 +1190,8 @@ class TestEmbeddedJpeg:
         payload = json.loads(spans[0]["text"])
         figs = payload["figures"]
         assert len(figs) == 1
-        jpeg = base64.b64decode(figs[0]["jpeg_b64"])
+        assert figs[0]["codec"] == "jpeg"
+        jpeg = base64.b64decode(figs[0]["image_b64"])
         assert jpeg.startswith(b"\xff\xd8")
         # text layer unaffected
         assert payload["boxes"][0]["text"] == "figure page"
@@ -1379,3 +1380,48 @@ class TestAesV3EncryptedPdf:
         blob[m.start(1):m.end(1)] = flipped.hex().encode()
         pages = pdf_text_lines(bytes(blob))
         assert all(not any(ln.strip() for ln in page) for page in pages)
+
+
+class TestEmbeddedJp2:
+    def _make_jp2(self, width=5, height=3):
+        # minimal JP2 container: signature box + jp2h/ihdr carrying dims
+        sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+        ihdr = (b"\x00\x00\x00\x16ihdr"
+                + height.to_bytes(4, "big") + width.to_bytes(4, "big")
+                + b"\x00\x03\x07\x00\x00\x00")
+        return sig + b"\x00\x00\x00\x1ejp2h" + ihdr
+
+    def test_jpx_payload_extracted(self):
+        from ragflow_ray.parsers.pdfbytes import pdf_image_payloads
+
+        jp2 = self._make_jp2(width=12, height=9)
+        content = b"BT /F1 12 Tf 72 720 Td (jp2 page) Tj ET"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+            (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /XObject << /Im9 5 0 R >> >> /Contents 4 0 R >>"),
+            (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+             + content + b"\nendstream"),
+            (b"<< /Type /XObject /Subtype /Image /Width 12 /Height 9 "
+             b"/Filter /JPXDecode /Length " + str(len(jp2)).encode()
+             + b" >>\nstream\n" + jp2 + b"\nendstream"),
+        ]
+        out = bytearray(b"%PDF-1.5\n")
+        for i, body in enumerate(objs, start=1):
+            out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+        out += b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+        rows = pdf_image_payloads("docJ", bytes(out))
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["codec"] == "jp2"
+        assert (r["width"], r["height"]) == (12, 9)  # ihdr, not /Width
+        assert r["payload"].startswith(b"\x00\x00\x00\x0cjP")
+
+    def test_raw_codestream_dims(self):
+        from ragflow_ray.parsers.pdfbytes import _jp2_dims
+
+        siz = (b"\xff\x4f\xff\x51" + b"\x00\x29\x00\x00"
+               + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+               + b"\x00" * 24)
+        assert _jp2_dims(siz) == (640, 480)

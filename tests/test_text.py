@@ -278,3 +278,57 @@ class TestCl100kSeam:
         # and the merged " world" token exists
         assert cl100k_token_count("hello world", ranks) == 2
         assert b" world" in ranks
+
+
+class TestMarkdownHtml:
+    """qa-answer markdown rendering (text/mdhtml.py) — the
+    python-markdown(extensions=['tables']) output subset the reference
+    uses for qa answers (rag/app/qa.py:438,450)."""
+
+    def test_paragraphs(self):
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        assert markdown_to_html("hello world") == "<p>hello world</p>"
+        assert markdown_to_html("a\nb\n\nc") == "<p>a\nb</p>\n<p>c</p>"
+        assert markdown_to_html("\nleading blank\n") == "<p>leading blank</p>"
+
+    def test_escaping(self):
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        assert markdown_to_html("a & b < c") == "<p>a &amp; b &lt; c</p>"
+
+    def test_table_shape(self):
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        md = "| a | b |\n|---|:--:|\n| 1 | 2 |"
+        html = markdown_to_html(md)
+        assert html.split("\n") == [
+            "<table>", "<thead>", "<tr>",
+            "<th>a</th>", '<th style="text-align: center;">b</th>',
+            "</tr>", "</thead>", "<tbody>", "<tr>",
+            "<td>1</td>", '<td style="text-align: center;">2</td>',
+            "</tr>", "</tbody>", "</table>",
+        ]
+
+    def test_lists_and_headings(self):
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        assert markdown_to_html("- x\n- y") == "<ul>\n<li>x</li>\n<li>y</li>\n</ul>"
+        assert markdown_to_html("1. x\n2. y") == "<ol>\n<li>x</li>\n<li>y</li>\n</ol>"
+        assert markdown_to_html("## Title") == "<h2>Title</h2>"
+        # 7+ hashes are not a heading
+        assert markdown_to_html("####### deep") == "<p>####### deep</p>"
+
+    def test_qa_chunker_renders_markdown_answers(self):
+        from ragflow_ray.chunkers import ChunkConfig, chunk_document
+
+        doc = {
+            "doc_id": "qa-md-1", "fmt": "markdown",
+            "spans": [{"kind": "text", "media_ref": "", "offset": 0,
+                       "text": "# Topic\nbody line\n\n| a |\n|---|\n| 1 |"}],
+        }
+        spans = chunk_document(doc, "qa", ChunkConfig(lang="English"))
+        assert len(spans) == 1
+        text = spans[0]["text"]
+        assert "Answer: <p>body line</p>" in text
+        assert "<tbody>" in text and "<td>1</td>" in text
