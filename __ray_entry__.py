@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": curation.mixture_sample,
         "temperature_mix": curation.temperature_mix,
         "gopher_quality_flags": curation.gopher_quality_flags,
+        "gopher_repetition_flags": curation.gopher_repetition_flags,
         "c4_line_filter": curation.c4_line_filter,
         "curate_and_pack": curation.curate_and_pack,
         "per_source_cap": curation.per_source_cap,
@@ -1360,6 +1361,82 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END)::BIGINT AS gopher_keep
             FROM dstats d JOIN lstats USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # Gopher repetition rules: duplicate-line fractions + the char
+        # fraction of the most frequent word 2-/3-gram (tie-break:
+        # max count, then max count·len — both sides)
+        "gopher_repetition_flags": rf"""
+            WITH lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                FROM documents
+            ),
+            lg AS (
+                SELECT doc_id, l, COUNT(*) AS cnt, len(l) AS chars
+                FROM lines GROUP BY doc_id, l
+            ),
+            lstat AS (
+                SELECT doc_id,
+                       SUM(cnt) AS n_lines,
+                       SUM(cnt - 1) AS dup_lines,
+                       SUM((cnt - 1) * chars) AS dup_chars,
+                       greatest(SUM(cnt * chars), 1) AS tot_chars
+                FROM lg GROUP BY doc_id
+            ),
+            ws AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS w,
+                       greatest(len(text), 1) AS tlen
+                FROM documents
+            ),
+            g2c AS (
+                SELECT doc_id, g, COUNT(*) AS cnt FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(greatest(len(w) - 1, 0)),
+                                  i -> w[i+1] || ' ' || w[i+2])) AS g
+                    FROM ws) GROUP BY doc_id, g
+            ),
+            g3c AS (
+                SELECT doc_id, g, COUNT(*) AS cnt FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+                    FROM ws) GROUP BY doc_id, g
+            ),
+            g2top AS (
+                SELECT doc_id, MAX(cnt * len(g)) AS top2 FROM (
+                    SELECT doc_id, g, cnt,
+                           MAX(cnt) OVER (PARTITION BY doc_id) AS mx
+                    FROM g2c) WHERE cnt = mx GROUP BY doc_id
+            ),
+            g3top AS (
+                SELECT doc_id, MAX(cnt * len(g)) AS top3 FROM (
+                    SELECT doc_id, g, cnt,
+                           MAX(cnt) OVER (PARTITION BY doc_id) AS mx
+                    FROM g3c) WHERE cnt = mx GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   (dup_lines * 1000 // greatest(n_lines, 1))::BIGINT
+                       AS dup_line_x1000,
+                   (dup_chars * 1000 // tot_chars)::BIGINT
+                       AS dup_line_char_x1000,
+                   (COALESCE(top2, 0) * 1000 // tlen)::BIGINT
+                       AS top2gram_char_x1000,
+                   (COALESCE(top3, 0) * 1000 // tlen)::BIGINT
+                       AS top3gram_char_x1000,
+                   (CASE WHEN dup_lines * 1000 // greatest(n_lines, 1)
+                              <= {curation_mod.REP_MAX_DUP_LINE_X1000}
+                          AND dup_chars * 1000 // tot_chars
+                              <= {curation_mod.REP_MAX_DUP_LINE_CHAR_X1000}
+                          AND COALESCE(top2, 0) * 1000 // tlen
+                              <= {curation_mod.REP_MAX_TOP2GRAM_X1000}
+                          AND COALESCE(top3, 0) * 1000 // tlen
+                              <= {curation_mod.REP_MAX_TOP3GRAM_X1000}
+                     THEN 1 ELSE 0 END)::BIGINT AS repetition_keep
+            FROM ws w
+            JOIN lstat USING (doc_id)
+            LEFT JOIN g2top USING (doc_id)
+            LEFT JOIN g3top USING (doc_id)
+            ORDER BY w.doc_id
         """,
         # C4 line filter: keep lines ending in terminal punctuation
         # ('' inside the SQL literal = one apostrophe)

@@ -199,6 +199,7 @@ def run_bench() -> dict:
             d, concurrency=pool),
         "hybrid_topk": textstats.hybrid_topk,
         "gopher_quality_flags": curation.gopher_quality_flags,
+        "gopher_repetition_flags": curation.gopher_repetition_flags,
         "c4_line_filter": curation.c4_line_filter,
         "winnow_fingerprints": lambda d: len(dedup.winnow_fingerprints(d)),
         "winnow_overlap_pairs": lambda d: len(dedup.winnow_overlap_pairs(d)),

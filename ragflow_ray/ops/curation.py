@@ -1605,3 +1605,106 @@ def c4_line_filter(sf_dir: str):
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+# ---- Gopher repetition rules -----------------------------------------------
+
+REP_MAX_DUP_LINE_X1000 = 300
+REP_MAX_DUP_LINE_CHAR_X1000 = 200
+REP_MAX_TOP2GRAM_X1000 = 200
+REP_MAX_TOP3GRAM_X1000 = 180
+
+
+def gopher_repetition_flags(sf_dir: str):
+    """Gopher repetition rules (Rae et al. 2021 §A1.1 table A1): the
+    duplicate-line fraction, duplicate-line CHARACTER fraction, and the
+    character fraction covered by the most frequent word 2-gram /
+    3-gram.  Integer x1000 fixed-point (floors) so the DuckDB oracle
+    mirrors bit-for-bit; the "most frequent n-gram" tie-break is
+    max(count) then max(count·len) — deterministic on both sides.
+
+    Lines use the pandas explode path (C-level); the n-gram counters
+    are a per-doc Python pass over the whitespace tokens (the same
+    _TOKEN_RUN convention as every other op), so the read stays at the
+    small per-doc block size.  Only the per-doc feature row leaves the
+    task; one row per doc comes back.
+    """
+    import numpy as np
+
+    tok_re = re.compile(_TOKEN_RUN)
+
+    def top_ngram_chars(words: list[str], n: int) -> int:
+        if len(words) < n:
+            return 0
+        counts: dict[str, int] = {}
+        for i in range(len(words) - n + 1):
+            g = " ".join(words[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+        best_cnt = max(counts.values())
+        return max(cnt * len(g) for g, cnt in counts.items()
+                   if cnt == best_cnt)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        text_len = text.str.len().astype("int64").to_numpy()
+
+        lines = text.str.split("\n")
+        n_lines = lines.str.len().astype("int64").to_numpy()
+        ldf = pd.DataFrame(
+            {"i": np.repeat(np.arange(len(batch)), n_lines),
+             "line": [ln for doc in lines for ln in doc]}
+        )
+        ldf["chars"] = ldf["line"].str.len().astype("int64")
+        g = ldf.groupby(["i", "line"], sort=False).agg(
+            cnt=("chars", "size"), chars=("chars", "first"))
+        g = g.reset_index()
+        per_doc = g.groupby("i").apply(
+            lambda d: pd.Series(
+                {"dup_lines": int((d["cnt"] - 1).sum()),
+                 "dup_chars": int(((d["cnt"] - 1) * d["chars"]).sum()),
+                 "tot_chars": int((d["cnt"] * d["chars"]).sum())}),
+            include_groups=False)
+        dup_lines = np.zeros(len(batch), dtype=np.int64)
+        dup_chars = np.zeros(len(batch), dtype=np.int64)
+        tot_chars = np.ones(len(batch), dtype=np.int64)
+        idx = per_doc.index.to_numpy()
+        dup_lines[idx] = per_doc["dup_lines"].to_numpy()
+        dup_chars[idx] = per_doc["dup_chars"].to_numpy()
+        tot_chars[idx] = np.maximum(per_doc["tot_chars"].to_numpy(), 1)
+
+        top2 = np.zeros(len(batch), dtype=np.int64)
+        top3 = np.zeros(len(batch), dtype=np.int64)
+        for k, t in enumerate(text):
+            words = tok_re.findall(t)
+            top2[k] = top_ngram_chars(words, 2)
+            top3[k] = top_ngram_chars(words, 3)
+
+        denom_lines = np.maximum(n_lines, 1)
+        denom_text = np.maximum(text_len, 1)
+        dup_line_x1000 = dup_lines * 1000 // denom_lines
+        dup_char_x1000 = dup_chars * 1000 // tot_chars
+        top2_x1000 = top2 * 1000 // denom_text
+        top3_x1000 = top3 * 1000 // denom_text
+        keep = (
+            (dup_line_x1000 <= REP_MAX_DUP_LINE_X1000)
+            & (dup_char_x1000 <= REP_MAX_DUP_LINE_CHAR_X1000)
+            & (top2_x1000 <= REP_MAX_TOP2GRAM_X1000)
+            & (top3_x1000 <= REP_MAX_TOP3GRAM_X1000)
+        ).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"],
+             "dup_line_x1000": dup_line_x1000,
+             "dup_line_char_x1000": dup_char_x1000,
+             "top2gram_char_x1000": top2_x1000,
+             "top3gram_char_x1000": top3_x1000,
+             "repetition_keep": keep}
+        )
+
+    df = (
+        _docs(sf_dir)
+        .map_batches(score, batch_format="pandas")
+        .sort("doc_id").to_pandas()
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
