@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": curation.gopher_quality_flags,
         "gopher_repetition_flags": curation.gopher_repetition_flags,
         "c4_line_filter": curation.c4_line_filter,
+        "source_overlap_matrix": dedup.source_overlap_matrix,
         "curate_and_pack": curation.curate_and_pack,
         "per_source_cap": curation.per_source_cap,
         "pii_scrub": lambda d: curation.pii_scrub(d).to_pandas(),
@@ -1361,6 +1362,29 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END)::BIGINT AS gopher_keep
             FROM dstats d JOIN lstats USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # cross-source contamination: distinct shared 8-grams per
+        # source pair (md5 digests on both sides, same equality)
+        "source_overlap_matrix": """
+            WITH base AS (
+                SELECT source, string_split(text, ' ') AS ws FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT source, g FROM (
+                    SELECT source,
+                           unnest(CASE WHEN len(ws) < 8
+                                  THEN [md5(array_to_string(ws, ' '))]
+                                  ELSE list_distinct(list_transform(
+                                       range(len(ws) - 7),
+                                       i -> md5(array_to_string(
+                                            list_slice(ws, i + 1, i + 8), ' '))))
+                                  END) AS g
+                    FROM base)
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*)::BIGINT AS n_shared_grams
+            FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Gopher repetition rules: duplicate-line fractions + the char
         # fraction of the most frequent word 2-/3-gram (tie-break:

@@ -200,6 +200,7 @@ def run_bench() -> dict:
         "hybrid_topk": textstats.hybrid_topk,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "gopher_repetition_flags": curation.gopher_repetition_flags,
+        "source_overlap_matrix": dedup.source_overlap_matrix,
         "c4_line_filter": curation.c4_line_filter,
         "winnow_fingerprints": lambda d: len(dedup.winnow_fingerprints(d)),
         "winnow_overlap_pairs": lambda d: len(dedup.winnow_overlap_pairs(d)),

@@ -1893,3 +1893,92 @@ def winnow_overlap_pairs(sf_dir: str, kgram: int = WINNOW_K,
     for c in ("doc_a", "doc_b", "n_shared"):
         df[c] = df[c].astype("int64")
     return df[["doc_a", "doc_b", "n_shared"]]
+
+
+# -- cross-source contamination matrix ------------------------------------
+
+OVERLAP_NGRAM = 8
+_OVL_BUCKETS = 1024
+
+
+def source_overlap_matrix(sf_dir: str, n: int = OVERLAP_NGRAM):
+    """Cross-source contamination: for every source pair (a < b), the
+    number of DISTINCT word ``n``-grams occurring in both — the
+    leakage matrix a corpus curator reads before mixing sources (the
+    same 8-gram convention as benchmark decontamination).  Docs
+    shorter than ``n`` words contribute their whole text as one gram
+    (the ngram_jaccard convention).
+
+    Scale plan: per-doc distinct grams ship as md5 digests split into
+    two int64 columns (never gram text), a coarse digest bucket
+    co-partitions all copies of a gram in ONE exchange, each bucket
+    dedupes (gram, source) and self-merges to source pairs
+    vectorized, and only the constant-size per-bucket pair counts
+    reach the final tiny groupby.  Pair blowup per gram is bounded by
+    S(S-1)/2 (sources, not docs)."""
+    import hashlib as _hashlib
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema(
+        [("bucket", pa.int64()), ("hi", pa.int64()), ("lo", pa.int64()),
+         ("source", pa.string())]
+    )
+
+    def grams(batch: pd.DataFrame) -> pa.Table:
+        rows_b, rows_hi, rows_lo, rows_src = [], [], [], []
+        for text, src in zip(batch["text"], batch["source"]):
+            words = text.split(" ")
+            if len(words) < n:
+                gs = {" ".join(words)}
+            else:
+                gs = {" ".join(words[i : i + n])
+                      for i in range(len(words) - n + 1)}
+            for g in gs:
+                d = _hashlib.md5(g.encode()).digest()
+                hi = int.from_bytes(d[:8], "big", signed=True)
+                lo = int.from_bytes(d[8:], "big", signed=True)
+                rows_b.append((hi & 0x7FFFFFFF) % _OVL_BUCKETS)
+                rows_hi.append(hi)
+                rows_lo.append(lo)
+                rows_src.append(src)
+        return pa.table(
+            {"bucket": pa.array(rows_b, type=pa.int64()),
+             "hi": pa.array(rows_hi, type=pa.int64()),
+             "lo": pa.array(rows_lo, type=pa.int64()),
+             "source": pa.array(rows_src, type=pa.string())},
+            schema=part_schema,
+        )
+
+    pair_schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        d = group.drop_duplicates(["hi", "lo", "source"])
+        m = d.merge(d, on=["hi", "lo"], suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        if m.empty:
+            return pair_schema.empty_table()
+        cnt = m.groupby(["source_a", "source_b"], as_index=False).size()
+        return pa.table(
+            {"source_a": cnt["source_a"].astype(str).to_numpy(),
+             "source_b": cnt["source_b"].astype(str).to_numpy(),
+             "n": cnt["size"].to_numpy().astype("int64")},
+            schema=pair_schema,
+        )
+
+    out = (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(grams, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n_shared_grams"))
+    )
+    df = (out.to_pandas()
+          .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+    df["n_shared_grams"] = df["n_shared_grams"].astype("int64")
+    return df
