@@ -9,7 +9,8 @@ Prints ONE JSON line:
 Headline = flagship extraction (synthetic interleaved corpus sized to
 the sf, every template, heavy-tail skew handled by page-range
 splitting).  ``--scaling`` reruns the headline in fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports throughput at
+num_cpus=4 and num_cpus=16 on the same input (median of 3, with a
+same-window hardware-ceiling calibration) and reports throughput at
 both plus the scaling efficiency.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
