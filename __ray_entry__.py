@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_stats": relational.event_type_stats,
         "events_hourly": relational.events_hourly,
         "events_hourly_uniques": relational.events_hourly_uniques,
+        "user_funnel": relational.user_funnel,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,
@@ -1362,6 +1363,22 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END)::BIGINT AS gopher_keep
             FROM dstats d JOIN lstats USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # ordered-sequence funnel: chained strictly-after first-step
+        # minima per user (view -> click -> purchase)
+        "user_funnel": """
+            WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, MIN(e.ts) AS t
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+            p AS (SELECT e.user_id, MIN(e.ts) AS t
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+            SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_view,
+                   (SELECT COUNT(*) FROM c)::BIGINT AS n_view_click,
+                   (SELECT COUNT(*) FROM p)::BIGINT
+                       AS n_view_click_purchase
         """,
         # cross-source contamination: distinct shared 8-grams per
         # source pair (md5 digests on both sides, same equality)

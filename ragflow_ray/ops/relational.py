@@ -1134,3 +1134,104 @@ def events_hourly_uniques(sf_dir: str):
     df["hour"] = df["hour_us"].astype("datetime64[us]")
     df["n_unique_users"] = df["n_unique_users"].astype("int64")
     return df[["hour", "n_unique_users"]]
+
+
+def user_funnel(sf_dir: str, steps=("view", "click", "purchase"),
+                n_buckets: int = 256):
+    """Ordered-sequence funnel: how many users progressed through
+    ``steps`` IN ORDER (first view, then the first click strictly
+    after it, then the first purchase strictly after that) — the
+    conversion-funnel pattern an event-analytics pipeline runs.
+
+    Distributed shape: events reduce inside ``map_batches`` to ONE row
+    per (user, step) carrying only the per-batch MIN timestamp of that
+    step (constant-size partials — the raw stream never shuffles),
+    a single groupby on a coarse user-hash bucket co-partitions each
+    user's ≤len(steps) rows, every bucket walks its users' step
+    minima vectorized, and the driver sums the tiny per-bucket step
+    counts.  Strictly-after semantics match the SQL oracle's chained
+    ``ts >`` joins.
+
+    Note the per-batch MIN is NOT sufficient for steps beyond the
+    first (the first click AFTER the first view isn't the global min
+    click), so step k>0 partials keep ALL candidate timestamps per
+    (user, step) above the running bound — bounded here by emitting
+    the per-batch SORTED ts list per (user, step); group-side logic
+    does the exact chained scan on the merged lists.
+
+    Output: one row, ``n_<step1>, n_<step1>_<step2>, ...`` counts.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    part_schema = pa.schema(
+        [("bucket", pa.int64()), ("user_id", pa.int64()),
+         ("step", pa.int64()), ("ts_us", pa.int64())]
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        m = b["event_type"].isin(steps).to_numpy()
+        if not m.any():
+            return part_schema.empty_table()
+        sub = b[m]
+        uid = sub["user_id"].to_numpy().astype("int64")
+        stp = sub["event_type"].map(step_ix).to_numpy().astype("int64")
+        ts = sub["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        # one row per (user, step, ts) is already bounded by the batch;
+        # dedupe identical timestamps to shrink the exchange
+        df = pd.DataFrame({"user_id": uid, "step": stp, "ts_us": ts})
+        df = df.drop_duplicates()
+        buck = ((df["user_id"].to_numpy()
+                 * np.int64(-7046029254386353131)) >> np.int64(40)) \
+            % np.int64(n_buckets)
+        return pa.table(
+            {"bucket": pa.array(buck), "user_id": pa.array(df["user_id"]),
+             "step": pa.array(df["step"]), "ts_us": pa.array(df["ts_us"])},
+            schema=part_schema,
+        )
+
+    cnt_schema = pa.schema(
+        [("depth", pa.int64()), ("n_users", pa.int64())]
+    )
+
+    def walk(group: pd.DataFrame) -> pa.Table:
+        depths = np.zeros(len(steps), dtype=np.int64)
+        for _uid, d in group.groupby("user_id", sort=False):
+            bound = -1 << 62
+            for k in range(len(steps)):
+                ts_k = d.loc[d["step"] == k, "ts_us"].to_numpy()
+                ts_k = ts_k[ts_k > bound] if k else ts_k
+                if ts_k.size == 0:
+                    break
+                bound = int(ts_k.min())
+                depths[k] += 1
+        return pa.table(
+            {"depth": np.arange(len(steps), dtype=np.int64),
+             "n_users": depths},
+            schema=cnt_schema,
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pandas")
+        .groupby("depth")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort("depth")
+        .to_pandas()
+    )
+    names = []
+    for i in range(len(steps)):
+        names.append("n_" + "_".join(steps[: i + 1]))
+    counts = {n: 0 for n in names}
+    for _, r in out.iterrows():
+        counts[names[int(r["depth"])]] = int(r["n_users"])
+    return pd.DataFrame([counts]).astype("int64")
