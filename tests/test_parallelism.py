@@ -42,6 +42,8 @@ SWEEP = ",".join([
     "events_order_asof",
     "token_stats",
     "pack_sequences",
+    "source_overlap_matrix",
+    "user_funnel",
 ])
 
 
