@@ -501,17 +501,19 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
     grams never touching Python:
 
     1. explode each doc's distinct n-gram keys → ``(gram, doc_id)``
-       rows (the only corpus-wide shuffle);
-    2. per-gram document frequency via a C-level count aggregate;
-       grams with df 2..``df_cap`` survive — more frequent ones are
-       *skipped entirely* (deterministic stop-gram rule, mirrored
-       exactly by the SQL oracle; a pair sharing only stop-grams is
-       not a candidate), singletons (the overwhelming majority) are
-       dropped before any per-group Python runs;
-    3. the surviving gram list hash-joins back to the exploded rows,
-       so the pair-emitting ``map_groups`` only ever sees shared
-       grams;
-    4. pairs dedupe in a tiny groupby, then verify with the same
+       rows and hash-exchange them ONCE on a coarse gram bucket —
+       every copy of a gram co-locates, so the per-bucket run walk
+       sees each gram's full document set;
+    2. the df 2..``df_cap`` stop-gram rule applies INSIDE the walk on
+       the unique-doc count of each gram run (deterministic, mirrored
+       exactly by the SQL oracle's HAVING; a pair sharing only
+       stop-grams is not a candidate).  r3 shipped this as a separate
+       count-aggregate + hash join *before* the bucket exchange — a
+       second full all-to-all over the same rows plus Ray's join
+       operator, for a filter the walk enforces anyway; folding it in
+       removed a full shuffle, the join and a materialize (measured
+       9.7 → 4.2 s at sf0.1);
+    3. pairs dedupe in a tiny groupby, then verify with the same
        size-adaptive exact verify as MinHash (``broadcast_limit``
        bounds the candidate PAIR count — quadratic in clique size,
        not linear in ids: pairs at or below it verify via a pruned
@@ -525,7 +527,6 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
     import ray.data as rd
 
     from ..sources.readers import read_parquet_clean
-    from ray.data.aggregate import Count
 
     pair_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -585,20 +586,11 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
         )
 
     docs = _docs(sf_dir)
-    sh = docs.map_batches(explode, batch_format="pandas").materialize()
-    shared = (
-        sh.groupby("gram")
-        .aggregate(Count(alias_name="df"))
-        .filter(expr=f"df >= 2 and df <= {df_cap}")
-        .select_columns(["gram"])
-        .materialize()
-    )
-    if shared.count() == 0:
-        return rd.from_arrow(pair_schema.empty_table())
-    # cut the plan between the two all-to-alls (see minhash_near_dups:
-    # chained shuffles starve each other's aggregator actors)
+    # ONE all-to-all: the coarse-bucket exchange; the df stop-gram
+    # gate lives inside bucket_pairs' run walk (2 <= unique docs <=
+    # df_cap), so no count-aggregate/join precedes it
     raw_pairs = (
-        sh.join(shared, join_type="inner", num_partitions=4, on=("gram",))
+        docs.map_batches(explode, batch_format="pandas")
         .groupby("gbkt")
         .map_groups(bucket_pairs, batch_format="pandas")
         .materialize()
