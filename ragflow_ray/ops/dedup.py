@@ -1784,19 +1784,22 @@ def winnow_overlap_pairs(sf_dir: str, kgram: int = WINNOW_K,
 
     1. fingerprint pass (shared :func:`_winnow_batch` kernel) —
        (doc_id, fp) rows, already distinct per doc;
-    2. df gate — one count aggregate keeps fps held by 2..``df_cap``
-       docs (hotter fps are boilerplate: at corpus scale a viral
-       footer would otherwise emit O(df²) pairs; the cap is mirrored
-       in the oracle so both sides see the identical pair universe);
-    3. coarse ``fp & 1023`` bucket groupby → one vectorized run-walk
-       emits each fp's pairs; a second small groupby on the 64-way
-       ``pkey`` counts each pair's shared fps (only pair rows
-       shuffle, never documents).
+    2. coarse ``fp & 1023`` bucket groupby → one vectorized run-walk
+       emits each fp's pairs, with the df 2..``df_cap`` gate enforced
+       ON the run (all copies of an fp co-locate under the bucket key,
+       so the run length IS the document frequency; hotter fps are
+       boilerplate — a viral footer would otherwise emit O(df²)
+       pairs — and the cap is mirrored in the oracle so both sides
+       see the identical pair universe).  r3 shipped the gate as a
+       separate count aggregate + hash join before the bucket
+       exchange — a second full all-to-all over the same rows for a
+       filter the walk enforces for free (the same fold as
+       ngram_jaccard_dups);
+    3. a second small groupby on the 64-way ``pkey`` counts each
+       pair's shared fps (only pair rows shuffle, never documents).
     """
     import numpy as np
     import pyarrow as pa
-    import ray.data as rd
-    from ray.data.aggregate import Count
 
     out_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -1817,17 +1820,7 @@ def winnow_overlap_pairs(sf_dir: str, kgram: int = WINNOW_K,
         .map_batches(lambda b: _winnow_batch(b, kgram, window),
                      batch_format="pandas")
         .map_batches(with_bucket, batch_format="pyarrow")
-        .materialize()  # two consumers: df gate + pair join
     )
-    gate = (
-        fps.groupby("fp")
-        .aggregate(Count(alias_name="df"))
-        .filter(expr=f"df >= 2 and df <= {df_cap}")
-        .select_columns(["fp"])
-        .materialize()
-    )
-    if gate.count() == 0:
-        return rd.from_arrow(out_schema.empty_table()).to_pandas()
 
     def bucket_pairs(group: pd.DataFrame):
         """All pairs of every fp run inside one coarse bucket (one
@@ -1841,7 +1834,9 @@ def winnow_overlap_pairs(sf_dir: str, kgram: int = WINNOW_K,
         out_a, out_b = [], []
         for s, e in zip(starts, ends):
             run = ids[s:e]
-            if len(run) < 2:
+            # run length == this fp's document frequency (all copies
+            # co-locate here): the 2..df_cap stop-fp gate lives HERE
+            if len(run) < 2 or len(run) > df_cap:
                 continue
             ii, jj = np.triu_indices(len(run), k=1)
             out_a.append(run[ii])
@@ -1870,8 +1865,7 @@ def winnow_overlap_pairs(sf_dir: str, kgram: int = WINNOW_K,
         )
 
     raw = (
-        fps.join(gate, join_type="inner", num_partitions=4, on=("fp",))
-        .groupby("fbkt")
+        fps.groupby("fbkt")
         .map_groups(bucket_pairs, batch_format="pandas")
         .materialize()  # cut the plan between the two all-to-alls
     )
