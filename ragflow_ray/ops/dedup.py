@@ -1241,19 +1241,23 @@ def passage_dedup(sf_dir: str, window: int = PASSAGE_WORDS,
     md5 occurs ≥ 2 times corpus-wide, counting multiplicity — so a
     doc repeating its own passage also reports it.
 
-    Distributed plan: one explode pass emits ``(ph, doc_id,
-    n_passages)`` rows; a C-level count aggregate finds duplicated
-    hashes (the unique long tail dies in the aggregate, never reaching
-    a join); the surviving hash list joins back to the exploded rows
-    and a per-doc count lands the verdicts.  No driver-side state at
-    any point; output is dup-doc-sized.
+    Distributed plan: one explode pass emits ``(bkt, ph, doc_id,
+    n_passages)`` rows; ONE coarse hash-bucket exchange co-locates
+    every copy of a passage, each bucket counts df and reduces to
+    per-doc dup partials vectorized (the unique long tail dies inside
+    the bucket, never re-shuffling), and a tiny per-doc groupby lands
+    the verdicts.  r3 shipped the df gate as a count aggregate + hash
+    join — a second full all-to-all over the same rows plus Ray's
+    join operator (the ngram_jaccard fold applied here too).  No
+    driver-side state at any point; output is dup-doc-sized.
     """
+    import numpy as np
     import pyarrow as pa
 
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Max, Sum
 
     pass_schema = pa.schema(
-        [("ph", pa.string()), ("doc_id", pa.int64()),
+        [("bkt", pa.int64()), ("ph", pa.string()), ("doc_id", pa.int64()),
          ("n_passages", pa.int64())]
     )
 
@@ -1268,40 +1272,43 @@ def passage_dedup(sf_dir: str, window: int = PASSAGE_WORDS,
                 ids.append(int(doc_id))
                 totals.append(npass)
         return pa.table(
-            {"ph": pa.array(phs, type=pa.string()),
+            {"bkt": pa.array(
+                 [int(h[:4], 16) & 1023 for h in phs], type=pa.int64()),
+             "ph": pa.array(phs, type=pa.string()),
              "doc_id": pa.array(ids, type=pa.int64()),
              "n_passages": pa.array(totals, type=pa.int64())},
             schema=pass_schema,
         )
 
-    exploded = (
-        _docs(sf_dir).map_batches(explode, batch_format="pandas")
-        .materialize()  # two consumers: the df aggregate and the join
+    part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_passages", pa.int64()),
+         ("n_dup_passages", pa.int64())]
     )
-    dup_hashes = (
-        exploded.groupby("ph")
-        .aggregate(Count(alias_name="df"))
-        .filter(expr="df >= 2")
-        .select_columns(["ph"])
-        .materialize()
-    )
-    # empty join partitions yield schema-less blocks that crash the
-    # hash join — bail out when no passage repeats, and size the
-    # partition count from the SMALL (duplicated-hash) side, never
-    # from n_docs (a dedup-free corpus has 0 dup hashes but many docs)
-    n_dup = dup_hashes.count()
-    if n_dup == 0:
-        return pd.DataFrame(
-            {c: pd.Series([], dtype="int64")
-             for c in ("doc_id", "n_passages", "n_dup_passages")}
+
+    def bucket_dups(group: pd.DataFrame) -> pa.Table:
+        # every copy of a ph is in this bucket: row count per ph IS
+        # its corpus-wide multiplicity (df >= 2, counting multiplicity)
+        df_per_row = group.groupby("ph", sort=False)["doc_id"].transform("size")
+        dup = group[df_per_row.to_numpy() >= 2]
+        if dup.empty:
+            return part_schema.empty_table()
+        agg = dup.groupby("doc_id", as_index=False).agg(
+            n_passages=("n_passages", "max"),
+            n_dup_passages=("ph", "size"))
+        return pa.table(
+            {"doc_id": agg["doc_id"].to_numpy().astype(np.int64),
+             "n_passages": agg["n_passages"].to_numpy().astype(np.int64),
+             "n_dup_passages": agg["n_dup_passages"].to_numpy().astype(np.int64)},
+            schema=part_schema,
         )
-    n_parts = max(1, min(join_partitions, n_dup // 64 + 1))
+
     df = (
-        exploded.join(dup_hashes, join_type="inner",
-                      num_partitions=n_parts, on=("ph",))
+        _docs(sf_dir).map_batches(explode, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(bucket_dups, batch_format="pandas")
         .groupby("doc_id")
         .aggregate(Max("n_passages", alias_name="n_passages"),
-                   Count(alias_name="n_dup_passages"))
+                   Sum("n_dup_passages", alias_name="n_dup_passages"))
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     if df.empty:
