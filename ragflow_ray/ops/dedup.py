@@ -1309,8 +1309,16 @@ def passage_dedup(sf_dir: str, window: int = PASSAGE_WORDS,
         .groupby("doc_id")
         .aggregate(Max("n_passages", alias_name="n_passages"),
                    Sum("n_dup_passages", alias_name="n_dup_passages"))
-        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        .to_pandas()
     )
+    # a dedup-free corpus leaves every bucket empty and the aggregate
+    # returns a columnless frame — keep the typed-empty contract
+    if df.empty or "doc_id" not in df.columns:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "n_passages", "n_dup_passages")}
+        )
+    df = df.sort_values("doc_id").reset_index(drop=True)
     if df.empty:
         return pd.DataFrame(
             {c: pd.Series([], dtype="int64")
