@@ -21,7 +21,6 @@ import os
 import subprocess
 import sys
 
-import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOL = os.path.join(REPO, "tools", "parallelism_sweep.py")
@@ -60,14 +59,15 @@ def _run(num_cpus: int) -> subprocess.Popen:
     )
 
 
-@pytest.mark.timeout(600)
 def test_digests_identical_across_num_cpus():
+    # (pytest-timeout is not on this image; the communicate() timeout
+    # below is the real guard)
     # sequential, not concurrent: two local Ray clusters contending for
     # the same node more than doubles wall time
     outs = {}
     for n in (4, 16):
         p = _run(n)
-        stdout, _ = p.communicate(timeout=280)
+        stdout, _ = p.communicate(timeout=540)
         assert p.returncode == 0, f"sweep at num_cpus={n} died"
         outs[n] = json.loads(stdout.strip().splitlines()[-1])
     errors = {n: {q: d for q, d in o.items() if d.startswith("ERROR")}
