@@ -332,3 +332,51 @@ class TestMarkdownHtml:
         text = spans[0]["text"]
         assert "Answer: <p>body line</p>" in text
         assert "<tbody>" in text and "<td>1</td>" in text
+
+
+class TestMarkdownHtmlProperties:
+    """Content-preservation properties of the qa-answer renderer."""
+
+    def test_word_preservation_random(self):
+        from hypothesis import given, settings, strategies as st
+
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        words = st.text(alphabet=st.characters(
+            min_codepoint=0x61, max_codepoint=0x7A), min_size=1, max_size=8)
+
+        @settings(max_examples=80, deadline=None)
+        @given(st.lists(st.lists(words, min_size=1, max_size=6),
+                        min_size=1, max_size=5))
+        def check(paragraphs):
+            text = "\n\n".join(" ".join(p) for p in paragraphs)
+            html = markdown_to_html(text)
+            # every input word survives into the rendered output
+            for p in paragraphs:
+                for w in p:
+                    assert w in html
+            # one <p> block per paragraph (pure-word input can't form
+            # tables/lists/headings)
+            assert html.count("<p>") == len(paragraphs)
+
+        check()
+
+    def test_never_raises_on_junk(self):
+        import random
+
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        rng = random.Random(13)
+        alphabet = "ab|#-*.…>`\n \t123:!?\"'<&"
+        for _ in range(200):
+            s = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(0, 120)))
+            out = markdown_to_html(s)
+            assert isinstance(out, str)
+            # input '<' is always escaped: every '<' in the output
+            # opens one of the renderer's own tags
+            for frag in out.split("<")[1:]:
+                tag = frag.split(">", 1)[0].lstrip("/").split(" ", 1)[0]
+                assert tag in ("p", "ul", "ol", "li", "table", "thead",
+                               "tbody", "tr", "th", "td",
+                               "h1", "h2", "h3", "h4", "h5", "h6"), frag
