@@ -1046,11 +1046,14 @@ def props_extract_stats(sf_dir: str):
             expand=False).astype("float64")
         df = pd.DataFrame({"event_type": b["event_type"], "k": k})
         g = df.groupby("event_type", as_index=False).agg(
-            n_events=("k", "size"), sum_k=("k", "sum"),
-            min_k=("k", "min"), max_k=("k", "max"),
+            n_events=("k", "size"), n_valid=("k", "count"),
+            sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max"),
         )
         # a batch whose type has NO valid k must not bias the global
-        # Min/Max: neutral sentinels, not 0
+        # Min/Max: neutral sentinels, not 0.  n_valid (count of
+        # non-NULL k) is the authoritative all-NULL detector — the
+        # sentinel itself is a legal data value (r4 ADVICE)
+        g["n_valid"] = g["n_valid"].astype("int64")
         g["sum_k"] = g["sum_k"].fillna(0).astype("int64")
         g["min_k"] = g["min_k"].fillna(float(1 << 62)).astype("int64")
         g["max_k"] = g["max_k"].fillna(float(-(1 << 62))).astype("int64")
@@ -1060,6 +1063,7 @@ def props_extract_stats(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas")
         .groupby("event_type")
         .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("n_valid", alias_name="n_valid"),
                    Sum("sum_k", alias_name="sum_k"),
                    Min("min_k", alias_name="min_k"),
                    Max("max_k", alias_name="max_k"))
@@ -1067,9 +1071,13 @@ def props_extract_stats(sf_dir: str):
     df = out.sort("event_type").to_pandas()
     # a type with ZERO valid k corpus-wide still carries the neutral
     # sentinels here; the SQL contract for an all-NULL aggregate is
-    # NULL — emit NaN (float64, matching DuckDB's pandas conversion)
-    # for those rows instead of leaking ±2^62 (r3 ADVICE)
-    dirty = df["min_k"] == float(1 << 62)
+    # NULL — emit NaN (float64: duckdb's .df() converts a BIGINT
+    # column containing NULL to float64, so the oracle side widens
+    # identically and the value hashes agree) for those rows instead
+    # of leaking ±2^62 (r3 ADVICE; dirty detection via the explicit
+    # n_valid count, r4 ADVICE)
+    dirty = df["n_valid"].to_numpy() == 0
+    df = df.drop(columns=["n_valid"])
     df["n_events"] = df["n_events"].astype("int64")
     if dirty.any():
         for c in ("sum_k", "min_k", "max_k"):
@@ -1136,6 +1144,45 @@ def events_hourly_uniques(sf_dir: str):
     return df[["hour", "n_unique_users"]]
 
 
+def _funnel_scan(uid, stp, ts, n_steps: int):
+    """Exact chained strictly-after funnel counts over one bucket's
+    (user, step, ts) rows — ONE lexsort, then a per-step
+    first-occurrence pick: after sorting by (user, step, ts) every
+    (user, step) run is ts-ascending, so "min ts strictly after the
+    user's running bound" is the FIRST row of the run that clears the
+    bound.  Pure numpy segment ops, no per-user Python loop — time is
+    O(rows log rows) regardless of users-per-bucket (r4 VERDICT #3).
+    Returns int64 depths[n_steps]: users reaching each step in order."""
+    import numpy as np
+
+    depths = np.zeros(n_steps, dtype=np.int64)
+    if uid.size == 0:
+        return depths
+    order = np.lexsort((ts, stp, uid))
+    uid, stp, ts = uid[order], stp[order], ts[order]
+    _, inv = np.unique(uid, return_inverse=True)
+    n_u = int(inv[-1]) + 1 if inv.size else 0
+    bound = np.full(n_u, np.int64(-(1 << 62)))
+    alive = np.ones(n_u, dtype=bool)
+    for k in range(n_steps):
+        rk = stp == k
+        u_k = inv[rk]                   # non-decreasing user slots
+        t_k = ts[rk]                    # ascending within each slot
+        valid = np.flatnonzero((t_k > bound[u_k]) & alive[u_k])
+        if valid.size == 0:
+            depths[k:] = 0
+            break
+        u_v = u_k[valid]
+        first = np.ones(u_v.size, dtype=bool)
+        first[1:] = u_v[1:] != u_v[:-1]
+        hit_users = u_v[first]
+        alive = np.zeros(n_u, dtype=bool)
+        alive[hit_users] = True
+        bound[hit_users] = t_k[valid[first]]
+        depths[k] = hit_users.size
+    return depths
+
+
 def user_funnel(sf_dir: str, steps=("view", "click", "purchase"),
                 n_buckets: int = 256):
     """Ordered-sequence funnel: how many users progressed through
@@ -1143,21 +1190,20 @@ def user_funnel(sf_dir: str, steps=("view", "click", "purchase"),
     after it, then the first purchase strictly after that) — the
     conversion-funnel pattern an event-analytics pipeline runs.
 
-    Distributed shape: events reduce inside ``map_batches`` to ONE row
-    per (user, step) carrying only the per-batch MIN timestamp of that
-    step (constant-size partials — the raw stream never shuffles),
-    a single groupby on a coarse user-hash bucket co-partitions each
-    user's ≤len(steps) rows, every bucket walks its users' step
-    minima vectorized, and the driver sums the tiny per-bucket step
+    Distributed shape: step-0 events reduce inside ``map_batches`` to
+    ONE row per (user, batch) carrying the per-batch MIN timestamp
+    (the global first step-0 event is the min of batch minima), so
+    the step-0 side of the exchange is bounded by distinct users per
+    batch.  The per-batch MIN is NOT sufficient for steps beyond the
+    first (the first click AFTER the first view isn't the global min
+    click), so step k>0 partials keep ALL candidate (user, step, ts)
+    rows, deduplicated — the exchange is O(matching later-step
+    events), not constant-size.  A single groupby on a coarse
+    user-hash bucket co-partitions each user's rows, every bucket
+    runs ONE numpy segment scan over its lexsorted rows (no per-user
+    Python loop), and the driver sums the tiny per-bucket step
     counts.  Strictly-after semantics match the SQL oracle's chained
     ``ts >`` joins.
-
-    Note the per-batch MIN is NOT sufficient for steps beyond the
-    first (the first click AFTER the first view isn't the global min
-    click), so step k>0 partials keep ALL candidate timestamps per
-    (user, step) above the running bound — bounded here by emitting
-    the per-batch SORTED ts list per (user, step); group-side logic
-    does the exact chained scan on the merged lists.
 
     Output: one row, ``n_<step1>, n_<step1>_<step2>, ...`` counts.
     """
@@ -1185,10 +1231,19 @@ def user_funnel(sf_dir: str, steps=("view", "click", "purchase"),
         uid = sub["user_id"].to_numpy().astype("int64")
         stp = sub["event_type"].map(step_ix).to_numpy().astype("int64")
         ts = sub["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        # one row per (user, step, ts) is already bounded by the batch;
-        # dedupe identical timestamps to shrink the exchange
+        # step 0: only the per-user batch MIN can ever be the funnel
+        # entry, so ship one row per user; steps k>0 keep every
+        # distinct candidate ts (the chained bound isn't known yet)
         df = pd.DataFrame({"user_id": uid, "step": stp, "ts_us": ts})
-        df = df.drop_duplicates()
+        is0 = df["step"].to_numpy() == 0
+        if is0.any():
+            d0 = (df[is0].groupby("user_id", as_index=False)["ts_us"]
+                  .min())
+            d0.insert(1, "step", np.int64(0))
+            df = pd.concat([d0, df[~is0].drop_duplicates()],
+                           ignore_index=True)
+        else:
+            df = df.drop_duplicates()
         buck = ((df["user_id"].to_numpy()
                  * np.int64(-7046029254386353131)) >> np.int64(40)) \
             % np.int64(n_buckets)
@@ -1203,16 +1258,12 @@ def user_funnel(sf_dir: str, steps=("view", "click", "purchase"),
     )
 
     def walk(group: pd.DataFrame) -> pa.Table:
-        depths = np.zeros(len(steps), dtype=np.int64)
-        for _uid, d in group.groupby("user_id", sort=False):
-            bound = -1 << 62
-            for k in range(len(steps)):
-                ts_k = d.loc[d["step"] == k, "ts_us"].to_numpy()
-                ts_k = ts_k[ts_k > bound] if k else ts_k
-                if ts_k.size == 0:
-                    break
-                bound = int(ts_k.min())
-                depths[k] += 1
+        depths = _funnel_scan(
+            group["user_id"].to_numpy().astype(np.int64),
+            group["step"].to_numpy().astype(np.int64),
+            group["ts_us"].to_numpy().astype(np.int64),
+            len(steps),
+        )
         return pa.table(
             {"depth": np.arange(len(steps), dtype=np.int64),
              "n_users": depths},

@@ -100,3 +100,70 @@ def test_no_hot_keys_path_unchanged(tmp_path):
     want["event_id"] = want["event_id"].astype("int64")
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+# --- user_funnel walk kernel (r4 verdict task 2) ---------------------
+
+def _brute_funnel(df: pd.DataFrame, n_steps: int) -> np.ndarray:
+    """Per-user Python reference: chained strictly-after first-step scan."""
+    depths = np.zeros(n_steps, dtype=np.int64)
+    for _uid, d in df.groupby("user_id", sort=False):
+        bound = -(1 << 62)
+        for k in range(n_steps):
+            ts_k = d.loc[d["step"] == k, "ts_us"].to_numpy()
+            ts_k = ts_k[ts_k > bound]
+            if ts_k.size == 0:
+                break
+            bound = int(ts_k.min())
+            depths[k] += 1
+    return depths
+
+
+def _rand_funnel_rows(n_users, rows_per_user, n_steps, seed):
+    rs = np.random.RandomState(seed)
+    n = n_users * rows_per_user
+    return (
+        rs.randint(0, n_users, size=n).astype(np.int64),
+        rs.randint(0, n_steps, size=n).astype(np.int64),
+        rs.randint(0, 1_000_000, size=n).astype(np.int64),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_funnel_scan_matches_bruteforce(seed):
+    from ragflow_ray.ops.relational import _funnel_scan
+
+    uid, stp, ts = _rand_funnel_rows(200, 8, 4, seed)
+    got = _funnel_scan(uid, stp, ts, 4)
+    want = _brute_funnel(
+        pd.DataFrame({"user_id": uid, "step": stp, "ts_us": ts}), 4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_funnel_scan_flat_per_user():
+    """Many users in ONE bucket: the vectorized scan must not pay
+    per-user Python overhead.  200k users x 6 rows completes in well
+    under 2s (a per-user loop takes >30s); generous absolute bound so
+    a contended VM can't flake it."""
+    import time
+
+    from ragflow_ray.ops.relational import _funnel_scan
+
+    uid, stp, ts = _rand_funnel_rows(200_000, 6, 3, seed=9)
+    t0 = time.perf_counter()
+    depths = _funnel_scan(uid, stp, ts, 3)
+    dt = time.perf_counter() - t0
+    assert dt < 2.0, f"funnel scan took {dt:.2f}s on 1.2M rows"
+    assert depths[0] > 0 and (np.diff(depths) <= 0).all()
+
+
+def test_funnel_scan_empty_and_dropout():
+    from ragflow_ray.ops.relational import _funnel_scan
+
+    z = np.array([], dtype=np.int64)
+    np.testing.assert_array_equal(_funnel_scan(z, z, z, 3), [0, 0, 0])
+    # one user whose only click precedes the view: depth stops at 1
+    uid = np.array([5, 5], dtype=np.int64)
+    stp = np.array([0, 1], dtype=np.int64)
+    ts = np.array([100, 50], dtype=np.int64)
+    np.testing.assert_array_equal(_funnel_scan(uid, stp, ts, 3), [1, 0, 0])
