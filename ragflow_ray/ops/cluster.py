@@ -85,12 +85,44 @@ def _assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.argmax(mat @ centroids.T, axis=1)
 
 
+def _combine_partials(b: pd.DataFrame) -> pa.Table:
+    """Narrow tree-combine level for Lloyd partials: sum ~128 blocks'
+    worth of (cluster, dim) partial rows into one — a plain map stage,
+    never an all-to-all."""
+    g = b.groupby(["cluster", "dim"], as_index=False).agg(
+        sum_x1e6=("sum_x1e6", "sum"), n=("n", "sum"))
+    return pa.table(
+        {
+            "cluster": g["cluster"].to_numpy().astype(np.int64),
+            "dim": g["dim"].to_numpy().astype(np.int64),
+            "sum_x1e6": g["sum_x1e6"].to_numpy().astype(np.int64),
+            "n": g["n"].to_numpy().astype(np.int64),
+        },
+        schema=_PARTIAL_SCHEMA,
+    )
+
+
 def _lloyd_rounds(sf_dir: str, k: int, iters: int, concurrency,
-                  batch_size: int = 4096) -> np.ndarray:
+                  batch_size: int = 4096, ds=None) -> np.ndarray:
     """Run ``iters`` Lloyd rounds, one streaming pass each; returns the
-    final normalized centroid matrix."""
+    final normalized centroid matrix.
+
+    Per-round reduce shape (r5): the per-batch partials are exact
+    int64 (cluster, dim) sums, so the reduce is order-free — instead
+    of a ``groupby().aggregate()`` all-to-all (measured ~0.8 s FIXED
+    cost per round at 32 cpus, pure scheduling for 512-row partials)
+    the partials flow through ONE narrow ``map_batches`` combine level
+    (×~128 fan-in, no shuffle) and the driver sums the remainder.
+    Driver rows are bounded by ceil(n_blocks/128) × k × dim — a 100-TB
+    run at ~1M blocks is ~4M tiny int rows; add a second combine level
+    before this ever matters.  The input dataset is materialized once
+    and reused across rounds (and by callers for the final assignment
+    pass): an iterative algorithm re-reading parquet every round pays
+    O(iters) scans; the object store spills if the vector table
+    outgrows memory."""
     centroids = _seed_centroids(sf_dir, k)
-    ds = _embeddings(sf_dir)
+    if ds is None:
+        ds = _embeddings(sf_dir).materialize()
 
     for _ in range(iters):
         # plain stateless function, NOT an actor pool: a fresh pool per
@@ -119,17 +151,20 @@ def _lloyd_rounds(sf_dir: str, k: int, iters: int, concurrency,
                 schema=_PARTIAL_SCHEMA,
             )
 
-        from ray.data.aggregate import Sum
-
         reduced = (
             ds.map_batches(
                 partial_sums,
                 batch_format="pandas",
                 batch_size=batch_size,
             )
-            .groupby(["cluster", "dim"])
-            .aggregate(Sum("sum_x1e6", alias_name="s"), Sum("n", alias_name="n"))
+            .map_batches(
+                _combine_partials,
+                batch_format="pandas",
+                batch_size=128 * k * centroids.shape[1],
+            )
             .to_pandas()
+            .groupby(["cluster", "dim"], as_index=False)
+            .agg(s=("sum_x1e6", "sum"), n=("n", "sum"))
         )
         new = centroids.copy()
         dim = centroids.shape[1]
@@ -157,7 +192,9 @@ def kmeans_clusters(
     the streaming passes — the integer-scaled partial sums make the
     result bit-identical under ANY batching/parallelism (pinned by
     test_ops.TestCluster)."""
-    centroids = _lloyd_rounds(sf_dir, k, iters, concurrency, batch_size)
+    ds = _embeddings(sf_dir).materialize()
+    centroids = _lloyd_rounds(sf_dir, k, iters, concurrency, batch_size,
+                              ds=ds)
 
     def assigner(batch: pd.DataFrame, _c=centroids) -> pa.Table:
         mat = _norm_rows(
@@ -172,7 +209,7 @@ def kmeans_clusters(
         )
 
     df = (
-        _embeddings(sf_dir)
+        ds
         .map_batches(
             assigner,
             batch_format="pandas",
@@ -200,7 +237,8 @@ def semdedup(
     such keeper.  Similarities are rounded to 9 dp before the
     threshold test (the ann.py float-jitter convention, mirrored by
     the fixture)."""
-    centroids = _lloyd_rounds(sf_dir, k, iters, concurrency)
+    ds = _embeddings(sf_dir).materialize()
+    centroids = _lloyd_rounds(sf_dir, k, iters, concurrency, ds=ds)
 
     def assigner(batch: pd.DataFrame, _c=centroids) -> pd.DataFrame:
         mat = _norm_rows(
@@ -240,7 +278,7 @@ def semdedup(
         )
 
     out = (
-        _embeddings(sf_dir)
+        ds
         .map_batches(
             assigner,
             batch_format="pandas",
@@ -291,7 +329,9 @@ def raptor_tree(
 
     Output: ``vec_id, l0, l1, leaf_size`` sorted by vec_id.
     """
-    centroids = _lloyd_rounds(sf_dir, k_top, iters, concurrency, batch_size)
+    ds = _embeddings(sf_dir).materialize()
+    centroids = _lloyd_rounds(sf_dir, k_top, iters, concurrency,
+                              batch_size, ds=ds)
 
     def assigner(batch: pd.DataFrame, _c=centroids) -> pd.DataFrame:
         mat = _norm_rows(
@@ -333,7 +373,7 @@ def raptor_tree(
         )
 
     out = (
-        _embeddings(sf_dir)
+        ds
         .map_batches(assigner, batch_format="pandas", batch_size=batch_size)
         .groupby("l0")
         .map_groups(subcluster, batch_format="pandas")
