@@ -99,21 +99,25 @@ def _score_wanted(ids, mat, assignment, wanted, queries, query_ids, k):
 
 
 def _reduce_topk(partials, k: int):
-    """Distributed per-query top-k reduce over the partial Dataset:
-    ONE ``groupby(q_vec_id)`` collapses the nq × k × n_blocks partial
-    rows to nq × k BEFORE anything reaches the driver — at 100 TB
-    n_blocks is 10^5-10^6 and a driver-side pandas merge of the raw
-    partials (the r3 shape) would grow with block count.  The group
-    key cardinality is nq (small) and each group is k × n_blocks
-    short fixed-width rows, so the reduce task is bounded and the
-    rounding / tie-break contract matches :func:`_merge_partials`
-    exactly (which re-applies it idempotently on the nq × k result)."""
+    """Distributed per-query top-k reduce over the partial Dataset —
+    top-k under the (score rounded to 9 dp desc, vec_id asc) order is
+    a semilattice reduce (merging partial top-ks and re-taking top-k
+    yields the global top-k), so it needs NO shuffle: two narrow
+    ``map_batches`` combine levels (~100× fan-in each, measured vs the
+    r4 ``groupby(q_vec_id)`` all-to-all which cost ~0.8 s of fixed
+    scheduling per call at 32 cpus) collapse the nq × k × n_blocks
+    partial rows to nq × k × ⌈n_blocks/10^4⌉ before the driver — at
+    100 TB (~10^6 blocks) that is ~100 × nq × k short fixed-width
+    rows.  The rounding / tie-break contract matches
+    :func:`_merge_partials` exactly (which re-applies it idempotently
+    on the result)."""
 
-    def local_topk(group: pd.DataFrame):
-        g = group.copy()
+    def combine_topk(b: pd.DataFrame) -> pa.Table:
+        g = b.copy()
         g["score_r"] = g["score"].round(9)
-        g = g.sort_values(["score_r", "vec_id"],
-                          ascending=[False, True]).head(k)
+        g = g.sort_values(["q_vec_id", "score_r", "vec_id"],
+                          ascending=[True, False, True])
+        g = g.groupby("q_vec_id", as_index=False).head(k)
         return pa.table(
             {"q_vec_id": g["q_vec_id"].to_numpy().astype(np.int64),
              "vec_id": g["vec_id"].to_numpy().astype(np.int64),
@@ -121,8 +125,11 @@ def _reduce_topk(partials, k: int):
             schema=_PARTIAL_SCHEMA,
         )
 
-    return partials.groupby("q_vec_id").map_groups(
-        local_topk, batch_format="pandas")
+    out = partials
+    for _ in range(2):
+        out = out.map_batches(combine_topk, batch_format="pandas",
+                              batch_size=8192)
+    return out
 
 
 def _merge_partials(df: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -406,7 +413,6 @@ def pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
     """
     import pyarrow as pa
     import ray
-    from ray.data.aggregate import Sum
 
     query_ids, queries = _load_queries(sf_dir, n_queries)
 
@@ -427,8 +433,27 @@ def pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
          ("sum_x1e6", pa.int64()), ("n", pa.int64())]
     )
 
-    ds = _embeddings(sf_dir)
+    # one materialization shared by every training round AND the ADC
+    # scoring pass — an iterative algorithm re-reading parquet per
+    # round pays O(iters) scans (the ops/cluster.py r5 discipline);
+    # the object store spills if the vector table outgrows memory
+    ds = _embeddings(sf_dir).materialize()
     scale = 1_000_000
+
+    def train_combine(b: pd.DataFrame) -> pa.Table:
+        # narrow tree-combine for the int64 training partials — the
+        # reduce is order-free, so no all-to-all is needed (see
+        # cluster._lloyd_rounds for the measured fixed-cost rationale)
+        g = b.groupby(["sub", "cent", "dim"], as_index=False).agg(
+            sum_x1e6=("sum_x1e6", "sum"), n=("n", "sum"))
+        return pa.table(
+            {"sub": g["sub"].to_numpy().astype(np.int64),
+             "cent": g["cent"].to_numpy().astype(np.int64),
+             "dim": g["dim"].to_numpy().astype(np.int64),
+             "sum_x1e6": g["sum_x1e6"].to_numpy().astype(np.int64),
+             "n": g["n"].to_numpy().astype(np.int64)},
+            schema=partial_schema,
+        )
 
     for _ in range(iters):
         cts = cents
@@ -459,10 +484,12 @@ def pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
         reduced = (
             ds.map_batches(train_partial, batch_format="pandas",
                            batch_size=batch_size)
-            .groupby(["sub", "cent", "dim"])
-            .aggregate(Sum("sum_x1e6", alias_name="s"),
-                       Sum("n", alias_name="n"))
-            .to_pandas().sort_values(["sub", "cent", "dim"])
+            .map_batches(train_combine, batch_format="pandas",
+                         batch_size=128 * m * n_cent * dsub)
+            .to_pandas()
+            .groupby(["sub", "cent", "dim"], as_index=False)
+            .agg(s=("sum_x1e6", "sum"), n=("n", "sum"))
+            .sort_values(["sub", "cent", "dim"])
         )
         new = cents.copy()
         for (s, c), grp in reduced.groupby(["sub", "cent"]):
@@ -472,6 +499,12 @@ def pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
             vec = grp["s"].to_numpy(dtype=np.float64) / scale / n
             if len(vec) == dsub:
                 new[int(s), int(c)] = vec
+        if np.array_equal(new, cents):
+            # exact convergence: identical centroids make every later
+            # round a bit-identical no-op, so stopping here cannot
+            # change the result — the pinned ITERS=3 fixture spec
+            # (tools/make_pq_fixture.py) is unaffected
+            break
         cents = new
 
     # ---- ADC scoring pass: encode per batch, score via table lookups
