@@ -196,23 +196,62 @@ class MinHasher:
 _PAIR_BUCKETS = 64  # dedup-bucket fanout (any low-cardinality value)
 
 
-def _bucket_pairs(group: pd.DataFrame):
-    """Candidate pairs within one LSH bucket (doc ids only — text is
-    not shipped through the shuffle).  Emits a low-cardinality ``pkey``
-    so the cross-band pair dedup can run as a 64-group vectorized
-    ``map_groups`` instead of a per-pair groupby (Ray's aggregate at
-    millions of groups is ~30x slower — measured 283s vs 8.8s on 9M
-    pair rows from a 1500-doc clique)."""
+def _run_pair_walk(group: pd.DataFrame, key_cols, *, min_df: int = 2,
+                   max_df: int | None = None, unique_ids: bool = False,
+                   dedupe_pairs: bool = False):
+    """THE shared coarse-bucket run walk behind the minhash band
+    stage, the ngram inverted-index walk and the winnow fingerprint
+    walk (their only differences are the run-key columns and three
+    flags): sort one bucket group by ``key_cols + [doc_id]``, walk the
+    key runs, and emit every within-run (doc_a < doc_b) pair.
+
+    Because ALL copies of a key co-locate under its coarse bucket, a
+    run's length IS the key's document frequency — the ``min_df`` /
+    ``max_df`` stop-key gate is enforced ON the run, which is what let
+    r4 delete the separate count-aggregate + hash join (a second full
+    all-to-all over the same rows) from each of the three callers.
+
+    Emits a low-cardinality ``pkey`` so the cross-run pair dedup/count
+    can run as a 64-group vectorized ``map_groups`` instead of a
+    per-pair groupby (Ray's aggregate at millions of groups is ~30x
+    slower — measured 283s vs 8.8s on 9M pair rows from a 1500-doc
+    clique).
+
+    ``unique_ids`` dedupes doc ids within each run before gating (for
+    walks whose upstream may emit a doc twice per key);
+    ``dedupe_pairs`` locally dedupes (doc_a, doc_b) across runs before
+    the shuffle (worth it when many keys join the same pair).
+    """
     import pyarrow as pa
 
     schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("pkey", pa.int64())]
     )
-    ids = np.unique(group["doc_id"].to_numpy().astype(np.int64))
-    if len(ids) < 2:
+    df = group.sort_values([*key_cols, "doc_id"])
+    ids = df["doc_id"].to_numpy().astype(np.int64)
+    change = np.zeros(len(df), dtype=bool)
+    if len(df):
+        change[0] = True
+    for c in key_cols:
+        v = df[c].to_numpy()
+        change[1:] |= v[1:] != v[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(ids)]
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        run = np.unique(ids[s:e]) if unique_ids else ids[s:e]
+        if len(run) < min_df or (max_df is not None and len(run) > max_df):
+            continue
+        ii, jj = np.triu_indices(len(run), k=1)
+        out_a.append(run[ii])
+        out_b.append(run[jj])
+    if not out_a:
         return schema.empty_table()
-    ii, jj = np.triu_indices(len(ids), k=1)
-    a, b = ids[ii], ids[jj]
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    if dedupe_pairs:
+        pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+        a, b = pairs[:, 0], pairs[:, 1]
     return pa.table(
         {"doc_a": a, "doc_b": b,
          "pkey": (a * 1_000_003 + b) % _PAIR_BUCKETS},
@@ -276,7 +315,7 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
         # coarse bucket over (band_id, band_hash): every copy of a
         # band bucket co-locates under 1024 groups instead of one
         # groupby group PER band bucket (the per-group dispatch tax
-        # _bucket_pairs' docstring measured at ~30x for pair dedup
+        # _run_pair_walk's docstring measured at ~30x for pair dedup
         # applies to the band stage too)
         h = np.array(
             [int(x[:4], 16) for x in t["band_hash"].to_pylist()],
@@ -287,34 +326,9 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
 
     def band_run_pairs(group: pd.DataFrame):
         """Pairs for every (band_id, band_hash) run inside one coarse
-        bucket — one vectorized sort + run-length walk (the
-        ngram_jaccard bucket_pairs shape)."""
-        schema = pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
-             ("pkey", pa.int64())]
-        )
-        df = group.sort_values(["band_id", "band_hash", "doc_id"])
-        key = (df["band_id"].astype(str) + ":" + df["band_hash"]).to_numpy()
-        ids = df["doc_id"].to_numpy().astype(np.int64)
-        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-        ends = np.r_[starts[1:], len(key)]
-        out_a, out_b = [], []
-        for st, en in zip(starts, ends):
-            run = np.unique(ids[st:en])
-            if len(run) < 2:
-                continue
-            ii, jj = np.triu_indices(len(run), k=1)
-            out_a.append(run[ii])
-            out_b.append(run[jj])
-        if not out_a:
-            return schema.empty_table()
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        return pa.table(
-            {"doc_a": a, "doc_b": b,
-             "pkey": (a * 1_000_003 + b) % _PAIR_BUCKETS},
-            schema=schema,
-        )
+        bucket — the shared :func:`_run_pair_walk` kernel."""
+        return _run_pair_walk(group, ["band_id", "band_hash"],
+                              unique_ids=True)
 
     # materialize between the two all-to-alls: chaining
     # groupby.map_groups straight into a second groupby makes Ray's
@@ -597,39 +611,12 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
         )
 
     def bucket_pairs(group: pd.DataFrame):
-        """Pairs for every gram run inside one coarse bucket — a single
-        vectorized sort + run-length walk instead of one ``map_groups``
-        call per gram (the per-group dispatch tax dominates otherwise).
-        Emits ``pkey`` for the 64-bucket vectorized dedup (see
-        :func:`_bucket_pairs`); pairs from different grams dedupe
-        locally first."""
-        schema = pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("pkey", pa.int64())]
-        )
-        df = group.sort_values(["gram", "doc_id"])
-        grams = df["gram"].to_numpy()
-        ids = df["doc_id"].to_numpy().astype(np.int64)
-        starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
-        ends = np.r_[starts[1:], len(grams)]
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            run = np.unique(ids[s:e])
-            if len(run) < 2 or len(run) > df_cap:
-                continue
-            ii, jj = np.triu_indices(len(run), k=1)
-            out_a.append(run[ii])
-            out_b.append(run[jj])
-        if not out_a:
-            return schema.empty_table()
-        pairs = np.unique(
-            np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1),
-            axis=0,
-        )
-        a, b = pairs[:, 0], pairs[:, 1]
-        return pa.table(
-            {"doc_a": a, "doc_b": b, "pkey": (a * 1_000_003 + b) % _PAIR_BUCKETS},
-            schema=schema,
-        )
+        """Pairs for every gram run inside one coarse bucket — the
+        shared :func:`_run_pair_walk` kernel with the 2..``df_cap``
+        stop-gram gate enforced on the run and pairs from different
+        grams deduped locally before the shuffle."""
+        return _run_pair_walk(group, ["gram"], max_df=df_cap,
+                              unique_ids=True, dedupe_pairs=True)
 
     docs = _docs(sf_dir)
     # ONE all-to-all: the coarse-bucket exchange; the df stop-gram
@@ -1866,9 +1853,6 @@ def winnow_overlap_pairs(sf_dir: str, kgram: int = WINNOW_K,
         [("doc_a", pa.int64()), ("doc_b", pa.int64()),
          ("n_shared", pa.int64())]
     )
-    run_schema = pa.schema(
-        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("pkey", pa.int64())]
-    )
 
     def with_bucket(t: pa.Table) -> pa.Table:
         fp = t["fp"].to_numpy()
@@ -1884,33 +1868,11 @@ def winnow_overlap_pairs(sf_dir: str, kgram: int = WINNOW_K,
     )
 
     def bucket_pairs(group: pd.DataFrame):
-        """All pairs of every fp run inside one coarse bucket (one
-        sort + run-length walk; each fp contributes a pair at most
-        once because fingerprints are distinct per doc)."""
-        df = group.sort_values(["fp", "doc_id"])
-        vals = df["fp"].to_numpy()
-        ids = df["doc_id"].to_numpy().astype(np.int64)
-        starts = np.flatnonzero(np.r_[True, vals[1:] != vals[:-1]])
-        ends = np.r_[starts[1:], len(vals)]
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            run = ids[s:e]
-            # run length == this fp's document frequency (all copies
-            # co-locate here): the 2..df_cap stop-fp gate lives HERE
-            if len(run) < 2 or len(run) > df_cap:
-                continue
-            ii, jj = np.triu_indices(len(run), k=1)
-            out_a.append(run[ii])
-            out_b.append(run[jj])
-        if not out_a:
-            return run_schema.empty_table()
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        return pa.table(
-            {"doc_a": a, "doc_b": b,
-             "pkey": (a * 1_000_003 + b) % _PAIR_BUCKETS},
-            schema=run_schema,
-        )
+        """All pairs of every fp run inside one coarse bucket — the
+        shared :func:`_run_pair_walk` kernel with the 2..``df_cap``
+        stop-fp gate on the raw run (fingerprints are already distinct
+        per doc, so each fp contributes a pair at most once)."""
+        return _run_pair_walk(group, ["fp"], max_df=df_cap)
 
     def count_pairs(g: pd.DataFrame):
         arr, counts = np.unique(
