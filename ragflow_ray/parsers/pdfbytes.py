@@ -304,9 +304,17 @@ _WS = b" \t\r\n"
 
 
 def _xref_stream_offsets(data: bytes, xoff: int,
-                         offsets: dict[int, int]) -> int | None:
+                         offsets: dict[int, int]) -> tuple[int, int] | None:
     """Read one /Type /XRef stream section at ``xoff`` into
-    ``offsets`` (setdefault: newest wins); → /Prev offset or -1."""
+    ``offsets`` (setdefault: newest wins); → (/Prev or -1, /Size or -1).
+
+    Every entry type claims its object number so newer sections shadow
+    older ones: type-1 records the offset, type-0 (free) records a -1
+    tombstone (an object deleted in a newer update must not resurrect
+    from an older section's offset), type-2 (packed in an ObjStm)
+    records a -2 claim (the body comes from _expand_object_streams —
+    without the claim a stale direct body from an OLDER section would
+    win the expansion's setdefault)."""
     parsed = _object_at(data, xoff)
     if parsed is None:
         return None
@@ -339,14 +347,21 @@ def _xref_stream_offsets(data: bytes, xoff: int,
             field2 = int.from_bytes(row[w1 : w1 + w2], "big")
             if etype == 1 and field2 > 0:
                 offsets.setdefault(onum, field2)
+            elif etype == 0:
+                offsets.setdefault(onum, -1)
+            elif etype == 2:
+                offsets.setdefault(onum, -2)
     pm = _XREF_PREV.search(body)
-    return int(pm.group(1)) if pm else -1
+    return (int(pm.group(1)) if pm else -1,
+            int(sm.group(1)) if sm else -1)
 
 
 def _classic_xref_offsets(data: bytes, xoff: int,
-                          offsets: dict[int, int]) -> tuple[int, int] | None:
+                          offsets: dict[int, int]) -> tuple[int, int, int] | None:
     """Read one classic ``xref`` table section; → (/Prev or -1,
-    /XRefStm or -1)."""
+    /XRefStm or -1, /Size or -1).  Free ('f') entries record a -1
+    tombstone so an object deleted in a newer incremental section is
+    not resurrected from an older section's in-use offset."""
     k = xoff + 4  # past b"xref"
     while True:
         while k < len(data) and data[k : k + 1] in _WS:
@@ -356,8 +371,10 @@ def _classic_xref_offsets(data: bytes, xoff: int,
             trailer = data[k : t_end + 2] if t_end != -1 else data[k : k + 512]
             pm = _XREF_PREV.search(trailer)
             xm = _XREF_STM.search(trailer)
+            zm = _XREF_SIZE.search(trailer)
             return (int(pm.group(1)) if pm else -1,
-                    int(xm.group(1)) if xm else -1)
+                    int(xm.group(1)) if xm else -1,
+                    int(zm.group(1)) if zm else -1)
         sm = re.match(rb"(\d+)\s+(\d+)", data[k : k + 40])
         if not sm:
             return None
@@ -374,9 +391,13 @@ def _classic_xref_offsets(data: bytes, xoff: int,
                 off = int(em.group(1))
                 if off > 0:
                     offsets.setdefault(onum, off)
+            else:
+                offsets.setdefault(onum, -1)
 
 
-def _xref_offsets(data: bytes) -> dict[int, int] | None:
+def _xref_offsets(data: bytes) -> tuple[dict[int, int], int] | None:
+    """→ (object-number → offset/-1 tombstone/-2 ObjStm claim, newest
+    trailer's /Size or -1)."""
     i = data.rfind(b"startxref")
     if i == -1:
         return None
@@ -384,6 +405,7 @@ def _xref_offsets(data: bytes) -> dict[int, int] | None:
     if not m:
         return None
     offsets: dict[int, int] = {}
+    size = -1
     seen: set[int] = set()
     work = [int(m.group(1))]
     while work:
@@ -398,7 +420,7 @@ def _xref_offsets(data: bytes) -> dict[int, int] | None:
             res = _classic_xref_offsets(data, j, offsets)
             if res is None:
                 return None
-            prev, xstm = res
+            prev, xstm, sec_size = res
             # hybrid /XRefStm entries outrank the NEXT-older section
             # but not this one — push prev first (popped last)
             if prev >= 0:
@@ -406,21 +428,36 @@ def _xref_offsets(data: bytes) -> dict[int, int] | None:
             if xstm >= 0:
                 work.append(xstm)
         else:
-            prev = _xref_stream_offsets(data, xoff, offsets)
-            if prev is None:
+            res = _xref_stream_offsets(data, xoff, offsets)
+            if res is None:
                 return None
+            prev, sec_size = res
             if prev >= 0:
                 work.append(prev)
-    return offsets or None
+        if size < 0 <= sec_size:
+            size = sec_size  # first section seen = newest
+    return (offsets, size) if offsets else None
 
 
 def _objects_from_xref(data: bytes) -> dict[int, bytes] | None:
-    offsets = _xref_offsets(data)
-    if not offsets:
+    res = _xref_offsets(data)
+    if res is None:
+        return None
+    offsets, size = res
+    # chain-completeness check: the newest trailer's /Size is one more
+    # than the highest object number, so a well-formed chain accounts
+    # for every number below it (free, direct or ObjStm-packed).  An
+    # incomplete chain (e.g. a missing /Prev) silently recovers a
+    # SUBSET of the objects the scan would find — detect the shortfall
+    # and abandon the route instead of degrading extraction.
+    if size > 0 and len(offsets) < size - (0 if 0 in offsets else 1):
         return None
     objs: dict[int, bytes] = {}
     for onum in sorted(offsets):
-        parsed = _object_at(data, offsets[onum])
+        off = offsets[onum]
+        if off < 0:
+            continue  # -1 free tombstone / -2 ObjStm claim
+        parsed = _object_at(data, off)
         if parsed is None or parsed[0] != onum:
             return None  # lying xref: abandon, let the scan decide
         objs[onum] = parsed[1]

@@ -1164,6 +1164,114 @@ class TestXrefDiscovery:
         blob = blob[: blob.rfind(b"xref")]  # drop table + trailer
         assert pdf_text_lines(blob) == [["no xref at all"]]
 
+    @staticmethod
+    def _incremental_update(base: bytes, obj_num: int, body: bytes,
+                            with_prev: bool) -> bytes:
+        """Append one updated object + a classic xref section for it."""
+        prev_at = base.rfind(b"\nxref\n") + 1
+        out = bytearray(base)
+        obj_at = len(out)
+        out += (str(obj_num).encode() + b" 0 obj\n" + body + b"\nendobj\n")
+        xref_at = len(out)
+        out += (b"xref\n" + str(obj_num).encode() + b" 1\n"
+                + f"{obj_at:010d} 00000 n \n".encode())
+        trailer = b"trailer\n<< /Size 7 /Root 1 0 R"
+        if with_prev:
+            trailer += b" /Prev " + str(prev_at).encode()
+        out += (trailer + b" >>\nstartxref\n" + str(xref_at).encode()
+                + b"\n%%EOF\n")
+        return bytes(out)
+
+    def test_valid_incremental_update_keeps_xref_route(self):
+        from ragflow_ray.parsers.pdfbytes import _objects_from_xref
+
+        base = make_pdf([["alpha"], ["beta"]], compress=False)
+        new = b"BT /F1 12 Tf 72 720 Td (gamma) Tj ET"
+        body = (b"<< /Length " + str(len(new)).encode()
+                + b" >>\nstream\n" + new + b"\nendstream")
+        blob = self._incremental_update(base, 3, body, with_prev=True)
+        assert _objects_from_xref(blob) is not None  # chain complete
+        assert pdf_text_lines(blob) == [["gamma"], ["beta"]]
+
+    def test_incomplete_chain_falls_back_to_scan(self):
+        from ragflow_ray.parsers.pdfbytes import _objects_from_xref
+
+        base = make_pdf([["alpha"], ["beta"]], compress=False)
+        new = b"BT /F1 12 Tf 72 720 Td (gamma) Tj ET"
+        body = (b"<< /Length " + str(len(new)).encode()
+                + b" >>\nstream\n" + new + b"\nendstream")
+        # the newest section's trailer drops /Prev: the chain now
+        # accounts for ONE of /Size 7 objects — the completeness check
+        # must abandon the xref route instead of silently extracting a
+        # subset, and the scan still sees the whole file
+        blob = self._incremental_update(base, 3, body, with_prev=False)
+        assert _objects_from_xref(blob) is None
+        assert pdf_text_lines(blob) == [["gamma"], ["beta"]]
+
+    def test_free_entry_tombstones_deleted_object(self):
+        from ragflow_ray.parsers.pdfbytes import _objects_from_xref
+
+        base = make_pdf([["alpha"], ["beta"]], compress=False)
+        prev_at = base.rfind(b"\nxref\n") + 1
+        out = bytearray(base)
+        xref_at = len(out)
+        # delete page 2 (content 5 + page 6) in an incremental section
+        out += (b"xref\n5 2\n"
+                + b"0000000000 00001 f \n"
+                + b"0000000000 00001 f \n")
+        out += (b"trailer\n<< /Size 7 /Root 1 0 R /Prev "
+                + str(prev_at).encode() + b" >>\nstartxref\n"
+                + str(xref_at).encode() + b"\n%%EOF\n")
+        blob = bytes(out)
+        objs = _objects_from_xref(blob)
+        assert objs is not None  # tombstones keep the chain complete
+        # the deleted objects must NOT resurrect from the older
+        # section's still-present in-use offsets
+        assert 5 not in objs and 6 not in objs
+        assert {1, 2, 3, 4} <= set(objs)
+
+    def test_objstm_claim_shadows_older_direct_body(self):
+        from ragflow_ray.parsers.pdfbytes import _objects_from_xref
+
+        base = make_pdf([["alpha"], ["beta"]], compress=False)
+        prev_at = base.rfind(b"\nxref\n") + 1
+        # an update packs object 2 (the Pages node) into an ObjStm with
+        # the Kids REVERSED; its type-2 entry must claim number 2 so
+        # the stale direct body at the older section's offset is never
+        # parsed (expansion's setdefault would otherwise lose to it)
+        packed = b"<< /Type /Pages /Count 2 /Kids [6 0 R 4 0 R] >>"
+        header = b"2 0\n"
+        objstm_payload = zlib.compress(header + packed)
+        objstm = (b"<< /Type /ObjStm /N 1 /First "
+                  + str(len(header)).encode()
+                  + b" /Filter /FlateDecode /Length "
+                  + str(len(objstm_payload)).encode()
+                  + b" >>\nstream\n" + objstm_payload + b"\nendstream")
+        out = bytearray(base)
+        objstm_at = len(out)
+        out += b"7 0 obj\n" + objstm + b"\nendobj\n"
+        xref_at = len(out)
+
+        def entry(t: int, f2: int, f3: int) -> bytes:
+            return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+        rows = (entry(2, 7, 0)      # obj 2: packed in ObjStm 7, index 0
+                + entry(1, objstm_at, 0)   # obj 7
+                + entry(1, xref_at, 0))    # obj 8 (this xref stream)
+        payload = zlib.compress(rows)
+        out += (b"8 0 obj\n<< /Type /XRef /W [1 4 2] /Index [2 1 7 2] "
+                b"/Size 9 /Root 1 0 R /Prev " + str(prev_at).encode()
+                + b" /Filter /FlateDecode /Length "
+                + str(len(payload)).encode() + b" >>\nstream\n"
+                + payload + b"\nendstream\nendobj\n")
+        out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+        blob = bytes(out)
+        objs = _objects_from_xref(blob)
+        assert objs is not None
+        assert 2 not in objs  # claimed by the ObjStm, not parsed stale
+        # end-to-end: the packed Pages node wins → page order reversed
+        assert pdf_text_lines(blob) == [["beta"], ["alpha"]]
+
 
 class TestEmbeddedJpeg:
     def test_image_payload_extracted(self):
