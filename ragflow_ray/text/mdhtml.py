@@ -16,13 +16,21 @@ pdfplumber replacements:
 * unordered (``- `` / ``* `` / ``+ ``) and ordered (``1. ``) lists →
   ``<ul>/<ol>`` with one ``<li>`` per line;
 * ATX headings ``#``–``######`` → ``<h1>``–``<h6>`` (deeper runs fall
-  back to paragraphs, as python-markdown does);
+  back to paragraphs, as python-markdown does); a heading line inside
+  a multi-line block splits the block at the heading, matching
+  python-markdown's hashheader processor (``# T\ntext`` → ``<h1>`` +
+  ``<p>``, no blank line required);
+* blockquotes — a block whose first line starts with ``>`` renders as
+  ``<blockquote>`` around its recursively-rendered content, with
+  lazy continuation lines (no ``>``) included, as python-markdown
+  does;
 * ``&`` and ``<`` escape to entities inside text content.
 
 Out of subset (documented, inline text passes through verbatim):
 inline emphasis/links/code, fenced code blocks (the reference enables
 only the tables extension, so fences are paragraph text there too),
-reference links, setext headings.
+reference links, setext headings, space-less ATX headings (``#T``),
+trailing ``#`` stripping, and nested (``>>``) blockquotes.
 """
 
 from __future__ import annotations
@@ -86,6 +94,45 @@ def _render_table(lines: list[str]) -> list[str]:
     return out
 
 
+_BQ_MARK = re.compile(r"^\s{0,3}> ?")
+
+
+def _render_block(block: list[str]) -> list[str]:
+    first = block[0].strip()
+    # pipe table: a header row and a separator row
+    if (len(block) >= 2 and "|" in first
+            and _TABLE_SEP.match(block[1])):
+        return _render_table([ln.strip() for ln in block])
+    # blockquote: strip the markers, include lazy-continuation lines,
+    # and render the quoted content recursively
+    if first.startswith(">"):
+        inner = [_BQ_MARK.sub("", ln) for ln in block]
+        return ["<blockquote>", *_render_block(inner), "</blockquote>"]
+    # hashheader: a heading line splits the block around itself
+    # (python-markdown needs no blank line before or after a heading)
+    for i, ln in enumerate(block):
+        m = _HEADING.match(ln.strip())
+        if m:
+            out = _render_block(block[:i]) if i else []
+            level = len(m.group(1))
+            out.append(f"<h{level}>{_esc(m.group(2).strip())}</h{level}>")
+            if i + 1 < len(block):
+                out += _render_block(block[i + 1:])
+            return out
+    if all(_UL_ITEM.match(ln.strip()) for ln in block):
+        return ["<ul>",
+                *(f"<li>{_esc(_UL_ITEM.match(ln.strip()).group(1))}</li>"
+                  for ln in block),
+                "</ul>"]
+    if all(_OL_ITEM.match(ln.strip()) for ln in block):
+        return ["<ol>",
+                *(f"<li>{_esc(_OL_ITEM.match(ln.strip()).group(1))}</li>"
+                  for ln in block),
+                "</ol>"]
+    body = "\n".join(_esc(ln.strip()) for ln in block)
+    return [f"<p>{body}</p>"]
+
+
 def markdown_to_html(text: str) -> str:
     """Render ``text`` to HTML (see module docstring for the subset)."""
     blocks: list[list[str]] = []
@@ -101,29 +148,5 @@ def markdown_to_html(text: str) -> str:
 
     out: list[str] = []
     for block in blocks:
-        first = block[0].strip()
-        # pipe table: a header row and a separator row
-        if (len(block) >= 2 and "|" in first
-                and _TABLE_SEP.match(block[1])):
-            out += _render_table([ln.strip() for ln in block])
-            continue
-        m = _HEADING.match(first)
-        if m and len(block) == 1:
-            level = len(m.group(1))
-            out.append(f"<h{level}>{_esc(m.group(2).strip())}</h{level}>")
-            continue
-        if all(_UL_ITEM.match(ln.strip()) for ln in block):
-            out.append("<ul>")
-            out += [f"<li>{_esc(_UL_ITEM.match(ln.strip()).group(1))}</li>"
-                    for ln in block]
-            out.append("</ul>")
-            continue
-        if all(_OL_ITEM.match(ln.strip()) for ln in block):
-            out.append("<ol>")
-            out += [f"<li>{_esc(_OL_ITEM.match(ln.strip()).group(1))}</li>"
-                    for ln in block]
-            out.append("</ol>")
-            continue
-        body = "\n".join(_esc(ln.strip()) for ln in block)
-        out.append(f"<p>{body}</p>")
+        out += _render_block(block)
     return "\n".join(out)

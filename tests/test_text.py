@@ -319,6 +319,34 @@ class TestMarkdownHtml:
         # 7+ hashes are not a heading
         assert markdown_to_html("####### deep") == "<p>####### deep</p>"
 
+    def test_heading_splits_block_without_blank_line(self):
+        # python-markdown's hashheader needs no blank line around a
+        # heading: the block splits at the heading line
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        assert (markdown_to_html("# T\ntext after")
+                == "<h1>T</h1>\n<p>text after</p>")
+        assert (markdown_to_html("before\n## T")
+                == "<p>before</p>\n<h2>T</h2>")
+        assert (markdown_to_html("# A\n# B")
+                == "<h1>A</h1>\n<h1>B</h1>")
+        # a heading line splits even a would-be list block
+        assert (markdown_to_html("- x\n# T\n- y")
+                == "<ul>\n<li>x</li>\n</ul>\n<h1>T</h1>\n"
+                   "<ul>\n<li>y</li>\n</ul>")
+
+    def test_blockquote(self):
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        assert (markdown_to_html("> quoted\n> more")
+                == "<blockquote>\n<p>quoted\nmore</p>\n</blockquote>")
+        # lazy continuation: un-marked lines stay inside the quote
+        assert (markdown_to_html("> quoted\nlazy tail")
+                == "<blockquote>\n<p>quoted\nlazy tail</p>\n</blockquote>")
+        # block elements render inside the quote
+        assert (markdown_to_html("> # T")
+                == "<blockquote>\n<h1>T</h1>\n</blockquote>")
+
     def test_qa_chunker_renders_markdown_answers(self):
         from ragflow_ray.chunkers import ChunkConfig, chunk_document
 
@@ -378,5 +406,5 @@ class TestMarkdownHtmlProperties:
             for frag in out.split("<")[1:]:
                 tag = frag.split(">", 1)[0].lstrip("/").split(" ", 1)[0]
                 assert tag in ("p", "ul", "ol", "li", "table", "thead",
-                               "tbody", "tr", "th", "td",
+                               "tbody", "tr", "th", "td", "blockquote",
                                "h1", "h2", "h3", "h4", "h5", "h6"), frag
