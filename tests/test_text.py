@@ -279,6 +279,41 @@ class TestCl100kSeam:
         assert cl100k_token_count("hello world", ranks) == 2
         assert b" world" in ranks
 
+    def test_synthetic_ranks_exercise_seam(self, tmp_path, monkeypatch):
+        """Loader + merge logic end-to-end with a tiny SELF-MADE
+        vocabulary (not the real cl100k data, which isn't on this
+        image) — the seam must not stay permanently skipped in CI."""
+        import base64
+
+        from ragflow_ray.text.tokens import (
+            cl100k_token_count,
+            load_cl100k_ranks,
+        )
+
+        vocab = {b"he": 256, b"ll": 257, b"hell": 258, b" world": 300}
+        ranks_file = tmp_path / "tiny.tiktoken"
+        ranks_file.write_bytes(b"\n".join(
+            base64.b64encode(tok) + b" " + str(r).encode()
+            for tok, r in vocab.items()
+        ) + b"\n")
+
+        # explicit-path and env-var resolution both load the table
+        ranks = load_cl100k_ranks(str(ranks_file))
+        assert ranks == vocab
+        monkeypatch.setenv("CL100K_RANKS_PATH", str(ranks_file))
+        assert load_cl100k_ranks() == vocab
+
+        # BPE merge order (lowest rank first): hello → h e l l o →
+        # [he]llo → [he][ll]o → [hell]o → 2 tokens; " world" is a
+        # whole-piece vocabulary hit → 1
+        assert cl100k_token_count("hello world", ranks) == 3
+        # no merges apply → one token per byte of each piece
+        assert cl100k_token_count("lol", ranks) == 3
+        # pretokenizer contractions: "don't" → ["don", "'t"] → 3 + 2
+        assert cl100k_token_count("don't", ranks) == 5
+        # pretokenizer digit chunking: \p{N}{1,3} → ["123", "45"]
+        assert cl100k_token_count("12345", ranks) == 5
+
 
 class TestMarkdownHtml:
     """qa-answer markdown rendering (text/mdhtml.py) — the
