@@ -34,6 +34,8 @@ import zlib
 import numpy as np
 import pandas as pd
 
+from ..state.skewmon import warn_rows as _skew_warn
+
 _WS = re.compile(r"\s+")
 
 
@@ -198,7 +200,8 @@ _PAIR_BUCKETS = 64  # dedup-bucket fanout (any low-cardinality value)
 
 def _run_pair_walk(group: pd.DataFrame, key_cols, *, min_df: int = 2,
                    max_df: int | None = None, unique_ids: bool = False,
-                   dedupe_pairs: bool = False):
+                   dedupe_pairs: bool = False, tag: str | None = None,
+                   warn: int = 0):
     """THE shared coarse-bucket run walk behind the minhash band
     stage, the ngram inverted-index walk and the winnow fingerprint
     walk (their only differences are the run-key columns and three
@@ -220,10 +223,16 @@ def _run_pair_walk(group: pd.DataFrame, key_cols, *, min_df: int = 2,
     ``unique_ids`` dedupes doc ids within each run before gating (for
     walks whose upstream may emit a doc twice per key);
     ``dedupe_pairs`` locally dedupes (doc_a, doc_b) across runs before
-    the shuffle (worth it when many keys join the same pair).
+    the shuffle (worth it when many keys join the same pair);
+    ``tag``/``warn`` feed the straggler ledger (state/skewmon.py) when
+    a bucket group exceeds the warn threshold.
     """
     import pyarrow as pa
 
+    if tag:
+        from ..state.skewmon import observe_group
+
+        observe_group(tag, len(group), warn)
     schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("pkey", pa.int64())]
     )
@@ -324,11 +333,14 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
         bb = (h * np.int64(8) + t["band_id"].to_numpy()) & np.int64(1023)
         return t.append_column("bbkt", pa.array(bb, type=pa.int64()))
 
+    _warn = _skew_warn()
+
     def band_run_pairs(group: pd.DataFrame):
         """Pairs for every (band_id, band_hash) run inside one coarse
         bucket — the shared :func:`_run_pair_walk` kernel."""
         return _run_pair_walk(group, ["band_id", "band_hash"],
-                              unique_ids=True)
+                              unique_ids=True,
+                              tag="minhash_near_dups.bbkt", warn=_warn)
 
     # materialize between the two all-to-alls: chaining
     # groupby.map_groups straight into a second groupby makes Ray's
@@ -610,13 +622,16 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
             schema=gram_schema,
         )
 
+    _warn = _skew_warn()
+
     def bucket_pairs(group: pd.DataFrame):
         """Pairs for every gram run inside one coarse bucket — the
         shared :func:`_run_pair_walk` kernel with the 2..``df_cap``
         stop-gram gate enforced on the run and pairs from different
         grams deduped locally before the shuffle."""
         return _run_pair_walk(group, ["gram"], max_df=df_cap,
-                              unique_ids=True, dedupe_pairs=True)
+                              unique_ids=True, dedupe_pairs=True,
+                              tag="ngram_jaccard_dups.gbkt", warn=_warn)
 
     docs = _docs(sf_dir)
     # ONE all-to-all: the coarse-bucket exchange; the df stop-gram
@@ -1318,7 +1333,12 @@ def passage_dedup(sf_dir: str, window: int = PASSAGE_WORDS,
          ("n_dup_passages", pa.int64())]
     )
 
+    _warn = _skew_warn()
+
     def bucket_dups(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("passage_dedup.bkt", len(group), _warn)
         # every copy of a ph is in this bucket: row count per ph IS
         # its corpus-wide multiplicity (df >= 2, counting multiplicity)
         df_per_row = group.groupby("ph", sort=False)["doc_id"].transform("size")
@@ -1596,7 +1616,12 @@ def substring_dedup(sf_dir: str, window: int = SUBSTR_WINDOW,
              "h1": pa.array(h1), "h2": pa.array(h2)}
         )
 
+    _warn = _skew_warn()
+
     def bucket_dups(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("substring_dedup.gbkt", len(group), _warn)
         sizes = group.groupby(["h1", "h2"]).size()
         dup = sizes.index[sizes.values >= 2]
         if len(dup) == 0:
@@ -1867,12 +1892,15 @@ def winnow_overlap_pairs(sf_dir: str, kgram: int = WINNOW_K,
         .map_batches(with_bucket, batch_format="pyarrow")
     )
 
+    _warn = _skew_warn()
+
     def bucket_pairs(group: pd.DataFrame):
         """All pairs of every fp run inside one coarse bucket — the
         shared :func:`_run_pair_walk` kernel with the 2..``df_cap``
         stop-fp gate on the raw run (fingerprints are already distinct
         per doc, so each fp contributes a pair at most once)."""
-        return _run_pair_walk(group, ["fp"], max_df=df_cap)
+        return _run_pair_walk(group, ["fp"], max_df=df_cap,
+                              tag="winnow_overlap_pairs.fbkt", warn=_warn)
 
     def count_pairs(g: pd.DataFrame):
         arr, counts = np.unique(

@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..state.skewmon import warn_rows as _skew_warn
+
 
 def _cents(series: pd.Series, scale: int = 100) -> pd.Series:
     return np.floor(series * scale + 0.5).astype("int64")
@@ -897,7 +899,12 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
     part_schema = pa.schema([("event_id", pa.int64()),
                              ("n_prior_clicks", pa.int64())])
 
+    _warn = _skew_warn()
+
     def count_group(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("events_range_join.pkey", len(group), _warn)
         ckey = group["ckey"].to_numpy()
         side = group["side"].to_numpy()
         t = group["t_us"].to_numpy()
@@ -1257,7 +1264,12 @@ def user_funnel(sf_dir: str, steps=("view", "click", "purchase"),
         [("depth", pa.int64()), ("n_users", pa.int64())]
     )
 
+    _warn = _skew_warn()
+
     def walk(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("user_funnel.bucket", len(group), _warn)
         depths = _funnel_scan(
             group["user_id"].to_numpy().astype(np.int64),
             group["step"].to_numpy().astype(np.int64),

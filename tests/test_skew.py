@@ -167,3 +167,45 @@ def test_funnel_scan_empty_and_dropout():
     stp = np.array([0, 1], dtype=np.int64)
     ts = np.array([100, 50], dtype=np.int64)
     np.testing.assert_array_equal(_funnel_scan(uid, stp, ts, 3), [1, 0, 0])
+
+
+# --- bucketed-exchange straggler observability (r4 verdict task 7) ----
+
+def test_skew_monitor_records_hot_bucket(tmp_path, monkeypatch):
+    """With the warn threshold lowered below the planted hot group's
+    size, the range join's bucketed exchange must land in the skew
+    ledger (tag + max group rows); results stay exact."""
+    from ragflow_ray.ops.relational import events_range_join
+    from ragflow_ray.state import skewmon
+
+    skewmon.reset()
+    # read on the driver at plan-build time, shipped in the kernel
+    # closure — workers never consult their own environment
+    monkeypatch.setenv("RAGFLOW_RAY_GROUP_WARN_ROWS", "10000")
+    sf_dir, df = _plant_corpus(tmp_path, n_hot_clicks=50_000, seed=13)
+    # threshold above the hot count: NO salting, so the hot
+    # (user, bucket) key concentrates in one pkey group
+    got = events_range_join(sf_dir, hot_key_threshold=10_000_000)
+    want = _oracle(df)
+    want["event_id"] = want["event_id"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
+
+    ledger = skewmon.snapshot()
+    assert "events_range_join.pkey" in ledger, ledger
+    rec = ledger["events_range_join.pkey"]
+    assert rec["max_rows"] >= 50_000
+    assert rec["groups_over"] >= 1
+
+
+def test_skew_monitor_silent_below_threshold(tmp_path, monkeypatch):
+    """Default (high) threshold: the same planted corpus must leave
+    the ledger empty — observability costs nothing on healthy runs."""
+    from ragflow_ray.ops.relational import events_range_join
+    from ragflow_ray.state import skewmon
+
+    skewmon.reset()
+    monkeypatch.delenv("RAGFLOW_RAY_GROUP_WARN_ROWS", raising=False)
+    sf_dir, _df = _plant_corpus(tmp_path, n_hot_clicks=20_000, seed=17)
+    events_range_join(sf_dir, hot_key_threshold=10_000_000)
+    assert skewmon.snapshot() == {}
