@@ -2,12 +2,16 @@
 
 The engine treats image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages
-(decode / feature-extract / resize / frame-sample).  The actual codec
-libraries are not present in this container, so the decode kernel is
-STUBBED: ``decode_image``/``decode_audio`` raise ``NotImplementedError``
-unless a deterministic fake decoder is requested — but the Ray-side
-plumbing (schema, batch sizing for wide rows, actor signature, output
-layout) is real and tested.
+(decode / feature-extract / resize / frame-sample).  Baseline JPEG —
+the codec of the embedded PDF figures — decodes for REAL through the
+from-scratch ``parsers/jpegdec`` implementation; other codecs need
+libraries absent from this container, so for them the decode kernel
+is STUBBED: ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless a deterministic fake decoder is
+requested.  The Ray-side plumbing (schema, batch sizing for wide
+rows, actor signature, output layout) is real and tested either way,
+and the oracled queries pin the fake path so results stay
+SQL-checkable.
 
 ``media_payloads``/``media_features`` synthesize deterministic binary
 payloads from the documents table and run the feature actor over them,
@@ -30,13 +34,21 @@ MAGIC = b"RFIMG1:"
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 array.
 
-    Real decoding needs an image codec (PIL/libjpeg) that is not in
-    this container — STUB.  With ``fake=True`` returns a deterministic
-    8×8 gray image derived from the payload digest (stable across
-    processes), which is what tests and the feature stage use.
+    Real path: baseline JPEG decodes through the from-scratch
+    ``parsers/jpegdec`` implementation (ITU-T T.81 sequential Huffman
+    — the codec of the embedded DCTDecode figures pdfbytes surfaces).
+    Other codecs (PNG, JPEG 2000, …) need libraries absent from this
+    container — STUB.  With ``fake=True`` returns a deterministic 8×8
+    gray image derived from the payload digest (stable across
+    processes), which is what the oracled queries pin.
     """
     if not fake:
-        raise NotImplementedError("image codecs unavailable in this environment")
+        if bytes(payload[:2]) == b"\xff\xd8":
+            from ..parsers.jpegdec import decode_baseline_jpeg
+
+            return decode_baseline_jpeg(bytes(payload))
+        raise NotImplementedError(
+            "non-JPEG image codecs unavailable in this environment")
     digest = hashlib.sha256(payload).digest()
     arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return arr.reshape(8, 8, 3).copy()

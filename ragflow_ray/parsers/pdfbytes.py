@@ -63,8 +63,9 @@ test_pdfbytes; real user passwords stay out (they degrade to skipped
 strings, never crash).
 
 Deliberately out of scope (documented subset, not a stub): JPX pixel
-decode and DCT pixel decode (JPEG containers are extracted whole,
-not decompressed) — bytes outside the subset degrade to skipped
+decode (JPEG 2000 containers are extracted whole, not decompressed;
+baseline-JPEG DCTDecode payloads DO decode to pixels downstream via
+``parsers/jpegdec``) — bytes outside the subset degrade to skipped
 show-strings, never to a crash.  Good enough to
 round-trip every text PDF this engine writes in its own tests, the
 common single-byte-font documents, Identity-H CID PDFs carrying

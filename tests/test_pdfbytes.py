@@ -1090,9 +1090,11 @@ def make_tiny_jpeg(width: int = 6, height: int = 4) -> bytes:
 
 
 def make_pdf_with_jpeg(lines: list[str], width: int = 6,
-                       height: int = 4) -> bytes:
+                       height: int = 4,
+                       jpeg_bytes: bytes | None = None) -> bytes:
     """One text page whose /Resources reference a DCTDecode image."""
-    jpeg = make_tiny_jpeg(width, height)
+    jpeg = jpeg_bytes if jpeg_bytes is not None else make_tiny_jpeg(
+        width, height)
     content = b"BT /F1 12 Tf 72 720 Td (" + lines[0].encode() + b") Tj ET"
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
