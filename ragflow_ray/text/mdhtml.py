@@ -24,13 +24,20 @@ pdfplumber replacements:
   ``<blockquote>`` around its recursively-rendered content, with
   lazy continuation lines (no ``>``) included, as python-markdown
   does;
-* ``&`` and ``<`` escape to entities inside text content.
+* ``&`` and ``<`` escape to entities inside text content;
+* core inline syntax (python-markdown applies these without any
+  extension): `` `code` `` → ``<code>`` (contents protected from
+  further inline processing, as python-markdown's code spans are),
+  ``**strong**`` → ``<strong>``, ``*em*`` → ``<em>``,
+  ``[text](url)`` → ``<a href="url">text</a>`` — in paragraphs,
+  list items, headings and table cells alike.
 
 Out of subset (documented, inline text passes through verbatim):
-inline emphasis/links/code, fenced code blocks (the reference enables
-only the tables extension, so fences are paragraph text there too),
-reference links, setext headings, space-less ATX headings (``#T``),
-trailing ``#`` stripping, and nested (``>>``) blockquotes.
+underscore emphasis (``_em_``/``__strong__``), autolinks, inline
+images, fenced code blocks (the reference enables only the tables
+extension, so fences are paragraph text there too), reference links,
+setext headings, space-less ATX headings (``#T``), trailing ``#``
+stripping, and nested (``>>``) blockquotes.
 """
 
 from __future__ import annotations
@@ -45,6 +52,34 @@ _TABLE_SEP = re.compile(r"^\s*\|?\s*:?-+:?\s*(\|\s*:?-+:?\s*)*\|?\s*$")
 
 def _esc(text: str) -> str:
     return text.replace("&", "&amp;").replace("<", "&lt;")
+
+
+_CODE_SPAN = re.compile(r"`([^`]+)`")
+_STRONG = re.compile(r"\*\*(?!\s)(.+?)(?<!\s)\*\*")
+_EM = re.compile(r"\*(?!\s)([^*]+?)(?<!\s)\*")
+_LINK = re.compile(r"\[([^\]]*)\]\(([^)\s]*)\)")
+
+
+def _inline(text: str) -> str:
+    """Escape + core inline markup.  Code spans are lifted out first
+    so their contents are protected from emphasis/link processing
+    (python-markdown's inline-pattern order)."""
+    out = _esc(text)
+    codes: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        codes.append(m.group(1))
+        return f"\x00{len(codes) - 1}\x00"
+
+    out = _CODE_SPAN.sub(stash, out)
+    out = _LINK.sub(
+        lambda m: f'<a href="{m.group(2).replace(chr(34), "%22")}">'
+                  f"{m.group(1)}</a>", out)
+    out = _STRONG.sub(r"<strong>\1</strong>", out)
+    out = _EM.sub(r"<em>\1</em>", out)
+    for i, c in enumerate(codes):
+        out = out.replace(f"\x00{i}\x00", f"<code>{c}</code>")
+    return out
 
 
 def _split_row(line: str) -> list[str]:
@@ -78,7 +113,7 @@ def _render_table(lines: list[str]) -> list[str]:
 
     def cell(tag: str, text: str, align: str | None) -> str:
         attr = f' style="text-align: {align};"' if align else ""
-        return f"<{tag}{attr}>{_esc(text)}</{tag}>"
+        return f"<{tag}{attr}>{_inline(text)}</{tag}>"
 
     out = ["<table>", "<thead>", "<tr>"]
     out += [cell("th", h, a) for h, a in zip(headers, aligns)]
@@ -115,21 +150,21 @@ def _render_block(block: list[str]) -> list[str]:
         if m:
             out = _render_block(block[:i]) if i else []
             level = len(m.group(1))
-            out.append(f"<h{level}>{_esc(m.group(2).strip())}</h{level}>")
+            out.append(f"<h{level}>{_inline(m.group(2).strip())}</h{level}>")
             if i + 1 < len(block):
                 out += _render_block(block[i + 1:])
             return out
     if all(_UL_ITEM.match(ln.strip()) for ln in block):
         return ["<ul>",
-                *(f"<li>{_esc(_UL_ITEM.match(ln.strip()).group(1))}</li>"
+                *(f"<li>{_inline(_UL_ITEM.match(ln.strip()).group(1))}</li>"
                   for ln in block),
                 "</ul>"]
     if all(_OL_ITEM.match(ln.strip()) for ln in block):
         return ["<ol>",
-                *(f"<li>{_esc(_OL_ITEM.match(ln.strip()).group(1))}</li>"
+                *(f"<li>{_inline(_OL_ITEM.match(ln.strip()).group(1))}</li>"
                   for ln in block),
                 "</ol>"]
-    body = "\n".join(_esc(ln.strip()) for ln in block)
+    body = "\n".join(_inline(ln.strip()) for ln in block)
     return [f"<p>{body}</p>"]
 
 

@@ -370,6 +370,31 @@ class TestMarkdownHtml:
                 == "<ul>\n<li>x</li>\n</ul>\n<h1>T</h1>\n"
                    "<ul>\n<li>y</li>\n</ul>")
 
+    def test_inline_markup(self):
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        assert (markdown_to_html("a **bold** and *em* word")
+                == "<p>a <strong>bold</strong> and <em>em</em> word</p>")
+        assert (markdown_to_html("see [docs](http://x/y) now")
+                == '<p>see <a href="http://x/y">docs</a> now</p>')
+        assert (markdown_to_html("run `cmd --flag` twice")
+                == "<p>run <code>cmd --flag</code> twice</p>")
+        # code spans protect their contents from emphasis/link passes
+        assert (markdown_to_html("`a *b* [c](d)`")
+                == "<p><code>a *b* [c](d)</code></p>")
+        # escaping happens before markup, inside the rendered tags
+        assert (markdown_to_html("**a<b & c**")
+                == "<p><strong>a&lt;b &amp; c</strong></p>")
+        # inline applies in list items, headings and table cells
+        assert (markdown_to_html("- **x**")
+                == "<ul>\n<li><strong>x</strong></li>\n</ul>")
+        assert markdown_to_html("# *T*") == "<h1><em>T</em></h1>"
+        # unmatched / whitespace-adjacent markers stay literal
+        assert markdown_to_html("2 * 3 * 4") == "<p>2 * 3 * 4</p>"
+        assert markdown_to_html("a ** b") == "<p>a ** b</p>"
+        # underscore emphasis is documented out of subset
+        assert markdown_to_html("an _em_ word") == "<p>an _em_ word</p>"
+
     def test_blockquote(self):
         from ragflow_ray.text.mdhtml import markdown_to_html
 
@@ -442,4 +467,5 @@ class TestMarkdownHtmlProperties:
                 tag = frag.split(">", 1)[0].lstrip("/").split(" ", 1)[0]
                 assert tag in ("p", "ul", "ol", "li", "table", "thead",
                                "tbody", "tr", "th", "td", "blockquote",
+                               "strong", "em", "code", "a",
                                "h1", "h2", "h3", "h4", "h5", "h6"), frag
