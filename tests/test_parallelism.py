@@ -21,6 +21,7 @@ import os
 import subprocess
 import sys
 
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOL = os.path.join(REPO, "tools", "parallelism_sweep.py")
@@ -46,15 +47,16 @@ SWEEP = ",".join([
 ])
 
 
-def _run(num_cpus: int) -> subprocess.Popen:
+def _run(num_cpus: int, only: str | None = SWEEP) -> subprocess.Popen:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     # each subprocess owns a private local Ray cluster
     env.pop("RAY_ADDRESS", None)
+    cmd = [sys.executable, TOOL, str(num_cpus), "/root/testdata/sf0.001"]
+    if only:
+        cmd.append(f"--only={only}")
     return subprocess.Popen(
-        [sys.executable, TOOL, str(num_cpus), "/root/testdata/sf0.001",
-         f"--only={SWEEP}"],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env,
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env,
         cwd=REPO, text=True,
     )
 
@@ -70,6 +72,31 @@ def test_digests_identical_across_num_cpus():
         stdout, _ = p.communicate(timeout=540)
         assert p.returncode == 0, f"sweep at num_cpus={n} died"
         outs[n] = json.loads(stdout.strip().splitlines()[-1])
+    errors = {n: {q: d for q, d in o.items() if d.startswith("ERROR")}
+              for n, o in outs.items()}
+    assert not any(errors.values()), f"query errors: {errors}"
+    assert outs[4] == outs[16], (
+        "digest mismatch across num_cpus: "
+        + str({q: (outs[4][q], outs[16][q]) for q in outs[4]
+               if outs[4][q] != outs[16].get(q)})
+    )
+
+
+@pytest.mark.nightly
+def test_all_queries_digests_identical_across_num_cpus():
+    """The nightly tier (r4 verdict task 5): EVERY ``queries()`` entry
+    — including the CI-omitted multi-round pipelines (dedup_clusters,
+    ann_pq_topk, simhash, …) — swept at two CPU levels on sf0.001.
+    Excluded from the default run by the ``-m "not nightly"`` addopts;
+    run with ``pytest -m nightly tests/test_parallelism.py``.  The
+    latest hand-run log is recorded in BASELINE.md §nightly-sweep."""
+    outs = {}
+    for n in (4, 16):
+        p = _run(n, only=None)  # no --only: the tool sweeps ALL queries
+        stdout, _ = p.communicate(timeout=3000)
+        assert p.returncode == 0, f"full sweep at num_cpus={n} died"
+        outs[n] = json.loads(stdout.strip().splitlines()[-1])
+    assert len(outs[4]) >= 90, f"sweep covered only {len(outs[4])} queries"
     errors = {n: {q: d for q, d in o.items() if d.startswith("ERROR")}
               for n, o in outs.items()}
     assert not any(errors.values()), f"query errors: {errors}"
