@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 
 # shared ASCII-exact token definition (see textstats._TOKEN_RUN)
@@ -777,15 +778,34 @@ def lm_cross_entropy(sf_dir: str, broadcast_limit: int = 2_000_000):
         n_col = list(uni.to_numpy()) + list(bigc.to_numpy())
         return pa.table({"a": a_col, "b": b_col, "n": n_col}, schema=count_schema)
 
-    model = (
-        _docs(sf_dir, columns=("text",))
+    def count_combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["a", "b"], as_index=False, sort=False).agg(
+            n=("n", "sum"))
+        return pa.table(
+            {"a": g["a"].astype(str).to_numpy(),
+             "b": g["b"].astype(str).to_numpy(),
+             "n": g["n"].to_numpy().astype("int64")},
+            schema=count_schema,
+        )
+
+    # one materialized read feeds the count pass and the scoring pass;
+    # the (a, b) reduce goes through a narrow combine level (Zipfian
+    # text means the hot keys — most of the mass — collapse ~batch-fold)
+    # and finalizes on the driver when the combined row count, an
+    # UPPER bound on distinct model rows, fits the broadcast budget;
+    # only a genuinely model-scale vocabulary pays the groupby
+    # all-to-all (in the join branch below, which needs the model as a
+    # Dataset anyway)
+    docs = _docs(sf_dir).materialize()
+    partials = (
+        docs
         # bundle the split-read's small blocks back into big batches:
         # this pass emits VOCAB-sized partials per batch, so more
-        # batches = a linearly bigger (a, b) count shuffle
+        # batches = linearly more combine input
         .map_batches(count_partial, batch_format="pandas",
                      batch_size=2048)
-        .groupby(["a", "b"])
-        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(count_combine, batch_format="pandas",
+                     batch_size=65536)
         .materialize()
     )
 
@@ -794,17 +814,18 @@ def lm_cross_entropy(sf_dir: str, broadcast_limit: int = 2_000_000):
          ("n_bigrams", pa.int64())]
     )
 
-    model_rows = model.count()
-    if model_rows == 0:
+    upper_rows = partials.count()
+    if upper_rows == 0:
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
              "cross_entropy": pd.Series([], dtype="float64"),
              "n_bigrams": pd.Series([], dtype="int64")}
         )
-    if model_rows <= broadcast_limit:
+    if upper_rows <= broadcast_limit:
         import ray
 
-        mdf = model.to_pandas()
+        mdf = (partials.to_pandas()
+               .groupby(["a", "b"], as_index=False).agg(n=("n", "sum")))
         uni_ln = {
             a: math.log(n) for a, b, n in
             zip(mdf["a"], mdf["b"], mdf["n"]) if b == ""
@@ -815,43 +836,41 @@ def lm_cross_entropy(sf_dir: str, broadcast_limit: int = 2_000_000):
         }
         model_ref = ray.put((uni_ln, big_ln))
 
-        class ScoreStage:
-            """Actor pool: the model dicts deserialize ONCE per actor
-            (a plain-function stage would re-``ray.get`` and re-build
-            them every batch — measured ~2× the whole query time)."""
-
-            def __init__(self, ref):
-                self._uni_ln, self._big_ln = ray.get(ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pa.Table:
-                uni_ln, big_ln = self._uni_ln, self._big_ln
-                ids, ces, nbs = [], [], []
-                for doc_id, t in zip(batch["doc_id"], batch["text"]):
-                    ws = word_re.findall(t)
-                    if len(ws) < 2:
-                        continue
-                    total = sum(
-                        uni_ln[a] - big_ln[(a, b)] for a, b in zip(ws, ws[1:])
-                    )
-                    ids.append(int(doc_id))
-                    ces.append(round(total / (len(ws) - 1), 6))
-                    nbs.append(len(ws) - 1)
-                return pa.table(
-                    {"doc_id": ids, "cross_entropy": ces, "n_bigrams": nbs},
-                    schema=out_schema,
+        def score(batch: pd.DataFrame) -> pa.Table:
+            # stateless task + per-worker-process model cache: the
+            # dicts deserialize once per worker (re-ray.get per batch
+            # measured ~2× the whole query; a fresh actor POOL per
+            # query measured ~2 s of startup — the dsir finding)
+            uni_ln, big_ln = _cached_broadcast(model_ref)
+            ids, ces, nbs = [], [], []
+            for doc_id, t in zip(batch["doc_id"], batch["text"]):
+                ws = word_re.findall(t)
+                if len(ws) < 2:
+                    continue
+                total = sum(
+                    uni_ln[a] - big_ln[(a, b)] for a, b in zip(ws, ws[1:])
                 )
+                ids.append(int(doc_id))
+                ces.append(round(total / (len(ws) - 1), 6))
+                nbs.append(len(ws) - 1)
+            return pa.table(
+                {"doc_id": ids, "cross_entropy": ces, "n_bigrams": nbs},
+                schema=out_schema,
+            )
 
         df = (
-            _docs(sf_dir)
-            .map_batches(
-                ScoreStage,
-                fn_constructor_kwargs={"ref": model_ref},
-                batch_format="pandas",
-                concurrency=(1, 8),
-            )
+            docs.map_batches(score, batch_format="pandas",
+                             batch_size=2048)
             .to_pandas()
         )
         return df.sort_values("doc_id").reset_index(drop=True)
+
+    model = (
+        partials.groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    model_rows = model.count()
 
     # join path: model too big to broadcast
     explode_schema = pa.schema(
@@ -888,7 +907,7 @@ def lm_cross_entropy(sf_dir: str, broadcast_limit: int = 2_000_000):
 
     uni = model.map_batches(uni_rows, batch_format="pandas")
     big = model.map_batches(big_rows, batch_format="pandas")
-    pairs = _docs(sf_dir).map_batches(explode, batch_format="pandas")
+    pairs = docs.map_batches(explode, batch_format="pandas")
     # partition count sized to the MODEL side (the passage_dedup rule):
     # an empty hash partition on the small side of a join degrades to a
     # schema-less block that kills the join, so stay at 1 partition
@@ -985,26 +1004,82 @@ def pii_scrub(sf_dir: str):
 # ---- DSIR importance weighting ------------------------------------------
 
 DSIR_BUCKETS = 1024
+
+# token → raw 32-bit md5 prefix, shared by every task that lands in
+# the same worker PROCESS (persists across tasks like actor state,
+# without the per-query actor-pool startup); independent of n_buckets
+# because the modulo applies at lookup time
+_BOW_MEMO: dict[str, int] = {}
+
+
+def _hashed_bow_flat(texts: "pd.Series", word_re, n_buckets: int):
+    """→ (row position in batch, bucket id) int64 arrays for every
+    word occurrence in the batch — one findall+explode per batch (C
+    kernels), md5 only per NEW distinct token."""
+    if len(_BOW_MEMO) > 1 << 20:
+        # the cache trades md5 calls for memory; on a high-cardinality
+        # corpus (urls, ids) it would grow O(distinct tokens) for the
+        # worker's lifetime — reset past 1M entries, hot tokens
+        # repopulate immediately
+        _BOW_MEMO.clear()
+    flat = texts.reset_index(drop=True).str.findall(word_re).explode().dropna()
+    if flat.empty:
+        return (np.empty(0, dtype=np.int64),) * 2
+    for w in pd.unique(flat.to_numpy()):
+        if w not in _BOW_MEMO:
+            _BOW_MEMO[w] = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+    buckets = flat.map(_BOW_MEMO).to_numpy(dtype=np.int64) % n_buckets
+    return flat.index.to_numpy(dtype=np.int64), buckets
+
+
+# broadcast-object cache shared by every task that lands in the same
+# worker process: ray.get of a dict-shaped broadcast deserializes on
+# every call (only numpy payloads are zero-copy), so cache by ObjectRef
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def _cached_broadcast(ref):
+    import ray
+
+    key = ref.hex()
+    val = _BCAST_CACHE.get(key)
+    if val is None:
+        if len(_BCAST_CACHE) > 4:
+            _BCAST_CACHE.clear()
+        val = _BCAST_CACHE[key] = ray.get(ref)
+    return val
 DSIR_TARGET_LANG = "en"
 
 
 def dsir_importance(sf_dir: str, n_buckets: int = DSIR_BUCKETS,
                     target_lang: str = DSIR_TARGET_LANG, concurrency=None):
+    # `concurrency` is accepted for caller compatibility; both passes
+    # run as stateless tasks now (see docstring) and ignore it.
     """Data Selection via Importance Resampling (Xie et al. 2023,
     arXiv:2302.03169) over hashed unigram features: per-doc
     log-importance weight ``log p_target(doc) - log p_raw(doc)`` under
     add-one-smoothed hashed bag-of-words models.
 
-    Two streaming passes, no corpus collection:
+    Two streaming passes over ONE materialized narrow read (an
+    iterative consumer re-reading parquet pays O(passes) scans — the
+    r5 cluster.py discipline), no corpus collection.  Both passes are
+    STATELESS tasks, not actor pools: the pool's only job here was the
+    token→hash memo, which a module-level dict in each worker process
+    provides for free, and spinning a fresh pool per pass cost ~2 s
+    against the task path's 0.2 s (measured at sf0.1/32 CPUs — the
+    same finding as the r4 kmeans per-round-pool fix).
 
     1. model build — per-batch partial (bucket, target_count,
-       raw_count) rows (``n_buckets`` rows per batch at most) into one
-       vocabulary-sized groupby; the target distribution is the
-       ``lang == target_lang`` subset, the raw distribution is the
-       whole corpus;
+       raw_count) rows (``n_buckets`` rows per batch at most) through
+       a narrow ``map_batches`` combine level (~100× fan-in) to a
+       bounded driver-side sum: integer partials make the reduce
+       order-free, so the fixed ~0.8 s cost of a ``groupby`` all-to-all
+       at 32 CPUs buys nothing (measured in the r5 Lloyd rewrite);
+       the target distribution is the ``lang == target_lang`` subset,
+       the raw distribution is the whole corpus;
     2. scoring — the 1024-float weight vector broadcasts via
-       ``ray.put``; each doc's score is its bucket-count vector dotted
-       with the weights (one ``np.bincount`` + one dot per doc).
+       ``ray.put`` (zero-copy ``ray.get`` per task); each doc's score
+       is its bucket-count vector dotted with the weights.
 
     Bucket spec (mirrored in SQL): ``int(md5(word)[:8], 16) %
     n_buckets`` over the unified ASCII token runs.  Scores are rounded
@@ -1021,52 +1096,37 @@ def dsir_importance(sf_dir: str, n_buckets: int = DSIR_BUCKETS,
         [("bucket", pa.int64()), ("t_cnt", pa.int64()), ("r_cnt", pa.int64())]
     )
 
-    class BucketCounts:
-        def __init__(self):
-            self.memo: dict[str, int] = {}
+    def model_partial(batch: pd.DataFrame) -> pa.Table:
+        doc_idx, buckets = _hashed_bow_flat(batch["text"], word_re, n_buckets)
+        raw = np.bincount(buckets, minlength=n_buckets)
+        is_tgt = (batch["lang"].to_numpy() == target_lang)[doc_idx]
+        tgt = np.bincount(buckets[is_tgt], minlength=n_buckets)
+        nz = np.nonzero(raw)[0]
+        return pa.table(
+            {"bucket": nz, "t_cnt": tgt[nz], "r_cnt": raw[nz]},
+            schema=partial_schema,
+        )
 
-        def _buckets(self, words):
-            memo = self.memo
-            if len(memo) > 1 << 20:
-                # the cache trades md5 calls for memory; on a
-                # high-cardinality corpus (urls, ids) it would grow
-                # O(distinct tokens) for the actor's lifetime — reset
-                # past 1M entries, hot tokens repopulate immediately
-                memo.clear()
-            out = np.empty(len(words), dtype=np.int64)
-            for i, w in enumerate(words):
-                b = memo.get(w)
-                if b is None:
-                    b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
-                    memo[w] = b
-                out[i] = b
-            return out
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("bucket", as_index=False).agg(
+            t_cnt=("t_cnt", "sum"), r_cnt=("r_cnt", "sum"))
+        return pa.table(
+            {"bucket": g["bucket"].to_numpy().astype(np.int64),
+             "t_cnt": g["t_cnt"].to_numpy().astype(np.int64),
+             "r_cnt": g["r_cnt"].to_numpy().astype(np.int64)},
+            schema=partial_schema,
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            tgt = np.zeros(n_buckets, dtype=np.int64)
-            raw = np.zeros(n_buckets, dtype=np.int64)
-            for text, lang in zip(batch["text"], batch["lang"]):
-                counts = np.bincount(
-                    self._buckets(word_re.findall(text)), minlength=n_buckets
-                )
-                raw += counts
-                if lang == target_lang:
-                    tgt += counts
-            nz = np.nonzero(raw)[0]
-            return pa.table(
-                {"bucket": nz, "t_cnt": tgt[nz], "r_cnt": raw[nz]},
-                schema=partial_schema,
-            )
-
-    from ray.data.aggregate import Sum
-
+    # one read feeds the model pass AND the scoring pass below
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang")).materialize()
     reduced = (
-        _docs(sf_dir, columns=("doc_id", "text", "lang"))
-        .map_batches(BucketCounts, batch_format="pandas",
-                     concurrency=concurrency or (1, 4))
-        .groupby("bucket")
-        .aggregate(Sum("t_cnt", alias_name="t"), Sum("r_cnt", alias_name="r"))
+        docs
+        .map_batches(model_partial, batch_format="pandas", batch_size=256)
+        .map_batches(combine, batch_format="pandas",
+                     batch_size=64 * n_buckets)
         .to_pandas()
+        .groupby("bucket", as_index=False)
+        .agg(t=("t_cnt", "sum"), r=("r_cnt", "sum"))
     )
     t = np.zeros(n_buckets, dtype=np.float64)
     r = np.zeros(n_buckets, dtype=np.float64)
@@ -1080,32 +1140,31 @@ def dsir_importance(sf_dir: str, n_buckets: int = DSIR_BUCKETS,
 
     out_schema = pa.schema([("doc_id", pa.int64()), ("dsir_logw", pa.float64())])
 
-    class Scorer(BucketCounts):
-        def __init__(self):
-            super().__init__()
-            self.weights = ray.get(wref)
-
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            ids, scores = [], []
-            for doc_id, text in zip(batch["doc_id"], batch["text"]):
-                words = word_re.findall(text)
-                if not words:
-                    # zero-token docs carry no evidence either way and
-                    # are absent from the oracle's unnest-CTE rows
-                    continue
-                counts = np.bincount(self._buckets(words), minlength=n_buckets)
-                ids.append(int(doc_id))
-                scores.append(round(float(counts @ self.weights), 6))
-            return pa.table(
-                {"doc_id": pa.array(ids, type=pa.int64()),
-                 "dsir_logw": pa.array(scores, type=pa.float64())},
-                schema=out_schema,
-            )
+    def score(batch: pd.DataFrame) -> pa.Table:
+        weights = ray.get(wref)  # zero-copy from the object store
+        doc_idx, buckets = _hashed_bow_flat(batch["text"], word_re, n_buckets)
+        # per-doc bucket-count matrix keeps the dot-product
+        # association identical to the original per-doc
+        # ``counts @ weights`` (round(…, 6) then absorbs nothing
+        # new); np.add.at is one C pass over the word stream
+        counts = np.zeros((len(batch), n_buckets), dtype=np.int64)
+        np.add.at(counts, (doc_idx, buckets), 1)
+        has_words = np.zeros(len(batch), dtype=bool)
+        has_words[doc_idx] = True  # zero-token docs: no evidence,
+        # absent from the oracle's unnest-CTE rows
+        scores = counts[has_words] @ weights
+        ids = batch["doc_id"].to_numpy()[has_words].astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "dsir_logw": pa.array(
+                 [round(float(s), 6) for s in scores],
+                 type=pa.float64())},
+            schema=out_schema,
+        )
 
     df = (
-        _docs(sf_dir)
-        .map_batches(Scorer, batch_format="pandas",
-                     concurrency=concurrency or (1, 4))
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(score, batch_format="pandas", batch_size=256)
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     df["doc_id"] = df["doc_id"].astype("int64")
@@ -1207,7 +1266,6 @@ def nb_lang_classify(sf_dir: str, n_buckets: int = NBC_BUCKETS,
     import numpy as np
     import pyarrow as pa
     import ray
-    from ray.data.aggregate import Count, Sum
 
     word_re = re.compile(_TOKEN_RUN)
 
@@ -1215,62 +1273,71 @@ def nb_lang_classify(sf_dir: str, n_buckets: int = NBC_BUCKETS,
         [("lang", pa.string()), ("bucket", pa.int64()), ("cnt", pa.int64())]
     )
 
-    class TrainCounts:
-        def __init__(self):
-            self.memo: dict[str, int] = {}
+    def train_partial(batch: pd.DataFrame) -> pa.Table:
+        # batch-vectorized per-lang hashed-BoW counts (shared
+        # module-level token→hash memo, stateless task — see
+        # dsir_importance's docstring for the measured pool-vs-task
+        # rationale); the extra bucket=-1 rows carry the doc-count
+        # prior partials so ONE pass feeds both tables (-1 cannot
+        # collide with a real bucket; a string sentinel would risk
+        # NUL/prefix mangling across the Arrow↔pandas boundary)
+        doc_idx, buckets = _hashed_bow_flat(batch["text"], word_re, n_buckets)
+        lang_arr = batch["lang"].to_numpy()
+        langs_out, buckets_out, cnts_out = [], [], []
+        occ_langs = lang_arr[doc_idx]
+        for lang in pd.unique(lang_arr):
+            vec = np.bincount(buckets[occ_langs == lang],
+                              minlength=n_buckets)
+            nz = np.nonzero(vec)[0]
+            langs_out.extend([str(lang)] * len(nz))
+            buckets_out.append(nz)
+            cnts_out.append(vec[nz])
+            # prior partial: docs of this lang in the batch (ALL docs,
+            # token-less included — the prior is over documents)
+            langs_out.append(str(lang))
+            buckets_out.append(np.array([-1], dtype=np.int64))
+            cnts_out.append(np.array(
+                [int((lang_arr == lang).sum())], dtype=np.int64))
+        return pa.table(
+            {"lang": pa.array(langs_out, type=pa.string()),
+             "bucket": pa.array(
+                 np.concatenate(buckets_out) if buckets_out
+                 else np.array([], dtype=np.int64)),
+             "cnt": pa.array(
+                 np.concatenate(cnts_out) if cnts_out
+                 else np.array([], dtype=np.int64))},
+            schema=partial_schema,
+        )
 
-        def _buckets(self, words):
-            memo = self.memo
-            if len(memo) > 1 << 20:
-                memo.clear()
-            out = np.empty(len(words), dtype=np.int64)
-            for i, w in enumerate(words):
-                b = memo.get(w)
-                if b is None:
-                    b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
-                    memo[w] = b
-                out[i] = b
-            return out
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["lang", "bucket"], as_index=False).agg(
+            cnt=("cnt", "sum"))
+        return pa.table(
+            {"lang": g["lang"].astype(str).to_numpy(),
+             "bucket": g["bucket"].to_numpy().astype(np.int64),
+             "cnt": g["cnt"].to_numpy().astype(np.int64)},
+            schema=partial_schema,
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            acc: dict[str, np.ndarray] = {}
-            for text, lang in zip(batch["text"], batch["lang"]):
-                words = word_re.findall(text)
-                if not words:
-                    continue
-                cur = acc.get(lang)
-                if cur is None:
-                    cur = acc[lang] = np.zeros(n_buckets, dtype=np.int64)
-                cur += np.bincount(self._buckets(words), minlength=n_buckets)
-            langs_out, buckets_out, cnts_out = [], [], []
-            for lang, vec in acc.items():
-                nz = np.nonzero(vec)[0]
-                langs_out.extend([lang] * len(nz))
-                buckets_out.append(nz)
-                cnts_out.append(vec[nz])
-            return pa.table(
-                {"lang": pa.array(langs_out, type=pa.string()),
-                 "bucket": pa.array(
-                     np.concatenate(buckets_out) if buckets_out
-                     else np.array([], dtype=np.int64)),
-                 "cnt": pa.array(
-                     np.concatenate(cnts_out) if cnts_out
-                     else np.array([], dtype=np.int64))},
-                schema=partial_schema,
-            )
-
-    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
-
-    model_df = (
-        docs.map_batches(TrainCounts, batch_format="pandas",
-                         batch_size=2048,
-                         concurrency=concurrency or (1, 4))
-        .groupby(["lang", "bucket"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    # one materialized read feeds the train pass AND the scoring pass;
+    # the (lang, bucket) reduce is a narrow combine level + bounded
+    # driver sum instead of a groupby all-to-all (langs × n_buckets
+    # rows per combined batch; integer partials are order-free)
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang")).materialize()
+    both = (
+        docs.map_batches(train_partial, batch_format="pandas",
+                         batch_size=2048)
+        .map_batches(combine, batch_format="pandas",
+                     batch_size=64 * n_buckets)
         .to_pandas()
+        .groupby(["lang", "bucket"], as_index=False)
+        .agg(cnt=("cnt", "sum"))
     )
-    prior_df = (
-        docs.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    is_prior = both["bucket"].to_numpy() == -1
+    model_df = both[~is_prior]
+    prior_df = pd.DataFrame(
+        {"lang": both.loc[is_prior, "lang"].to_numpy(),
+         "n_docs": both.loc[is_prior, "cnt"].to_numpy()}
     )
 
     langs = sorted(prior_df["lang"])
@@ -1300,38 +1367,31 @@ def nb_lang_classify(sf_dir: str, n_buckets: int = NBC_BUCKETS,
          ("score_q", pa.int64()), ("correct", pa.int64())]
     )
 
-    class Scorer(TrainCounts):
-        def __init__(self):
-            super().__init__()
-            self.langs, self.weights, self.priors = ray.get(model_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            ids, preds, scores, correct = [], [], [], []
-            for doc_id, text, lang in zip(
-                batch["doc_id"], batch["text"], batch["lang"]
-            ):
-                words = word_re.findall(text)
-                if not words:
-                    continue
-                c = np.bincount(self._buckets(words), minlength=n_buckets)
-                s = self.weights @ c + self.priors
-                li = int(np.argmax(s))  # langs sorted asc -> first max
-                ids.append(int(doc_id))
-                preds.append(self.langs[li])
-                scores.append(int(s[li]))
-                correct.append(int(self.langs[li] == lang))
-            return pa.table(
-                {"doc_id": pa.array(ids, type=pa.int64()),
-                 "pred_lang": pa.array(preds, type=pa.string()),
-                 "score_q": pa.array(scores, type=pa.int64()),
-                 "correct": pa.array(correct, type=pa.int64())},
-                schema=out_schema,
-            )
+    def score(batch: pd.DataFrame) -> pa.Table:
+        langs_m, weights, priors = ray.get(model_ref)
+        doc_idx, buckets = _hashed_bow_flat(batch["text"], word_re, n_buckets)
+        counts = np.zeros((len(batch), n_buckets), dtype=np.int64)
+        np.add.at(counts, (doc_idx, buckets), 1)
+        has_words = np.zeros(len(batch), dtype=bool)
+        has_words[doc_idx] = True  # token-less docs skipped (dsir rule)
+        c = counts[has_words]
+        # exact integer math, same values as the per-doc weights @ c
+        s = c @ weights.T + priors
+        li = np.argmax(s, axis=1)  # langs sorted asc -> first max
+        lang_names = np.array(langs_m, dtype=object)
+        true_lang = batch["lang"].to_numpy()[has_words]
+        return pa.table(
+            {"doc_id": pa.array(
+                batch["doc_id"].to_numpy()[has_words].astype(np.int64)),
+             "pred_lang": pa.array(lang_names[li], type=pa.string()),
+             "score_q": pa.array(s[np.arange(len(li)), li].astype(np.int64)),
+             "correct": pa.array(
+                 (lang_names[li] == true_lang).astype(np.int64))},
+            schema=out_schema,
+        )
 
     df = (
-        docs.map_batches(Scorer, batch_format="pandas",
-                         batch_size=2048,
-                         concurrency=concurrency or (1, 4))
+        docs.map_batches(score, batch_format="pandas", batch_size=2048)
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     for c in ("doc_id", "score_q", "correct"):
