@@ -28,6 +28,8 @@ import re
 import numpy as np
 import pandas as pd
 
+from ..state.skewmon import warn_rows as _skew_warn
+
 # shared ASCII-exact token definition (see textstats._TOKEN_RUN)
 from .textstats import _TOKEN_RUN, _WS_ASCII  # noqa: E402
 
@@ -408,10 +410,15 @@ def curate_and_pack(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
 
     * stage 1 is a single ``map_batches`` that computes the quality
       features, applies the gate, and emits only surviving
-      (doc_id, n_tokens, content_hash) rows — filtered at the source,
-      the corpus text never moves past this point;
-    * exact dedup reuses the distributed min-per-hash aggregate +
-      hash join (keeper = id-minimal survivor per content hash);
+      (doc_id, n_tokens, digest) rows — filtered at the source, the
+      corpus text never moves past this point (the 128-bit content
+      md5 ships as two int64 columns under a 1024-way coarse bucket);
+    * exact dedup is ONE coarse-bucket exchange: every copy of a
+      content hash co-locates under its bucket, so the id-minimal
+      keeper test runs vectorized inside the bucket walk — r4 shipped
+      this as a min-per-hash aggregate + ``Dataset.join``, i.e. TWO
+      all-to-alls plus the join operator for a filter the walk
+      enforces for free (the ngram df-gate fold, applied here in r5);
     * the survivors feed the same bucket prefix-sum placement as
       :func:`pack_sequences`.
 
@@ -420,14 +427,15 @@ def curate_and_pack(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
     CTEs (QUALIFY min-per-hash).
     """
     import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ray.data.aggregate import Min
 
     feat_schema = pa.schema(
-        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
-         ("content_hash", pa.string()), ("bucket", pa.int64())]
+        [("hbkt", pa.int64()), ("h1", pa.int64()), ("h2", pa.int64()),
+         ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("bucket", pa.int64())]
     )
+    keep_schema = pa.schema([("doc_id", pa.int64()),
+                             ("n_tokens", pa.int64()),
+                             ("bucket", pa.int64())])
 
     def survivors(batch: pd.DataFrame):
         text = batch["text"]
@@ -441,42 +449,41 @@ def curate_and_pack(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
         ).to_numpy()
         ids = batch["doc_id"].to_numpy()[keep].astype("int64")
         toks = n_tokens.to_numpy()[keep].astype("int64")
-        hashes = [
-            hashlib.md5(t.encode()).hexdigest()
-            for t in text.to_numpy()[keep]
-        ]
+        digests = [hashlib.md5(t.encode()).digest()
+                   for t in text.to_numpy()[keep]]
+        h1 = np.array([int.from_bytes(d[:8], "big", signed=True)
+                       for d in digests], dtype=np.int64)
+        h2 = np.array([int.from_bytes(d[8:], "big", signed=True)
+                       for d in digests], dtype=np.int64)
         return pa.table(
-            {"doc_id": ids, "n_tokens": toks,
-             "content_hash": hashes, "bucket": ids // bucket},
+            {"hbkt": pa.array(h1 & np.int64(1023)),
+             "h1": pa.array(h1), "h2": pa.array(h2),
+             "doc_id": ids, "n_tokens": toks, "bucket": ids // bucket},
             schema=feat_schema,
         )
 
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    n_parts = max(1, min(8, n_docs // 64 + 1))
+    _warn = _skew_warn()
 
-    feats = (
-        _docs(sf_dir).map_batches(survivors, batch_format="pandas")
-        .materialize()  # two consumers: keeper aggregate + join
-    )
-    keeper = feats.groupby("content_hash").aggregate(
-        Min("doc_id", alias_name="keeper_id")
-    )
+    def bucket_keepers(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
 
-    def only_keepers(batch: pd.DataFrame):
-        kept = batch[batch["doc_id"] == batch["keeper_id"]]
+        observe_group("curate_and_pack.hbkt", len(group), _warn)
+        is_keeper = (
+            group.groupby(["h1", "h2"])["doc_id"].transform("min")
+            == group["doc_id"]
+        ).to_numpy()
+        kept = group[is_keeper]
         return pa.table(
             {"doc_id": kept["doc_id"].to_numpy().astype("int64"),
              "n_tokens": kept["n_tokens"].to_numpy().astype("int64"),
              "bucket": kept["bucket"].to_numpy().astype("int64")},
-            schema=pa.schema([("doc_id", pa.int64()),
-                              ("n_tokens", pa.int64()),
-                              ("bucket", pa.int64())]),
+            schema=keep_schema,
         )
 
     toks = (
-        feats.join(keeper, join_type="inner", num_partitions=n_parts,
-                   on=("content_hash",))
-        .map_batches(only_keepers, batch_format="pandas")
+        _docs(sf_dir).map_batches(survivors, batch_format="pandas")
+        .groupby("hbkt")
+        .map_groups(bucket_keepers, batch_format="pandas")
         .materialize()
     )
     return _pack(toks, seq_len)

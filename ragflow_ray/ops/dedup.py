@@ -1402,19 +1402,23 @@ def segment_dedup_clean(sf_dir: str, window: int = SEGMENT_WORDS,
     a duplicated segment is removed, exactly as CCNet drops every
     occurrence of a repeated line.
 
-    Distributed plan: one explode pass emits only (hash) rows (64
-    hex chars per segment, the TEXT never shuffles); a count aggregate
-    keeps the duplicated hashes.  Reconstruction is size-adaptive on
-    that duplicated-hash count:
+    Distributed plan: one explode pass emits only digest rows (the
+    128-bit md5 as two int64 columns under a 1024-way coarse bucket —
+    the TEXT never shuffles, and the dup detection is a bucketed
+    vectorized count, not a high-cardinality groupby(hash) aggregate;
+    the substring_dedup pattern, back-ported in r5 — the string
+    groupby was this op's dominant cost).  ONE materialized read feeds
+    both passes.  Reconstruction is size-adaptive on the
+    duplicated-hash count:
 
-    * ≤ ``broadcast_limit`` dup hashes — collect just the hash column
-      (bounded by the branch test itself), ``ray.put`` once, and a
-      second streaming pass over the docs re-segments and filters
-      locally.  No shuffle anywhere; the document text moves zero
-      times.
+    * ≤ ``broadcast_limit`` dup hashes — collect just the digest pairs
+      (bounded by the branch test itself), ``ray.put`` once
+      (worker-process cached), and a second streaming pass over the
+      docs re-segments and filters locally.  No shuffle anywhere; the
+      document text moves zero times.
     * above the limit — re-explode WITH positions and ``left_anti``
       join the exploded rows against the dup-hash set (hash-partition
-      exchange of (hash, doc_id, i, seg) rows), then a per-doc
+      exchange of (h1, h2, doc_id, i, seg) rows), then a per-doc
       ``map_groups`` stitches survivors back in segment order.  Text
       moves twice (explode + join) but the driver never sees it.
 
@@ -1423,48 +1427,81 @@ def segment_dedup_clean(sf_dir: str, window: int = SEGMENT_WORDS,
     import pyarrow as pa
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
+
+    from .curation import _cached_broadcast
 
     out_schema = pa.schema(
         [("doc_id", pa.int64()), ("clean_text", pa.string()),
          ("n_removed", pa.int64())]
     )
+    dup_schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64())])
 
     def _segments(text: str) -> list[str]:
         words = text.split(" ")
         return [" ".join(words[i * window:(i + 1) * window])
                 for i in range((len(words) + window - 1) // window or 1)]
 
-    def explode_hashes(batch: pd.DataFrame) -> pa.Table:
-        hs = []
-        for text in batch["text"]:
-            hs.extend(hashlib.md5(s.encode()).hexdigest()
-                      for s in _segments(text))
-        return pa.table({"h": pa.array(hs, type=pa.string())})
+    def _seg_digests(text: str):
+        ds_ = [hashlib.md5(s.encode()).digest() for s in _segments(text)]
+        h1 = np.array([int.from_bytes(d[:8], "big", signed=True) for d in ds_],
+                      dtype=np.int64)
+        h2 = np.array([int.from_bytes(d[8:], "big", signed=True) for d in ds_],
+                      dtype=np.int64)
+        return h1, h2
 
+    def explode_hashes(batch: pd.DataFrame) -> pa.Table:
+        h1s, h2s = [], []
+        for text in batch["text"]:
+            h1, h2 = _seg_digests(text)
+            h1s.append(h1)
+            h2s.append(h2)
+        h1 = np.concatenate(h1s) if h1s else np.array([], dtype=np.int64)
+        h2 = np.concatenate(h2s) if h2s else np.array([], dtype=np.int64)
+        return pa.table(
+            {"gbkt": pa.array((h1 & 1023).astype(np.int32)),
+             "h1": pa.array(h1), "h2": pa.array(h2)}
+        )
+
+    _warn = _skew_warn()
+
+    def bucket_dups(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("segment_dedup_clean.gbkt", len(group), _warn)
+        sizes = group.groupby(["h1", "h2"]).size()
+        dup = sizes.index[sizes.values >= 2]
+        if len(dup) == 0:
+            return dup_schema.empty_table()
+        h1, h2 = zip(*dup)
+        return pa.table(
+            {"h1": pa.array(list(h1), type=pa.int64()),
+             "h2": pa.array(list(h2), type=pa.int64())},
+            schema=dup_schema,
+        )
+
+    docs = _docs(sf_dir).materialize()
     dup_hashes = (
-        _docs(sf_dir).map_batches(explode_hashes, batch_format="pandas")
-        .groupby("h")
-        .aggregate(Count(alias_name="df"))
-        .filter(expr="df >= 2")
-        .select_columns(["h"])
+        docs.map_batches(explode_hashes, batch_format="pandas")
+        .groupby("gbkt")
+        .map_groups(bucket_dups, batch_format="pandas")
         .materialize()
     )
     n_dup = dup_hashes.count()
 
     if n_dup <= broadcast_limit:
         # hash set is dimension-sized: broadcast once, rebuild locally
+        ddf = dup_hashes.to_pandas()
         dup_ref = ray.put(
-            frozenset(dup_hashes.to_pandas()["h"]) if n_dup else frozenset()
+            frozenset(zip(ddf["h1"], ddf["h2"])) if n_dup else frozenset()
         )
 
         def clean(batch: pd.DataFrame) -> pa.Table:
-            dup = ray.get(dup_ref)
+            dup = _cached_broadcast(dup_ref)
             ids, outs, removed = [], [], []
             for doc_id, text in zip(batch["doc_id"], batch["text"]):
                 segs = _segments(text)
-                keep = [s for s in segs
-                        if hashlib.md5(s.encode()).hexdigest() not in dup]
+                h1, h2 = _seg_digests(text)
+                keep = [s for s, k in zip(segs, zip(h1, h2)) if k not in dup]
                 ids.append(int(doc_id))
                 outs.append(" ".join(keep))
                 removed.append(len(segs) - len(keep))
@@ -1476,36 +1513,44 @@ def segment_dedup_clean(sf_dir: str, window: int = SEGMENT_WORDS,
             )
 
         return (
-            _docs(sf_dir).map_batches(clean, batch_format="pandas")
+            docs.map_batches(clean, batch_format="pandas")
             .sort("doc_id")
         )
 
     # join branch: positions + text through a hash-partition anti-join
     seg_schema = pa.schema(
-        [("h", pa.string()), ("doc_id", pa.int64()), ("i", pa.int64()),
-         ("seg", pa.string()), ("n_segs", pa.int64())]
+        [("h1", pa.int64()), ("h2", pa.int64()), ("doc_id", pa.int64()),
+         ("i", pa.int64()), ("seg", pa.string()), ("n_segs", pa.int64())]
     )
+    # sentinel digest: survives the anti-join so a fully-duplicated doc
+    # still reaches the stitch with clean_text='' instead of vanishing.
+    # (doc_id, INT64_MIN) collides with a real duplicated segment's md5
+    # only at ~2^-64 per segment — the same collision-resistance this
+    # op's digest-equality dup test already assumes.
+    _SENTINEL_H2 = -(1 << 63)
 
     def explode_full(batch: pd.DataFrame) -> pa.Table:
-        hs, ids, idx, segs, totals = [], [], [], [], []
+        h1s, h2s, ids, idx, segs, totals = [], [], [], [], [], []
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
             ss = _segments(text)
-            for i, s in enumerate(ss):
-                hs.append(hashlib.md5(s.encode()).hexdigest())
-                ids.append(int(doc_id))
-                idx.append(i)
-                segs.append(s)
-                totals.append(len(ss))
-            # sentinel: survives the anti-join by construction (not a
-            # 32-hex md5) so a fully-duplicated doc still reaches the
-            # stitch with clean_text='' instead of vanishing
-            hs.append(f"doc:{int(doc_id)}")
+            h1, h2 = _seg_digests(text)
+            h1s.append(h1)
+            h2s.append(h2)
+            ids.extend([int(doc_id)] * len(ss))
+            idx.extend(range(len(ss)))
+            segs.extend(ss)
+            totals.extend([len(ss)] * len(ss))
+            h1s.append(np.array([int(doc_id)], dtype=np.int64))
+            h2s.append(np.array([_SENTINEL_H2], dtype=np.int64))
             ids.append(int(doc_id))
             idx.append(-1)
             segs.append("")
             totals.append(len(ss))
         return pa.table(
-            {"h": pa.array(hs, type=pa.string()),
+            {"h1": pa.array(np.concatenate(h1s) if h1s
+                            else np.array([], dtype=np.int64)),
+             "h2": pa.array(np.concatenate(h2s) if h2s
+                            else np.array([], dtype=np.int64)),
              "doc_id": pa.array(ids, type=pa.int64()),
              "i": pa.array(idx, type=pa.int64()),
              "seg": pa.array(segs, type=pa.string()),
@@ -1513,11 +1558,11 @@ def segment_dedup_clean(sf_dir: str, window: int = SEGMENT_WORDS,
             schema=seg_schema,
         )
 
-    exploded = _docs(sf_dir).map_batches(explode_full, batch_format="pandas")
+    exploded = docs.map_batches(explode_full, batch_format="pandas")
     kept = exploded.join(
         dup_hashes, join_type="left_anti",
         num_partitions=max(1, min(join_partitions, n_dup // 64 + 1)),
-        on=("h",),
+        on=("h1", "h2"),
     )
 
     def stitch(group: pd.DataFrame) -> pa.Table:

@@ -913,6 +913,36 @@ class TestCluster:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSegmentDedupJoinBranch:
+    def test_join_branch_matches_broadcast(self, tmp_path):
+        """broadcast_limit=0 forces the anti-join path; both branches
+        must agree, including a FULLY-duplicated doc (the sentinel row
+        is what keeps it from vanishing in the join branch)."""
+        from ragflow_ray.ops.dedup import segment_dedup_clean
+
+        boiler = " ".join(f"b{i}" for i in range(10))
+        texts = [
+            boiler,                                   # fully duplicated
+            boiler,                                   # fully duplicated
+            " ".join(f"u{i}" for i in range(10)) + " " + boiler,
+        ] + [" ".join(f"f{d}w{i}" for i in range(20)) for d in range(20)]
+        docs = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        sf = str(tmp_path)
+        b = segment_dedup_clean(sf).to_pandas()
+        j = segment_dedup_clean(sf, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(
+            b.reset_index(drop=True), j.reset_index(drop=True))
+        got = b.set_index("doc_id")
+        assert got.loc[0, "clean_text"] == "" and got.loc[0, "n_removed"] == 1
+        assert got.loc[2, "n_removed"] == 1
+        assert got.loc[2, "clean_text"].startswith("u0")
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSubstringDedup:
     """Stride-1 exact substring dedup (Lee et al. 2022 style): a
     duplicated run is cut at ANY word offset, unlike the aligned
