@@ -166,13 +166,25 @@ def _bm25_idf(docs) -> dict[str, int]:
             rows["n_docs"].append(len(batch))
         return pa.table(rows, schema=df_schema)
 
-    from ray.data.aggregate import Sum
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("term", as_index=False).agg(
+            df=("df", "sum"), n_docs=("n_docs", "sum"))
+        return pa.table(
+            {"term": g["term"].astype(str).to_numpy(),
+             "df": g["df"].to_numpy().astype("int64"),
+             "n_docs": g["n_docs"].to_numpy().astype("int64")},
+            schema=df_schema,
+        )
 
+    # query-term-sized integer partials: one narrow combine level +
+    # driver sum instead of a groupby all-to-all (~0.8 s fixed at 32
+    # CPUs for a 3-row result — the r5 reduce discipline)
     df_tbl = (
         docs.map_batches(partial_df, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Sum("n_docs", alias_name="n_docs"))
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
         .to_pandas()
+        .groupby("term", as_index=False)
+        .agg(df=("df", "sum"), n_docs=("n_docs", "sum"))
     )
     n_total = int(df_tbl["n_docs"].iloc[0])  # per-term sum == N
     return {
@@ -551,15 +563,21 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOPK, concurrency=None):
     scores into retrieval; the serving side is out of scope, this is
     the corpus-scan equivalent).
 
-    Two streaming passes:
+    Two streaming passes over ONE materialized read:
 
     1. document frequency — per-batch (term, df-partial) rows over each
-       doc's DISTINCT terms into a vocabulary-sized groupby (natural
-       language vocabulary grows ~O(corpus^0.5) — Heaps' law — so the
-       reduce side stays far below corpus size);
-    2. scoring — the idf table broadcasts via ``ray.put``; each doc
-       computes tf via one ``np.unique`` and keeps its local top-k
-       (score desc, term asc) — only k rows per doc leave the batch.
+       doc's DISTINCT terms through a narrow combine level to a
+       driver-side finalize (natural language vocabulary grows
+       ~O(corpus^0.5) — Heaps' law — and Zipfian hot terms collapse
+       ~batch-fold in the combine, so the finalize input stays far
+       below corpus size; a genuinely huge vocabulary falls back to
+       the exact distributed groupby, count-gated like
+       lm_cross_entropy's model reduce);
+    2. scoring — the idf table broadcasts via ``ray.put``
+       (worker-process cached — the stateless-task discipline from
+       the r5 dsir rewrite); each doc computes tf via one
+       ``np.unique`` and keeps its local top-k (score desc, term asc)
+       — only k rows per doc leave the batch.
 
     Spec (mirrored in SQL): tf = term count in doc over the unified
     ASCII token runs; idf = ln((N+1)/(df+1)); score = round(tf*idf, 6)
@@ -571,8 +589,10 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOPK, concurrency=None):
     import pyarrow as pa
     import ray
 
+    from .curation import _cached_broadcast
+
     word_re = _re.compile(_TOKEN_RUN)
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir).materialize()
 
     df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
 
@@ -587,14 +607,30 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOPK, concurrency=None):
             schema=df_schema,
         )
 
-    from ray.data.aggregate import Sum
+    def df_combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("term", as_index=False, sort=False).agg(df=("df", "sum"))
+        return pa.table(
+            {"term": g["term"].astype(str).to_numpy(),
+             "df": g["df"].to_numpy().astype("int64")},
+            schema=df_schema,
+        )
 
-    df_tbl = (
+    partials = (
         docs.map_batches(df_partial, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
+        .map_batches(df_combine, batch_format="pandas", batch_size=65536)
+        .materialize()
     )
+    if partials.count() <= 2_000_000:
+        df_tbl = (partials.to_pandas()
+                  .groupby("term", as_index=False).agg(df=("df", "sum")))
+    else:
+        from ray.data.aggregate import Sum
+
+        df_tbl = (
+            partials.groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+            .to_pandas()
+        )
     # corpus row count from parquet footer metadata — no second pass
     import pyarrow.parquet as pq
 
@@ -610,35 +646,31 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOPK, concurrency=None):
          ("term", pa.string()), ("tfidf_r6", pa.float64())]
     )
 
-    class Scorer:
-        def __init__(self):
-            self.idf = ray.get(iref)
-
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            ids, ranks, terms, scores = [], [], [], []
-            for doc_id, text in zip(batch["doc_id"], batch["text"]):
-                words, tf = np.unique(word_re.findall(text), return_counts=True)
-                scored = sorted(
-                    ((round(int(c) * self.idf[w], 6), w)
-                     for w, c in zip(words, tf)),
-                    key=lambda sw: (-sw[0], sw[1]),
-                )[:k]
-                for rank, (s, w) in enumerate(scored, 1):
-                    ids.append(int(doc_id))
-                    ranks.append(rank)
-                    terms.append(w)
-                    scores.append(s)
-            return pa.table(
-                {"doc_id": pa.array(ids, type=pa.int64()),
-                 "rank": pa.array(ranks, type=pa.int64()),
-                 "term": pa.array(terms, type=pa.string()),
-                 "tfidf_r6": pa.array(scores, type=pa.float64())},
-                schema=out_schema,
-            )
+    def score(batch: pd.DataFrame) -> pa.Table:
+        idf = _cached_broadcast(iref)
+        ids, ranks, terms, scores = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            words, tf = np.unique(word_re.findall(text), return_counts=True)
+            scored = sorted(
+                ((round(int(c) * idf[w], 6), w)
+                 for w, c in zip(words, tf)),
+                key=lambda sw: (-sw[0], sw[1]),
+            )[:k]
+            for rank, (s, w) in enumerate(scored, 1):
+                ids.append(int(doc_id))
+                ranks.append(rank)
+                terms.append(w)
+                scores.append(s)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "rank": pa.array(ranks, type=pa.int64()),
+             "term": pa.array(terms, type=pa.string()),
+             "tfidf_r6": pa.array(scores, type=pa.float64())},
+            schema=out_schema,
+        )
 
     out = (
-        docs.map_batches(Scorer, batch_format="pandas",
-                         concurrency=concurrency or (1, 4))
+        docs.map_batches(score, batch_format="pandas", batch_size=256)
         .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
     )
     for c in ("doc_id", "rank"):
@@ -856,9 +888,12 @@ def hll_distinct_tokens(sf_dir: str):
     uses where exact COUNT(DISTINCT) would shuffle every token: each
     batch folds its tokens into a 4096-register vector, only nonzero
     (source, register, rho) rows leave the task (≤ 4096 per source per
-    batch, CONSTANT in corpus size), and a register-wise distributed
-    Max merges partials — max is associative/commutative, so the
-    estimate is independent of batch boundaries and parallelism.
+    batch, CONSTANT in corpus size), and a register-wise max merges
+    partials — max is associative/commutative, so the estimate is
+    independent of batch boundaries and parallelism, and the reduce
+    needs no all-to-all: a narrow ``map_batches`` combine level
+    (~batch-fold fan-in on the bounded register space) feeds a
+    driver-side final max (the r5 reduce discipline).
 
     Oracled via an independent pure-Python re-derivation
     (tools/make_hll_fixture.py) — approximate vs the TRUE count, exact
@@ -867,7 +902,6 @@ def hll_distinct_tokens(sf_dir: str):
     """
     import numpy as np
     import pyarrow as pa
-    from ray.data.aggregate import Max
 
     word_re = re.compile(_TOKEN_RUN)
 
@@ -894,14 +928,25 @@ def hll_distinct_tokens(sf_dir: str):
             schema=partial_schema,
         )
 
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["source", "reg"], as_index=False).agg(
+            rho=("rho", "max"))
+        return pa.table(
+            {"source": g["source"].astype(str).to_numpy(),
+             "reg": g["reg"].to_numpy().astype("int64"),
+             "rho": g["rho"].to_numpy().astype("int64")},
+            schema=partial_schema,
+        )
+
     from ..sources.readers import read_docs_split
 
     docs = read_docs_split(sf_dir, columns=["text", "source"])
     merged = (
         docs.map_batches(partial, batch_format="pandas")
-        .groupby(["source", "reg"])
-        .aggregate(Max("rho", alias_name="rho"))
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
         .to_pandas()
+        .groupby(["source", "reg"], as_index=False)
+        .agg(rho=("rho", "max"))
     )
 
     rows = []
