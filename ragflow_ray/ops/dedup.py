@@ -1996,12 +1996,11 @@ def source_overlap_matrix(sf_dir: str, n: int = OVERLAP_NGRAM):
     co-partitions all copies of a gram in ONE exchange, each bucket
     dedupes (gram, source) and self-merges to source pairs
     vectorized, and only the constant-size per-bucket pair counts
-    reach the final tiny groupby.  Pair blowup per gram is bounded by
+    reach a driver-side final sum.  Pair blowup per gram is bounded by
     S(S-1)/2 (sources, not docs)."""
     import hashlib as _hashlib
 
     import pyarrow as pa
-    from ray.data.aggregate import Sum
 
     part_schema = pa.schema(
         [("bucket", pa.int64()), ("hi", pa.int64()), ("lo", pa.int64()),
@@ -2052,15 +2051,17 @@ def source_overlap_matrix(sf_dir: str, n: int = OVERLAP_NGRAM):
             schema=pair_schema,
         )
 
-    out = (
+    # the per-bucket pair counts are ≤ S²/2 rows per bucket (sources,
+    # not docs) — the final sum is driver-side, no second all-to-all
+    df = (
         _docs(sf_dir, columns=("doc_id", "text", "source"))
         .map_batches(grams, batch_format="pandas")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["source_a", "source_b"])
-        .aggregate(Sum("n", alias_name="n_shared_grams"))
+        .to_pandas()
+        .groupby(["source_a", "source_b"], as_index=False)
+        .agg(n_shared_grams=("n", "sum"))
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
     )
-    df = (out.to_pandas()
-          .sort_values(["source_a", "source_b"]).reset_index(drop=True))
     df["n_shared_grams"] = df["n_shared_grams"].astype("int64")
     return df

@@ -302,6 +302,16 @@ def vocab_topk(sf_dir: str, k: int = 20):
             schema=partial_schema,
         )
 
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["lang", "word"], as_index=False, sort=False).agg(
+            n=("n", "sum"))
+        return pa.table(
+            {"lang": g["lang"].astype(str).to_numpy(),
+             "word": g["word"].astype(str).to_numpy(),
+             "n": g["n"].to_numpy().astype("int64")},
+            schema=partial_schema,
+        )
+
     # post-aggregate every (lang, word) row is unique, so a per-batch
     # partial top-k is exact after a tiny driver merge (the ann.py
     # pattern) — no groupby(lang) second shuffle, and no
@@ -318,14 +328,28 @@ def vocab_topk(sf_dir: str, k: int = 20):
             schema=partial_schema,
         )
 
-    df = (
+    # Zipfian hot words collapse ~batch-fold in a narrow combine level;
+    # when the combined row count (an upper bound on distinct (lang,
+    # word) pairs) fits, the exact sum + top-k finalize on the driver —
+    # a genuinely huge vocabulary keeps the exact groupby all-to-all
+    # (partial top-k BEFORE full per-key sums would not be exact)
+    partials = (
         _docs(sf_dir)
         .map_batches(partial, batch_format="pandas")
-        .groupby(["lang", "word"])
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(partial_topk, batch_format="pandas")
-        .to_pandas()  # ≤ k × n_langs × n_blocks rows
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .materialize()
     )
+    if partials.count() <= 2_000_000:
+        df = (partials.to_pandas()
+              .groupby(["lang", "word"], as_index=False).agg(n=("n", "sum")))
+    else:
+        df = (
+            partials
+            .groupby(["lang", "word"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(partial_topk, batch_format="pandas")
+            .to_pandas()  # ≤ k × n_langs × n_blocks rows
+        )
     if df.empty:
         return pd.DataFrame(
             {"lang": pd.Series([], dtype="object"),
@@ -993,12 +1017,14 @@ def heavy_hitters(sf_dir: str, phi_x1000: int = HH_PHI_X1000):
     import numpy as np
     import pyarrow as pa
     import ray
-    from ray.data.aggregate import Sum
+
+    from .curation import _cached_broadcast
 
     word_re = re.compile(_TOKEN_RUN)
     k = (1000 + phi_x1000 - 1) // phi_x1000  # ceil(1/phi) counters
 
-    docs = _docs(sf_dir)
+    # one materialized read for the candidate pass + the exact pass
+    docs = _docs(sf_dir).materialize()
 
     cand_schema = pa.schema([("token", pa.string())])
     cnt_schema = pa.schema([("token", pa.string()), ("cnt", pa.int64()),
@@ -1033,7 +1059,7 @@ def heavy_hitters(sf_dir: str, phi_x1000: int = HH_PHI_X1000):
     cand_ref = ray.put(frozenset(candidates))
 
     def exact_partial(batch: pd.DataFrame) -> pa.Table:
-        cand = ray.get(cand_ref)
+        cand = _cached_broadcast(cand_ref)
         counts: dict[str, int] = {}
         total = 0
         for text in batch["text"]:
@@ -1054,12 +1080,24 @@ def heavy_hitters(sf_dir: str, phi_x1000: int = HH_PHI_X1000):
             schema=cnt_schema,
         )
 
+    def cnt_combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("token", as_index=False).agg(
+            cnt=("cnt", "sum"), n_tokens=("n_tokens", "sum"))
+        return pa.table(
+            {"token": g["token"].astype(str).to_numpy(),
+             "cnt": g["cnt"].to_numpy().astype("int64"),
+             "n_tokens": g["n_tokens"].to_numpy().astype("int64")},
+            schema=cnt_schema,
+        )
+
+    # candidate-set-sized integer partials (≤ ⌈1/φ⌉ × n_batches rows):
+    # combine level + driver finalize, no all-to-all
     reduced = (
         docs.map_batches(exact_partial, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("cnt", alias_name="cnt"),
-                   Sum("n_tokens", alias_name="n_tokens"))
+        .map_batches(cnt_combine, batch_format="pandas", batch_size=65536)
         .to_pandas()
+        .groupby("token", as_index=False)
+        .agg(cnt=("cnt", "sum"), n_tokens=("n_tokens", "sum"))
     )
     total = int(reduced["n_tokens"].sum())
     thresh = (phi_x1000 * total) // 1000
