@@ -149,6 +149,9 @@ def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_MINHASH_AB = _minhash_params()  # seeded-deterministic, per-process
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """crc32 of word k-shingles (vector of uint64)."""
     words = text.split()
@@ -161,38 +164,37 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     )
 
 
-class MinHasher:
-    """Actor-pool stage: per-doc 64-slot minhash sketch, exploded to
-    (band_id, band_hash, doc_id) rows for the LSH groupby."""
+def minhash_bands(batch: pd.DataFrame):
+    """Per-doc 64-slot minhash sketch, exploded to (band_id,
+    band_hash, doc_id) rows for the LSH groupby.  Stateless task: the
+    seeded (a, b) permutation params are deterministic module state
+    (cached per worker process), so the stage needs no actor pool —
+    a fresh pool cost ~2 s of startup per query (the r5 finding)."""
+    import pyarrow as pa
 
-    def __init__(self, seed: int = 42):
-        self.a, self.b = _minhash_params(seed)
-
-    def __call__(self, batch: pd.DataFrame):
-        import pyarrow as pa
-
-        rows_band, rows_hash, rows_doc = [], [], []
-        rows_per_band = N_HASHES // N_BANDS
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sh = _shingle_hashes(text)
-            # sketch[i] = min over shingles of (a_i * s + b_i) mod p
-            vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-            sketch = vals.min(axis=0)
-            for band in range(N_BANDS):
-                seg = sketch[band * rows_per_band : (band + 1) * rows_per_band]
-                h = hashlib.md5(seg.tobytes()).hexdigest()[:16]
-                rows_band.append(band)
-                rows_hash.append(h)
-                rows_doc.append(int(doc_id))
-        # pinned Arrow schema: pandas block schemas are unhashable and
-        # trip Ray's block-schema dedup warning at every shuffle
-        return pa.table(
-            {
-                "band_id": pa.array(rows_band, type=pa.int64()),
-                "band_hash": pa.array(rows_hash, type=pa.string()),
-                "doc_id": pa.array(rows_doc, type=pa.int64()),
-            }
-        )
+    a, b = _MINHASH_AB
+    rows_band, rows_hash, rows_doc = [], [], []
+    rows_per_band = N_HASHES // N_BANDS
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        sh = _shingle_hashes(text)
+        # sketch[i] = min over shingles of (a_i * s + b_i) mod p
+        vals = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+        sketch = vals.min(axis=0)
+        for band in range(N_BANDS):
+            seg = sketch[band * rows_per_band : (band + 1) * rows_per_band]
+            h = hashlib.md5(seg.tobytes()).hexdigest()[:16]
+            rows_band.append(band)
+            rows_hash.append(h)
+            rows_doc.append(int(doc_id))
+    # pinned Arrow schema: pandas block schemas are unhashable and
+    # trip Ray's block-schema dedup warning at every shuffle
+    return pa.table(
+        {
+            "band_id": pa.array(rows_band, type=pa.int64()),
+            "band_hash": pa.array(rows_hash, type=pa.string()),
+            "doc_id": pa.array(rows_doc, type=pa.int64()),
+        }
+    )
 
 
 _PAIR_BUCKETS = 64  # dedup-bucket fanout (any low-cardinality value)
@@ -314,11 +316,9 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
     )
 
     docs = _docs(sf_dir)
-    # autoscaling pool: scales to 8 sketch actors on big hosts without
-    # pinning CPUs that the downstream join aggregators need on small ones
-    bands = docs.map_batches(
-        MinHasher, batch_format="pandas", concurrency=concurrency or (1, 8)
-    )
+    # stateless sketch tasks (see minhash_bands) — `concurrency` is
+    # accepted for caller compatibility and ignored
+    bands = docs.map_batches(minhash_bands, batch_format="pandas")
 
     def with_bbkt(t: "pa.Table") -> "pa.Table":
         # coarse bucket over (band_id, band_hash): every copy of a
@@ -701,53 +701,61 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
 # -- SimHash -------------------------------------------------------------
 
 
-class SimHasher:
+# word → 64-bit feature hash, shared by every SimHasher task that
+# lands in the same worker process (natural-language vocab repeats
+# heavily; a module dict gives the cross-batch cache without the
+# ~2 s per-query actor-pool startup — the r5 stateless-task finding)
+_SIMHASH_WORD_CACHE: dict[str, int] = {}
+
+
+def _simhash_batch(batch: pd.DataFrame) -> "pa.Table":
     """Per-doc 64-bit simhash over word features (vectorized bit
-    accumulation).  Actor-pool stage: the word→hash cache persists
-    across batches (natural-language vocab repeats heavily)."""
+    accumulation), stateless task."""
+    cache = _SIMHASH_WORD_CACHE
+    if len(cache) > 1 << 20:
+        cache.clear()  # high-cardinality backstop; hot words repopulate
 
-    def __init__(self) -> None:
-        self._word_hash: dict[str, int] = {}
-
-    def _hash_word(self, w: str) -> int:
-        h = self._word_hash.get(w)
+    def hash_word(w: str) -> int:
+        h = cache.get(w)
         if h is None:
             h = zlib.crc32(w.encode()) + (zlib.crc32(w[::-1].encode()) << 32)
-            self._word_hash[w] = h
+            cache[w] = h
         return h
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            words, counts = np.unique(text.split(), return_counts=True)
-            if len(words) == 0:
-                out.append((doc_id, 0))
-                continue
-            hashes = np.fromiter(
-                (self._hash_word(w) for w in words),
-                dtype=np.uint64, count=len(words),
-            )
-            bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-            votes = ((bits * 2 - 1).astype(np.int64) * counts[:, None]).sum(axis=0)
-            sim = int((votes > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
-            if sim >= 1 << 63:  # store as signed int64 (Arrow/pandas-safe)
-                sim -= 1 << 64
-            out.append((doc_id, sim))
-        import pyarrow as pa
-
-        return pa.table(
-            {
-                "doc_id": pa.array([int(o[0]) for o in out], type=pa.int64()),
-                "simhash": pa.array([o[1] for o in out], type=pa.int64()),
-            }
+    out = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        words, counts = np.unique(text.split(), return_counts=True)
+        if len(words) == 0:
+            out.append((doc_id, 0))
+            continue
+        hashes = np.fromiter(
+            (hash_word(w) for w in words),
+            dtype=np.uint64, count=len(words),
         )
+        bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+        votes = ((bits * 2 - 1).astype(np.int64) * counts[:, None]).sum(axis=0)
+        sim = int((votes > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
+        if sim >= 1 << 63:  # store as signed int64 (Arrow/pandas-safe)
+            sim -= 1 << 64
+        out.append((doc_id, sim))
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array([int(o[0]) for o in out], type=pa.int64()),
+            "simhash": pa.array([o[1] for o in out], type=pa.int64()),
+        }
+    )
+
+
+def _simhash_sigs_unsorted(sf_dir: str):
+    return _docs(sf_dir).map_batches(_simhash_batch, batch_format="pandas")
 
 
 def simhash_signatures(sf_dir: str, concurrency=None):
-    ds = _docs(sf_dir).map_batches(
-        SimHasher, batch_format="pandas", concurrency=concurrency or 2
-    )
-    return ds.sort("doc_id")
+    # `concurrency` accepted for caller compatibility (stateless tasks
+    # ignore it); the sort is part of THIS query's output contract only
+    return _simhash_sigs_unsorted(sf_dir).sort("doc_id")
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -835,7 +843,9 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, concurrency=None,
             f"max_hamming <= 3 (got {max_hamming})"
         )
 
-    sigs = simhash_signatures(sf_dir, concurrency)
+    # unsorted: the explode + bucket groupby destroys order anyway, so
+    # signatures' doc_id sort (a full all-to-all) would be pure waste
+    sigs = _simhash_sigs_unsorted(sf_dir)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         sims = batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
