@@ -150,27 +150,32 @@ def _merge_partials(df: pd.DataFrame, k: int) -> pd.DataFrame:
     return df[["q_vec_id", "vec_id", "rank"]].reset_index(drop=True)
 
 
-class TopKScorer:
-    """Actor-pool stage: per-batch cosine top-k against the broadcast
-    query matrix (one matmul per batch)."""
+def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=None):
+    """Exact cosine top-k: → (q_vec_id, vec_id, rank), rank 1..k, ties
+    broken by ascending vec_id.  Scores are excluded from the result so
+    the comparison is float-robust; ordering uses them internally.
 
-    def __init__(self, query_ref, query_ids, k: int):
-        import ray
+    The scorer is a stateless task (``concurrency`` is accepted for
+    caller compatibility): the broadcast query matrix is pure numpy,
+    so ``ray.get`` per task is a zero-copy plasma view — an actor pool
+    here bought nothing but ~2 s of per-query startup (the r5
+    finding)."""
+    import ray
 
-        self.queries = ray.get(query_ref)  # (nq, dim) unit vectors
-        self.query_ids = query_ids
-        self.k = k
+    query_ids, queries = _load_queries(sf_dir, n_queries)
+    qref = ray.put(queries)
 
-    def __call__(self, batch: pd.DataFrame):
+    def score_topk(batch: pd.DataFrame):
+        qmat = ray.get(qref)  # (nq, dim) unit vectors, zero-copy
         ids = batch["vec_id"].to_numpy()
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = self.queries @ mat.T  # (nq, batch)
-        k = min(self.k, sims.shape[1])
+        sims = qmat @ mat.T  # (nq, batch)
+        kk = min(k, sims.shape[1])
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], k - 1)[:k]
-            out_q.extend([self.query_ids[qi]] * k)
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q.extend([query_ids[qi]] * kk)
             out_v.extend(ids[idx])
             out_s.extend(sims[qi][idx])
         return pa.table(
@@ -182,22 +187,8 @@ class TopKScorer:
             schema=_PARTIAL_SCHEMA,
         )
 
-
-def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=None):
-    """Exact cosine top-k: → (q_vec_id, vec_id, rank), rank 1..k, ties
-    broken by ascending vec_id.  Scores are excluded from the result so
-    the comparison is float-robust; ordering uses them internally."""
-    import ray
-
-    query_ids, queries = _load_queries(sf_dir, n_queries)
-    qref = ray.put(queries)
-
     partials = _embeddings(sf_dir).map_batches(
-        TopKScorer,
-        fn_constructor_kwargs={"query_ref": qref, "query_ids": query_ids, "k": k},
-        batch_format="pandas",
-        concurrency=concurrency or 2,
-        batch_size=4096,
+        score_topk, batch_format="pandas", batch_size=4096,
     )
     # final merge: the partial top-k set is tiny (nq × k × n_blocks)
     # distributed nq-x-k reduce first: the driver never sees a
@@ -285,20 +276,19 @@ def ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5, n_lists: int = 16,
 
     cref = ray.put((centroids, queries, query_ids, wanted))
 
-    class IvfScorer:
-        def __init__(self):
-            self.centroids, self.queries, self.query_ids, self.wanted = ray.get(cref)
+    def ivf_score(batch: pd.DataFrame):
+        # stateless task; the broadcast tuple caches per worker process
+        from .curation import _cached_broadcast
 
-        def __call__(self, batch: pd.DataFrame):
-            ids = batch["vec_id"].to_numpy()
-            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            lists = np.argmax(mat @ self.centroids.T, axis=1)
-            return _score_wanted(ids, mat, lists, self.wanted,
-                                 self.queries, self.query_ids, k)
+        cents, qmat, qids, want = _cached_broadcast(cref)
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        lists = np.argmax(mat @ cents.T, axis=1)
+        return _score_wanted(ids, mat, lists, want, qmat, qids, k)
 
     partials = _embeddings(sf_dir).map_batches(
-        IvfScorer, batch_format="pandas", concurrency=concurrency or 2, batch_size=4096
+        ivf_score, batch_format="pandas", batch_size=4096
     )
     # distributed nq-x-k reduce first: the driver never sees a
     # block-count-proportional row set
@@ -347,23 +337,21 @@ def lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=None):
 
     cref = ray.put((planes, queries, query_ids, wanted))
 
-    class LshScorer:
-        def __init__(self):
-            self.planes, self.queries, self.query_ids, self.wanted = ray.get(cref)
+    def lsh_score(batch: pd.DataFrame):
+        # stateless task; the broadcast tuple caches per worker process
+        from .curation import _cached_broadcast
 
-        def __call__(self, batch: pd.DataFrame):
-            ids = batch["vec_id"].to_numpy()
-            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            buckets = _lsh_buckets(mat, self.planes)
-            # buckets partition the corpus, so (q, vec) pairs stay
-            # unique across probes — no pair dedup needed downstream
-            return _score_wanted(ids, mat, buckets, self.wanted,
-                                 self.queries, self.query_ids, k)
+        pl, qmat, qids, want = _cached_broadcast(cref)
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        buckets = _lsh_buckets(mat, pl)
+        # buckets partition the corpus, so (q, vec) pairs stay
+        # unique across probes — no pair dedup needed downstream
+        return _score_wanted(ids, mat, buckets, want, qmat, qids, k)
 
     partials = _embeddings(sf_dir).map_batches(
-        LshScorer, batch_format="pandas", concurrency=concurrency or 2,
-        batch_size=4096,
+        lsh_score, batch_format="pandas", batch_size=4096,
     )
     # distributed nq-x-k reduce first: the driver never sees a
     # block-count-proportional row set
@@ -518,44 +506,40 @@ def pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
          ("score", pa.float64())]
     )
 
-    class PqScorer:
-        def __init__(self, query_ids, k):
-            self.cents, self.table = ray.get(tref)
-            self.query_ids = query_ids
-            self.k = k
+    def pq_score(batch: pd.DataFrame) -> pa.Table:
+        # stateless task; the (codebooks, ADC table) broadcast caches
+        # per worker process
+        from .curation import _cached_broadcast
 
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            mat /= np.maximum(
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        cents_b, table = _cached_broadcast(tref)
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        codes = np.empty((len(ids), m), dtype=np.int64)
+        for s in range(m):
+            codes[:, s] = _pq_assign(
+                mat[:, s * dsub:(s + 1) * dsub], cents_b[s]
             )
-            ids = batch["vec_id"].to_numpy().astype(np.int64)
-            codes = np.empty((len(ids), m), dtype=np.int64)
-            for s in range(m):
-                codes[:, s] = _pq_assign(
-                    mat[:, s * dsub:(s + 1) * dsub], self.cents[s]
-                )
-            qs, vs, sc = [], [], []
-            for qi, qid in enumerate(self.query_ids):
-                # score = Σ_s table[qi, s, code_s] in fixed s order
-                scores = self.table[qi, np.arange(m), codes].sum(axis=1)
-                kk = min(self.k, len(ids))
-                top = np.argpartition(-scores, kk - 1)[:kk]
-                qs.append(np.full(kk, int(qid), dtype=np.int64))
-                vs.append(ids[top])
-                sc.append(scores[top])
-            return pa.table(
-                {"q_vec_id": np.concatenate(qs),
-                 "vec_id": np.concatenate(vs),
-                 "score": np.concatenate(sc)},
-                schema=score_schema,
-            )
+        qs, vs, sc = [], [], []
+        for qi, qid in enumerate(query_ids):
+            # score = Σ_s table[qi, s, code_s] in fixed s order
+            scores = table[qi, np.arange(m), codes].sum(axis=1)
+            kk = min(k, len(ids))
+            top = np.argpartition(-scores, kk - 1)[:kk]
+            qs.append(np.full(kk, int(qid), dtype=np.int64))
+            vs.append(ids[top])
+            sc.append(scores[top])
+        return pa.table(
+            {"q_vec_id": np.concatenate(qs),
+             "vec_id": np.concatenate(vs),
+             "score": np.concatenate(sc)},
+            schema=score_schema,
+        )
 
     partials = ds.map_batches(
-        PqScorer,
-        fn_constructor_kwargs={"query_ids": query_ids, "k": k},
-        batch_format="pandas", concurrency=concurrency or 2,
-        batch_size=batch_size,
+        pq_score, batch_format="pandas", batch_size=batch_size,
     )
     # distributed nq-x-k reduce first: the driver never sees a
     # block-count-proportional row set
