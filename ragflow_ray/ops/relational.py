@@ -945,8 +945,10 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
     prepped = ds.map_batches(prep, batch_format="pandas").materialize()
 
     # hot-key detection: per-batch value_counts (constant-size partial
-    # per distinct key per batch), one tiny groupby, driver sees only
-    # keys above threshold
+    # per distinct key per batch) through a narrow combine level; when
+    # the combined count (an upper bound on distinct keys) fits, the
+    # sum + threshold filter finalize on the driver — only a genuinely
+    # corpus-scale key space pays the groupby all-to-all
     cnt_schema = pa.schema([("ckey", pa.int64()), ("n", pa.int64())])
 
     def key_counts(b: pa.Table) -> pa.Table:
@@ -957,12 +959,31 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
             schema=cnt_schema,
         )
 
-    hot_df = (
+    def count_combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("ckey", as_index=False).agg(n=("n", "sum"))
+        return pa.table(
+            {"ckey": g["ckey"].to_numpy().astype(np.int64),
+             "n": g["n"].to_numpy().astype(np.int64)},
+            schema=cnt_schema,
+        )
+
+    count_partials = (
         prepped.map_batches(key_counts, batch_format="pyarrow")
-        .groupby("ckey").aggregate(Sum("n", alias_name="n"))
-        .filter(expr=f"n > {hot_key_threshold}")
-        .to_pandas()
+        .map_batches(count_combine, batch_format="pandas",
+                     batch_size=65536)
+        .materialize()
     )
+    if count_partials.count() <= 2_000_000:
+        cdf = (count_partials.to_pandas()
+               .groupby("ckey", as_index=False).agg(n=("n", "sum")))
+        hot_df = cdf[cdf["n"] > hot_key_threshold]
+    else:
+        hot_df = (
+            count_partials
+            .groupby("ckey").aggregate(Sum("n", alias_name="n"))
+            .filter(expr=f"n > {hot_key_threshold}")
+            .to_pandas()
+        )
 
     if len(hot_df):
         hot_ref = ray.put(np.sort(hot_df["ckey"].to_numpy().astype(np.int64)))
