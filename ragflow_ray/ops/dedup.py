@@ -1365,15 +1365,35 @@ def passage_dedup(sf_dir: str, window: int = PASSAGE_WORDS,
             schema=part_schema,
         )
 
-    df = (
+    partials = (
         _docs(sf_dir).map_batches(explode, batch_format="pandas")
         .groupby("bkt")
         .map_groups(bucket_dups, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Max("n_passages", alias_name="n_passages"),
-                   Sum("n_dup_passages", alias_name="n_dup_passages"))
-        .to_pandas()
+        .materialize()
     )
+    # per-doc verdict rows are bounded by (dup docs × buckets their
+    # passages land in); when that fits, the max/sum finalize on the
+    # driver — only a corpus-scale dup set pays the second all-to-all
+    n_partials = partials.count()
+    if n_partials == 0:
+        # all buckets empty: the collected frame is COLUMNLESS (the
+        # pinned-schema empty-groupby quirk) — typed-empty early return
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "n_passages", "n_dup_passages")}
+        )
+    if n_partials <= 2_000_000:
+        df = (partials.to_pandas()
+              .groupby("doc_id", as_index=False)
+              .agg(n_passages=("n_passages", "max"),
+                   n_dup_passages=("n_dup_passages", "sum")))
+    else:
+        df = (
+            partials.groupby("doc_id")
+            .aggregate(Max("n_passages", alias_name="n_passages"),
+                       Sum("n_dup_passages", alias_name="n_dup_passages"))
+            .to_pandas()
+        )
     # a dedup-free corpus leaves every bucket empty and the aggregate
     # returns a columnless frame — keep the typed-empty contract
     if df.empty or "doc_id" not in df.columns:
@@ -1638,9 +1658,12 @@ def substring_dedup(sf_dir: str, window: int = SUBSTR_WINDOW,
     dup_schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64())])
 
     # _docs already splits to small row blocks (read_docs_split), so
-    # the md5-heavy explode/clean passes get task parallelism
+    # the md5-heavy explode/clean passes get task parallelism; ONE
+    # materialized read feeds the detection pass and the clean pass
+    _docs_m = _docs(sf_dir).materialize()
+
     def docs():
-        return _docs(sf_dir)
+        return _docs_m
 
     def _win_digests(words: list[str]) -> list[bytes]:
         return [
@@ -1713,7 +1736,9 @@ def substring_dedup(sf_dir: str, window: int = SUBSTR_WINDOW,
         )
 
         def clean(batch: pd.DataFrame) -> pa.Table:
-            dup = ray.get(dup_ref)
+            from .curation import _cached_broadcast
+
+            dup = _cached_broadcast(dup_ref)
             ids, outs, removed = [], [], []
             for doc_id, text in zip(batch["doc_id"], batch["text"]):
                 words = text.split(" ")
