@@ -1207,17 +1207,19 @@ def dedup_incremental(sf_dir: str, new_source: str = "src19",
     token-set signature (same convention as :func:`token_set_dedup`);
     ``dup_of`` = the id-minimal existing doc sharing it.
 
-    The distributed plan an incremental ingest pipeline needs: both
-    sides stream through the same signature ``map_batches`` (text is
-    stripped there — only ``(bucket, hash, id, flag)`` ever shuffles),
-    then ONE common-schema union + ONE coarse-bucket groupby
-    co-partitions old and new rows and each bucket vector-matches new
-    docs against the id-minimal old doc per signature.  This is the
-    hybrid_topk / events_order_asof co-partition pattern — it replaced
-    a ``Dataset.join`` whose hash-join finalize crashed
-    nondeterministically on empty/schema-less left partitions
-    (CORRECTNESS_r03's one red row) and BASELINE measured the pattern
-    ~2x cheaper than the join operator at this scale anyway.
+    The distributed plan an incremental ingest pipeline needs: ONE
+    signature ``map_batches`` over the whole corpus computes the side
+    flag inline (text is stripped there — only ``(bucket, hash, id,
+    flag)`` ever shuffles; r5 folded the r4 shape's two filtered
+    branches, which executed the scan twice, into this single pass),
+    then ONE coarse-bucket groupby co-partitions old and new rows and
+    each bucket vector-matches new docs against the id-minimal old doc
+    per signature.  This is the hybrid_topk / events_order_asof
+    co-partition pattern — it replaced a ``Dataset.join`` whose
+    hash-join finalize crashed nondeterministically on
+    empty/schema-less left partitions (CORRECTNESS_r03's one red row)
+    and BASELINE measured the pattern ~2x cheaper than the join
+    operator at this scale anyway.
     ``join_partitions`` is kept for API compatibility; the coarse
     bucket count is fixed and every block carries the pinned schema,
     so no partition can be schema-less.
@@ -1230,26 +1232,28 @@ def dedup_incremental(sf_dir: str, new_source: str = "src19",
          ("doc_id", pa.int64()), ("is_new", pa.int64())]
     )
 
-    def sig(flag: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            sigs = [token_set_signature(t) for t in batch["text"].to_pylist()]
-            ids = batch["doc_id"].cast(pa.int64())
-            return pa.table(
-                {"bucket": pa.array(
-                    [int(s[:4], 16) % _N_BUCKETS for s in sigs],
-                    type=pa.int64()),
-                 "token_set_hash": pa.array(sigs, type=pa.string()),
-                 "doc_id": ids,
-                 "is_new": pa.array([flag] * len(sigs), type=pa.int64())},
-                schema=side_schema,
-            )
-        return fn
+    def sig_all(batch: pa.Table) -> pa.Table:
+        # ONE signature pass over the whole corpus with the side flag
+        # computed inline — the r4 shape ran two filtered branches off
+        # the same read, executing the parquet scan (and the filter
+        # operators) twice for disjoint halves of the same rows
+        sigs = [token_set_signature(t) for t in batch["text"].to_pylist()]
+        srcs = batch["source"].to_pylist()
+        ids = batch["doc_id"].cast(pa.int64())
+        return pa.table(
+            {"bucket": pa.array(
+                [int(s[:4], 16) % _N_BUCKETS for s in sigs],
+                type=pa.int64()),
+             "token_set_hash": pa.array(sigs, type=pa.string()),
+             "doc_id": ids,
+             "is_new": pa.array(
+                 [1 if s == new_source else 0 for s in srcs],
+                 type=pa.int64())},
+            schema=side_schema,
+        )
 
     docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
-    new_sig = (docs.filter(expr=f"source == '{new_source}'")
-               .map_batches(sig(1), batch_format="pyarrow"))
-    old_sig = (docs.filter(expr=f"source != '{new_source}'")
-               .map_batches(sig(0), batch_format="pyarrow"))
+    both_sig = docs.map_batches(sig_all, batch_format="pyarrow")
 
     out_schema = pa.schema([("doc_id", pa.int64()), ("dup_of", pa.int64())])
 
@@ -1266,7 +1270,7 @@ def dedup_incremental(sf_dir: str, new_source: str = "src19",
         )
 
     df = (
-        new_sig.union(old_sig)
+        both_sig
         .groupby("bucket")
         .map_groups(match, batch_format="pandas")
         .to_pandas()
