@@ -353,33 +353,13 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
         .map_groups(band_run_pairs, batch_format="pandas")
         .materialize()
     )
-    # pair dedup over 64 pkey buckets; materialized so the id
-    # collection and the join side read the same blocks instead of
-    # re-executing the pipeline
-    unique_pairs = (
-        candidates.groupby("pkey")
-        .map_groups(_dedupe_pairs, batch_format="pandas")
-        .materialize()
-    )
-
-    # the verify branch is picked from the materialized pair COUNT (a
-    # metadata read, no extra shuffle) — the pair set itself is what
-    # the small branch collects, so the bound is on exactly the thing
-    # that would reach the driver; in the large branch nothing does
-    n_pairs = unique_pairs.count()
-    if n_pairs == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(pair_schema.empty_table())
-
-    if n_pairs <= broadcast_limit:
+    def broadcast_verify(pair_ids: pd.DataFrame):
         # small side: pruned read of candidate rows only (row-group +
         # row-level predicate pushdown), local exact verify; the pair
-        # set is only collected here, where the count bound caps it
+        # set is only collected where a count bound caps it
         import pyarrow.dataset as pads
         import ray.data as rd
 
-        pair_ids = unique_pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
         cand_ids = np.unique(
             np.concatenate([pair_ids["doc_a"].to_numpy(),
                             pair_ids["doc_b"].to_numpy()])
@@ -404,6 +384,48 @@ def minhash_near_dups(sf_dir: str, concurrency=None, jaccard_threshold: float = 
             {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}, schema=pair_schema
         )
         return rd.from_arrow(result).sort(["doc_a", "doc_b"])
+
+    # when the RAW candidate rows (pre-dedup, the larger set) already
+    # fit the driver budget, dedupe locally and skip the 64-way pkey
+    # exchange entirely — its ~0.8 s fixed cost buys nothing the
+    # np.unique below doesn't do (metadata count, no extra pass)
+    n_raw = candidates.count()
+    if n_raw == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pair_schema.empty_table())
+    if n_raw <= broadcast_limit:
+        cdf = candidates.select_columns(["doc_a", "doc_b"]).to_pandas()
+        arr = np.unique(
+            np.stack([cdf["doc_a"].to_numpy().astype(np.int64),
+                      cdf["doc_b"].to_numpy().astype(np.int64)], axis=1),
+            axis=0,
+        )
+        return broadcast_verify(
+            pd.DataFrame({"doc_a": arr[:, 0], "doc_b": arr[:, 1]}))
+
+    # pair dedup over 64 pkey buckets; materialized so the id
+    # collection and the join side read the same blocks instead of
+    # re-executing the pipeline
+    unique_pairs = (
+        candidates.groupby("pkey")
+        .map_groups(_dedupe_pairs, batch_format="pandas")
+        .materialize()
+    )
+
+    # the verify branch is picked from the materialized pair COUNT (a
+    # metadata read, no extra shuffle) — the pair set itself is what
+    # the small branch collects, so the bound is on exactly the thing
+    # that would reach the driver; in the large branch nothing does
+    n_pairs = unique_pairs.count()
+    if n_pairs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pair_schema.empty_table())
+
+    if n_pairs <= broadcast_limit:
+        return broadcast_verify(
+            unique_pairs.select_columns(["doc_a", "doc_b"]).to_pandas())
 
     def emit(a: int, b: int, n_both: int, n_union: int):
         jac = n_both / (n_union or 1)
@@ -643,6 +665,22 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
         .map_groups(bucket_pairs, batch_format="pandas")
         .materialize()
     )
+    # when the RAW pair rows (already per-bucket deduped) fit the
+    # driver budget, dedupe locally and skip the pkey exchange — its
+    # ~0.8 s fixed cost buys nothing np.unique can't (minhash r5 gate)
+    n_raw = raw_pairs.count()
+    if n_raw == 0:
+        return rd.from_arrow(pair_schema.empty_table())
+    if n_raw <= broadcast_limit:
+        cdf = raw_pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+        arr = np.unique(
+            np.stack([cdf["doc_a"].to_numpy().astype(np.int64),
+                      cdf["doc_b"].to_numpy().astype(np.int64)], axis=1),
+            axis=0,
+        )
+        pair_ids = pd.DataFrame({"doc_a": arr[:, 0], "doc_b": arr[:, 1]})
+        return _ngram_broadcast_verify(sf_dir, pair_ids, n, pair_schema)
+
     pairs = (
         raw_pairs.groupby("pkey")
         .map_groups(_dedupe_pairs, batch_format="pandas")
@@ -667,9 +705,17 @@ def ngram_jaccard_dups(sf_dir: str, n: int = 4, df_cap: int = 64,
             docs, pairs, cand_ids_ds, n_cand,
             lambda t: _ngram_keys(t, n), emit, pair_schema, join_partitions=8,
         )
-    import pyarrow.dataset as pads
-
     pair_ids = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+    return _ngram_broadcast_verify(sf_dir, pair_ids, n, pair_schema)
+
+
+def _ngram_broadcast_verify(sf_dir: str, pair_ids: pd.DataFrame, n: int,
+                            pair_schema):
+    """Driver-local exact-Jaccard verify over a bounded pair set: a
+    predicate-pushdown read fetches only the candidate rows."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
     cand_ids = np.unique(
         np.concatenate([pair_ids["doc_a"].to_numpy(),
                         pair_ids["doc_b"].to_numpy()])
@@ -2004,13 +2050,20 @@ def winnow_overlap_pairs(sf_dir: str, kgram: int = WINNOW_K,
         .map_groups(bucket_pairs, batch_format="pandas")
         .materialize()  # cut the plan between the two all-to-alls
     )
-    df = (
-        raw.groupby("pkey")
-        .map_groups(count_pairs, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
+    # when the raw pair rows fit the driver budget the shared-fp count
+    # runs locally (np.unique with counts == the per-pkey kernel) and
+    # the second all-to-all is skipped; only a genuinely large pair
+    # universe pays the pkey exchange (metadata count, no extra pass)
+    if raw.count() <= 2_000_000:
+        g = raw.select_columns(["doc_a", "doc_b"]).to_pandas()
+        df = count_pairs(g).to_pandas()
+    else:
+        df = (
+            raw.groupby("pkey")
+            .map_groups(count_pairs, batch_format="pandas")
+            .to_pandas()
+        )
+    df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     for c in ("doc_a", "doc_b", "n_shared"):
         df[c] = df[c].astype("int64")
     return df[["doc_a", "doc_b", "n_shared"]]
