@@ -1725,12 +1725,13 @@ def gopher_repetition_flags(sf_dir: str):
         g = ldf.groupby(["i", "line"], sort=False).agg(
             cnt=("chars", "size"), chars=("chars", "first"))
         g = g.reset_index()
-        per_doc = g.groupby("i").apply(
-            lambda d: pd.Series(
-                {"dup_lines": int((d["cnt"] - 1).sum()),
-                 "dup_chars": int(((d["cnt"] - 1) * d["chars"]).sum()),
-                 "tot_chars": int((d["cnt"] * d["chars"]).sum())}),
-            include_groups=False)
+        per_doc = g.assign(
+            dup=g["cnt"] - 1,
+            dupc=(g["cnt"] - 1) * g["chars"],
+            totc=g["cnt"] * g["chars"],
+        ).groupby("i").agg(
+            dup_lines=("dup", "sum"), dup_chars=("dupc", "sum"),
+            tot_chars=("totc", "sum"))
         dup_lines = np.zeros(len(batch), dtype=np.int64)
         dup_chars = np.zeros(len(batch), dtype=np.int64)
         tot_chars = np.ones(len(batch), dtype=np.int64)
