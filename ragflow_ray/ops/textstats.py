@@ -215,11 +215,15 @@ def bm25_lite_topk(sf_dir: str, k: int = 20):
     import pyarrow as pa
     import ray
 
-    from ..sources.readers import read_parquet_clean
+    from ..sources.readers import read_docs_split
 
-    docs = read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    # the testdata documents table is one row group — without the
+    # streaming split the regex scoring scan runs as a single task.
+    # Materialized once: the narrow read has two consumers (the idf
+    # pass and the scoring scan)
+    docs = read_docs_split(
+        sf_dir, columns=["doc_id", "text"], rows_per_block=512
+    ).materialize()
     idf_ref = ray.put(_bm25_idf(docs))
 
     score_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64())])
@@ -708,7 +712,8 @@ HYBRID_TK_WEIGHT = 0.3
 HYBRID_VT_WEIGHT = 0.7
 
 
-def hybrid_topk(sf_dir: str, k: int = 20, concurrency=None):
+def hybrid_topk(sf_dir: str, k: int = 20, concurrency=None,
+                broadcast_limit: int = 2_000_000):
     """Hybrid retrieval scoring: weighted fusion of the BM25-lite
     token score and cosine vector similarity — the reference's rerank
     fusion (``hybrid_similarity`` with tkweight=0.3 / vtweight=0.7,
@@ -726,14 +731,20 @@ def hybrid_topk(sf_dir: str, k: int = 20, concurrency=None):
     2. vector side — one embeddings pass against the broadcast
        id-minimal query vector: ``(doc_id, vt_r9)`` with the cosine
        rounded to 9 dp (the ann.py jitter convention) BEFORE fusion.
-    3. fusion — the two narrow score tables co-partition on a coarse
-       ``doc_id // 65536`` bucket (common-schema union + ONE groupby;
-       only ids + scalars move — the events_order_asof co-partition
-       pattern, measured ~4 s cheaper than Ray's hash-join operator
-       at this scale), each bucket vector-merges on doc_id, computes
-       ``hybrid_r6 = round(0.3·tk/max(tk_max,1) + 0.7·vt_r9, 6)`` and
-       emits a local top-k partial; the driver merge sees
-       ≤ k × n_buckets rows — no all-to-all sort.
+    3. fusion, count-gated on the parquet-footer row count: under
+       ``broadcast_limit`` docs the narrow (doc_id, tk_score) table
+       broadcasts (``ray.put`` sorted int64 arrays, zero-copy per
+       task) into the vector pass, which fuses by ``searchsorted``
+       lookup and emits a local top-k partial — no exchange at all.
+       Past the budget (the tk table is corpus-sized at 100 TB) the
+       two score tables co-partition on a coarse ``doc_id // 65536``
+       bucket (common-schema union + ONE groupby; only ids + scalars
+       move — the events_order_asof co-partition pattern, measured
+       ~4 s cheaper than Ray's hash-join operator at this scale) and
+       each bucket vector-merges on doc_id.  Both branches compute
+       ``hybrid_r6 = round(0.3·tk/max(tk_max,1) + 0.7·vt_r9, 6)``
+       and the driver merge sees ≤ k × n_partials rows — no
+       all-to-all sort.
 
     Ranking is on the ROUNDED score, ties doc_id-ascending; the whole
     chain is mirrored in SQL (integer tk, list_cosine_similarity vt).
@@ -742,11 +753,14 @@ def hybrid_topk(sf_dir: str, k: int = 20, concurrency=None):
     import pyarrow as pa
     import ray
 
-    from ..sources.readers import read_parquet_clean
+    from ..sources.readers import read_docs_split, read_parquet_clean
 
-    docs = read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    # split-on-read: the one-row-group testdata table would otherwise
+    # run the 2 s regex token-scoring scan as a single task.
+    # Materialized once for its two consumers (idf pass, tk scan)
+    docs = read_docs_split(
+        sf_dir, columns=["doc_id", "text"], rows_per_block=512
+    ).materialize()
     idf = _bm25_idf(docs)
     idf_ref = ray.put(idf)
 
@@ -773,10 +787,30 @@ def hybrid_topk(sf_dir: str, k: int = 20, concurrency=None):
         )
 
     # narrow derived table; materialized because it has two consumers
-    # (the max aggregate and the fusion union) — never the raw corpus
+    # (the normalizer and the fusion) — never the raw corpus
     tk_ds = docs.map_batches(tk_score, batch_format="pandas").materialize()
-    tk_max = tk_ds.max("tk_score")
-    denom = float(max(int(tk_max or 0), 1))
+
+    # count-gate (parquet-footer row count, no extra pass): when the
+    # narrow (doc_id, tk_score) table fits the driver budget, fuse by
+    # broadcast lookup inside the vector pass and skip BOTH the
+    # ``max`` aggregate and the union+groupby exchange (~2 s fixed at
+    # this scale); past the budget the co-partitioned exchange below
+    # is the honest 100-TB path (the tk table is corpus-sized).
+    import pyarrow.dataset as pads
+
+    n_docs = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+    tk_ref = None
+    if n_docs <= broadcast_limit:
+        tkdf = tk_ds.select_columns(["doc_id", "tk_score"]).to_pandas()
+        t_ids = tkdf["doc_id"].to_numpy().astype(np.int64)
+        t_sc = tkdf["tk_score"].to_numpy().astype(np.int64)
+        o = np.argsort(t_ids)
+        t_ids, t_sc = np.ascontiguousarray(t_ids[o]), np.ascontiguousarray(t_sc[o])
+        denom = float(max(int(t_sc.max(initial=0)), 1))
+        tk_ref = ray.put((t_ids, t_sc))
+    else:
+        tk_max = tk_ds.max("tk_score")
+        denom = float(max(int(tk_max or 0), 1))
 
     # id-minimal embedding = the deterministic query vector (head-only
     # read; the corpus writer emits vec_id-sorted files)
@@ -807,12 +841,57 @@ def hybrid_topk(sf_dir: str, k: int = 20, concurrency=None):
     emb = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    vt_ds = emb.map_batches(vt_score, batch_format="pandas")
 
     fused_schema = pa.schema(
         [("doc_id", pa.int64()), ("tk_score", pa.int64()),
          ("vt_r9", pa.float64()), ("hybrid_r6", pa.float64())]
     )
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(["hybrid_r6", "doc_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        out["rank"] = range(1, len(out) + 1)
+        for c in ("doc_id", "tk_score", "rank"):
+            out[c] = out[c].astype("int64")
+        return out[["doc_id", "tk_score", "vt_r9", "hybrid_r6", "rank"]]
+
+    if tk_ref is not None:
+        def fuse_broadcast(batch: pd.DataFrame):
+            """vt scoring + broadcast tk lookup + local top-k in one
+            pass: every global top-k row is in its own batch's local
+            top-k, so the driver merge sees ≤ k × n_blocks rows."""
+            bt_ids, bt_sc = ray.get(tk_ref)
+            qv = ray.get(qref)
+            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            dots = mat @ qv
+            denoms = np.linalg.norm(mat, axis=1) * np.linalg.norm(qv)
+            vt = np.round(dots / np.maximum(denoms, 1e-300), 9)
+            ids = batch["vec_id"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(bt_ids, ids)
+            pos_c = np.minimum(pos, max(len(bt_ids) - 1, 0))
+            ok = (pos < len(bt_ids)) & (bt_ids[pos_c] == ids)
+            if not ok.any():
+                return fused_schema.empty_table()
+            ids, vt = ids[ok], vt[ok]
+            tk = bt_sc[pos_c[ok]]
+            hybrid = np.round(
+                HYBRID_TK_WEIGHT * (tk / denom) + HYBRID_VT_WEIGHT * vt, 6
+            )
+            order = np.lexsort((ids, -hybrid))[:k]
+            return pa.table(
+                {"doc_id": ids[order], "tk_score": tk[order],
+                 "vt_r9": vt[order], "hybrid_r6": hybrid[order]},
+                schema=fused_schema,
+            )
+
+        return _finalize(
+            emb.map_batches(fuse_broadcast, batch_format="pandas").to_pandas()
+        )
+
+    vt_ds = emb.map_batches(vt_score, batch_format="pandas")
 
     def fuse_topk(group: pd.DataFrame):
         is_tk = group["tk_score"].to_numpy() >= 0
@@ -838,19 +917,12 @@ def hybrid_topk(sf_dir: str, k: int = 20, concurrency=None):
             schema=fused_schema,
         )
 
-    out = (
+    return _finalize(
         tk_ds.union(vt_ds)
         .groupby("bucket")
         .map_groups(fuse_topk, batch_format="pandas")
         .to_pandas()
-        .sort_values(["hybrid_r6", "doc_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
     )
-    out["rank"] = range(1, len(out) + 1)
-    for c in ("doc_id", "tk_score", "rank"):
-        out[c] = out[c].astype("int64")
-    return out[["doc_id", "tk_score", "vt_r9", "hybrid_r6", "rank"]]
 
 
 # ---- HyperLogLog distinct-token sketch -----------------------------------

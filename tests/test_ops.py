@@ -820,6 +820,20 @@ class TestLmCrossEntropy:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestHybridTopkBranches:
+    def test_broadcast_and_copartition_agree(self):
+        """broadcast_limit=0 forces the union + coarse-bucket exchange;
+        the default gates into the broadcast-lookup fuse — identical
+        frames either way."""
+        from ragflow_ray.ops.textstats import hybrid_topk
+
+        sf = "/root/testdata/sf0.001"
+        a = hybrid_topk(sf)
+        b = hybrid_topk(sf, broadcast_limit=0)
+        pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestBpeEncode:
     def test_encode_hand_example(self, tmp_path):
         import hashlib
