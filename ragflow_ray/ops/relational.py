@@ -1237,7 +1237,6 @@ def user_funnel(sf_dir: str, steps=("view", "click", "purchase"),
     """
     import numpy as np
     import pyarrow as pa
-    from ray.data.aggregate import Sum
 
     from ..sources.readers import read_parquet_clean
 
@@ -1303,14 +1302,17 @@ def user_funnel(sf_dir: str, steps=("view", "click", "purchase"),
             schema=cnt_schema,
         )
 
+    # the walk emits len(steps) rows per bucket — ≤ n_buckets × steps
+    # total regardless of corpus size, so the depth reduce is a
+    # bounded driver finalize, not a second exchange (~0.8 s fixed)
     out = (
         ds.map_batches(partial, batch_format="pandas")
         .groupby("bucket")
         .map_groups(walk, batch_format="pandas")
-        .groupby("depth")
-        .aggregate(Sum("n_users", alias_name="n_users"))
-        .sort("depth")
         .to_pandas()
+        .groupby("depth", as_index=False)
+        .agg(n_users=("n_users", "sum"))
+        .sort_values("depth")
     )
     names = []
     for i in range(len(steps)):
