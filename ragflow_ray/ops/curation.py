@@ -312,7 +312,8 @@ PACK_BUCKET = 1024           # docs per prefix-sum bucket
 
 
 def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
-                   bucket: int = PACK_BUCKET):
+                   bucket: int = PACK_BUCKET,
+                   broadcast_limit: int = 2_000_000):
     """Concat-then-split sequence packing: lay every document out on
     one global token tape (in doc_id order) and cut it into
     ``seq_len``-token training sequences — each doc gets the sequence
@@ -345,17 +346,43 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
     # groupby both consume it; without this the corpus read and token
     # counting lineage would execute twice
     toks = _docs(sf_dir).map_batches(tokens, batch_format="pandas").materialize()
-    return _pack(toks, seq_len)
+    return _pack(toks, seq_len, broadcast_limit)
 
 
-def _pack(toks, seq_len: int):
+def _pack(toks, seq_len: int, broadcast_limit: int = 2_000_000):
     """The distributed prefix-sum placement over a MATERIALIZED
     Dataset of (doc_id, n_tokens, bucket) rows — shared by
-    :func:`pack_sequences` and :func:`curate_and_pack`."""
+    :func:`pack_sequences` and :func:`curate_and_pack`.
+
+    Count-gated: the rows are three int64s per doc, and the global
+    prefix over doc_id-sorted rows is IDENTICAL to the bucket-major
+    placement (buckets partition doc_id ranges in order, and each
+    bucket's base offset is the cumsum of the preceding buckets'
+    totals) — so under the driver budget the whole placement is one
+    driver cumsum, skipping both the bucket-sum aggregate and the
+    placement exchange.  Past the budget the two-exchange distributed
+    path below is the 100-TB shape."""
     import numpy as np
     import pyarrow as pa
     import ray
     from ray.data.aggregate import Sum
+
+    n_rows = toks.count()  # materialized input — metadata count
+    if n_rows <= broadcast_limit:
+        df = toks.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("doc_id", "n_tokens",
+                                           "seq_index", "seq_offset")})
+        n = df["n_tokens"].to_numpy().astype(np.int64)
+        prefix = np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n_tokens": n,
+             "seq_index": prefix // seq_len, "seq_offset": prefix % seq_len}
+        )
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
 
     def bucket_partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("bucket", as_index=False)["n_tokens"].sum()
@@ -404,7 +431,8 @@ def _pack(toks, seq_len: int):
 
 
 def curate_and_pack(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
-                    bucket: int = PACK_BUCKET):
+                    bucket: int = PACK_BUCKET,
+                    broadcast_limit: int = 2_000_000):
     """The end-to-end curation composition as ONE lazy plan: quality
     gate → exact-dedup keepers → sequence packing of the survivors.
 
@@ -486,7 +514,7 @@ def curate_and_pack(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
         .map_groups(bucket_keepers, batch_format="pandas")
         .materialize()
     )
-    return _pack(toks, seq_len)
+    return _pack(toks, seq_len, broadcast_limit)
 
 
 def training_order(sf_dir: str, seed: str = "epoch0"):

@@ -542,6 +542,18 @@ class TestPacking:
         assert list(df.seq_index) == [0, 0, 0, 0, 1, 1, 1]
         assert list(df.seq_offset) == [0, 3, 6, 9, 2, 5, 8]
 
+    def test_pack_branches_agree(self):
+        """broadcast_limit=0 forces the two-exchange distributed
+        placement; the default gates into the driver cumsum —
+        identical frames either way."""
+        from ragflow_ray.ops.curation import curate_and_pack, pack_sequences
+
+        sf = "/root/testdata/sf0.001"
+        pd.testing.assert_frame_equal(
+            pack_sequences(sf), pack_sequences(sf, broadcast_limit=0))
+        pd.testing.assert_frame_equal(
+            curate_and_pack(sf), curate_and_pack(sf, broadcast_limit=0))
+
     def test_training_order_deterministic(self):
         from ragflow_ray.ops.curation import training_order
 
