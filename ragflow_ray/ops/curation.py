@@ -624,7 +624,6 @@ def length_quantiles(sf_dir: str):
     smallest value whose cumulative count reaches ``ceil(p * N)``
     (mirrored exactly in SQL)."""
     import numpy as np
-    from ray.data.aggregate import Sum
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
@@ -638,11 +637,16 @@ def length_quantiles(sf_dir: str):
         out["n_docs"] = out["n_docs"].astype("int64")
         return out
 
+    # value-bounded histogram partials: one narrow combine level + a
+    # driver groupby instead of the ~0.8 s fixed small-result
+    # groupby.aggregate exchange (the r5 reduce discipline)
     hist = (
         _docs(sf_dir).map_batches(partial, batch_format="pandas")
-        .groupby("n_tokens")
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
-        .to_pandas().sort_values("n_tokens")
+        .map_batches(_hist_combine("n_tokens"), batch_format="pandas",
+                     batch_size=65536)
+        .to_pandas()
+        .groupby("n_tokens", as_index=False).agg(n_docs=("n_docs", "sum"))
+        .sort_values("n_tokens")
     )
     values = hist["n_tokens"].to_numpy()
     cum = np.cumsum(hist["n_docs"].to_numpy())
@@ -663,11 +667,21 @@ def length_quantiles(sf_dir: str):
     return df
 
 
+def _hist_combine(key: str):
+    """Narrow combine level for value-bounded count-histogram
+    partials (``(key, n_docs)`` rows): merges ~65k partial rows per
+    task so the driver finalize sees a bounded table."""
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, as_index=False).agg(n_docs=("n_docs", "sum"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+    return combine
+
+
 def length_histogram(sf_dir: str, bucket_tokens: int = 16):
     """Doc-count per 16-token length bucket (partial counts inside
-    each batch, then a tiny groupby over ≤ a few hundred buckets)."""
-    from ray.data.aggregate import Sum
-
+    each batch, a narrow combine level, then a driver groupby over
+    ≤ a few hundred buckets)."""
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):  # keep the block schema stable on empty input
             return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
@@ -683,10 +697,12 @@ def length_histogram(sf_dir: str, bucket_tokens: int = 16):
 
     df = (
         _docs(sf_dir).map_batches(partial, batch_format="pandas")
-        .groupby("bucket")
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
-        .sort("bucket")
+        .map_batches(_hist_combine("bucket"), batch_format="pandas",
+                     batch_size=65536)
         .to_pandas()
+        .groupby("bucket", as_index=False).agg(n_docs=("n_docs", "sum"))
+        .sort_values("bucket")
+        .reset_index(drop=True)
     )
     for c in ("bucket", "n_docs"):
         df[c] = df[c].astype("int64")
