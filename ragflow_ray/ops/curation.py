@@ -1265,15 +1265,23 @@ def stratified_split(sf_dir: str):
             schema=schema,
         )
 
-    from ray.data.aggregate import Sum
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["source", "split"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        for c in ("n_docs", "n_tokens"):
+            g[c] = g[c].astype("int64")
+        return g
 
+    # (source × split)-sized partials: a narrow combine level + driver
+    # groupby instead of the ~0.8 s fixed small-result exchange
     df = (
         _docs(sf_dir, columns=("doc_id", "text", "source"))
         .map_batches(partial, batch_format="pandas")
-        .groupby(["source", "split"])
-        .aggregate(Sum("n_docs", alias_name="n_docs"),
-                   Sum("n_tokens", alias_name="n_tokens"))
-        .to_pandas().sort_values(["source", "split"]).reset_index(drop=True)
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["source", "split"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        .sort_values(["source", "split"]).reset_index(drop=True)
     )
     for c in ("n_docs", "n_tokens"):
         df[c] = df[c].astype("int64")
