@@ -32,7 +32,6 @@ def pricing_summary(sf_dir: str):
     import ray.data as rd
 
     from ..sources.readers import read_parquet_clean
-    from ray.data.aggregate import Sum
 
     ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -60,14 +59,27 @@ def pricing_summary(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
-        Sum("sum_disc_price_c4", alias_name="sum_disc_price_c4"),
-        Sum("count_order", alias_name="count_order"),
+    # (returnflag × linestatus)-sized partials (≤ 6 rows per block): a
+    # narrow combine level + driver groupby instead of the ~0.8 s
+    # fixed small-result exchange (the r5 reduce discipline)
+    sums = {"sum_qty": ("sum_qty", "sum"),
+            "sum_base_price_cents": ("sum_base_price_cents", "sum"),
+            "sum_disc_price_c4": ("sum_disc_price_c4", "sum"),
+            "count_order": ("count_order", "sum")}
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(**sums)
+        for c in sums:
+            g[c] = g[c].astype("int64")
+        return g
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(**sums)
+        .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     )
-    df = out.sort(["l_returnflag", "l_linestatus"]).to_pandas()
     for c in ("sum_qty", "sum_base_price_cents", "sum_disc_price_c4", "count_order"):
         df[c] = df[c].astype("int64")
     return df
@@ -728,11 +740,11 @@ def regional_revenue(sf_dir: str, region: str = "ASIA",
                  "revenue_c4": part["revenue_c4"].to_numpy()}
             ).groupby("n_nationkey", as_index=False)["revenue_c4"].sum()
 
+        # nation-sized partials (≤ 25 rows per block) and _final
+        # already re-groups on the driver — the Ray aggregate between
+        # them was a redundant ~0.8 s fixed exchange
         partials = lineitem.map_batches(li_join, batch_format="pandas")
-        agg = partials.groupby("n_nationkey").aggregate(
-            Sum("revenue_c4", alias_name="revenue_c4")
-        )
-        return _final(agg.to_pandas())
+        return _final(partials.to_pandas())
 
     # co-partition branch: one hash exchange on orderkey
     common = pa.schema(
@@ -1117,7 +1129,7 @@ def props_extract_stats(sf_dir: str):
     return df
 
 
-def events_hourly_uniques(sf_dir: str):
+def events_hourly_uniques(sf_dir: str, broadcast_limit: int = 2_000_000):
     """Distinct users per tumbling hour — the COUNT(DISTINCT) window
     aggregate, done EXACTLY with two-level aggregation: each batch
     first dedups its own (hour, user) pairs locally (so at most
@@ -1160,13 +1172,30 @@ def events_hourly_uniques(sf_dir: str):
             schema=cnt_schema,
         )
 
-    df = (
-        ds.map_batches(local_pairs, batch_format="pandas")
-        .groupby("hour_us")
-        .map_groups(hour_uniques, batch_format="pandas")
-        .sort("hour_us")
-        .to_pandas()
-    )
+    pairs = ds.map_batches(local_pairs, batch_format="pandas")
+
+    # count-gate on the parquet-footer event count (pairs ≤ events):
+    # under the driver budget the locally-deduped pair stream collects
+    # and the per-hour nunique runs as one driver groupby — no
+    # exchange; past it the hour-key co-partition below is the scale
+    # path (group count = windows, group size = active users/hour)
+    import pyarrow.dataset as pads
+
+    n_events = pads.dataset(f"{sf_dir}/events.parquet").count_rows()
+    if n_events <= broadcast_limit:
+        pdf = pairs.to_pandas().drop_duplicates()
+        df = (
+            pdf.groupby("hour_us", as_index=False)
+            .agg(n_unique_users=("user_id", "nunique"))
+            .sort_values("hour_us").reset_index(drop=True)
+        )
+    else:
+        df = (
+            pairs.groupby("hour_us")
+            .map_groups(hour_uniques, batch_format="pandas")
+            .sort("hour_us")
+            .to_pandas()
+        )
     df["hour"] = df["hour_us"].astype("datetime64[us]")
     df["n_unique_users"] = df["n_unique_users"].astype("int64")
     return df[["hour", "n_unique_users"]]

@@ -832,6 +832,19 @@ class TestLmCrossEntropy:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestHourlyUniquesBranches:
+    def test_driver_and_copartition_agree(self):
+        """broadcast_limit=0 forces the hour-key co-partition; the
+        default gates into the driver nunique — identical frames."""
+        from ragflow_ray.ops.relational import events_hourly_uniques
+
+        sf = "/root/testdata/sf0.001"
+        a = events_hourly_uniques(sf)
+        b = events_hourly_uniques(sf, broadcast_limit=0)
+        pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestHybridTopkBranches:
     def test_broadcast_and_copartition_agree(self):
         """broadcast_limit=0 forces the union + coarse-bucket exchange;
