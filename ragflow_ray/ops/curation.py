@@ -283,13 +283,34 @@ def source_rollup(sf_dir: str):
             schema=sig_schema,
         )
 
-    # materialized once: two consumers below would otherwise re-run
-    # the corpus scan and every md5 (Ray Datasets are lazy lineages)
-    rows = (
+    rows_ds = (
         _docs(sf_dir, columns=("doc_id", "text", "source"))
         .map_batches(sigs, batch_format="pandas")
-        .materialize()
     )
+
+    # count-gate (parquet-footer doc count): the per-doc rows are one
+    # 32-hex sig + a source + an int64 each, so under the driver
+    # budget all three rollup levels (including the distinct-sig
+    # count) run as one driver groupby — no exchange at all.  Past it
+    # the three-aggregate distributed path is the scale shape.
+    import pyarrow.dataset as pads
+
+    n_total = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+    if n_total <= 2_000_000:
+        pdf = rows_ds.to_pandas()
+        df = (
+            pdf.groupby("source", as_index=False)
+            .agg(n_docs=("sig", "size"), n_tokens=("n_tokens", "sum"),
+                 n_distinct_sigs=("sig", "nunique"))
+            .sort_values("source").reset_index(drop=True)
+        )
+        for c in ("n_docs", "n_tokens", "n_distinct_sigs"):
+            df[c] = df[c].astype("int64")
+        return df[["source", "n_docs", "n_tokens", "n_distinct_sigs"]]
+
+    # materialized once: two consumers below would otherwise re-run
+    # the corpus scan and every md5 (Ray Datasets are lazy lineages)
+    rows = rows_ds.materialize()
     per_doc = rows.groupby("source").aggregate(
         Count(alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens")
     )
@@ -1486,11 +1507,17 @@ def temperature_mix(sf_dir: str):
     import math
 
     import pyarrow as pa
-    from ray.data.aggregate import Count
 
+    # source-sized count partials: driver merge instead of the
+    # fixed-cost small-result exchange
     counts = (
         _docs(sf_dir, columns=("doc_id", "source"))
-        .groupby("source").aggregate(Count(alias_name="n")).to_pandas()
+        .map_batches(
+            lambda b: b.groupby("source", as_index=False)
+            .agg(n=("doc_id", "size")),
+            batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False).agg(n=("n", "sum"))
     )
     n_by_src = dict(zip(counts["source"], counts["n"].astype(int)))
     w_by_src = {s: math.floor(math.sqrt(float(n))) for s, n in n_by_src.items()}
@@ -1538,7 +1565,6 @@ def source_lang_rollup(sf_dir: str):
     SQL oracle's COALESCE over ROLLUP nulls).
     """
     import pyarrow as pa
-    from ray.data.aggregate import Sum
 
     schema = pa.schema(
         [("source", pa.string()), ("lang", pa.string()),
@@ -1579,13 +1605,15 @@ def source_lang_rollup(sf_dir: str):
             schema=schema,
         )
 
+    # (source × lang + rollup)-sized partials: driver merge instead
+    # of the fixed-cost small-result exchange
     df = (
         _docs(sf_dir, columns=("text", "source", "lang"))
         .map_batches(partial, batch_format="pandas", batch_size=2048)
-        .groupby(["source", "lang"])
-        .aggregate(Sum("n_docs", alias_name="n_docs"),
-                   Sum("n_tokens", alias_name="n_tokens"))
-        .to_pandas().sort_values(["source", "lang"]).reset_index(drop=True)
+        .to_pandas()
+        .groupby(["source", "lang"], as_index=False)
+        .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        .sort_values(["source", "lang"]).reset_index(drop=True)
     )
     for c in ("n_docs", "n_tokens"):
         df[c] = df[c].astype("int64")

@@ -145,28 +145,38 @@ def event_type_stats(sf_dir: str):
     import ray.data as rd
 
     from ..sources.readers import read_parquet_clean
-    from ray.data.aggregate import Count, Max, Min, Sum
 
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]
     )
 
-    def scale(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
             {
                 "event_type": batch["event_type"],
                 "value_micros": _cents(batch["value"], 1_000_000),
                 "user_id": batch["user_id"],
             }
         )
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("user_id", "size"),
+            sum_value_micros=("value_micros", "sum"),
+            min_user=("user_id", "min"), max_user=("user_id", "max"))
+        for c in ("n_events", "sum_value_micros", "min_user", "max_user"):
+            g[c] = g[c].astype("int64")
+        return g
 
-    out = ds.map_batches(scale, batch_format="pandas").groupby("event_type").aggregate(
-        Count(alias_name="n_events"),
-        Sum("value_micros", alias_name="sum_value_micros"),
-        Min("user_id", alias_name="min_user"),
-        Max("user_id", alias_name="max_user"),
+    # event-type-sized partials: driver merge instead of the fixed-cost
+    # small-result exchange (order-free count/sum/min/max)
+    df = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value_micros=("sum_value_micros", "sum"),
+            min_user=("min_user", "min"), max_user=("max_user", "max"))
+        .sort_values("event_type").reset_index(drop=True)
     )
-    df = out.sort("event_type").to_pandas()
     for c in ("n_events", "sum_value_micros", "min_user", "max_user"):
         df[c] = df[c].astype("int64")
     return df
@@ -180,39 +190,42 @@ def nation_customer_counts(sf_dir: str):
 
     from ..sources.readers import read_parquet_clean
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count, Sum
 
     cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
     )
 
-    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
             {
                 "c_nationkey": batch["c_nationkey"],
                 "acctbal_cents": _cents(batch["c_acctbal"]),
             }
         )
-
-    per_nation = cust.map_batches(to_cents, batch_format="pandas").groupby(
-        "c_nationkey"
-    ).aggregate(
-        Count(alias_name="n_customers"),
-        Sum("acctbal_cents", alias_name="sum_acctbal_cents"),
-    )
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            n_customers=("acctbal_cents", "size"),
+            sum_acctbal_cents=("acctbal_cents", "sum"))
+        for c in ("n_customers", "sum_acctbal_cents"):
+            g[c] = g[c].astype("int64")
+        return g
 
     nations = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    ref = ray.put(dict(zip(nations["n_nationkey"], nations["n_name"])))
+    nation_name = dict(zip(nations["n_nationkey"], nations["n_name"]))
 
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        names = ray.get(ref)
-        batch = batch.copy()
-        batch["n_name"] = batch["c_nationkey"].map(names)
-        return batch
-
-    df = per_nation.map_batches(attach, batch_format="pandas").sort("c_nationkey").to_pandas()
+    # nation-sized partials (≤ 25 rows per block): driver merge
+    # instead of the fixed-cost small-result exchange; the name attach
+    # happens on the 25-row driver frame, no broadcast needed
+    df = (
+        cust.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("c_nationkey", as_index=False).agg(
+            n_customers=("n_customers", "sum"),
+            sum_acctbal_cents=("sum_acctbal_cents", "sum"))
+        .sort_values("c_nationkey").reset_index(drop=True)
+    )
+    df["n_name"] = df["c_nationkey"].map(nation_name)
     df["c_nationkey"] = df["c_nationkey"].astype("int64")
     df["n_customers"] = df["n_customers"].astype("int64")
     df["sum_acctbal_cents"] = df["sum_acctbal_cents"].astype("int64")
@@ -224,31 +237,35 @@ def part_type_stats(sf_dir: str):
     import ray.data as rd
 
     from ..sources.readers import read_parquet_clean
-    from ray.data.aggregate import Count, Max, Sum
 
     ds = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_type", "p_size", "p_retailprice"]
     )
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
             {
                 "p_type": batch["p_type"],
                 "p_size": batch["p_size"].astype("int64"),
                 "price_cents": _cents(batch["p_retailprice"]),
             }
         )
+        g = df.groupby("p_type", as_index=False).agg(
+            n_parts=("p_size", "size"), max_size=("p_size", "max"),
+            sum_price_cents=("price_cents", "sum"))
+        for c in ("n_parts", "max_size", "sum_price_cents"):
+            g[c] = g[c].astype("int64")
+        return g
 
+    # type-sized partials: driver merge instead of the fixed-cost
+    # small-result exchange (order-free count/max/sum)
     df = (
-        ds.map_batches(prep, batch_format="pandas")
-        .groupby("p_type")
-        .aggregate(
-            Count(alias_name="n_parts"),
-            Max("p_size", alias_name="max_size"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-        )
-        .sort("p_type")
+        ds.map_batches(partial, batch_format="pandas")
         .to_pandas()
+        .groupby("p_type", as_index=False).agg(
+            n_parts=("n_parts", "sum"), max_size=("max_size", "max"),
+            sum_price_cents=("sum_price_cents", "sum"))
+        .sort_values("p_type").reset_index(drop=True)
     )
     for c in ("n_parts", "max_size", "sum_price_cents"):
         df[c] = df[c].astype("int64")
@@ -262,28 +279,33 @@ def events_hourly(sf_dir: str):
     import ray.data as rd
 
     from ..sources.readers import read_parquet_clean
-    from ray.data.aggregate import Count, Sum
 
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
-    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
             {
                 "hour": batch["ts"].dt.floor("h"),
                 "event_type": batch["event_type"],
                 "value_micros": _cents(batch["value"], 1_000_000),
             }
         )
+        g = df.groupby(["hour", "event_type"], as_index=False).agg(
+            n_events=("value_micros", "size"),
+            sum_value_micros=("value_micros", "sum"))
+        for c in ("n_events", "sum_value_micros"):
+            g[c] = g[c].astype("int64")
+        return g
 
+    # (window × type)-sized partials: driver merge instead of the
+    # fixed-cost small-result exchange
     df = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby(["hour", "event_type"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_micros", alias_name="sum_value_micros"),
-        )
-        .sort(["hour", "event_type"])
+        ds.map_batches(partial, batch_format="pandas")
         .to_pandas()
+        .groupby(["hour", "event_type"], as_index=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value_micros=("sum_value_micros", "sum"))
+        .sort_values(["hour", "event_type"]).reset_index(drop=True)
     )
     df["hour"] = df["hour"].astype("datetime64[us]")
     df["n_events"] = df["n_events"].astype("int64")
@@ -357,7 +379,6 @@ def events_sliding(sf_dir: str, window_minutes: int = 60,
     import numpy as np
     import pyarrow as pa
 
-    from ray.data.aggregate import Sum
     from ..sources.readers import read_parquet_clean
 
     n_win = window_minutes // hop_minutes
@@ -386,11 +407,14 @@ def events_sliding(sf_dir: str, window_minutes: int = 60,
         )
         return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
+    # (window × type)-sized partials: driver merge instead of the
+    # fixed-cost small-result exchange
     df = (
         ds.map_batches(expand, batch_format="pandas")
-        .groupby(["window_start_us", "event_type"])
-        .aggregate(Sum("n_events", alias_name="n_events"))
-        .sort(["window_start_us", "event_type"]).to_pandas()
+        .to_pandas()
+        .groupby(["window_start_us", "event_type"], as_index=False)
+        .agg(n_events=("n_events", "sum"))
+        .sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
     )
     df["window_start_us"] = df["window_start_us"].astype("int64")
     df["n_events"] = df["n_events"].astype("int64")
@@ -1066,7 +1090,6 @@ def props_extract_stats(sf_dir: str):
     shuffles, only the extracted (event_type, k) pairs feed per-batch
     partials into a 5-row groupby."""
     import pyarrow as pa
-    from ray.data.aggregate import Max, Min, Sum
 
     from ..sources.readers import read_parquet_clean
 
@@ -1099,16 +1122,18 @@ def props_extract_stats(sf_dir: str):
         g["max_k"] = g["max_k"].fillna(float(-(1 << 62))).astype("int64")
         return g
 
-    out = (
+    # event-type-sized partials: driver merge instead of the
+    # fixed-cost small-result exchange (order-free sum/min/max; the
+    # neutral sentinels merge exactly like they did in the exchange)
+    df = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("n_valid", alias_name="n_valid"),
-                   Sum("sum_k", alias_name="sum_k"),
-                   Min("min_k", alias_name="min_k"),
-                   Max("max_k", alias_name="max_k"))
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n_events=("n_events", "sum"), n_valid=("n_valid", "sum"),
+             sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
+             max_k=("max_k", "max"))
+        .sort_values("event_type").reset_index(drop=True)
     )
-    df = out.sort("event_type").to_pandas()
     # a type with ZERO valid k corpus-wide still carries the neutral
     # sentinels here; the SQL contract for an all-NULL aggregate is
     # NULL — emit NaN (float64: duckdb's .df() converts a BIGINT
