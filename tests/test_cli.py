@@ -62,3 +62,34 @@ class TestCli:
         assert t.num_rows > 0
         cols = set(t.schema.names)
         assert {"chunk_id", "content_ltks", "content_sm_ltks"} <= cols
+
+
+class TestBenchContract:
+    """The driver parses bench.py's stdout as ONE JSON line — pin that
+    contract (logs must go to stderr).  Runs the headline only at
+    sf0.001 with one sample in a subprocess so it stays cheap and
+    never shares this session's Ray instance."""
+
+    def test_stdout_is_one_json_line(self):
+        import subprocess
+        import sys
+
+        env = dict(os.environ,
+                   GRAFT_SF_DIR="/root/testdata/sf0.001",
+                   GRAFT_BENCH_SAMPLES="1",
+                   GRAFT_HEADLINE_ONLY="1",
+                   RAY_GRAFT_CPUS="4",
+                   RAY_ADDRESS="")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "..", "bench.py")],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln]
+        assert len(lines) == 1, proc.stdout
+        res = json.loads(lines[0])
+        assert res["metric"] == "extract_sec"
+        assert res["value"] > 0
+        assert res["sf"] == "sf0.001"
+        assert res["num_cpus"] == 4
