@@ -1508,14 +1508,18 @@ def temperature_mix(sf_dir: str):
 
     import pyarrow as pa
 
-    # source-sized count partials: driver merge instead of the
-    # fixed-cost small-result exchange
+    # source-sized count partials: a narrow combine level + driver
+    # merge instead of the fixed-cost small-result exchange
     counts = (
         _docs(sf_dir, columns=("doc_id", "source"))
         .map_batches(
             lambda b: b.groupby("source", as_index=False)
             .agg(n=("doc_id", "size")),
             batch_format="pandas")
+        .map_batches(
+            lambda b: b.groupby("source", as_index=False)
+            .agg(n=("n", "sum")),
+            batch_format="pandas", batch_size=65536)
         .to_pandas()
         .groupby("source", as_index=False).agg(n=("n", "sum"))
     )
@@ -1605,11 +1609,19 @@ def source_lang_rollup(sf_dir: str):
             schema=schema,
         )
 
-    # (source × lang + rollup)-sized partials: driver merge instead
-    # of the fixed-cost small-result exchange
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        for c in ("n_docs", "n_tokens"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    # (source × lang + rollup)-sized partials: a narrow combine level
+    # + driver merge instead of the fixed-cost small-result exchange
     df = (
         _docs(sf_dir, columns=("text", "source", "lang"))
         .map_batches(partial, batch_format="pandas", batch_size=2048)
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
         .to_pandas()
         .groupby(["source", "lang"], as_index=False)
         .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))

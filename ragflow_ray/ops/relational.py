@@ -166,10 +166,22 @@ def event_type_stats(sf_dir: str):
             g[c] = g[c].astype("int64")
         return g
 
-    # event-type-sized partials: driver merge instead of the fixed-cost
-    # small-result exchange (order-free count/sum/min/max)
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value_micros=("sum_value_micros", "sum"),
+            min_user=("min_user", "min"), max_user=("max_user", "max"))
+        for c in ("n_events", "sum_value_micros", "min_user", "max_user"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    # event-type-sized partials: a narrow combine level + driver merge
+    # instead of the fixed-cost small-result exchange (order-free
+    # count/sum/min/max; the combine bounds the driver frame at
+    # result-size x (partial rows / 65536) regardless of block count)
     df = (
         ds.map_batches(partial, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
         .to_pandas()
         .groupby("event_type", as_index=False).agg(
             n_events=("n_events", "sum"),
@@ -214,11 +226,20 @@ def nation_customer_counts(sf_dir: str):
     ).to_pandas()
     nation_name = dict(zip(nations["n_nationkey"], nations["n_name"]))
 
-    # nation-sized partials (≤ 25 rows per block): driver merge
-    # instead of the fixed-cost small-result exchange; the name attach
-    # happens on the 25-row driver frame, no broadcast needed
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("c_nationkey", as_index=False).agg(
+            n_customers=("n_customers", "sum"),
+            sum_acctbal_cents=("sum_acctbal_cents", "sum"))
+        for c in ("n_customers", "sum_acctbal_cents"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    # nation-sized partials (≤ 25 rows per block): a narrow combine
+    # level + driver merge instead of the fixed-cost small-result
+    # exchange; the name attach happens on the 25-row driver frame
     df = (
         cust.map_batches(partial, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
         .to_pandas()
         .groupby("c_nationkey", as_index=False).agg(
             n_customers=("n_customers", "sum"),
@@ -257,10 +278,19 @@ def part_type_stats(sf_dir: str):
             g[c] = g[c].astype("int64")
         return g
 
-    # type-sized partials: driver merge instead of the fixed-cost
-    # small-result exchange (order-free count/max/sum)
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("p_type", as_index=False).agg(
+            n_parts=("n_parts", "sum"), max_size=("max_size", "max"),
+            sum_price_cents=("sum_price_cents", "sum"))
+        for c in ("n_parts", "max_size", "sum_price_cents"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    # type-sized partials: a narrow combine level + driver merge
+    # instead of the fixed-cost small-result exchange
     df = (
         ds.map_batches(partial, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
         .to_pandas()
         .groupby("p_type", as_index=False).agg(
             n_parts=("n_parts", "sum"), max_size=("max_size", "max"),
@@ -297,10 +327,19 @@ def events_hourly(sf_dir: str):
             g[c] = g[c].astype("int64")
         return g
 
-    # (window × type)-sized partials: driver merge instead of the
-    # fixed-cost small-result exchange
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["hour", "event_type"], as_index=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value_micros=("sum_value_micros", "sum"))
+        for c in ("n_events", "sum_value_micros"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    # (window × type)-sized partials: a narrow combine level + driver
+    # merge instead of the fixed-cost small-result exchange
     df = (
         ds.map_batches(partial, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
         .to_pandas()
         .groupby(["hour", "event_type"], as_index=False).agg(
             n_events=("n_events", "sum"),
@@ -407,10 +446,17 @@ def events_sliding(sf_dir: str, window_minutes: int = 60,
         )
         return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
-    # (window × type)-sized partials: driver merge instead of the
-    # fixed-cost small-result exchange
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["window_start_us", "event_type"], as_index=False).agg(
+            n_events=("n_events", "sum"))
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    # (window × type)-sized partials: a narrow combine level + driver
+    # merge instead of the fixed-cost small-result exchange
     df = (
         ds.map_batches(expand, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
         .to_pandas()
         .groupby(["window_start_us", "event_type"], as_index=False)
         .agg(n_events=("n_events", "sum"))
@@ -1122,11 +1168,22 @@ def props_extract_stats(sf_dir: str):
         g["max_k"] = g["max_k"].fillna(float(-(1 << 62))).astype("int64")
         return g
 
-    # event-type-sized partials: driver merge instead of the
-    # fixed-cost small-result exchange (order-free sum/min/max; the
-    # neutral sentinels merge exactly like they did in the exchange)
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), n_valid=("n_valid", "sum"),
+            sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
+            max_k=("max_k", "max"))
+        for c in ("n_events", "n_valid", "sum_k", "min_k", "max_k"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    # event-type-sized partials: a narrow combine level + driver merge
+    # instead of the fixed-cost small-result exchange (order-free
+    # sum/min/max; the neutral sentinels merge exactly like they did
+    # in the exchange)
     df = (
         ds.map_batches(partial, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
         .to_pandas()
         .groupby("event_type", as_index=False)
         .agg(n_events=("n_events", "sum"), n_valid=("n_valid", "sum"),
