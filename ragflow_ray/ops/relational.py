@@ -1215,11 +1215,14 @@ def events_hourly_uniques(sf_dir: str, broadcast_limit: int = 2_000_000):
     """Distinct users per tumbling hour — the COUNT(DISTINCT) window
     aggregate, done EXACTLY with two-level aggregation: each batch
     first dedups its own (hour, user) pairs locally (so at most
-    |users| rows per hour leave any task, not |events|), then ONE
-    groupby on the hour key counts uniques per group vectorized.
-    Group count = number of windows (bounded), group size = active
-    users in that hour; a hot hour is the skew case and would salt on
-    a user-hash prefix.  The raw event stream never shuffles."""
+    |users| rows per hour leave any task, not |events|); then,
+    count-gated on the parquet-footer event count, the deduped pair
+    stream either collects to a single driver ``nunique`` groupby
+    (under ``broadcast_limit``) or co-partitions with ONE groupby on
+    the hour key counting uniques per group vectorized.  Group count
+    = number of windows (bounded), group size = active users in that
+    hour; a hot hour is the skew case and would salt on a user-hash
+    prefix.  The raw event stream never shuffles."""
     import numpy as np
     import pyarrow as pa
 
