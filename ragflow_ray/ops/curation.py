@@ -258,9 +258,12 @@ def source_rollup(sf_dir: str):
     distinct token-set signatures (the CCNet-style per-domain view —
     ``n_docs - n_distinct_sigs`` is the source's internal-dup count).
 
-    Two-level aggregation: per-batch (source, sig) rows, one groupby
-    to distinct signatures, then per-batch partial counts into a tiny
-    per-source groupby — the corpus never collects anywhere.
+    Count-gated on the parquet-footer doc count: under the driver
+    budget the narrow (source, sig, n_tokens) rows collect to ONE
+    driver groupby computing all three levels (the corpus TEXT never
+    collects — only 32-hex sigs).  Past the budget: per-batch
+    (source, sig) rows, one groupby to distinct signatures, then
+    per-batch partial counts into a tiny per-source groupby.
     """
     import pyarrow as pa
     from ray.data.aggregate import Count, Sum
