@@ -95,16 +95,17 @@ def corpus_dict_lines(sf_dir: str, term: str = "") -> list[str]:
             schema=uniq_schema,
         )
 
-    from ray.data.aggregate import Count
-
-    # groupby-count instead of .unique(): the Unique aggregate trips
-    # over ndarray accumulators on Arrow blocks in Ray 2.49
+    # vocabulary-bounded partial uniques: a narrow dedup combine level
+    # + driver drop_duplicates instead of the ~0.8 s fixed small-result
+    # groupby-count exchange (which itself replaced .unique(): the
+    # Unique aggregate trips over ndarray accumulators on Arrow blocks
+    # in Ray 2.49)
     vocab = (
         read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
         .map_batches(partial_unique, batch_format="pandas")
-        .groupby("word")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()["word"]
+        .map_batches(lambda b: b.drop_duplicates(),
+                     batch_format="pandas", batch_size=65536)
+        .to_pandas()["word"].drop_duplicates()
     )
     return [
         f"{w.translate(_TO_CJK)}{term} 1000000 n"
