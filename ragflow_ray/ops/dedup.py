@@ -39,6 +39,14 @@ from ..state.skewmon import warn_rows as _skew_warn
 _WS = re.compile(r"\s+")
 
 
+def _doc_count(sf_dir: str) -> int:
+    """Documents row count from the parquet footer — the count-gate
+    input, free of any data pass."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+
+
 def _docs(sf_dir: str, columns=("doc_id", "text"), rows_per_block: int = 256):
     from ..sources.readers import read_docs_split
 
@@ -66,14 +74,32 @@ def exact_dedup(sf_dir: str):
             {"content_hash": pa.array(digests), "doc_id": batch["doc_id"]}
         )
 
-    from ray.data.aggregate import Count, Min
-
     ds = _docs(sf_dir, rows_per_block=2048).map_batches(
         hash_batch, batch_format="pyarrow")
-    out = ds.groupby("content_hash").aggregate(
-        Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies")
-    )
-    df = out.sort("content_hash").to_pandas()
+
+    # count-gate (parquet-footer doc count): under the driver budget
+    # the per-batch (hash, min, count) partials merge in one driver
+    # groupby; past it the hash-partitioned exchange below is the
+    # 100-TB shape (the result is corpus-sized)
+    if _doc_count(sf_dir) <= 2_000_000:
+        df = (
+            ds.map_batches(
+                lambda b: b.groupby("content_hash", as_index=False).agg(
+                    keeper_doc_id=("doc_id", "min"), n_copies=("doc_id", "size")),
+                batch_format="pandas")
+            .to_pandas()
+            .groupby("content_hash", as_index=False).agg(
+                keeper_doc_id=("keeper_doc_id", "min"),
+                n_copies=("n_copies", "sum"))
+            .sort_values("content_hash").reset_index(drop=True)
+        )
+    else:
+        from ray.data.aggregate import Count, Min
+
+        out = ds.groupby("content_hash").aggregate(
+            Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies")
+        )
+        df = out.sort("content_hash").to_pandas()
     df["keeper_doc_id"] = df["keeper_doc_id"].astype("int64")
     df["n_copies"] = df["n_copies"].astype("int64")
     return df
@@ -96,8 +122,20 @@ def dedup_keepers(sf_dir: str):
 
     ds = _docs(sf_dir, rows_per_block=2048).map_batches(
         hash_batch, batch_format="pyarrow")
-    out = ds.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
-    df = out.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    # same count gate as exact_dedup (corpus-sized result at scale)
+    if _doc_count(sf_dir) <= 2_000_000:
+        df = (
+            ds.map_batches(
+                lambda b: b.groupby("content_hash", as_index=False).agg(
+                    doc_id=("doc_id", "min")),
+                batch_format="pandas")
+            .to_pandas()
+            .groupby("content_hash", as_index=False).agg(doc_id=("doc_id", "min"))
+        )
+    else:
+        df = ds.groupby("content_hash").aggregate(
+            Min("doc_id", alias_name="doc_id")).to_pandas()
+    df = df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
     df["doc_id"] = df["doc_id"].astype("int64")
     return df
 
@@ -123,13 +161,27 @@ def token_set_dedup(sf_dir: str):
         sigs = [token_set_signature(t) for t in batch["text"].to_pylist()]
         return pa.table({"token_set_hash": pa.array(sigs), "doc_id": batch["doc_id"]})
 
-    from ray.data.aggregate import Count, Min
-
     ds = _docs(sf_dir).map_batches(sig, batch_format="pyarrow")
-    out = ds.groupby("token_set_hash").aggregate(
-        Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_members")
-    )
-    df = out.sort("token_set_hash").to_pandas()
+    # same count gate as exact_dedup (corpus-sized result at scale)
+    if _doc_count(sf_dir) <= 2_000_000:
+        df = (
+            ds.map_batches(
+                lambda b: b.groupby("token_set_hash", as_index=False).agg(
+                    keeper_doc_id=("doc_id", "min"), n_members=("doc_id", "size")),
+                batch_format="pandas")
+            .to_pandas()
+            .groupby("token_set_hash", as_index=False).agg(
+                keeper_doc_id=("keeper_doc_id", "min"),
+                n_members=("n_members", "sum"))
+            .sort_values("token_set_hash").reset_index(drop=True)
+        )
+    else:
+        from ray.data.aggregate import Count, Min
+
+        out = ds.groupby("token_set_hash").aggregate(
+            Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_members")
+        )
+        df = out.sort("token_set_hash").to_pandas()
     df["keeper_doc_id"] = df["keeper_doc_id"].astype("int64")
     df["n_members"] = df["n_members"].astype("int64")
     return df
