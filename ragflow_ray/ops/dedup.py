@@ -63,8 +63,11 @@ def _docs(sf_dir: str, columns=("doc_id", "text"), rows_per_block: int = 256):
 # -- exact ---------------------------------------------------------------
 
 
-def exact_dedup(sf_dir: str):
-    """Keeper per exact content hash: (md5(text), min doc_id, count)."""
+def exact_dedup(sf_dir: str, driver_merge_limit: int = 2_000_000):
+    """Keeper per exact content hash: (md5(text), min doc_id, count).
+
+    ``driver_merge_limit=0`` forces the hash-partitioned distributed
+    exchange (the at-scale shape); tests pin branch agreement."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -81,7 +84,7 @@ def exact_dedup(sf_dir: str):
     # the per-batch (hash, min, count) partials merge in one driver
     # groupby; past it the hash-partitioned exchange below is the
     # 100-TB shape (the result is corpus-sized)
-    if _doc_count(sf_dir) <= 2_000_000:
+    if _doc_count(sf_dir) <= driver_merge_limit:
         df = (
             ds.map_batches(
                 lambda b: b.groupby("content_hash", as_index=False).agg(
@@ -105,7 +108,7 @@ def exact_dedup(sf_dir: str):
     return df
 
 
-def dedup_keepers(sf_dir: str):
+def dedup_keepers(sf_dir: str, driver_merge_limit: int = 2_000_000):
     """The surviving document set after exact dedup: for every content
     hash, the minimum doc_id (the rows a dedup *filter* would keep) —
     hash-partitioned groupby, then the keeper ids sorted."""
@@ -123,7 +126,7 @@ def dedup_keepers(sf_dir: str):
     ds = _docs(sf_dir, rows_per_block=2048).map_batches(
         hash_batch, batch_format="pyarrow")
     # same count gate as exact_dedup (corpus-sized result at scale)
-    if _doc_count(sf_dir) <= 2_000_000:
+    if _doc_count(sf_dir) <= driver_merge_limit:
         df = (
             ds.map_batches(
                 lambda b: b.groupby("content_hash", as_index=False).agg(
@@ -151,7 +154,7 @@ def token_set_signature(text: str) -> str:
     return hashlib.md5(" ".join(words).encode()).hexdigest()
 
 
-def token_set_dedup(sf_dir: str):
+def token_set_dedup(sf_dir: str, driver_merge_limit: int = 2_000_000):
     """Group docs by md5 of their sorted distinct-word set — an exact,
     order-insensitive near-dup signature (word-permuted copies
     collide)."""
@@ -163,7 +166,7 @@ def token_set_dedup(sf_dir: str):
 
     ds = _docs(sf_dir).map_batches(sig, batch_format="pyarrow")
     # same count gate as exact_dedup (corpus-sized result at scale)
-    if _doc_count(sf_dir) <= 2_000_000:
+    if _doc_count(sf_dir) <= driver_merge_limit:
         df = (
             ds.map_batches(
                 lambda b: b.groupby("token_set_hash", as_index=False).agg(

@@ -90,6 +90,19 @@ class TestDedup:
         found = set(map(tuple, pairs[["vec_a", "vec_b"]].values))
         assert (0, 1) in found
 
+    def test_hash_dedup_branches_agree(self):
+        """driver_merge_limit=0 forces the hash-partitioned groupby
+        exchange; the default gates into the driver merge — identical
+        frames either way for all three hash-keyed dedup ops."""
+        import pandas as pd
+
+        from ragflow_ray.ops.dedup import (
+            dedup_keepers, exact_dedup, token_set_dedup)
+
+        sf = "/root/testdata/sf0.001"
+        for fn in (exact_dedup, dedup_keepers, token_set_dedup):
+            pd.testing.assert_frame_equal(fn(sf), fn(sf, driver_merge_limit=0))
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestAnn:
