@@ -143,17 +143,20 @@ def test_funnel_scan_matches_bruteforce(seed):
 def test_funnel_scan_flat_per_user():
     """Many users in ONE bucket: the vectorized scan must not pay
     per-user Python overhead.  200k users x 6 rows completes in well
-    under 2s (a per-user loop takes >30s); generous absolute bound so
-    a contended VM can't flake it."""
+    under 2s warm (a per-user loop takes >30s); min-of-3 so a neighbor
+    burst on the shared VM can't flake the bound (one cold 2.5s+ run
+    was observed at loadavg>1 while warm runs held 0.6s)."""
     import time
 
     from ragflow_ray.ops.relational import _funnel_scan
 
     uid, stp, ts = _rand_funnel_rows(200_000, 6, 3, seed=9)
-    t0 = time.perf_counter()
-    depths = _funnel_scan(uid, stp, ts, 3)
-    dt = time.perf_counter() - t0
-    assert dt < 2.0, f"funnel scan took {dt:.2f}s on 1.2M rows"
+    best, depths = float("inf"), None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        depths = _funnel_scan(uid, stp, ts, 3)
+        best = min(best, time.perf_counter() - t0)
+    assert best < 2.0, f"funnel scan took {best:.2f}s (min of 3) on 1.2M rows"
     assert depths[0] > 0 and (np.diff(depths) <= 0).all()
 
 
