@@ -124,3 +124,37 @@ class TestJsonParser:
         for c in out:
             deep_merge(merged, json.loads(c))
         assert merged == listify(obj)
+
+
+class TestJsonSplitterTranscriptions:
+    """The corpus_extract fixture derives the json family's chunk
+    decomposition from its own transcription of the public langchain
+    RecursiveJsonSplitter rule, written without importing
+    parsers/jsonp.  Two independently-written transcriptions of one
+    public spec must agree on ARBITRARY json and budgets — not just
+    the rigid corpus shape the fixture build exercises."""
+
+    @given(
+        st.dictionaries(
+            st.text(min_size=1, max_size=8),
+            st.recursive(
+                st.one_of(st.integers(), st.text(max_size=20),
+                          st.booleans(), st.none()),
+                lambda inner: st.lists(inner, min_size=1, max_size=4)
+                | st.dictionaries(
+                    st.text(min_size=1, max_size=6), inner,
+                    min_size=1, max_size=4
+                ),
+                max_leaves=12,
+            ),
+            max_size=6,
+        ),
+        st.integers(min_value=8, max_value=400),
+    )
+    @settings(max_examples=60)
+    def test_fixture_transcription_agrees_with_engine(self, obj, budget):
+        from tools.make_extract_fixtures import split_json_like_spec
+
+        assert split_json_like_spec(obj, budget) == parse_json(
+            json.dumps(obj, ensure_ascii=False), budget
+        )
