@@ -351,8 +351,11 @@ class TestMarkdownHtml:
         assert markdown_to_html("- x\n- y") == "<ul>\n<li>x</li>\n<li>y</li>\n</ul>"
         assert markdown_to_html("1. x\n2. y") == "<ol>\n<li>x</li>\n<li>y</li>\n</ol>"
         assert markdown_to_html("## Title") == "<h2>Title</h2>"
-        # 7+ hashes are not a heading
-        assert markdown_to_html("####### deep") == "<p>####### deep</p>"
+        # python-markdown's hashheader shape: a 7th hash becomes
+        # content, no space is required, and trailing hashes strip
+        assert markdown_to_html("####### deep") == "<h6># deep</h6>"
+        assert markdown_to_html("#Tight") == "<h1>Tight</h1>"
+        assert markdown_to_html("## T ##") == "<h2>T</h2>"
 
     def test_heading_splits_block_without_blank_line(self):
         # python-markdown's hashheader needs no blank line around a
@@ -392,8 +395,73 @@ class TestMarkdownHtml:
         # unmatched / whitespace-adjacent markers stay literal
         assert markdown_to_html("2 * 3 * 4") == "<p>2 * 3 * 4</p>"
         assert markdown_to_html("a ** b") == "<p>a ** b</p>"
-        # underscore emphasis is documented out of subset
-        assert markdown_to_html("an _em_ word") == "<p>an _em_ word</p>"
+
+    def test_inline_extended(self):
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        # underscore emphasis at word boundaries only (python-markdown
+        # smart default: intra-word underscores stay literal)
+        assert markdown_to_html("an _em_ word") == "<p>an <em>em</em> word</p>"
+        assert (markdown_to_html("a __strong__ word")
+                == "<p>a <strong>strong</strong> word</p>")
+        assert (markdown_to_html("a snake_case_name here")
+                == "<p>a snake_case_name here</p>")
+        # triple markers nest strong around em
+        assert (markdown_to_html("***x***")
+                == "<p><strong><em>x</em></strong></p>")
+        assert (markdown_to_html("___x___")
+                == "<p><strong><em>x</em></strong></p>")
+        # autolinks
+        assert (markdown_to_html("see <http://x/y> now")
+                == '<p>see <a href="http://x/y">http://x/y</a> now</p>')
+        # inline images (ElementTree attribute order: src then alt)
+        assert (markdown_to_html("![a pic](img.png)")
+                == '<p><img src="img.png" alt="a pic" /></p>')
+        # backslash escapes of the special set render the literal
+        assert markdown_to_html(r"not \*em\*") == "<p>not *em*</p>"
+        assert markdown_to_html(r"\# not a heading") == "<p># not a heading</p>"
+        # a backslash before a non-special char stays
+        assert markdown_to_html(r"a \q b") == r"<p>a \q b</p>"
+        # multi-backtick code spans, content stripped
+        assert (markdown_to_html("a `` x ` y `` b")
+                == "<p>a <code>x ` y</code> b</p>")
+        # > escapes in text content (ElementTree serializer parity)
+        assert markdown_to_html("a > b, c < d") == "<p>a &gt; b, c &lt; d</p>"
+        # existing entities pass through; bare & still escapes
+        assert (markdown_to_html("x &copy; y & z")
+                == "<p>x &copy; y &amp; z</p>")
+
+    def test_block_extended(self):
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        # setext headings
+        assert markdown_to_html("Title\n=====") == "<h1>Title</h1>"
+        assert (markdown_to_html("Title\n---\nbody")
+                == "<h2>Title</h2>\n<p>body</p>")
+        # horizontal rules, including the spaced form — a rule, not a list
+        assert markdown_to_html("---") == "<hr />"
+        assert markdown_to_html("a\n* * *\nb") == "<p>a</p>\n<hr />\n<p>b</p>"
+        # indented code blocks: one indent level stripped, no inline
+        assert (markdown_to_html("    x = *1*\n    y = 2")
+                == "<pre><code>x = *1*\ny = 2\n</code></pre>")
+        # code run ends at the first unindented line
+        assert (markdown_to_html("    code\nplain")
+                == "<pre><code>code\n</code></pre>\n<p>plain</p>")
+        # tabs expand to 4-space stops up front
+        assert markdown_to_html("\tcode") == "<pre><code>code\n</code></pre>"
+        # hard line break on two trailing spaces
+        assert markdown_to_html("a  \nb") == "<p>a<br />\nb</p>"
+
+    def test_nested_blockquotes(self):
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        assert (markdown_to_html("> a\n>> b")
+                == "<blockquote>\n<p>a</p>\n<blockquote>\n<p>b</p>\n"
+                   "</blockquote>\n</blockquote>")
+        # a quote opening mid-block consumes the rest of the block
+        assert (markdown_to_html("plain\n> quoted")
+                == "<p>plain</p>\n<blockquote>\n<p>quoted</p>\n"
+                   "</blockquote>")
 
     def test_blockquote(self):
         from ragflow_ray.text.mdhtml import markdown_to_html
@@ -467,5 +535,6 @@ class TestMarkdownHtmlProperties:
                 tag = frag.split(">", 1)[0].lstrip("/").split(" ", 1)[0]
                 assert tag in ("p", "ul", "ol", "li", "table", "thead",
                                "tbody", "tr", "th", "td", "blockquote",
-                               "strong", "em", "code", "a",
+                               "strong", "em", "code", "a", "pre", "hr",
+                               "br", "img",
                                "h1", "h2", "h3", "h4", "h5", "h6"), frag
