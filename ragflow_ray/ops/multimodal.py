@@ -36,8 +36,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     Real path: baseline JPEG decodes through the from-scratch
     ``parsers/jpegdec`` implementation (ITU-T T.81 sequential Huffman
-    — the codec of the embedded DCTDecode figures pdfbytes surfaces).
-    Other codecs (PNG, JPEG 2000, …) need libraries absent from this
+    — the codec of the embedded DCTDecode figures pdfbytes surfaces),
+    and pdfbytes' ``RFRAW1`` container (Flate/unfiltered 8-bit
+    DeviceGray/DeviceRGB image XObjects) reshapes directly.  Other
+    codecs (PNG, JPEG 2000, …) need libraries absent from this
     container — STUB.  With ``fake=True`` returns a deterministic 8×8
     gray image derived from the payload digest (stable across
     processes), which is what the oracled queries pin.
@@ -47,6 +49,16 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             from ..parsers.jpegdec import decode_baseline_jpeg
 
             return decode_baseline_jpeg(bytes(payload))
+        if bytes(payload[:7]) == b"RFRAW1:":
+            # pdfbytes' raw container: Flate/unfiltered 8-bit
+            # DeviceGray/DeviceRGB figure samples, already validated
+            # against the declared geometry at extraction time
+            b = bytes(payload)
+            w = int.from_bytes(b[7:11], "big")
+            h = int.from_bytes(b[11:15], "big")
+            ncomp = b[15]
+            arr = np.frombuffer(b[16:], dtype=np.uint8).reshape(h, w, ncomp)
+            return np.repeat(arr, 3, axis=2) if ncomp == 1 else arr.copy()
         raise NotImplementedError(
             "non-JPEG image codecs unavailable in this environment")
     digest = hashlib.sha256(payload).digest()

@@ -65,7 +65,9 @@ strings, never crash).
 Deliberately out of scope (documented subset, not a stub): JPX pixel
 decode (JPEG 2000 containers are extracted whole, not decompressed;
 baseline-JPEG DCTDecode payloads DO decode to pixels downstream via
-``parsers/jpegdec``) — bytes outside the subset degrade to skipped
+``parsers/jpegdec``, and Flate/unfiltered 8-bit DeviceGray/DeviceRGB
+images decompress here into a raw pixel container) — bytes outside
+the subset degrade to skipped
 show-strings, never to a crash.  Good enough to
 round-trip every text PDF this engine writes in its own tests, the
 common single-byte-font documents, Identity-H CID PDFs carrying
@@ -1423,16 +1425,19 @@ def pdf_text_lines(blob: bytes, _objs: dict[int, bytes] | None = None
     return pages
 
 
-# --- embedded raster figures (DCTDecode) ----------------------------------
+# --- embedded raster figures (DCTDecode / JPXDecode / Flate raw) ----------
 #
 # The reference gets page/figure bitmaps by rasterizing through
 # pdfplumber (deepdoc/parser/pdf_parser.py:1006-1034) and crops figure
 # regions for downstream vision stages (pdf_parser.py:856-866).  This
-# engine extracts the embedded JPEG streams themselves: for a
-# /Subtype /Image XObject whose final filter is DCTDecode, the stream
-# bytes ARE a complete JPEG container — no pixel decode is needed to
-# hand a payload to a phash/caption/feature stage, and the SOF header
-# carries the true dimensions.
+# engine extracts the embedded streams themselves: for a
+# /Subtype /Image XObject whose filter is DCTDecode/JPXDecode, the
+# stream bytes ARE a complete JPEG / JPEG 2000 container — no pixel
+# decode is needed to hand a payload to a phash/caption/feature stage,
+# and the container header carries the true dimensions.  FlateDecode
+# (and unfiltered) 8-bit DeviceGray/DeviceRGB images decompress
+# through the shared filter machinery into a self-describing ``raw``
+# container that downstream reshapes straight to pixels.
 
 _IMG_SUBTYPE = re.compile(rb"/Subtype\s*/Image\b")
 _XOBJ_ENTRY = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
@@ -1516,22 +1521,58 @@ def _jp2_dims(d: bytes) -> tuple[int, int] | None:
 _JP2_MAGIC = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 
 
+_IMG_CS = re.compile(rb"/ColorSpace\s*/Device(RGB|Gray)\b")
+_IMG_BPC = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_RAW_MAGIC = b"RFRAW1:"
+
+
+def _raw_container(header: bytes, pixels: bytes) -> bytes | None:
+    """Wrap decompressed 8-bit DeviceGray/DeviceRGB samples in a tiny
+    self-describing container (magic + width/height as 4-byte BE +
+    component count) so downstream stages can reshape them without the
+    XObject dict.  Returns None unless the declared geometry exactly
+    matches the sample count — degrade, never guess."""
+    cs = _IMG_CS.search(header)
+    bpc = _IMG_BPC.search(header)
+    wm = _IMG_W.search(header)
+    hm = _IMG_H.search(header)
+    if not (cs and wm and hm) or (bpc and int(bpc.group(1)) != 8):
+        return None
+    ncomp = 3 if cs.group(1) == b"RGB" else 1
+    w, h = int(wm.group(1)), int(hm.group(1))
+    if w <= 0 or h <= 0 or len(pixels) != w * h * ncomp:
+        return None
+    return (_RAW_MAGIC + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([ncomp]) + pixels)
+
+
+def _raw_dims(d: bytes) -> tuple[int, int] | None:
+    if d[: len(_RAW_MAGIC)] != _RAW_MAGIC or len(d) < len(_RAW_MAGIC) + 9:
+        return None
+    i = len(_RAW_MAGIC)
+    return (int.from_bytes(d[i : i + 4], "big"),
+            int.from_bytes(d[i + 4 : i + 8], "big"))
+
+
 def _image_payload(body: bytes, objs: dict[int, bytes]
                    ) -> tuple[bytes, str] | None:
-    """(container bytes, codec) of a DCTDecode (JPEG) or JPXDecode
-    (JPEG 2000) image stream.  Only the plain single-filter form is
-    extracted (the overwhelmingly common one); a prefixed filter chain
-    ([/FlateDecode /DCTDecode]) or any other encoding returns None —
+    """(container bytes, codec) of an image stream.  DCTDecode (JPEG)
+    and JPXDecode (JPEG 2000) streams are extracted whole — the stream
+    bytes ARE a complete container.  FlateDecode (and unfiltered)
+    8-bit DeviceGray/DeviceRGB streams decompress through the shared
+    filter machinery into a small self-describing ``raw`` container,
+    so losslessly-stored figures reach the pixel stages too.  A
+    prefixed chain in front of DCT ([/FlateDecode /DCTDecode]), other
+    colour spaces / bit depths, or any other encoding returns None —
     degrade, never crash."""
     m = _STREAM_START.search(body)
     if m is None:
         return None
     header = body[: m.start()]
     fm = _FILTER_CHAIN.search(header)
-    if fm is None:
-        return None
-    names = [n.decode("latin-1") for n in _FILTER_NAME.findall(fm.group(1))]
-    if names not in (["DCTDecode"], ["JPXDecode"]):
+    names = ([n.decode("latin-1") for n in _FILTER_NAME.findall(fm.group(1))]
+             if fm else [])
+    if names not in (["DCTDecode"], ["JPXDecode"], ["FlateDecode"], []):
         return None
     lm = _LENGTH.search(header)
     if lm is not None:
@@ -1550,18 +1591,25 @@ def _image_payload(body: bytes, objs: dict[int, bytes]
             raw = body[m.end() : end if end != -1 else len(body)].rstrip(b"\r\n")
     if names == ["DCTDecode"]:
         return (raw, "jpeg") if raw[:2] == b"\xff\xd8" else None
-    ok = raw[: len(_JP2_MAGIC)] == _JP2_MAGIC or raw[:4] == b"\xff\x4f\xff\x51"
-    return (raw, "jp2") if ok else None
+    if names == ["JPXDecode"]:
+        ok = (raw[: len(_JP2_MAGIC)] == _JP2_MAGIC
+              or raw[:4] == b"\xff\x4f\xff\x51")
+        return (raw, "jp2") if ok else None
+    pixels = _apply_filters(header, raw) if names else raw
+    if pixels is None:
+        return None
+    wrapped = _raw_container(header, pixels)
+    return (wrapped, "raw") if wrapped is not None else None
 
 
 def pdf_image_payloads(doc_id: str, blob: bytes,
                        _objs: dict[int, bytes] | None = None) -> list[dict]:
-    """Embedded DCTDecode / JPXDecode figures → media rows
+    """Embedded DCTDecode / JPXDecode / Flate-raw figures → media rows
     ``(doc_id, page_no, name, codec, width, height, media_ref,
     payload)`` ready for the multimodal actor stages (phash dedup,
     features).  Dimensions come from the container header (JPEG SOF /
-    JP2 ihdr or SIZ), falling back to the XObject's declared
-    /Width //Height."""
+    JP2 ihdr or SIZ / the raw container), falling back to the
+    XObject's declared /Width //Height."""
     objs = _objs if _objs is not None else _prepared_objects(blob)
     rows: list[dict] = []
     for pn, num in enumerate(_page_object_order(blob, objs), start=1):
@@ -1570,7 +1618,8 @@ def pdf_image_payloads(doc_id: str, blob: bytes,
             if extracted is None:
                 continue
             payload, codec = extracted
-            dims = _jpeg_dims(payload) if codec == "jpeg" else _jp2_dims(payload)
+            dims = {"jpeg": _jpeg_dims, "jp2": _jp2_dims,
+                    "raw": _raw_dims}[codec](payload)
             wm = _IMG_W.search(objs[onum])
             hm = _IMG_H.search(objs[onum])
             width = dims[0] if dims else (int(wm.group(1)) if wm else 0)

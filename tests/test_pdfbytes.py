@@ -1333,6 +1333,130 @@ class TestEmbeddedJpeg:
         assert got == expect_md5
 
 
+def make_pdf_with_image_stream(stream: bytes, *, width: int, height: int,
+                               colorspace: bytes = b"/DeviceRGB",
+                               bpc: int = 8,
+                               filter_entry: bytes = b"/Filter /FlateDecode "
+                               ) -> bytes:
+    """One text page whose /Resources reference an arbitrary image
+    stream (the FlateDecode / unfiltered raw-figure construction)."""
+    content = b"BT /F1 12 Tf 72 720 Td (raw figure page) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"),
+        (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+         + content + b"\nendstream"),
+        (b"<< /Type /XObject /Subtype /Image /Width "
+         + str(width).encode() + b" /Height " + str(height).encode()
+         + b" /ColorSpace " + colorspace + b" /BitsPerComponent "
+         + str(bpc).encode() + b" " + filter_entry
+         + b"/Length " + str(len(stream)).encode()
+         + b" >>\nstream\n" + stream + b"\nendstream"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)
+
+
+class TestEmbeddedFlateRaw:
+    """Flate/unfiltered 8-bit image XObjects → the self-describing
+    raw container, decoded to exact pixels by ops.multimodal."""
+
+    def _pixels(self, w: int, h: int, ncomp: int) -> bytes:
+        return bytes((13 * i + 7) % 256 for i in range(w * h * ncomp))
+
+    def test_flate_rgb_roundtrip(self):
+        import zlib
+
+        import numpy as np
+
+        from ragflow_ray.ops.multimodal import decode_image
+        from ragflow_ray.parsers.pdfbytes import pdf_image_payloads
+
+        w, h = 9, 5
+        pixels = self._pixels(w, h, 3)
+        blob = make_pdf_with_image_stream(zlib.compress(pixels),
+                                          width=w, height=h)
+        rows = pdf_image_payloads("docR", blob)
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["codec"] == "raw"
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["media_ref"] == "crop://docR/p1/Im1"
+        arr = decode_image(r["payload"])
+        assert arr.shape == (h, w, 3)
+        assert arr.tobytes() == pixels
+
+    def test_unfiltered_gray_replicates_channels(self):
+        import numpy as np
+
+        from ragflow_ray.ops.multimodal import decode_image
+        from ragflow_ray.parsers.pdfbytes import pdf_image_payloads
+
+        w, h = 4, 6
+        pixels = self._pixels(w, h, 1)
+        blob = make_pdf_with_image_stream(
+            pixels, width=w, height=h, colorspace=b"/DeviceGray",
+            filter_entry=b"")
+        rows = pdf_image_payloads("docG", blob)
+        assert len(rows) == 1 and rows[0]["codec"] == "raw"
+        arr = decode_image(rows[0]["payload"])
+        assert arr.shape == (h, w, 3)
+        gray = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+        assert (arr == gray[:, :, None]).all()
+
+    def test_geometry_mismatch_skipped(self):
+        import zlib
+
+        from ragflow_ray.parsers.pdfbytes import pdf_image_payloads
+
+        blob = make_pdf_with_image_stream(
+            zlib.compress(b"\x00" * 10), width=9, height=5)
+        assert pdf_image_payloads("docX", blob) == []
+
+    def test_unsupported_depth_skipped(self):
+        import zlib
+
+        from ragflow_ray.parsers.pdfbytes import pdf_image_payloads
+
+        w, h = 8, 4
+        blob = make_pdf_with_image_stream(
+            zlib.compress(b"\x00" * (w * h // 8)), width=w, height=h,
+            colorspace=b"/DeviceGray", bpc=1)
+        assert pdf_image_payloads("docB", blob) == []
+
+    def test_raw_figure_rides_in_page_payload(self):
+        import base64
+        import json
+        import zlib
+
+        from ragflow_ray.parsers.pdfbytes import pdf_to_page_payloads
+
+        w, h = 3, 2
+        pixels = self._pixels(w, h, 3)
+        blob = make_pdf_with_image_stream(zlib.compress(pixels),
+                                          width=w, height=h)
+        payload = json.loads(pdf_to_page_payloads("docP", blob)[0]["text"])
+        figs = payload["figures"]
+        assert len(figs) == 1 and figs[0]["codec"] == "raw"
+        raw = base64.b64decode(figs[0]["image_b64"])
+        assert raw.startswith(b"RFRAW1:") and raw.endswith(pixels)
+        assert payload["boxes"][0]["text"] == "raw figure page"
+
+
 # --- AESV3 (V5 R5/R6, AES-256) --------------------------------------------
 
 
