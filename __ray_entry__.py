@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_hourly_uniques": relational.events_hourly_uniques,
         "user_funnel": relational.user_funnel,
+        "cohort_retention": relational.cohort_retention,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,
@@ -1115,6 +1116,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour,
                    COUNT(DISTINCT user_id)::BIGINT AS n_unique_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # weekly cohort retention; weeks are Monday-aligned integer
+        # indices ((epoch_days + 3) // 7 — 1970-01-01 was a Thursday),
+        # the same arithmetic the engine uses, so no date_trunc
+        # semantics can diverge
+        "cohort_retention": """
+            WITH w AS (
+                SELECT DISTINCT user_id,
+                       CAST(FLOOR((DATE_DIFF('day', DATE '1970-01-01', ts)
+                                   + 3) / 7.0) AS BIGINT) AS wk
+                FROM events
+            ), f AS (
+                SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY 1
+            )
+            SELECT f.cohort_week AS cohort_week,
+                   (w.wk - f.cohort_week)::BIGINT AS week_off,
+                   COUNT(*)::BIGINT AS n_users
+            FROM w JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # schema-on-read JSON extraction, aggregated per event type
         # regexp_extract + TRY_CAST mirrors the engine's strict-integer

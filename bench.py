@@ -171,6 +171,7 @@ def run_bench() -> dict:
         "events_range_join": relational.events_range_join,
         "events_hourly_uniques": relational.events_hourly_uniques,
         "user_funnel": relational.user_funnel,
+        "cohort_retention": relational.cohort_retention,
         "html_extract_roundtrip": lambda d: html_extract_roundtrip(d).count(),
         "repetition_signals": curation.repetition_signals,
         "pack_sequences": curation.pack_sequences,

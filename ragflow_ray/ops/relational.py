@@ -1435,3 +1435,107 @@ def user_funnel(sf_dir: str, steps=("view", "click", "purchase"),
     for _, r in out.iterrows():
         counts[names[int(r["depth"])]] = int(r["n_users"])
     return pd.DataFrame([counts]).astype("int64")
+
+
+def cohort_retention(sf_dir: str, n_buckets: int = 256,
+                     broadcast_limit: int = 2_000_000):
+    """Weekly cohort retention: for each signup-week cohort (a user's
+    first-ever event week), how many of its users were active again
+    ``week_off`` weeks later — the engagement matrix every
+    event-analytics pipeline reports.
+
+    Weeks are Monday-aligned integer indices computed as
+    ``(epoch_days + 3) // 7`` (1970-01-01 was a Thursday) on BOTH
+    sides, so no date_trunc semantics can diverge between pandas and
+    the SQL oracle.
+
+    Distributed shape (the events_hourly_uniques pattern): each batch
+    first dedups its own (user, week) pairs locally — at most
+    |users|×|weeks| rows leave any task, not |events|.  Under the
+    parquet-footer count gate the deduped pair stream collects to one
+    driver pass; past it, ONE groupby on a coarse user-hash bucket
+    co-partitions each user's pairs (users are disjoint across
+    buckets, so per-bucket (cohort, offset) counts are additive) and
+    the driver sums the tiny per-bucket matrices — weeks² rows per
+    bucket, independent of corpus size.  The raw event stream never
+    shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    pair_schema = pa.schema([("bucket", pa.int64()),
+                             ("user_id", pa.int64()),
+                             ("wk", pa.int64())])
+
+    def local_pairs(b: pd.DataFrame) -> pa.Table:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        wk = (us // np.int64(86_400_000_000) + 3) // 7
+        d = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy().astype("int64"), "wk": wk}
+        ).drop_duplicates()
+        buck = ((d["user_id"].to_numpy()
+                 * np.int64(-7046029254386353131)) >> np.int64(40)) \
+            % np.int64(n_buckets)
+        return pa.table(
+            {"bucket": pa.array(buck),
+             "user_id": pa.array(d["user_id"].to_numpy()),
+             "wk": pa.array(d["wk"].to_numpy())},
+            schema=pair_schema,
+        )
+
+    def _matrix(d: pd.DataFrame) -> pd.DataFrame:
+        """(cohort_week, week_off) counts over distinct (user, wk)
+        rows — each user contributes once per pair because its weeks
+        are already distinct."""
+        cohort = d.groupby("user_id")["wk"].transform("min").to_numpy()
+        return (
+            pd.DataFrame({"cohort_week": cohort,
+                          "week_off": d["wk"].to_numpy() - cohort})
+            .groupby(["cohort_week", "week_off"], as_index=False)
+            .agg(n_users=("week_off", "size"))
+        )
+
+    cnt_schema = pa.schema([("cohort_week", pa.int64()),
+                            ("week_off", pa.int64()),
+                            ("n_users", pa.int64())])
+
+    _warn = _skew_warn()
+
+    def walk(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("cohort_retention.bucket", len(group), _warn)
+        d = group.drop_duplicates(["user_id", "wk"])
+        m = _matrix(d)
+        return pa.table(
+            {"cohort_week": pa.array(m["cohort_week"].to_numpy()),
+             "week_off": pa.array(m["week_off"].to_numpy()),
+             "n_users": pa.array(m["n_users"].to_numpy())},
+            schema=cnt_schema,
+        )
+
+    pairs = ds.map_batches(local_pairs, batch_format="pandas")
+
+    import pyarrow.dataset as pads
+
+    n_events = pads.dataset(f"{sf_dir}/events.parquet").count_rows()
+    if n_events <= broadcast_limit:
+        df = _matrix(pairs.to_pandas().drop_duplicates(
+            ["user_id", "wk"]))
+    else:
+        df = (
+            pairs.groupby("bucket")
+            .map_groups(walk, batch_format="pandas")
+            .to_pandas()
+            .groupby(["cohort_week", "week_off"], as_index=False)
+            .agg(n_users=("n_users", "sum"))
+        )
+    df = df.sort_values(["cohort_week", "week_off"]).reset_index(drop=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

@@ -858,6 +858,54 @@ class TestHourlyUniquesBranches:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestCohortRetention:
+    def test_driver_and_copartition_agree(self):
+        """broadcast_limit=0 forces the user-bucket co-partition; the
+        default gates into the driver pass — identical matrices."""
+        from ragflow_ray.ops.relational import cohort_retention
+
+        sf = "/root/testdata/sf0.001"
+        a = cohort_retention(sf)
+        b = cohort_retention(sf, broadcast_limit=0)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_multi_cohort_matrix(self, tmp_path):
+        """Hand-built two-cohort stream: users 1/2 sign up in week W,
+        user 3 one week later; activity gaps must show up as missing
+        (cohort, offset) cells, repeat visits in one week count once."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ragflow_ray.ops.relational import cohort_retention
+
+        day = 86_400_000_000
+        monday = ((0 // 7) * 7 + 4) * day + 700 * 7 * day  # a Monday
+        rows = [
+            (1, monday), (1, monday + day),          # u1 wk0 twice
+            (1, monday + 7 * day),                   # u1 wk1
+            (2, monday + 2 * day),                   # u2 wk0
+            (2, monday + 14 * day),                  # u2 wk2 (skips wk1)
+            (3, monday + 8 * day),                   # u3 cohort = wk1
+            (3, monday + 15 * day),                  # u3 off 1
+        ]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+        })
+        pq.write_table(t, tmp_path / "events.parquet")
+        w0 = (monday // day + 3) // 7
+        expect = pd.DataFrame({
+            "cohort_week": [w0, w0, w0, w0 + 1, w0 + 1],
+            "week_off": [0, 1, 2, 0, 1],
+            "n_users": [2, 1, 1, 1, 1],
+        }).astype("int64")
+        for limit in (2_000_000, 0):
+            got = cohort_retention(str(tmp_path), broadcast_limit=limit)
+            pd.testing.assert_frame_equal(got, expect)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestHybridTopkBranches:
     def test_broadcast_and_copartition_agree(self):
         """broadcast_limit=0 forces the union + coarse-bucket exchange;

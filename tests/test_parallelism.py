@@ -44,6 +44,7 @@ SWEEP = ",".join([
     "pack_sequences",
     "source_overlap_matrix",
     "user_funnel",
+    "cohort_retention",
 ])
 
 
