@@ -1418,6 +1418,33 @@ class TestEmbeddedFlateRaw:
         gray = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
         assert (arr == gray[:, :, None]).all()
 
+    def test_flate_with_png_predictor(self):
+        """/DecodeParms PNG Up-filter rows un-predict through the
+        shared filter machinery before the geometry check."""
+        import zlib
+
+        from ragflow_ray.ops.multimodal import decode_image
+        from ragflow_ray.parsers.pdfbytes import pdf_image_payloads
+
+        w, h = 5, 4
+        pixels = self._pixels(w, h, 3)
+        rowlen = w * 3
+        enc = bytearray()
+        prev = bytes(rowlen)
+        for r in range(0, len(pixels), rowlen):
+            row = pixels[r : r + rowlen]
+            enc.append(2)  # PNG Up filter tag
+            enc += bytes((row[i] - prev[i]) & 0xFF for i in range(rowlen))
+            prev = row
+        blob = make_pdf_with_image_stream(
+            zlib.compress(bytes(enc)), width=w, height=h,
+            filter_entry=(b"/Filter /FlateDecode /DecodeParms "
+                          b"<< /Predictor 12 /Columns 5 /Colors 3 "
+                          b"/BitsPerComponent 8 >> "))
+        rows = pdf_image_payloads("docU", blob)
+        assert len(rows) == 1 and rows[0]["codec"] == "raw"
+        assert decode_image(rows[0]["payload"]).tobytes() == pixels
+
     def test_geometry_mismatch_skipped(self):
         import zlib
 
