@@ -21,7 +21,11 @@ hr 50 > lists 40/30 > quote 20 > paragraph 10):
   layout: one tag per line, ``<thead>``/``<tbody>`` sections,
   ``:---:``-style alignment as ``style="text-align: …;"`` attributes;
 * unordered (``- `` / ``* `` / ``+ ``) and ordered (``1. ``) lists →
-  ``<ul>/<ol>`` with one ``<li>`` per line;
+  ``<ul>/<ol>``, python-markdown's list shape: the list must open its
+  block (a block starting with text stays a paragraph — markdown
+  requires a blank line before a list), either marker type continues
+  the list (the first item picks the tag), and unmarked lines are
+  lazy continuations joined into the previous ``<li>``;
 * ATX headings ``#``–``######`` → ``<h1>``–``<h6>``, python-markdown's
   hashheader shape: no space required after the hashes (``#T`` is a
   heading), trailing ``#`` runs stripped, a seventh ``#`` becomes
@@ -59,9 +63,10 @@ hr 50 > lists 40/30 > quote 20 > paragraph 10):
 Out of subset (documented, text passes through verbatim): reference
 links and ``<addr@x>`` mail autolinks, raw inline HTML passthrough,
 fenced code blocks (the reference enables only the tables extension,
-so fences are paragraph text there too), multi-line / nested list
-items, code spans and emphasis spanning a soft line break, and
-indented code blocks continuing across blank lines.  Byte-exact
+so fences are paragraph text there too), indented sublists and block
+elements nested inside list items, code spans and emphasis spanning
+a soft line break, and indented code blocks continuing across blank
+lines.  Byte-exact
 python-markdown parity is unverifiable offline; the shapes above are
 written from its public source/docs.
 """
@@ -233,17 +238,29 @@ def _render_block(block: list[str]) -> list[str]:
             out.append("<hr />")
             out += _render_block(block[i + 1:])
             return out
-    # lists (40/30)
-    if all(_UL_ITEM.match(ln.strip()) for ln in block):
-        return ["<ul>",
-                *(f"<li>{_inline(_UL_ITEM.match(ln.strip()).group(1))}</li>"
-                  for ln in block),
-                "</ul>"]
-    if all(_OL_ITEM.match(ln.strip()) for ln in block):
-        return ["<ol>",
-                *(f"<li>{_inline(_OL_ITEM.match(ln.strip()).group(1))}</li>"
-                  for ln in block),
-                "</ol>"]
+    # lists (40/30): python-markdown's list processors MATCH at the
+    # block start only (a list needs a blank line before it — a block
+    # opening with text stays one paragraph even if later lines look
+    # like items); either marker type continues the list (the first
+    # item picks the tag), and unmarked lines are lazy continuations
+    # appended to the previous item
+    if _UL_ITEM.match(first) or _OL_ITEM.match(first):
+        tag = "ul" if _UL_ITEM.match(first) else "ol"
+        items: list[str] = []
+        for ln in block:
+            s = ln.strip()
+            m = _UL_ITEM.match(s) or _OL_ITEM.match(s)
+            if m:
+                items.append(m.group(1))
+            else:
+                items[-1] += "\n" + s
+        out = [f"<{tag}>"]
+        for it in items:
+            out.append("<li>"
+                       + "\n".join(_inline(l) for l in it.split("\n"))
+                       + "</li>")
+        out.append(f"</{tag}>")
+        return out
     # blockquote (20): from the first marked line to the end of the
     # block — python-markdown dequotes every later line (lazy
     # continuation), and a deeper ">>" marker nests via the recursion

@@ -452,6 +452,25 @@ class TestMarkdownHtml:
         # hard line break on two trailing spaces
         assert markdown_to_html("a  \nb") == "<p>a<br />\nb</p>"
 
+    def test_list_shape(self):
+        from ragflow_ray.text.mdhtml import markdown_to_html
+
+        # lazy continuation joins the previous item
+        assert (markdown_to_html("- a\nplain tail")
+                == "<ul>\n<li>a\nplain tail</li>\n</ul>")
+        # a block opening with text stays one paragraph — markdown
+        # requires a blank line before a list
+        assert (markdown_to_html("text\n- a")
+                == "<p>text\n- a</p>")
+        # mixed markers continue the list; the first item picks the tag
+        assert (markdown_to_html("- a\n2. b")
+                == "<ul>\n<li>a</li>\n<li>b</li>\n</ul>")
+        assert (markdown_to_html("1. a\n- b")
+                == "<ol>\n<li>a</li>\n<li>b</li>\n</ol>")
+        # inline markup applies inside continuations
+        assert (markdown_to_html("- a\n**bold** tail")
+                == "<ul>\n<li>a\n<strong>bold</strong> tail</li>\n</ul>")
+
     def test_nested_blockquotes(self):
         from ragflow_ray.text.mdhtml import markdown_to_html
 
