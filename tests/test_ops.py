@@ -904,6 +904,74 @@ class TestCohortRetention:
             got = cohort_retention(str(tmp_path), broadcast_limit=limit)
             pd.testing.assert_frame_equal(got, expect)
 
+    def test_week_arithmetic_matches_duckdb(self):
+        """The Monday-aligned integer week index must agree between
+        the engine's pure-integer arithmetic and the oracle's
+        DATE_DIFF form on arbitrary microsecond timestamps — this is
+        the only place the two sides could drift."""
+        import duckdb
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        day = 86_400_000_000
+        con = duckdb.connect()
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(
+            st.integers(min_value=0,
+                        max_value=4102444800 * 1_000_000),  # ≤ 2100
+            min_size=1, max_size=20))
+        def check(us_list):
+            eng = [(us // day + 3) // 7 for us in us_list]
+            df = pd.DataFrame(
+                {"ts": pd.to_datetime(np.array(us_list, dtype="int64"),
+                                      unit="us")})
+            sql = con.execute(
+                """SELECT CAST(FLOOR((DATE_DIFF('day',
+                       DATE '1970-01-01', ts) + 3) / 7.0) AS BIGINT)
+                   FROM df""").fetchall()
+            assert [r[0] for r in sql] == eng
+
+        check()
+
+    def test_random_streams_match_oracle(self, tmp_path):
+        """Randomized end-to-end pin: arbitrary (user, ts) streams run
+        through the Ray operator and the DuckDB oracle SQL from
+        __ray_entry__ must produce identical matrices."""
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        from ragflow_ray.ops.relational import cohort_retention
+
+        rng = np.random.default_rng(7)
+        base = 1_700_000_000 * 1_000_000
+        for trial in range(3):
+            n = int(rng.integers(5, 400))
+            t = pa.table({
+                "user_id": pa.array(
+                    rng.integers(0, 40, n), pa.int64()),
+                "ts": pa.array(
+                    (base + rng.integers(0, 90 * 86_400_000_000, n))
+                    .astype("int64"), pa.timestamp("us")),
+            })
+            d = tmp_path / f"t{trial}"
+            d.mkdir()
+            pq.write_table(t, d / "events.parquet")
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+            exp = con.execute(
+                entry.oracle_sql()["cohort_retention"]).df()
+            for c in exp.columns:
+                exp[c] = exp[c].astype("int64")
+            got = cohort_retention(str(d), broadcast_limit=0)
+            pd.testing.assert_frame_equal(got, exp)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestHybridTopkBranches:
