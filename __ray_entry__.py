@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_uniques": relational.events_hourly_uniques,
         "user_funnel": relational.user_funnel,
         "cohort_retention": relational.cohort_retention,
+        "rolling_active_users": relational.rolling_active_users,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,
@@ -1135,6 +1136,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_users
             FROM w JOIN f USING (user_id)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # DAU / trailing-7-day WAU per event day, plus the exact
+        # integer stickiness ratio; days are epoch-day integers
+        # (DATE_DIFF day-boundary counts = ts_us // 86_400e6)
+        "rolling_active_users": """
+            WITH p AS (
+                SELECT DISTINCT
+                       DATE_DIFF('day', DATE '1970-01-01', ts)::BIGINT
+                           AS day,
+                       user_id
+                FROM events
+            ), days AS (SELECT DISTINCT day FROM p)
+            SELECT d.day AS day,
+                   COUNT(DISTINCT CASE WHEN p.day = d.day
+                                       THEN p.user_id END)::BIGINT AS dau,
+                   COUNT(DISTINCT p.user_id)::BIGINT AS wau,
+                   ((COUNT(DISTINCT CASE WHEN p.day = d.day
+                                         THEN p.user_id END) * 1000)
+                    // COUNT(DISTINCT p.user_id))::BIGINT
+                       AS stickiness_x1000
+            FROM days d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day ORDER BY 1
         """,
         # schema-on-read JSON extraction, aggregated per event type
         # regexp_extract + TRY_CAST mirrors the engine's strict-integer

@@ -172,6 +172,7 @@ def run_bench() -> dict:
         "events_hourly_uniques": relational.events_hourly_uniques,
         "user_funnel": relational.user_funnel,
         "cohort_retention": relational.cohort_retention,
+        "rolling_active_users": relational.rolling_active_users,
         "html_extract_roundtrip": lambda d: html_extract_roundtrip(d).count(),
         "repetition_signals": curation.repetition_signals,
         "pack_sequences": curation.pack_sequences,

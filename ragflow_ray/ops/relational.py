@@ -1539,3 +1539,131 @@ def cohort_retention(sf_dir: str, n_buckets: int = 256,
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7,
+                         n_buckets: int = 64,
+                         broadcast_limit: int = 2_000_000):
+    """Daily / rolling-window active users (DAU, WAU) plus the
+    DAU/WAU stickiness ratio — the engagement dashboard every event
+    pipeline feeds.  For each calendar day that has events: distinct
+    users that day (``dau``), distinct users across the trailing
+    ``window_days`` window (``wau``), and the exact integer ratio
+    ``stickiness_x1000 = dau*1000 // wau``.
+
+    Days are epoch-day integers (``ts_us // 86_400_000_000``), the
+    same arithmetic as the SQL oracle's DATE_DIFF form.
+
+    Distributed shape: batches dedup their own (user, day) pairs
+    locally — at most |users|×|days| rows leave any task.  Under the
+    parquet-footer count gate the pair stream collects to one driver
+    pass; past it, each pair expands to its ``window_days`` member
+    windows (anchor flagged) and ONE groupby on a coarse
+    window-day-hash bucket counts distinct users / distinct anchor
+    users per window vectorized — group size is bounded by
+    users×window_days, and only windows anchored on a day that
+    actually has events are emitted.  The raw event stream never
+    shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    day_us = np.int64(86_400_000_000)
+
+    pair_schema = pa.schema([("day", pa.int64()), ("user_id", pa.int64())])
+
+    def local_pairs(b: pd.DataFrame) -> pa.Table:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame(
+            {"day": us // day_us,
+             "user_id": b["user_id"].to_numpy().astype("int64")}
+        ).drop_duplicates()
+        return pa.table(
+            {"day": pa.array(d["day"].to_numpy()),
+             "user_id": pa.array(d["user_id"].to_numpy())},
+            schema=pair_schema,
+        )
+
+    def _finalize(dau_wau: pd.DataFrame) -> pd.DataFrame:
+        dau_wau = dau_wau.sort_values("day").reset_index(drop=True)
+        out = pd.DataFrame({
+            "day": dau_wau["day"].astype("int64"),
+            "dau": dau_wau["dau"].astype("int64"),
+            "wau": dau_wau["wau"].astype("int64"),
+        })
+        out["stickiness_x1000"] = (out["dau"] * 1000) // out["wau"]
+        return out
+
+    pairs = ds.map_batches(local_pairs, batch_format="pandas")
+
+    import pyarrow.dataset as pads
+
+    n_events = pads.dataset(f"{sf_dir}/events.parquet").count_rows()
+    if n_events <= broadcast_limit:
+        p = pairs.to_pandas().drop_duplicates()
+        days = np.sort(p["day"].unique())
+        day_arr = p["day"].to_numpy()
+        uid_arr = p["user_id"].to_numpy()
+        rows = []
+        for d in days:
+            in_w = (day_arr > d - window_days) & (day_arr <= d)
+            rows.append((int(d),
+                         int(pd.unique(uid_arr[day_arr == d]).size),
+                         int(pd.unique(uid_arr[in_w]).size)))
+        return _finalize(pd.DataFrame(rows,
+                                      columns=["day", "dau", "wau"]))
+
+    # scale path: expand each (user, day) pair to its member windows;
+    # windows whose anchor day has no events are dropped inside the
+    # group (the anchor flag doubles as the present-day witness)
+    exp_schema = pa.schema([("bucket", pa.int64()), ("win", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("anchor", pa.int64())])
+
+    def expand(b: pd.DataFrame) -> pa.Table:
+        day = np.repeat(b["day"].to_numpy(), window_days)
+        uid = np.repeat(b["user_id"].to_numpy(), window_days)
+        off = np.tile(np.arange(window_days, dtype=np.int64), len(b))
+        win = day + off
+        anchor = (off == 0).astype("int64")
+        buck = ((win * np.int64(-7046029254386353131)) >> np.int64(40)) \
+            % np.int64(n_buckets)
+        return pa.table(
+            {"bucket": pa.array(buck), "win": pa.array(win),
+             "user_id": pa.array(uid), "anchor": pa.array(anchor)},
+            schema=exp_schema,
+        )
+
+    cnt_schema = pa.schema([("day", pa.int64()), ("dau", pa.int64()),
+                            ("wau", pa.int64())])
+
+    _warn = _skew_warn()
+
+    def walk(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("rolling_active_users.bucket", len(group), _warn)
+        g = (group.groupby(["win", "user_id"], as_index=False)
+             .agg(anchor=("anchor", "max")))
+        m = g.groupby("win", as_index=False).agg(
+            wau=("user_id", "size"), dau=("anchor", "sum"),
+            present=("anchor", "max"))
+        m = m[m["present"] == 1]
+        return pa.table(
+            {"day": pa.array(m["win"].to_numpy().astype("int64")),
+             "dau": pa.array(m["dau"].to_numpy().astype("int64")),
+             "wau": pa.array(m["wau"].to_numpy().astype("int64"))},
+            schema=cnt_schema,
+        )
+
+    df = (
+        pairs.map_batches(expand, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pandas")
+        .to_pandas()
+    )
+    return _finalize(df)

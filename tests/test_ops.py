@@ -904,6 +904,41 @@ class TestCohortRetention:
             got = cohort_retention(str(tmp_path), broadcast_limit=limit)
             pd.testing.assert_frame_equal(got, expect)
 
+    def test_rolling_actives_branches_agree(self):
+        from ragflow_ray.ops.relational import rolling_active_users
+
+        sf = "/root/testdata/sf0.001"
+        a = rolling_active_users(sf)
+        b = rolling_active_users(sf, broadcast_limit=0)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_rolling_actives_hand_case(self, tmp_path):
+        """u1 active days 0 and 8, u2 day 2 only: day 8's trailing
+        7-day window [2..8] holds both users, the eventless gap days
+        emit no row, and repeat visits in one day count once."""
+        from ragflow_ray.ops.relational import rolling_active_users
+
+        day = 86_400_000_000
+        base = 20_000 * day
+        rows = [(1, base), (1, base + 3600 * 1_000_000),
+                (2, base + 2 * day),
+                (1, base + 8 * day)]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        })
+        pq.write_table(t, tmp_path / "events.parquet")
+        expect = pd.DataFrame({
+            "day": [20_000, 20_002, 20_008],
+            "dau": [1, 1, 1],
+            "wau": [1, 2, 2],
+            "stickiness_x1000": [1000, 500, 500],
+        }).astype("int64")
+        for limit in (2_000_000, 0):
+            got = rolling_active_users(str(tmp_path),
+                                       broadcast_limit=limit)
+            pd.testing.assert_frame_equal(got, expect)
+
     def test_week_arithmetic_matches_duckdb(self):
         """The Monday-aligned integer week index must agree between
         the engine's pure-integer arithmetic and the oracle's

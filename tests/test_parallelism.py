@@ -45,6 +45,7 @@ SWEEP = ",".join([
     "source_overlap_matrix",
     "user_funnel",
     "cohort_retention",
+    "rolling_active_users",
 ])
 
 
