@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": dedup.source_overlap_matrix,
         "curate_and_pack": curation.curate_and_pack,
         "per_source_cap": curation.per_source_cap,
+        "top_docs_per_source": curation.top_docs_per_source,
+        "source_length_quantiles": curation.source_length_quantiles,
         "pii_scrub": lambda d: curation.pii_scrub(d).to_pandas(),
         "dsir_importance": curation.dsir_importance,
         "nb_lang_classify": curation.nb_lang_classify,
@@ -156,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": relational.user_funnel,
         "cohort_retention": relational.cohort_retention,
         "rolling_active_users": relational.rolling_active_users,
+        "event_spike_days": relational.event_spike_days,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,
@@ -449,6 +452,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rank <= 15
             ORDER BY source, rank
+        """,
+        # per-group top-k window: longest 3 docs per source, doc_id
+        # tiebreak — classic ROW_NUMBER PARTITION BY
+        "top_docs_per_source": """
+            SELECT source, rank, doc_id::BIGINT AS doc_id,
+                   n_chars::BIGINT AS n_chars
+            FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                       )::BIGINT AS rank
+                FROM documents
+            ) WHERE rank <= 3
+            ORDER BY source, rank
+        """,
+        # grouped exact order statistics: per source, smallest n_chars
+        # whose cumulative doc count reaches ceil(p/100 * N_src) —
+        # integer arithmetic both sides (same idiom as
+        # length_quantiles)
+        "source_length_quantiles": """
+            WITH n AS (SELECT source, COUNT(*) AS total
+                       FROM documents GROUP BY 1),
+            c AS (SELECT source, n_chars, COUNT(*) AS cnt
+                  FROM documents GROUP BY 1, 2),
+            cum AS (SELECT source, n_chars,
+                           SUM(cnt) OVER (PARTITION BY source
+                                          ORDER BY n_chars) AS cum
+                    FROM c)
+            SELECT cum.source, p.p_x100::BIGINT AS p_x100,
+                   MIN(cum.n_chars)::BIGINT AS n_chars
+            FROM (VALUES (50), (90), (99)) AS p(p_x100)
+            CROSS JOIN n
+            JOIN cum ON cum.source = n.source
+                    AND cum.cum >= (p.p_x100 * n.total + 99) // 100
+            GROUP BY cum.source, p.p_x100
+            ORDER BY cum.source, p.p_x100
         """,
         # passage = consecutive non-overlapping 16-word slice of the
         # split(' ') word list (trailing partial kept; '' = 1 passage);
@@ -1158,6 +1198,32 @@ def oracle_sql() -> dict[str, str]:
                        AS stickiness_x1000
             FROM days d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
             GROUP BY d.day ORDER BY 1
+        """,
+        # daily anomaly flags per event type: cnt > mean + 2σ stated in
+        # exact integer arithmetic (n·cnt − T > 0 and (n·cnt − T)² >
+        # 4·(n·Q − T²), population σ) — no float mean/σ on either side
+        "event_spike_days": """
+            WITH c AS (
+                SELECT event_type,
+                       DATE_DIFF('day', DATE '1970-01-01', ts)::BIGINT
+                           AS day,
+                       COUNT(*)::BIGINT AS n_events
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, COUNT(*)::BIGINT AS n_days,
+                       SUM(n_events)::BIGINT AS total,
+                       SUM(n_events * n_events)::BIGINT AS total_sq
+                FROM c GROUP BY 1
+            )
+            SELECT c.event_type, c.day, c.n_events,
+                   (CASE WHEN (s.n_days * c.n_events - s.total) > 0
+                          AND (s.n_days * c.n_events - s.total)
+                              * (s.n_days * c.n_events - s.total)
+                              > 4 * (s.n_days * s.total_sq
+                                     - s.total * s.total)
+                         THEN 1 ELSE 0 END)::BIGINT AS spike
+            FROM c JOIN s USING (event_type)
+            ORDER BY c.event_type, c.day
         """,
         # schema-on-read JSON extraction, aggregated per event type
         # regexp_extract + TRY_CAST mirrors the engine's strict-integer

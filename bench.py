@@ -173,6 +173,9 @@ def run_bench() -> dict:
         "user_funnel": relational.user_funnel,
         "cohort_retention": relational.cohort_retention,
         "rolling_active_users": relational.rolling_active_users,
+        "event_spike_days": relational.event_spike_days,
+        "top_docs_per_source": curation.top_docs_per_source,
+        "source_length_quantiles": curation.source_length_quantiles,
         "html_extract_roundtrip": lambda d: html_extract_roundtrip(d).count(),
         "repetition_signals": curation.repetition_signals,
         "pack_sequences": curation.pack_sequences,

@@ -797,6 +797,98 @@ def per_source_cap(sf_dir: str, cap: int = PER_SOURCE_CAP):
     return df[["doc_id", "source", "rank"]]
 
 
+def top_docs_per_source(sf_dir: str, k: int = 3):
+    """Per-group top-k (the SQL ``ROW_NUMBER() OVER (PARTITION BY
+    source ORDER BY n_chars DESC, doc_id)`` window, rank ≤ k): the
+    longest ``k`` documents of every source, with a deterministic
+    doc-id tiebreak.
+
+    Top-k per group is a semilattice: every global winner is a winner
+    of its own batch, so each batch forwards at most k rows per source
+    it saw, a narrow combine level re-takes the per-source head over
+    ~65k partial rows per task, and the driver finalize ranks a table
+    bounded by sources × k × (combine fan-in) — the corpus text never
+    leaves the read tasks (the scan is pruned to three int/dict
+    columns, no ``text`` at all)."""
+
+    def head_k(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.sort_values(["source", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+            .groupby("source", as_index=False).head(k)
+        )
+        out = g[["source", "doc_id", "n_chars"]].reset_index(drop=True)
+        for c in ("doc_id", "n_chars"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    df = (
+        _docs(sf_dir, columns=("doc_id", "source", "n_chars"),
+              rows_per_block=4096)
+        .map_batches(head_k, batch_format="pandas")
+        .map_batches(head_k, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    df = head_k(df)
+    df["rank"] = (df.groupby("source").cumcount() + 1).astype("int64")
+    return (df[["source", "rank", "doc_id", "n_chars"]]
+            .sort_values(["source", "rank"]).reset_index(drop=True))
+
+
+def source_length_quantiles(sf_dir: str):
+    """Exact per-source length quantiles (p50/p90/p99 of ``n_chars``)
+    by the distributed counting-sort pattern of
+    :func:`length_quantiles`, grouped: per-batch (source, n_chars)
+    count partials → one narrow combine level → a driver table bounded
+    by sources × distinct lengths, whose per-source cumulative sums
+    yield the exact order statistics.  Quantile definition: smallest
+    value whose per-source cumulative count reaches ``ceil(p * N_src)``
+    (mirrored exactly in SQL).  The scan is pruned to two columns."""
+    import numpy as np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.groupby(["source", "n_chars"], as_index=False)
+            .size().rename(columns={"size": "n_docs"})
+        )
+        for c in ("n_chars", "n_docs"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["source", "n_chars"], as_index=False).agg(
+            n_docs=("n_docs", "sum"))
+        for c in ("n_chars", "n_docs"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    hist = (
+        _docs(sf_dir, columns=("source", "n_chars"), rows_per_block=4096)
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["source", "n_chars"], as_index=False).agg(
+            n_docs=("n_docs", "sum"))
+        .sort_values(["source", "n_chars"]).reset_index(drop=True)
+    )
+    rows = []
+    for source, g in hist.groupby("source", sort=True):
+        values = g["n_chars"].to_numpy()
+        cum = np.cumsum(g["n_docs"].to_numpy())
+        total = int(cum[-1])
+        for p in QUANTILES_X100:
+            # ceil(p/100 * N) in integers — same idiom as
+            # length_quantiles, stated verbatim in the SQL oracle
+            rank = (p * total + 99) // 100
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            rows.append({"source": source, "p_x100": p,
+                         "n_chars": int(values[min(idx, len(values) - 1)])})
+    df = pd.DataFrame(rows)
+    for c in ("p_x100", "n_chars"):
+        df[c] = df[c].astype("int64")
+    return df[["source", "p_x100", "n_chars"]]
+
+
 def lm_cross_entropy(sf_dir: str, broadcast_limit: int = 2_000_000):
     """CCNet-style LM quality scoring: per-doc cross-entropy under the
     corpus's own MLE bigram model → (doc_id, cross_entropy, n_bigrams).

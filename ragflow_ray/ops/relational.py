@@ -1667,3 +1667,76 @@ def rolling_active_users(sf_dir: str, window_days: int = 7,
         .to_pandas()
     )
     return _finalize(df)
+
+
+def event_spike_days(sf_dir: str):
+    """Daily volume anomaly flags per event type — the monitoring query
+    a production event pipeline runs to catch bot bursts / instrument
+    regressions.  For every (event_type, calendar day) with events:
+    the day's count plus ``spike`` = 1 when the count exceeds the
+    type's mean daily count by more than two population standard
+    deviations.
+
+    The 2σ test is evaluated in EXACT integer arithmetic (no float
+    mean/σ):  with ``n`` = the type's active-day count, ``T`` = its
+    total events and ``Q`` = sum of squared daily counts,
+
+        cnt > mean + 2σ  ⇔  n·cnt − T > 0  and
+                            (n·cnt − T)² > 4·(n·Q − T²)
+
+    which the SQL oracle states verbatim, so Ray and DuckDB agree
+    bit-exactly.  The driver finalize compares PYTHON ints (no int64
+    squaring overflow even when daily counts reach 3e9+ at full
+    scale).
+
+    Distributed shape: per-batch (event_type, day) count partials →
+    one narrow combine level → a driver table bounded by
+    types × days regardless of event count.  The event stream never
+    shuffles."""
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    day_us = np.int64(86_400_000_000)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = (
+            pd.DataFrame({"event_type": b["event_type"], "day": us // day_us})
+            .groupby(["event_type", "day"], as_index=False)
+            .size().rename(columns={"size": "n_events"})
+        )
+        for c in ("day", "n_events"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("n_events", "sum"))
+        for c in ("day", "n_events"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("n_events", "sum"))
+        .sort_values(["event_type", "day"]).reset_index(drop=True)
+    )
+    spikes = []
+    for _etype, g in counts.groupby("event_type", sort=False):
+        cnts = [int(x) for x in g["n_events"]]
+        n, total = len(cnts), sum(cnts)
+        q = sum(c * c for c in cnts)
+        var4 = 4 * (n * q - total * total)
+        for c in cnts:
+            d = n * c - total
+            spikes.append(1 if d > 0 and d * d > var4 else 0)
+    counts["day"] = counts["day"].astype("int64")
+    counts["n_events"] = counts["n_events"].astype("int64")
+    counts["spike"] = pd.Series(spikes, dtype="int64")
+    return counts[["event_type", "day", "n_events", "spike"]]

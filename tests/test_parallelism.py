@@ -46,6 +46,8 @@ SWEEP = ",".join([
     "user_funnel",
     "cohort_retention",
     "rolling_active_users",
+    "event_spike_days",
+    "top_docs_per_source",
 ])
 
 
