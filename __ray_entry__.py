@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann.ivf_topk,
         "ann_lsh_topk": ann.lsh_topk,
         "ann_pq_topk": ann.pq_topk,
+        "ann_range_search": ann.range_search,
         "label_vector_sums": ann.label_vector_sums,
         # --- multimodal plumbing ---
         "media_meta": media_meta,
@@ -678,6 +679,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_vec_id::BIGINT AS q_vec_id, vec_id::BIGINT AS vec_id,
                    rank::BIGINT AS rank
             FROM ranked WHERE rank <= 10 ORDER BY q_vec_id, rank
+        """,
+        # cosine radius search: every pair strictly above 0.2 (the
+        # threshold sits >=1e-4 from every testdata similarity, so the
+        # strict > matches numpy float64 bit-for-bit)
+        "ann_range_search": """
+            WITH q AS (SELECT vec_id AS q_vec_id, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5)
+            SELECT q.q_vec_id::BIGINT AS q_vec_id,
+                   e.vec_id::BIGINT AS vec_id
+            FROM q CROSS JOIN embeddings e
+            WHERE list_cosine_similarity(q.qe::DOUBLE[],
+                                         e.embedding::DOUBLE[]) > 0.2
+            ORDER BY q_vec_id, vec_id
         """,
         "media_meta": """
             SELECT doc_id,

@@ -164,6 +164,7 @@ def run_bench() -> dict:
         "ann_topk": lambda d: ann.brute_force_topk(d, concurrency=pool),
         "ann_lsh_topk": lambda d: ann.lsh_topk(d, concurrency=pool),
         "ann_pq_topk": lambda d: ann.pq_topk(d, concurrency=pool),
+        "ann_range_search": ann.range_search,
         "pricing_summary": relational.pricing_summary,
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,

@@ -196,6 +196,49 @@ def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5, concurrency=N
     return _merge_partials(_reduce_topk(partials, k).to_pandas(), k)
 
 
+def range_search(sf_dir: str, threshold: float = 0.2, n_queries: int = 5):
+    """Exact cosine radius (range) search: every (query, vector) pair
+    with similarity strictly above ``threshold`` → (q_vec_id, vec_id),
+    sorted.  The top-k family answers "the nearest k"; range search
+    answers "everything this close" — the recall-oriented variant a
+    retrieval pipeline uses for candidate generation.
+
+    Same distributed shape as :func:`brute_force_topk` minus the
+    reduce: the query matrix broadcasts once (``ray.put``, zero-copy
+    numpy view per task), each batch does one float64 matmul and
+    forwards ONLY its matching id pairs — the result stream is
+    match-sized, never corpus-sized, and there is no shuffle at all.
+    Scores are excluded from the result; the default threshold sits
+    ≥1e-4 from every pairwise similarity in the testdata, so the
+    strict ``>`` agrees bit-for-bit with the SQL oracle's."""
+    import ray
+
+    query_ids, queries = _load_queries(sf_dir, n_queries)
+    qref = ray.put(queries)
+    pair_schema = pa.schema([("q_vec_id", pa.int64()), ("vec_id", pa.int64())])
+
+    def match_pairs(batch: pd.DataFrame) -> pa.Table:
+        qmat = ray.get(qref)
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = qmat @ mat.T  # (nq, batch)
+        qi, vi = np.nonzero(sims > threshold)
+        return pa.table(
+            {"q_vec_id": np.asarray(query_ids)[qi].astype(np.int64),
+             "vec_id": ids[vi].astype(np.int64)},
+            schema=pair_schema,
+        )
+
+    df = (
+        _embeddings(sf_dir)
+        .map_batches(match_pairs, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    return (df.sort_values(["q_vec_id", "vec_id"]).reset_index(drop=True)
+            .astype({"q_vec_id": "int64", "vec_id": "int64"}))
+
+
 def label_vector_sums(sf_dir: str):
     """Per-label element-wise vector aggregate: micro-scaled integer
     sums per dimension (the exact form of a centroid computation that

@@ -48,6 +48,7 @@ SWEEP = ",".join([
     "rolling_active_users",
     "event_spike_days",
     "top_docs_per_source",
+    "ann_range_search",
 ])
 
 
