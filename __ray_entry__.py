@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": curation.nb_lang_classify,
         "stratified_split": curation.stratified_split,
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        "pmi_collocations": textstats.pmi_collocations,
         # --- embedding clustering (fixture-oracled iterative k-means) ---
         "kmeans_clusters": cluster.kmeans_clusters,
         "semdedup": cluster.semdedup,
@@ -614,6 +615,31 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY lang, word
             ) WHERE rank <= 20
             ORDER BY lang, rank
+        """,
+        # collocation mining: top-50 adjacent [a-z]+ word pairs by PMI
+        # over positional marginals; the (n_ab * N) / (n_l * n_r)
+        # operation order and round-6 are pinned on both sides
+        "pmi_collocations": """
+            WITH w AS (SELECT regexp_extract_all(text, '[a-z]+') AS ws
+                       FROM documents),
+            b AS (SELECT ws[CAST(i AS INT)] AS w1,
+                         ws[CAST(i + 1 AS INT)] AS w2
+                  FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+            c AS (SELECT w1, w2, COUNT(*)::BIGINT AS n_ab
+                  FROM b GROUP BY 1, 2),
+            m AS (SELECT w1, w2, n_ab,
+                         SUM(n_ab) OVER ()::DOUBLE AS total,
+                         SUM(n_ab) OVER (PARTITION BY w1)::DOUBLE AS n_l,
+                         SUM(n_ab) OVER (PARTITION BY w2)::DOUBLE AS n_r
+                  FROM c),
+            s AS (SELECT w1, w2, n_ab,
+                         round(ln((n_ab::DOUBLE * total) / (n_l * n_r)),
+                               6) AS pmi
+                  FROM m WHERE n_ab >= 5)
+            SELECT row_number() OVER (ORDER BY pmi DESC, w1, w2)::BIGINT
+                       AS rank,
+                   w1, w2, n_ab, pmi
+            FROM s ORDER BY rank LIMIT 50
         """,
         # CCNet-style LM filter: per-doc cross-entropy under the corpus
         # MLE bigram model (round-6 absorbs float association/ulp)

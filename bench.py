@@ -205,6 +205,7 @@ def run_bench() -> dict:
             d, concurrency=pool),
         "tfidf_top_terms": lambda d: textstats.tfidf_top_terms(
             d, concurrency=pool),
+        "pmi_collocations": textstats.pmi_collocations,
         "hybrid_topk": textstats.hybrid_topk,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "gopher_repetition_flags": curation.gopher_repetition_flags,

@@ -385,6 +385,158 @@ def vocab_topk(sf_dir: str, k: int = 20):
     return df[["lang", "word", "n", "rank"]]
 
 
+def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50,
+                     driver_limit: int = 2_000_000):
+    """Collocation (phrase) mining: the top-``k`` adjacent word pairs
+    by pointwise mutual information — the statistic behind phrase
+    detectors (word2vec-style phrase joining, tokenizer multi-word
+    vocab candidates).  Words are ``[a-z]+`` runs (the convention
+    shared with lm_cross_entropy); for bigram ``(a, b)`` with count
+    ``n_ab``, left/right positional marginals ``n_a·, n_·b`` and total
+    bigram count ``N``:
+
+        pmi = ln(n_ab · N / (n_a· · n_·b)),  rounded to 6 decimals
+
+    (the established float-log idiom: both sides compute the ratio in
+    the same operation order on exactly-representable integers, and
+    the round absorbs ulp-level ln differences).  Pairs below
+    ``min_count`` are noise-filtered before ranking; ties break on
+    (w1, w2) ascending.
+
+    Distributed plan: per-batch bigram-count partials (pairs built
+    with a C-level grouped shift, no per-doc Python) → one narrow
+    combine level → under the ``driver_limit`` count gate the
+    distinct-bigram table lands on the driver whole; past it, an
+    exact distributed groupby rebuilds the counts, the (vocab-sized)
+    marginals reduce through their own partial-combine level, and the
+    ``min_count`` filter + broadcast-marginal PMI scoring + per-batch
+    head-k keep every later stage frequent-bigram-sized."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .curation import _docs
+
+    pair_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("n_ab", pa.int64())]
+    )
+    _word_re = re.compile(r"[a-z]+")
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        words = batch["text"].str.findall(_word_re).explode().dropna()
+        if not len(words):
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "n_ab": pa.array([], pa.int64())}, schema=pair_schema)
+        w2 = words.groupby(level=0).shift(-1)
+        d = pd.DataFrame({"w1": words, "w2": w2}).dropna()
+        g = d.groupby(["w1", "w2"], as_index=False).size().rename(
+            columns={"size": "n_ab"})
+        return pa.table(
+            {"w1": g["w1"].astype(str).to_numpy(),
+             "w2": g["w2"].astype(str).to_numpy(),
+             "n_ab": g["n_ab"].to_numpy().astype("int64")},
+            schema=pair_schema,
+        )
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["w1", "w2"], as_index=False, sort=False).agg(
+            n_ab=("n_ab", "sum"))
+        return pa.table(
+            {"w1": g["w1"].astype(str).to_numpy(),
+             "w2": g["w2"].astype(str).to_numpy(),
+             "n_ab": g["n_ab"].to_numpy().astype("int64")},
+            schema=pair_schema,
+        )
+
+    def _pmi_rank(counts: pd.DataFrame) -> pd.DataFrame:
+        # marginals over the FULL bigram table (pre-min_count filter)
+        total = int(counts["n_ab"].sum())
+        left = counts.groupby("w1")["n_ab"].sum()
+        right = counts.groupby("w2")["n_ab"].sum()
+        c = counts[counts["n_ab"] >= min_count].copy()
+        n = c["n_ab"].to_numpy().astype(np.float64)
+        nl = left.reindex(c["w1"]).to_numpy().astype(np.float64)
+        nr = right.reindex(c["w2"]).to_numpy().astype(np.float64)
+        # operation order pinned to the SQL: (n_ab * N) / (n_l * n_r)
+        c["pmi"] = pd.Series(
+            np.log((n * total) / (nl * nr)), index=c.index).round(6)
+        c = (c.sort_values(["pmi", "w1", "w2"],
+                           ascending=[False, True, True]).head(k)
+             .reset_index(drop=True))
+        c["rank"] = pd.Series(range(1, len(c) + 1), dtype="int64")
+        c["n_ab"] = c["n_ab"].astype("int64")
+        return c[["rank", "w1", "w2", "n_ab", "pmi"]]
+
+    partials = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .materialize()
+    )
+    if partials.count() <= driver_limit:
+        counts = (partials.to_pandas()
+                  .groupby(["w1", "w2"], as_index=False)
+                  .agg(n_ab=("n_ab", "sum")))
+        return _pmi_rank(counts)
+
+    # scale path: exact distributed recount, then marginal reduces —
+    # each marginal is vocab-sized and collapses through the same
+    # narrow combine level before the (frequent-bigram-sized) scoring
+    from ray.data.aggregate import Sum
+
+    exact = (partials.groupby(["w1", "w2"])
+             .aggregate(Sum("n_ab", alias_name="n_ab")).materialize())
+
+    def _marginal(col: str):
+        def m(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(col, as_index=False).agg(n=("n_ab", "sum"))
+            g["n"] = g["n"].astype("int64")
+            return g
+        return m
+
+    import ray
+
+    marg = {}
+    for col in ("w1", "w2"):
+        marg[col] = (
+            exact.map_batches(_marginal(col), batch_format="pandas")
+            .map_batches(lambda b, c=col: b.groupby(c, as_index=False)
+                         .agg(n=("n", "sum")),
+                         batch_format="pandas", batch_size=65536)
+            .to_pandas().groupby(col)["n"].sum()
+        )
+    total = int(marg["w1"].sum())
+    lref = ray.put(marg["w1"])
+    rref = ray.put(marg["w2"])
+
+    def score_head(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_ab"] >= min_count].copy()
+        if not len(b):
+            return pd.DataFrame({"w1": pd.Series([], dtype="object"),
+                                 "w2": pd.Series([], dtype="object"),
+                                 "n_ab": pd.Series([], dtype="int64"),
+                                 "pmi": pd.Series([], dtype="float64")})
+        left, right = ray.get(lref), ray.get(rref)
+        n = b["n_ab"].to_numpy().astype(np.float64)
+        nl = left.reindex(b["w1"]).to_numpy().astype(np.float64)
+        nr = right.reindex(b["w2"]).to_numpy().astype(np.float64)
+        b["pmi"] = pd.Series(
+            np.log((n * total) / (nl * nr)), index=b.index).round(6)
+        return (b.sort_values(["pmi", "w1", "w2"],
+                              ascending=[False, True, True]).head(k)
+                [["w1", "w2", "n_ab", "pmi"]])
+
+    c = (exact.map_batches(score_head, batch_format="pandas")
+         .to_pandas()
+         .sort_values(["pmi", "w1", "w2"],
+                      ascending=[False, True, True]).head(k)
+         .reset_index(drop=True))
+    c["rank"] = pd.Series(range(1, len(c) + 1), dtype="int64")
+    c["n_ab"] = c["n_ab"].astype("int64")
+    return c[["rank", "w1", "w2", "n_ab", "pmi"]]
+
+
 def bpe_pair_counts(sf_dir: str):
     """Adjacent-symbol pair frequencies over `[a-z]+` word runs — the
     counting step a byte-pair-encoding tokenizer trainer repeats per

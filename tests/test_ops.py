@@ -103,6 +103,18 @@ class TestDedup:
         for fn in (exact_dedup, dedup_keepers, token_set_dedup):
             pd.testing.assert_frame_equal(fn(sf), fn(sf, driver_merge_limit=0))
 
+    def test_pmi_collocations_branches_agree(self):
+        """driver_limit=0 forces the distributed recount + marginal
+        reduce + broadcast scoring; the default gates into the driver
+        finalize — identical ranked frames either way."""
+        import pandas as pd
+
+        from ragflow_ray.ops.textstats import pmi_collocations
+
+        sf = "/root/testdata/sf0.001"
+        pd.testing.assert_frame_equal(
+            pmi_collocations(sf), pmi_collocations(sf, driver_limit=0))
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestAnn:
