@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split": curation.stratified_split,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "pmi_collocations": textstats.pmi_collocations,
+        "zipf_fit": textstats.zipf_fit,
+        "ttr_by_source": textstats.ttr_by_source,
+        "ngram_novelty": textstats.ngram_novelty,
         # --- embedding clustering (fixture-oracled iterative k-means) ---
         "kmeans_clusters": cluster.kmeans_clusters,
         "semdedup": cluster.semdedup,
@@ -161,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": relational.cohort_retention,
         "rolling_active_users": relational.rolling_active_users,
         "event_spike_days": relational.event_spike_days,
+        "event_gap_quantiles": relational.event_gap_quantiles,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,
@@ -640,6 +644,64 @@ def oracle_sql() -> dict[str, str]:
                        AS rank,
                    w1, w2, n_ab, pmi
             FROM s ORDER BY rank LIMIT 50
+        """,
+        # Zipf rank-frequency fit over the top-1000 [a-z]+ words:
+        # ln(count) ~ ln(rank) least squares (round-6 absorbs the
+        # regr_* streaming-vs-two-pass float association)
+        "zipf_fit": """
+            WITH w AS (SELECT unnest(regexp_extract_all(text, '[a-z]+'))
+                           AS word FROM documents),
+            c AS (SELECT word, COUNT(*)::BIGINT AS n FROM w GROUP BY 1),
+            r AS (SELECT word, n,
+                         row_number() OVER (ORDER BY n DESC, word) AS rank
+                  FROM c),
+            t AS (SELECT * FROM r WHERE rank <= 1000)
+            SELECT round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+                   round(regr_intercept(ln(n), ln(rank)), 6)
+                       AS zipf_intercept,
+                   round(regr_r2(ln(n), ln(rank)), 6) AS r2,
+                   COUNT(*)::BIGINT AS n_points
+            FROM t
+        """,
+        # lexical diversity per source: tokens/types/hapax over
+        # lowercase [a-z]+ words; ratios round-6
+        "ttr_by_source": """
+            WITH w AS (SELECT source,
+                              unnest(regexp_extract_all(lower(text),
+                                                        '[a-z]+')) AS word
+                       FROM documents),
+            c AS (SELECT source, word, COUNT(*)::BIGINT AS n
+                  FROM w GROUP BY 1, 2)
+            SELECT source, SUM(n)::BIGINT AS tokens,
+                   COUNT(*)::BIGINT AS types,
+                   SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+                   round(COUNT(*)::DOUBLE / SUM(n), 6) AS ttr,
+                   round(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / COUNT(*), 6) AS hapax_ratio
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        # per-doc novelty: fraction of the doc's DISTINCT 8-grams
+        # (lowercase [a-z0-9]+ words) whose corpus document frequency
+        # is 1; the 1-based inclusive list_slice [i:i+7] is exactly
+        # Python ws[i-1:i+7] — an 8-word window
+        "ngram_novelty": """
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')
+                                  AS ws FROM documents),
+            g AS (SELECT doc_id,
+                         array_to_string(ws[CAST(i AS INT):
+                                            CAST(i + 7 AS INT)], ' ')
+                             AS gram
+                  FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+            d AS (SELECT DISTINCT doc_id, gram FROM g),
+            df AS (SELECT gram, COUNT(*)::BIGINT AS df FROM d GROUP BY 1),
+            j AS (SELECT d.doc_id,
+                         CASE WHEN df.df = 1 THEN 1 ELSE 0 END AS novel
+                  FROM d JOIN df USING (gram))
+            SELECT doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_grams,
+                   SUM(novel)::BIGINT AS n_novel,
+                   round(SUM(novel)::DOUBLE / COUNT(*), 6) AS novelty
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         # CCNet-style LM filter: per-doc cross-entropy under the corpus
         # MLE bigram model (round-6 absorbs float association/ulp)
@@ -1264,6 +1326,35 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END)::BIGINT AS spike
             FROM c JOIN s USING (event_type)
             ORDER BY c.event_type, c.day
+        """,
+        # inter-arrival gap quantiles per event type (gap attributed
+        # to the LATER event; date_diff truncates each side to seconds
+        # before differencing); smallest-value-at-ceil-rank quantile
+        # idiom shared with source_length_quantiles
+        "event_gap_quantiles": """
+            WITH g AS (SELECT event_type,
+                              date_diff('second',
+                                        lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id),
+                                        ts) AS gap
+                       FROM events),
+            f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+            n AS (SELECT event_type, COUNT(*)::BIGINT AS n_gaps
+                  FROM f GROUP BY 1),
+            c AS (SELECT event_type, gap, COUNT(*) AS cnt
+                  FROM f GROUP BY 1, 2),
+            cum AS (SELECT event_type, gap,
+                           SUM(cnt) OVER (PARTITION BY event_type
+                                          ORDER BY gap) AS cum
+                    FROM c)
+            SELECT cum.event_type, p.p_x100::BIGINT AS p_x100,
+                   MIN(cum.gap)::BIGINT AS gap_s, n.n_gaps
+            FROM (VALUES (50), (90), (99)) AS p(p_x100)
+            CROSS JOIN n
+            JOIN cum ON cum.event_type = n.event_type
+                    AND cum.cum >= (p.p_x100 * n.n_gaps + 99) // 100
+            GROUP BY cum.event_type, p.p_x100, n.n_gaps
+            ORDER BY cum.event_type, p.p_x100
         """,
         # schema-on-read JSON extraction, aggregated per event type
         # regexp_extract + TRY_CAST mirrors the engine's strict-integer

@@ -206,6 +206,10 @@ def run_bench() -> dict:
         "tfidf_top_terms": lambda d: textstats.tfidf_top_terms(
             d, concurrency=pool),
         "pmi_collocations": textstats.pmi_collocations,
+        "zipf_fit": textstats.zipf_fit,
+        "ttr_by_source": textstats.ttr_by_source,
+        "ngram_novelty": textstats.ngram_novelty,
+        "event_gap_quantiles": relational.event_gap_quantiles,
         "hybrid_topk": textstats.hybrid_topk,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "gopher_repetition_flags": curation.gopher_repetition_flags,

@@ -1740,3 +1740,94 @@ def event_spike_days(sf_dir: str):
     counts["n_events"] = counts["n_events"].astype("int64")
     counts["spike"] = pd.Series(spikes, dtype="int64")
     return counts[["event_type", "day", "n_events", "spike"]]
+
+
+def event_gap_quantiles(sf_dir: str, n_buckets: int = 256):
+    """Inter-arrival profile of the event stream: per-event-type
+    quantiles (p50/p90/p99) of the gap in whole seconds between a
+    user's consecutive events, the gap attributed to the LATER event's
+    type — the latency statistic behind session-gap tuning and
+    bot-burst detection.  Gap semantics match SQL
+    ``date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY
+    ts, event_id), ts)``: each timestamp truncates to seconds BEFORE
+    the difference (boundary crossings, not floor of the delta).
+    Quantile definition: smallest gap whose per-type cumulative count
+    reaches ``ceil(p * N_type)`` — the integer idiom of
+    :func:`~.curation.source_length_quantiles`, mirrored verbatim in
+    the oracle.
+
+    Distributed plan: ONE hash exchange on a 256-way coarse user
+    bucket (``groupby(bucket).map_groups``, the :func:`user_funnel`
+    co-partition — never a per-user group); inside each bucket a
+    single (user, ts, event_id) sort + numpy diff masked at user
+    boundaries yields the gaps, which collapse to (event_type, gap)
+    histogram partials before leaving the task.  The driver table is
+    bounded by event_types × distinct gap values, and the final
+    quantile scan is a cumulative-sum walk over it."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    hist_schema = pa.schema([("event_type", pa.string()),
+                             ("gap", pa.int64()), ("cnt", pa.int64())])
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (b["user_id"] % n_buckets).astype("int64")
+        return b
+
+    def gaps(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        # truncate each side to seconds, THEN difference (SQL
+        # date_diff counts second-boundary crossings)
+        ts = g["ts"].astype("int64").to_numpy() // 1_000_000
+        uid = g["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        gap_s = np.diff(ts)[same]
+        et = g["event_type"].to_numpy()[1:][same]
+        if not len(gap_s):
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "gap": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())},
+                            schema=hist_schema)
+        h = (pd.DataFrame({"event_type": et, "gap": gap_s})
+             .groupby(["event_type", "gap"], as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        return pa.table({"event_type": h["event_type"].astype(str).to_numpy(),
+                         "gap": h["gap"].to_numpy().astype("int64"),
+                         "cnt": h["cnt"].to_numpy().astype("int64")},
+                        schema=hist_schema)
+
+    hist = (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(gaps, batch_format="pandas")
+            .to_pandas()
+            .groupby(["event_type", "gap"], as_index=False)
+            .agg(cnt=("cnt", "sum"))
+            .sort_values(["event_type", "gap"]).reset_index(drop=True))
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        values = g["gap"].to_numpy()
+        cum = np.cumsum(g["cnt"].to_numpy())
+        total = int(cum[-1])
+        for p in (50, 90, 99):
+            rank = (p * total + 99) // 100
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            rows.append({"event_type": et, "p_x100": p,
+                         "gap_s": int(values[min(idx, len(values) - 1)]),
+                         "n_gaps": total})
+    df = pd.DataFrame(rows)
+    if df.empty:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype="object"),
+             "p_x100": pd.Series([], dtype="int64"),
+             "gap_s": pd.Series([], dtype="int64"),
+             "n_gaps": pd.Series([], dtype="int64")})
+    for c in ("p_x100", "gap_s", "n_gaps"):
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "p_x100", "gap_s", "n_gaps"]]

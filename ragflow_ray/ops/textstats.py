@@ -1348,3 +1348,278 @@ def heavy_hitters(sf_dir: str, phi_x1000: int = HH_PHI_X1000):
     out = out.reset_index(drop=True)
     out["cnt"] = out["cnt"].astype("int64")
     return out
+
+
+def zipf_fit(sf_dir: str, top_n: int = 1000, driver_limit: int = 2_000_000):
+    """Zipf rank-frequency fit — a one-row corpus-health statistic
+    (Zipf 1949; a natural-language corpus fits ln(freq) ≈ a·ln(rank)+b
+    with a ≈ −1, while templated/synthetic text flattens the slope):
+    least-squares regression of ln(count) on ln(rank) over the
+    ``top_n`` most frequent ``[a-z]+`` words → (zipf_slope,
+    zipf_intercept, r2, n_points), floats rounded to 6 decimals (the
+    established idiom absorbing summation-association/libm-ulp
+    differences vs the DuckDB ``regr_*`` oracle).
+
+    Distributed plan (the :func:`vocab_topk` shape): per-batch word
+    count partials → one narrow combine level → under ``driver_limit``
+    the vocabulary-sized table finalizes on the driver; above it an
+    exact distributed ``groupby(word)`` recount feeds per-batch
+    top-``top_n`` partials (exact after full per-key sums — a
+    semilattice reduce), so the driver never sees more than
+    ``top_n × n_blocks`` rows.  The regression itself runs over at
+    most ``top_n`` points."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from .curation import _docs
+
+    word_re = re.compile(r"[a-z]+")
+    schema = pa.schema([("word", pa.string()), ("n", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        words = b["text"].str.findall(word_re).explode().dropna()
+        g = words.groupby(words).size()
+        return pa.table({"word": g.index.astype(str).to_numpy(),
+                         "n": g.to_numpy().astype("int64")}, schema=schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("word", as_index=False, sort=False).agg(n=("n", "sum"))
+        return pa.table({"word": g["word"].astype(str).to_numpy(),
+                         "n": g["n"].to_numpy().astype("int64")},
+                        schema=schema)
+
+    partials = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .materialize()
+    )
+    if partials.count() <= driver_limit:
+        counts = (partials.to_pandas()
+                  .groupby("word", as_index=False).agg(n=("n", "sum")))
+    else:
+        def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.sort_values(["n", "word"],
+                              ascending=[False, True]).head(top_n)
+            g["n"] = g["n"].astype("int64")
+            return g
+
+        counts = (partials.groupby("word")
+                  .aggregate(Sum("n", alias_name="n"))
+                  .map_batches(partial_topk, batch_format="pandas")
+                  .to_pandas())
+
+    counts = (counts.sort_values(["n", "word"], ascending=[False, True])
+              .head(top_n).reset_index(drop=True))
+    k = len(counts)
+    if k < 2:
+        return pd.DataFrame({"zipf_slope": pd.Series([], dtype="float64"),
+                             "zipf_intercept": pd.Series([], dtype="float64"),
+                             "r2": pd.Series([], dtype="float64"),
+                             "n_points": pd.Series([], dtype="int64")})
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(counts["n"].to_numpy().astype(np.float64))
+    mx, my = x.mean(), y.mean()
+    sxy = ((x - mx) * (y - my)).sum()
+    sxx = ((x - mx) ** 2).sum()
+    syy = ((y - my) ** 2).sum()
+    slope = sxy / sxx
+    out = pd.DataFrame({
+        "zipf_slope": [round(slope, 6)],
+        "zipf_intercept": [round(my - slope * mx, 6)],
+        "r2": [round((sxy * sxy) / (sxx * syy), 6)],
+        "n_points": pd.Series([k], dtype="int64"),
+    })
+    return out[["zipf_slope", "zipf_intercept", "r2", "n_points"]]
+
+
+def ttr_by_source(sf_dir: str, driver_limit: int = 2_000_000):
+    """Lexical-diversity profile per source — token count, type count,
+    hapax-legomenon count, type-token ratio and hapax ratio over
+    lowercase ``[a-z]+`` words (the corpus-quality scan run before
+    tokenizer training; low TTR flags templated/duplicated sources).
+
+    Distributed plan: per-batch (source, word) count partials → one
+    narrow combine level → under ``driver_limit`` the driver finalizes
+    the sources × vocabulary table; above it an exact distributed
+    ``groupby(source, word)`` recount feeds per-batch (source, tokens,
+    types, hapax) partial sums — every post-recount row is a unique
+    (source, word) pair, so types/hapax are additive across batches —
+    and a sources-sized driver merge."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from .curation import _docs
+
+    word_re = re.compile(r"[a-z]+")
+    schema = pa.schema([("source", pa.string()), ("word", pa.string()),
+                        ("n", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        words = b["text"].str.lower().str.findall(word_re).explode().dropna()
+        src = b["source"].reindex(words.index)
+        g = (pd.DataFrame({"source": src.to_numpy(),
+                           "word": words.to_numpy()})
+             .groupby(["source", "word"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pa.table({"source": g["source"].astype(str).to_numpy(),
+                         "word": g["word"].astype(str).to_numpy(),
+                         "n": g["n"].to_numpy().astype("int64")},
+                        schema=schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["source", "word"], as_index=False, sort=False).agg(
+            n=("n", "sum"))
+        return pa.table({"source": g["source"].astype(str).to_numpy(),
+                         "word": g["word"].astype(str).to_numpy(),
+                         "n": g["n"].to_numpy().astype("int64")},
+                        schema=schema)
+
+    def _ratios(g: pd.DataFrame) -> pd.DataFrame:
+        for c in ("tokens", "types", "hapax"):
+            g[c] = g[c].astype("int64")
+        g["ttr"] = (g["types"] / g["tokens"]).round(6)
+        g["hapax_ratio"] = (g["hapax"] / g["types"]).round(6)
+        return g[["source", "tokens", "types", "hapax", "ttr",
+                  "hapax_ratio"]]
+
+    partials = (
+        _docs(sf_dir, columns=("source", "text"))
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .materialize()
+    )
+    if partials.count() <= driver_limit:
+        counts = (partials.to_pandas()
+                  .groupby(["source", "word"], as_index=False)
+                  .agg(n=("n", "sum")))
+        g = counts.groupby("source").agg(
+            tokens=("n", "sum"), types=("n", "size"),
+            hapax=("n", lambda s: int((s == 1).sum())))
+        return _ratios(g.reset_index().sort_values("source")
+                       .reset_index(drop=True))
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(is_hapax=(b["n"] == 1).astype("int64")).groupby(
+            "source", as_index=False).agg(
+            tokens=("n", "sum"), types=("n", "size"),
+            hapax=("is_hapax", "sum"))
+        for c in ("tokens", "types", "hapax"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    df = (partials.groupby(["source", "word"])
+          .aggregate(Sum("n", alias_name="n"))
+          .map_batches(stats_partial, batch_format="pandas")
+          .to_pandas()
+          .groupby("source", as_index=False).agg(
+              tokens=("tokens", "sum"), types=("types", "sum"),
+              hapax=("hapax", "sum"))
+          .sort_values("source").reset_index(drop=True))
+    return _ratios(df)
+
+
+def ngram_novelty(sf_dir: str, n: int = 8, n_buckets: int = 1024,
+                  driver_limit: int = 5_000_000):
+    """Per-document novelty score: the fraction of a doc's DISTINCT
+    8-grams (over lowercase ``[a-z0-9]+`` words, the
+    :func:`~.curation.decontaminate` gram convention) that occur in no
+    other document — corpus document frequency 1 counted
+    WITH-multiplicity, so a gram repeated only inside one doc still
+    counts as novel.  The inverse of the Lee et al. 2022 duplication
+    measure: low novelty flags boilerplate-heavy docs that survive
+    whole-doc dedup.
+
+    Distributed plan (the passage/substring-dedup shape): docs explode
+    to per-doc-distinct gram digests ONLY (md5 as two int64 columns —
+    text never shuffles) under a 1024-way coarse digest bucket; one
+    ``groupby(bucket).map_groups`` walk sorts each bucket's runs —
+    every copy of a digest lands in the same bucket, so df is exact
+    in-bucket — and emits per-doc (n_novel, n_grams) partials; a
+    final doc-keyed sum is count-gated onto the driver with an exact
+    distributed ``groupby(doc_id)`` fallback."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from .curation import _docs
+
+    word_re = re.compile(r"[a-z0-9]+")
+    exp_schema = pa.schema([("doc_id", pa.int64()), ("h1", pa.int64()),
+                            ("h2", pa.int64()), ("bucket", pa.int64())])
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        doc_ids, h1s, h2s = [], [], []
+        for did, text in zip(b["doc_id"].to_numpy(), b["text"].to_numpy()):
+            ws = word_re.findall(str(text).lower())
+            if len(ws) < n:
+                continue
+            seen = set()
+            for i in range(len(ws) - n + 1):
+                gram = " ".join(ws[i:i + n])
+                if gram in seen:
+                    continue
+                seen.add(gram)
+                d = hashlib.md5(gram.encode()).digest()
+                h1s.append(int.from_bytes(d[:8], "big", signed=True))
+                h2s.append(int.from_bytes(d[8:], "big", signed=True))
+                doc_ids.append(int(did))
+        h1 = np.asarray(h1s, dtype=np.int64)
+        return pa.table({"doc_id": np.asarray(doc_ids, dtype=np.int64),
+                         "h1": h1,
+                         "h2": np.asarray(h2s, dtype=np.int64),
+                         "bucket": (h1 % n_buckets)},
+                        schema=exp_schema)
+
+    nov_schema = pa.schema([("doc_id", pa.int64()), ("n_novel", pa.int64()),
+                            ("n_grams", pa.int64())])
+
+    def bucket_novel(group: pd.DataFrame) -> pa.Table:
+        if not len(group):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_novel": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64())},
+                            schema=nov_schema)
+        # every copy of a digest lands in this bucket: df is exact here
+        g = group.sort_values(["h1", "h2"], kind="mergesort")
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        run_id = np.cumsum(new) - 1
+        run_size = np.bincount(run_id)
+        novel = run_size[run_id] == 1
+        p = (pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                           "novel": novel.astype(np.int64)})
+             .groupby("doc_id", as_index=False)
+             .agg(n_novel=("novel", "sum"), n_grams=("novel", "size")))
+        return pa.table({"doc_id": p["doc_id"].to_numpy().astype("int64"),
+                         "n_novel": p["n_novel"].to_numpy().astype("int64"),
+                         "n_grams": p["n_grams"].to_numpy().astype("int64")},
+                        schema=nov_schema)
+
+    exploded = (_docs(sf_dir, columns=("doc_id", "text"), rows_per_block=256)
+                .map_batches(explode, batch_format="pandas"))
+    parts = (exploded.groupby("bucket")
+             .map_groups(bucket_novel, batch_format="pandas")
+             .materialize())
+    if parts.count() <= driver_limit:
+        df = (parts.to_pandas()
+              .groupby("doc_id", as_index=False)
+              .agg(n_novel=("n_novel", "sum"), n_grams=("n_grams", "sum")))
+    else:
+        from ray.data.aggregate import Sum
+        df = (parts.groupby("doc_id")
+              .aggregate(Sum("n_novel", alias_name="n_novel"),
+                         Sum("n_grams", alias_name="n_grams"))
+              .to_pandas())
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_novel", "n_grams"):
+        df[c] = df[c].astype("int64")
+    df["novelty"] = (df["n_novel"] / df["n_grams"]).round(6)
+    return df[["doc_id", "n_grams", "n_novel", "novelty"]]

@@ -103,6 +103,20 @@ class TestDedup:
         for fn in (exact_dedup, dedup_keepers, token_set_dedup):
             pd.testing.assert_frame_equal(fn(sf), fn(sf, driver_merge_limit=0))
 
+    def test_textstat_gate_branches_agree(self):
+        """driver_limit=0 forces the exact distributed recount paths
+        (zipf top-k partials, ttr additive stats partials, novelty
+        doc-keyed groupby); default gates finalize on the driver —
+        identical frames either way."""
+        import pandas as pd
+
+        from ragflow_ray.ops.textstats import (ngram_novelty, ttr_by_source,
+                                               zipf_fit)
+
+        sf = "/root/testdata/sf0.001"
+        for fn in (zipf_fit, ttr_by_source, ngram_novelty):
+            pd.testing.assert_frame_equal(fn(sf), fn(sf, driver_limit=0))
+
     def test_pmi_collocations_branches_agree(self):
         """driver_limit=0 forces the distributed recount + marginal
         reduce + broadcast scoring; the default gates into the driver
