@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": textstats.zipf_fit,
         "ttr_by_source": textstats.ttr_by_source,
         "ngram_novelty": textstats.ngram_novelty,
+        "char_entropy": curation.char_entropy,
+        "label_coherence": ann.label_coherence,
         # --- embedding clustering (fixture-oracled iterative k-means) ---
         "kmeans_clusters": cluster.kmeans_clusters,
         "semdedup": cluster.semdedup,
@@ -702,6 +704,46 @@ def oracle_sql() -> dict[str, str]:
                    SUM(novel)::BIGINT AS n_novel,
                    round(SUM(novel)::DOUBLE / COUNT(*), 6) AS novelty
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        # per-doc character Shannon entropy in nats over Unicode
+        # codepoints; ln(N) - sum(n ln n)/N, round-6; empty docs out
+        "char_entropy": """
+            WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                        FROM documents WHERE len(text) > 0),
+            f AS (SELECT doc_id, c, COUNT(*)::BIGINT AS n
+                  FROM ch GROUP BY 1, 2)
+            SELECT doc_id::BIGINT AS doc_id, SUM(n)::BIGINT AS n_chars,
+                   COUNT(*)::BIGINT AS n_distinct,
+                   round(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 6)
+                       AS entropy
+            FROM f GROUP BY 1 ORDER BY 1
+        """,
+        # intra-label coherence: micro-scaled-integer centroid (the
+        # label_vector_sums form, bit-identical under any summation
+        # order), per-vec cosine round-9, per-label mean round-6
+        "label_coherence": """
+            WITH dims AS (SELECT UNNEST(range(1, 65)) AS d),
+            x AS (SELECT vec_id, label, dims.d,
+                         CAST(e.embedding[dims.d] AS DOUBLE) AS v,
+                         CAST(FLOOR(CAST(e.embedding[dims.d] AS DOUBLE)
+                                    * 1000000 + 0.5) AS BIGINT) AS v6
+                  FROM embeddings e CROSS JOIN dims),
+            cent AS (SELECT label, d,
+                            SUM(v6)::DOUBLE / (COUNT(*) * 1000000.0) AS c
+                     FROM x GROUP BY 1, 2),
+            dots AS (SELECT x.vec_id, x.label,
+                            SUM(x.v * cent.c) AS dot,
+                            SUM(x.v * x.v) AS nx,
+                            SUM(cent.c * cent.c) AS nc
+                     FROM x JOIN cent ON x.label = cent.label
+                                     AND x.d = cent.d
+                     GROUP BY 1, 2),
+            cosv AS (SELECT label,
+                            round(dot / (sqrt(nx) * sqrt(nc)), 9) AS cos
+                     FROM dots)
+            SELECT label::BIGINT AS label, COUNT(*)::BIGINT AS n_vecs,
+                   round(AVG(cos), 6) AS mean_cos, MIN(cos) AS min_cos
+            FROM cosv GROUP BY 1 ORDER BY 1
         """,
         # CCNet-style LM filter: per-doc cross-entropy under the corpus
         # MLE bigram model (round-6 absorbs float association/ulp)

@@ -210,6 +210,8 @@ def run_bench() -> dict:
         "ttr_by_source": textstats.ttr_by_source,
         "ngram_novelty": textstats.ngram_novelty,
         "event_gap_quantiles": relational.event_gap_quantiles,
+        "char_entropy": curation.char_entropy,
+        "label_coherence": ann.label_coherence,
         "hybrid_topk": textstats.hybrid_topk,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "gopher_repetition_flags": curation.gopher_repetition_flags,

@@ -587,3 +587,115 @@ def pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
     # distributed nq-x-k reduce first: the driver never sees a
     # block-count-proportional row set
     return _merge_partials(_reduce_topk(partials, k).to_pandas(), k)
+
+
+def label_coherence(sf_dir: str):
+    """Intra-label embedding coherence: per label, the mean and min
+    cosine of each member vector to its label centroid — the cluster-
+    quality / label-noise diagnostic run before using labels as
+    training strata (a noisy label shows a low mean and a long
+    negative min tail).
+
+    Exactness contract: the centroid is the micro-scaled INTEGER mean
+    (:func:`label_vector_sums` form — ``Σ round(x·1e6)`` per dim over
+    the label, divided by ``n·1e6`` as float64), so both sides derive
+    a bit-identical centroid under any summation order; each member's
+    cosine to it rounds to 9 decimals, and the per-label mean of those
+    rounds to 6 (the ann.py float-association idiom).
+
+    Distributed plan, two passes over ONE materialized narrow read:
+    pass 1 emits per-batch (label × dim) integer partial sums → one
+    narrow combine level → labels×dim driver finalize (labels are
+    strata: bounded); the tiny centroid matrix ships in the task
+    closure of pass 2, which emits per-batch (label, Σcos, min cos, n)
+    partials — constant-size per batch — combined the same way.  No
+    all-to-all at any point."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    ).materialize()
+
+    sum_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                            ("s", pa.int64()), ("n", pa.int64())])
+
+    def cent_partial(b: pd.DataFrame) -> pa.Table:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        scaled = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+        n, dim = scaled.shape
+        g = (pd.DataFrame(
+            {"label": np.repeat(b["label"].to_numpy(), dim).astype("int64"),
+             "dim": np.tile(np.arange(dim, dtype=np.int64), n),
+             "s": scaled.reshape(-1),
+             "n": np.ones(n * dim, dtype=np.int64)})
+             .groupby(["label", "dim"], as_index=False)
+             .agg(s=("s", "sum"), n=("n", "sum")))
+        return pa.table({"label": g["label"].to_numpy(),
+                         "dim": g["dim"].to_numpy(),
+                         "s": g["s"].to_numpy(), "n": g["n"].to_numpy()},
+                        schema=sum_schema)
+
+    def cent_combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["label", "dim"], as_index=False, sort=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+        return pa.table({"label": g["label"].to_numpy().astype("int64"),
+                         "dim": g["dim"].to_numpy().astype("int64"),
+                         "s": g["s"].to_numpy().astype("int64"),
+                         "n": g["n"].to_numpy().astype("int64")},
+                        schema=sum_schema)
+
+    sums = (ds.map_batches(cent_partial, batch_format="pandas")
+            .map_batches(cent_combine, batch_format="pandas",
+                         batch_size=65536)
+            .to_pandas()
+            .groupby(["label", "dim"], as_index=False)
+            .agg(s=("s", "sum"), n=("n", "sum")))
+    labels = np.sort(sums["label"].unique())
+    dim = int(sums["dim"].max()) + 1
+    idx = {int(l): i for i, l in enumerate(labels)}
+    cents = np.zeros((len(labels), dim), dtype=np.float64)
+    for lab, g in sums.groupby("label"):
+        g = g.sort_values("dim")
+        cents[idx[int(lab)]] = (g["s"].to_numpy().astype(np.float64)
+                                / (g["n"].to_numpy() * 1_000_000.0))
+    cnorm = np.sqrt((cents * cents).sum(axis=1))
+
+    cos_schema = pa.schema([("label", pa.int64()),
+                            ("sum_cos", pa.float64()),
+                            ("min_cos", pa.float64()),
+                            ("n", pa.int64())])
+
+    def cos_partial(b: pd.DataFrame) -> pa.Table:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        li = np.asarray([idx[int(l)] for l in b["label"].to_numpy()])
+        c = cents[li]
+        dot = (mat * c).sum(axis=1)
+        nx = np.sqrt((mat * mat).sum(axis=1))
+        cos = np.round(dot / (nx * cnorm[li]), 9)
+        g = (pd.DataFrame({"label": b["label"].to_numpy().astype("int64"),
+                           "cos": cos})
+             .groupby("label", as_index=False)
+             .agg(sum_cos=("cos", "sum"), min_cos=("cos", "min"),
+                  n=("cos", "size")))
+        return pa.table({"label": g["label"].to_numpy(),
+                         "sum_cos": g["sum_cos"].to_numpy(),
+                         "min_cos": g["min_cos"].to_numpy(),
+                         "n": g["n"].to_numpy().astype("int64")},
+                        schema=cos_schema)
+
+    parts = (ds.map_batches(cos_partial, batch_format="pandas")
+             .to_pandas()
+             .groupby("label", as_index=False)
+             .agg(sum_cos=("sum_cos", "sum"), min_cos=("min_cos", "min"),
+                  n=("n", "sum")))
+    parts = parts.sort_values("label").reset_index(drop=True)
+    out = pd.DataFrame({
+        "label": parts["label"].astype("int64"),
+        "n_vecs": parts["n"].astype("int64"),
+        "mean_cos": (parts["sum_cos"] / parts["n"]).round(6),
+        "min_cos": parts["min_cos"].astype("float64"),
+    })
+    return out[["label", "n_vecs", "mean_cos", "min_cos"]]

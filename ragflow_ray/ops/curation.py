@@ -1963,3 +1963,57 @@ def gopher_repetition_flags(sf_dir: str):
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def char_entropy(sf_dir: str):
+    """Per-document character-level Shannon entropy — the
+    compressibility proxy quality filters threshold (low entropy flags
+    repeated-character runs and template boilerplate; cf. the
+    reference's garbage heuristics, deepdoc/vision/ocr.py text-score
+    family, applied corpus-wide).  Over Unicode codepoints of the full
+    text: ``entropy = ln(N) − Σ n_i·ln(n_i) / N`` (nats), rounded to 6
+    decimals (absorbs summation-association/libm ulp vs the DuckDB
+    oracle).  Empty documents are excluded — both sides.
+
+    Distributed plan: one stateless per-batch pass, no exchange at any
+    point — per-doc ``np.unique`` over a codepoint view of the text
+    (C-level; the Python loop is per DOC at 256-row blocks, the
+    documented per-doc-Python convention).  Output is doc-level
+    (doc_id, n_chars, n_distinct, entropy); at corpus scale this is a
+    ``write_parquet`` sink, not a driver collect."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()),
+                        ("n_distinct", pa.int64()),
+                        ("entropy", pa.float64())])
+
+    def per_doc(b: pd.DataFrame) -> pa.Table:
+        doc_ids, n_chars, n_distinct, ents = [], [], [], []
+        for did, text in zip(b["doc_id"].to_numpy(), b["text"].to_numpy()):
+            s = str(text)
+            if not s:
+                continue
+            cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            _, counts = np.unique(cps, return_counts=True)
+            n = counts.sum()
+            cf = counts.astype(np.float64)
+            ent = np.log(float(n)) - float((cf * np.log(cf)).sum()) / n
+            doc_ids.append(int(did))
+            n_chars.append(int(n))
+            n_distinct.append(len(counts))
+            ents.append(round(ent, 6))
+        return pa.table({"doc_id": np.asarray(doc_ids, dtype=np.int64),
+                         "n_chars": np.asarray(n_chars, dtype=np.int64),
+                         "n_distinct": np.asarray(n_distinct,
+                                                  dtype=np.int64),
+                         "entropy": np.asarray(ents, dtype=np.float64)},
+                        schema=schema)
+
+    df = (_docs(sf_dir)
+          .map_batches(per_doc, batch_format="pandas")
+          .to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    for c in ("doc_id", "n_chars", "n_distinct"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_chars", "n_distinct", "entropy"]]
