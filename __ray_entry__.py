@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": relational.rolling_active_users,
         "event_spike_days": relational.event_spike_days,
         "event_gap_quantiles": relational.event_gap_quantiles,
+        "event_transition_matrix": relational.event_transition_matrix,
+        "session_length_histogram": relational.session_length_histogram,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,
@@ -1397,6 +1399,45 @@ def oracle_sql() -> dict[str, str]:
                     AND cum.cum >= (p.p_x100 * n.n_gaps + 99) // 100
             GROUP BY cum.event_type, p.p_x100, n.n_gaps
             ORDER BY cum.event_type, p.p_x100
+        """,
+        # first-order Markov transitions over each user's
+        # (ts, event_id)-ordered stream; row-normalized, round-6
+        "event_transition_matrix": """
+            WITH s AS (SELECT user_id, event_type,
+                              lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+                       FROM events),
+            c AS (SELECT event_type AS prev_type, nxt AS next_type,
+                         COUNT(*)::BIGINT AS n
+                  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            m AS (SELECT prev_type, SUM(n)::BIGINT AS total
+                  FROM c GROUP BY 1)
+            SELECT c.prev_type, c.next_type, c.n,
+                   round(c.n::DOUBLE / m.total, 6) AS p
+            FROM c JOIN m USING (prev_type)
+            ORDER BY c.prev_type, c.next_type
+        """,
+        # events-per-session histogram; session breaks on a >1800 s
+        # gap (truncated-seconds date_diff semantics), ordering pinned
+        # on (ts, event_id) in BOTH window passes
+        "session_length_histogram": """
+            WITH o AS (SELECT user_id, ts, event_id,
+                              CASE WHEN date_diff('second',
+                                       lag(ts) OVER (
+                                           PARTITION BY user_id
+                                           ORDER BY ts, event_id), ts)
+                                        > 1800 THEN 1 ELSE 0 END AS brk
+                       FROM events),
+            s AS (SELECT user_id,
+                         SUM(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM o),
+            l AS (SELECT user_id, sess, COUNT(*)::BIGINT AS n_events
+                  FROM s GROUP BY 1, 2)
+            SELECT n_events AS session_len, COUNT(*)::BIGINT AS n_sessions
+            FROM l GROUP BY 1 ORDER BY 1
         """,
         # schema-on-read JSON extraction, aggregated per event type
         # regexp_extract + TRY_CAST mirrors the engine's strict-integer

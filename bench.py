@@ -212,6 +212,8 @@ def run_bench() -> dict:
         "event_gap_quantiles": relational.event_gap_quantiles,
         "char_entropy": curation.char_entropy,
         "label_coherence": ann.label_coherence,
+        "event_transition_matrix": relational.event_transition_matrix,
+        "session_length_histogram": relational.session_length_histogram,
         "hybrid_topk": textstats.hybrid_topk,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "gopher_repetition_flags": curation.gopher_repetition_flags,

@@ -1831,3 +1831,137 @@ def event_gap_quantiles(sf_dir: str, n_buckets: int = 256):
     for c in ("p_x100", "gap_s", "n_gaps"):
         df[c] = df[c].astype("int64")
     return df[["event_type", "p_x100", "gap_s", "n_gaps"]]
+
+
+def event_transition_matrix(sf_dir: str, n_buckets: int = 256):
+    """First-order Markov transition matrix over each user's
+    time-ordered event types — the sequence-model statistic behind
+    next-action prediction and bot detection (a bot's transition mass
+    concentrates on one edge): for every consecutive pair in a user's
+    (ts, event_id)-ordered stream, count (prev_type, next_type) and
+    normalize per row (``p = n / Σ_next n``, rounded to 6 decimals).
+
+    Distributed plan: ONE hash exchange on the 256-way coarse user
+    bucket (the :func:`event_gap_quantiles` co-partition); inside each
+    bucket a single sort + shifted-compare builds the pairs and
+    collapses them to (prev, next) count partials — at most
+    |types|² rows leave each task — and the driver finalizes the
+    types²-sized matrix."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    pair_schema = pa.schema([("prev_type", pa.string()),
+                             ("next_type", pa.string()),
+                             ("n", pa.int64())])
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (b["user_id"] % n_buckets).astype("int64")
+        return b
+
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())},
+                            schema=pair_schema)
+        h = (pd.DataFrame({"prev_type": et[:-1][same],
+                           "next_type": et[1:][same]})
+             .groupby(["prev_type", "next_type"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pa.table(
+            {"prev_type": h["prev_type"].astype(str).to_numpy(),
+             "next_type": h["next_type"].astype(str).to_numpy(),
+             "n": h["n"].to_numpy().astype("int64")},
+            schema=pair_schema)
+
+    c = (ds.map_batches(bucketize, batch_format="pandas")
+         .groupby("bucket")
+         .map_groups(pairs, batch_format="pandas")
+         .to_pandas()
+         .groupby(["prev_type", "next_type"], as_index=False)
+         .agg(n=("n", "sum")))
+    if c.empty:
+        return pd.DataFrame(
+            {"prev_type": pd.Series([], dtype="object"),
+             "next_type": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64"),
+             "p": pd.Series([], dtype="float64")})
+    totals = c.groupby("prev_type")["n"].transform("sum")
+    c["n"] = c["n"].astype("int64")
+    c["p"] = (c["n"] / totals).round(6)
+    c = c.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    return c[["prev_type", "next_type", "n", "p"]]
+
+
+def session_length_histogram(sf_dir: str, gap_seconds: int = 1800,
+                             n_buckets: int = 256):
+    """Distribution of session lengths (events per session) across the
+    whole stream — the engagement-shape statistic behind bounce-rate
+    and session-depth dashboards.  A session breaks when the gap
+    between a user's consecutive events exceeds ``gap_seconds``, with
+    the :func:`event_gap_quantiles` gap semantics (each timestamp
+    truncates to seconds before differencing) and (ts, event_id)
+    ordering pinned on both sides.
+
+    Distributed plan: ONE coarse-user-bucket exchange; inside each
+    bucket a single sort + vectorized break-scan (run lengths between
+    break positions) collapses to (session_len, n_sessions) histogram
+    partials — bounded by the longest session, not the event count —
+    and the driver sums the histogram."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"])
+
+    hist_schema = pa.schema([("session_len", pa.int64()),
+                             ("n_sessions", pa.int64())])
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (b["user_id"] % n_buckets).astype("int64")
+        return b
+
+    def lengths(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy() // 1_000_000
+        uid = g["user_id"].to_numpy()
+        if not len(g):
+            return pa.table({"session_len": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())},
+                            schema=hist_schema)
+        # a session starts at every user change or over-gap step
+        start = np.empty(len(g), dtype=bool)
+        start[0] = True
+        start[1:] = (uid[1:] != uid[:-1]) | (np.diff(ts) > gap_seconds)
+        starts = np.flatnonzero(start)
+        lens = np.diff(np.append(starts, len(g)))
+        vals, cnts = np.unique(lens, return_counts=True)
+        return pa.table({"session_len": vals.astype(np.int64),
+                         "n_sessions": cnts.astype(np.int64)},
+                        schema=hist_schema)
+
+    df = (ds.map_batches(bucketize, batch_format="pandas")
+          .groupby("bucket")
+          .map_groups(lengths, batch_format="pandas")
+          .to_pandas()
+          .groupby("session_len", as_index=False)
+          .agg(n_sessions=("n_sessions", "sum"))
+          .sort_values("session_len").reset_index(drop=True))
+    for c in ("session_len", "n_sessions"):
+        df[c] = df[c].astype("int64")
+    return df[["session_len", "n_sessions"]]
