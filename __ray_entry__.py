@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_quantiles": relational.event_gap_quantiles,
         "event_transition_matrix": relational.event_transition_matrix,
         "session_length_histogram": relational.session_length_histogram,
+        "late_order_priority": relational.late_order_priority,
+        "inactive_customers": relational.inactive_customers,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,
@@ -1438,6 +1440,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM s GROUP BY 1, 2)
             SELECT n_events AS session_len, COUNT(*)::BIGINT AS n_sessions
             FROM l GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q4-shaped SEMI-join: window orders with >=1 lineitem
+        # shipped more than 30 days after the order date, per priority
+        "late_order_priority": """
+            SELECT o.o_orderpriority, COUNT(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= DATE '1995-01-01'
+              AND o.o_orderdate < DATE '1995-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 30 DAY)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # ANTI-join churn report: customers with NO order in the
+        # window, counted per nation
+        "inactive_customers": """
+            SELECT n.n_name, COUNT(*)::BIGINT AS n_inactive
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= DATE '1995-01-01'
+                                AND o.o_orderdate < DATE '1995-07-01')
+            GROUP BY 1 ORDER BY 1
         """,
         # schema-on-read JSON extraction, aggregated per event type
         # regexp_extract + TRY_CAST mirrors the engine's strict-integer

@@ -214,6 +214,8 @@ def run_bench() -> dict:
         "label_coherence": ann.label_coherence,
         "event_transition_matrix": relational.event_transition_matrix,
         "session_length_histogram": relational.session_length_histogram,
+        "late_order_priority": relational.late_order_priority,
+        "inactive_customers": relational.inactive_customers,
         "hybrid_topk": textstats.hybrid_topk,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "gopher_repetition_flags": curation.gopher_repetition_flags,

@@ -1965,3 +1965,279 @@ def session_length_histogram(sf_dir: str, gap_seconds: int = 1800,
     for c in ("session_len", "n_sessions"):
         df[c] = df[c].astype("int64")
     return df[["session_len", "n_sessions"]]
+
+
+def late_order_priority(sf_dir: str, date_lo: str = "1995-01-01",
+                        date_hi: str = "1995-07-01", grace_days: int = 30,
+                        broadcast_limit: int = 5_000_000):
+    """TPC-H Q4-shaped SEMI-join: per order priority, how many orders
+    placed in [date_lo, date_hi) have at least one lineitem shipped
+    more than ``grace_days`` after the order date — the late-shipment
+    SLA report.  An order counts ONCE however many lineitems are late
+    (EXISTS semantics).
+
+    Size-adaptive plan on the FILTERED orders count (the
+    :func:`regional_revenue` gate):
+
+    * ≤ ``broadcast_limit`` window orders → the (orderkey, orderdate,
+      priority) triple broadcasts once as sorted int64 numpy arrays
+      (``ray.put`` + ``np.searchsorted`` lookup); ONE lineitem pass
+      emits per-batch DISTINCT late orderkeys — bounded by window
+      orders, never lineitem count — and the driver unions them and
+      counts by priority.  No shuffle at any point.
+    * above the limit → EXISTS reduces to ``max(l_shipdate) >
+      o_orderdate + grace`` per order, so lineitems pre-aggregate to
+      per-batch (orderkey, max_ship) partials, union with the order
+      rows on a common schema, and co-partition in ONE coarse
+      orderkey-bucket exchange (the established union+groupby
+      replacement for Dataset.join); per-bucket counts by priority
+      leave each task."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    grace_us = grace_days * 86_400 * 1_000_000
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+
+    win = orders.map_batches(o_filter, batch_format="pyarrow").materialize()
+    n_win = win.count()
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+
+    def _counts(prio: np.ndarray) -> pd.DataFrame:
+        vals, cnts = np.unique(prio, return_counts=True)
+        df = pd.DataFrame({"o_orderpriority": vals.astype(str),
+                           "n_orders": cnts.astype("int64")})
+        return (df.sort_values("o_orderpriority").reset_index(drop=True)
+                [["o_orderpriority", "n_orders"]])
+
+    if n_win <= broadcast_limit:
+        odf = win.to_pandas().sort_values("o_orderkey")
+        okeys = odf["o_orderkey"].to_numpy().astype(np.int64)
+        odates = odf["o_orderdate"].astype("int64").to_numpy()
+        okeys_ref = ray.put(okeys)
+        odates_ref = ray.put(odates)
+
+        late_schema = pa.schema([("okey", pa.int64())])
+
+        def late_partial(b: pd.DataFrame) -> pa.Table:
+            ok = ray.get(okeys_ref)
+            od = ray.get(odates_ref)
+            lk = b["l_orderkey"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(ok, lk)
+            hit = (pos < len(ok))
+            hit[hit] = ok[pos[hit]] == lk[hit]
+            ship = b["l_shipdate"].astype("int64").to_numpy()
+            late = hit & (ship > od[np.minimum(pos, len(ok) - 1)]
+                          + grace_us)
+            return pa.table(
+                {"okey": np.unique(lk[late]).astype(np.int64)},
+                schema=late_schema)
+
+        late = (lineitem.map_batches(late_partial, batch_format="pandas")
+                .to_pandas()["okey"].unique())
+        pos = np.searchsorted(okeys, np.sort(late))
+        prio = odf["o_orderpriority"].to_numpy()[pos]
+        return _counts(prio)
+
+    # co-partition branch: common (okey, kind, v, prio) schema
+    u_schema = pa.schema([("okey", pa.int64()), ("kind", pa.int64()),
+                          ("v", pa.int64()), ("prio", pa.string()),
+                          ("bucket", pa.int64())])
+
+    def o_rows(b: pd.DataFrame) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"okey": ok, "kind": np.zeros(len(b), dtype=np.int64),
+             "v": b["o_orderdate"].astype("int64").to_numpy(),
+             "prio": b["o_orderpriority"].astype(str).to_numpy(),
+             "bucket": ok % 1024}, schema=u_schema)
+
+    def l_rows(b: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame(
+            {"okey": b["l_orderkey"].to_numpy().astype(np.int64),
+             "v": b["l_shipdate"].astype("int64").to_numpy()})
+             .groupby("okey", as_index=False).agg(v=("v", "max")))
+        ok = g["okey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"okey": ok, "kind": np.ones(len(g), dtype=np.int64),
+             "v": g["v"].to_numpy().astype(np.int64),
+             "prio": np.full(len(g), "", dtype=object),
+             "bucket": ok % 1024}, schema=u_schema)
+
+    cnt_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n_orders", pa.int64())])
+
+    def bucket_count(group: pd.DataFrame) -> pa.Table:
+        if not len(group):
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64())},
+                            schema=cnt_schema)
+        # inner merge keeps everything int64 — a reindex would widen
+        # the microsecond timestamps to float64 past 2^53 exactness
+        li = (group[group["kind"] == 1].groupby("okey", as_index=False)
+              .agg(ship=("v", "max")))
+        m = group[group["kind"] == 0].merge(li, on="okey", how="inner")
+        late = m["ship"].to_numpy() > m["v"].to_numpy() + grace_us
+        c = _counts(m["prio"].to_numpy()[late])
+        return pa.table(
+            {"o_orderpriority": c["o_orderpriority"].to_numpy(),
+             "n_orders": c["n_orders"].to_numpy().astype("int64")},
+            schema=cnt_schema)
+
+    both = (win.map_batches(o_rows, batch_format="pandas")
+            .union(lineitem.map_batches(l_rows, batch_format="pandas")))
+    df = (both.groupby("bucket").map_groups(bucket_count,
+                                            batch_format="pandas")
+          .to_pandas()
+          .groupby("o_orderpriority", as_index=False)
+          .agg(n_orders=("n_orders", "sum"))
+          .sort_values("o_orderpriority").reset_index(drop=True))
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df[["o_orderpriority", "n_orders"]]
+
+
+def inactive_customers(sf_dir: str, date_lo: str = "1995-01-01",
+                       date_hi: str = "1995-07-01",
+                       broadcast_limit: int = 5_000_000):
+    """ANTI-join: per nation, how many customers placed NO order in
+    [date_lo, date_hi) — the churn/inactivity report (NOT EXISTS
+    semantics).
+
+    Size-adaptive plan on the distinct active-customer count: the
+    windowed orders scan collapses to per-batch DISTINCT custkey
+    partials (bounded by customers, never orders); under
+    ``broadcast_limit`` the sorted custkey array broadcasts once and
+    ONE customer pass anti-filters with ``np.searchsorted`` and emits
+    per-batch (nationkey, n) count partials — no shuffle anywhere.
+    Above the limit, both sides union on a common (custkey, kind,
+    nationkey) schema into ONE coarse custkey-bucket exchange and the
+    per-bucket anti scan emits the same bounded partials.  Nation
+    names are dimension-sized and join on the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+
+    key_schema = pa.schema([("custkey", pa.int64())])
+
+    def active_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+        return pa.table(
+            {"custkey": np.unique(t["o_custkey"].to_numpy())
+             .astype(np.int64)}, schema=key_schema)
+
+    def active_combine(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {"custkey": np.unique(b["custkey"].to_numpy())
+             .astype(np.int64)}, schema=key_schema)
+
+    active = (orders.map_batches(active_partial, batch_format="pyarrow")
+              .map_batches(active_combine, batch_format="pandas",
+                           batch_size=65536)
+              .materialize())
+
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+
+    def _finalize(per_nat: pd.DataFrame) -> pd.DataFrame:
+        df = (per_nat.groupby("nationkey", as_index=False)
+              .agg(n_inactive=("n", "sum"))
+              .merge(nat, left_on="nationkey", right_on="n_nationkey"))
+        df = df[df["n_inactive"] > 0]
+        df = df.sort_values("n_name").reset_index(drop=True)
+        df["n_inactive"] = df["n_inactive"].astype("int64")
+        return df[["n_name", "n_inactive"]]
+
+    cnt_schema = pa.schema([("nationkey", pa.int64()), ("n", pa.int64())])
+
+    if active.count() <= broadcast_limit:
+        akeys = np.unique(active.to_pandas()["custkey"].to_numpy())
+        aref = ray.put(akeys)
+
+        def anti_partial(b: pd.DataFrame) -> pa.Table:
+            ak = ray.get(aref)
+            ck = b["c_custkey"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(ak, ck)
+            hit = pos < len(ak)
+            hit[hit] = ak[pos[hit]] == ck[hit]
+            g = (pd.DataFrame({"nationkey": b["c_nationkey"]
+                               .to_numpy()[~hit].astype(np.int64)})
+                 .groupby("nationkey", as_index=False).size()
+                 .rename(columns={"size": "n"}))
+            return pa.table(
+                {"nationkey": g["nationkey"].to_numpy().astype(np.int64),
+                 "n": g["n"].to_numpy().astype(np.int64)},
+                schema=cnt_schema)
+
+        per_nat = (customer.map_batches(anti_partial,
+                                        batch_format="pandas")
+                   .to_pandas())
+        return _finalize(per_nat)
+
+    u_schema = pa.schema([("custkey", pa.int64()), ("kind", pa.int64()),
+                          ("nationkey", pa.int64()), ("bucket", pa.int64())])
+
+    def a_rows(b: pd.DataFrame) -> pa.Table:
+        ck = b["custkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"custkey": ck, "kind": np.ones(len(b), dtype=np.int64),
+             "nationkey": np.full(len(b), -1, dtype=np.int64),
+             "bucket": ck % 1024}, schema=u_schema)
+
+    def c_rows(b: pd.DataFrame) -> pa.Table:
+        ck = b["c_custkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"custkey": ck, "kind": np.zeros(len(b), dtype=np.int64),
+             "nationkey": b["c_nationkey"].to_numpy().astype(np.int64),
+             "bucket": ck % 1024}, schema=u_schema)
+
+    def bucket_anti(group: pd.DataFrame) -> pa.Table:
+        if not len(group):
+            return pa.table({"nationkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())},
+                            schema=cnt_schema)
+        act = set(group.loc[group["kind"] == 1, "custkey"].to_numpy())
+        c = group[group["kind"] == 0]
+        mask = ~c["custkey"].isin(act)
+        g = (pd.DataFrame({"nationkey": c["nationkey"]
+                           .to_numpy()[mask.to_numpy()]})
+             .groupby("nationkey", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pa.table(
+            {"nationkey": g["nationkey"].to_numpy().astype(np.int64),
+             "n": g["n"].to_numpy().astype(np.int64)},
+            schema=cnt_schema)
+
+    both = (active.map_batches(a_rows, batch_format="pandas")
+            .union(customer.map_batches(c_rows, batch_format="pandas")))
+    per_nat = (both.groupby("bucket").map_groups(bucket_anti,
+                                                 batch_format="pandas")
+               .to_pandas())
+    return _finalize(per_nat)

@@ -117,6 +117,20 @@ class TestDedup:
         for fn in (zipf_fit, ttr_by_source, ngram_novelty):
             pd.testing.assert_frame_equal(fn(sf), fn(sf, driver_limit=0))
 
+    def test_join_shape_branches_agree(self):
+        """broadcast_limit=0 forces the union + coarse-bucket
+        co-partition fallbacks of the semi-join and anti-join ops;
+        the default gates into the broadcast paths — identical
+        frames either way."""
+        import pandas as pd
+
+        from ragflow_ray.ops.relational import (inactive_customers,
+                                                late_order_priority)
+
+        sf = "/root/testdata/sf0.001"
+        for fn in (late_order_priority, inactive_customers):
+            pd.testing.assert_frame_equal(fn(sf), fn(sf, broadcast_limit=0))
+
     def test_pmi_collocations_branches_agree(self):
         """driver_limit=0 forces the distributed recount + marginal
         reduce + broadcast scoring; the default gates into the driver
