@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_length_histogram": relational.session_length_histogram,
         "late_order_priority": relational.late_order_priority,
         "inactive_customers": relational.inactive_customers,
+        "forecast_revenue": relational.forecast_revenue,
+        "source_dup_rate": dedup.source_dup_rate,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
         "events_order_asof": relational.events_order_asof,
@@ -1464,6 +1466,29 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_orderdate >= DATE '1995-01-01'
                                 AND o.o_orderdate < DATE '1995-07-01')
             GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q6-shaped forecast: price and discount each round to
+        # their fixed-point grid FIRST, so the product is exact int64
+        # in 1e-6 units and the discount window is an integer compare
+        "forecast_revenue": """
+            SELECT SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)
+                       )::BIGINT AS revenue_c6,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1996-01-01'
+              AND CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)
+                  BETWEEN 500 AND 700
+              AND l_quantity < 24
+        """,
+        # per-source exact-dup scorecard: distinct md5(text) vs docs
+        "source_dup_rate": """
+            SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   COUNT(DISTINCT md5(text))::BIGINT AS n_distinct,
+                   round(1 - COUNT(DISTINCT md5(text))::DOUBLE
+                         / COUNT(*), 6) AS dup_rate
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         # schema-on-read JSON extraction, aggregated per event type
         # regexp_extract + TRY_CAST mirrors the engine's strict-integer

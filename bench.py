@@ -216,6 +216,8 @@ def run_bench() -> dict:
         "session_length_histogram": relational.session_length_histogram,
         "late_order_priority": relational.late_order_priority,
         "inactive_customers": relational.inactive_customers,
+        "forecast_revenue": relational.forecast_revenue,
+        "source_dup_rate": dedup.source_dup_rate,
         "hybrid_topk": textstats.hybrid_topk,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "gopher_repetition_flags": curation.gopher_repetition_flags,

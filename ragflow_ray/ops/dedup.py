@@ -2212,3 +2212,86 @@ def source_overlap_matrix(sf_dir: str, n: int = OVERLAP_NGRAM):
     )
     df["n_shared_grams"] = df["n_shared_grams"].astype("int64")
     return df
+
+
+def source_dup_rate(sf_dir: str, n_buckets: int = 1024,
+                    driver_limit: int = 5_000_000):
+    """Per-source exact-duplicate rate: document count, distinct
+    content-hash count and ``dup_rate = 1 − distinct/docs`` (rounded
+    to 6 decimals) — the source-health scorecard run before choosing
+    per-source mixture weights (a high dup rate demotes a crawl
+    source before any pair-level dedup spends cycles on it).
+
+    Distributed plan: per-batch DISTINCT (source, md5-as-2×int64)
+    digest partials (text never shuffles — the :func:`exact_dedup`
+    digest convention) → under ``driver_limit`` the distinct table
+    finalizes on the driver; above it the digest rows co-partition
+    under the 1024-way coarse digest bucket and each bucket counts its
+    distinct (source, digest) pairs vectorized — every copy of a
+    digest lands in one bucket, so the per-source sums are exact.
+    Document counts reduce through a separate one-column partial
+    pass."""
+    import numpy as np
+    import pyarrow as pa
+
+    exp_schema = pa.schema([("source", pa.string()), ("h1", pa.int64()),
+                            ("h2", pa.int64()), ("bucket", pa.int64())])
+
+    def digest_partial(b: pd.DataFrame) -> pa.Table:
+        h1s = np.empty(len(b), dtype=np.int64)
+        h2s = np.empty(len(b), dtype=np.int64)
+        for i, t in enumerate(b["text"].to_numpy()):
+            d = hashlib.md5(str(t).encode()).digest()
+            h1s[i] = int.from_bytes(d[:8], "big", signed=True)
+            h2s[i] = int.from_bytes(d[8:], "big", signed=True)
+        g = pd.DataFrame({"source": b["source"].to_numpy(),
+                          "h1": h1s, "h2": h2s}).drop_duplicates()
+        h1 = g["h1"].to_numpy()
+        return pa.table({"source": g["source"].astype(str).to_numpy(),
+                         "h1": h1, "h2": g["h2"].to_numpy(),
+                         "bucket": h1 % n_buckets}, schema=exp_schema)
+
+    cnt_schema = pa.schema([("source", pa.string()),
+                            ("n_distinct", pa.int64())])
+
+    def bucket_distinct(group: pd.DataFrame) -> pa.Table:
+        if not len(group):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_distinct": pa.array([], pa.int64())},
+                            schema=cnt_schema)
+        g = (group.drop_duplicates(["source", "h1", "h2"])
+             .groupby("source", as_index=False).size()
+             .rename(columns={"size": "n_distinct"}))
+        return pa.table({"source": g["source"].astype(str).to_numpy(),
+                         "n_distinct": g["n_distinct"].to_numpy()
+                         .astype("int64")}, schema=cnt_schema)
+
+    digests = (_docs(sf_dir, columns=("source", "text"),
+                     rows_per_block=2048)
+               .map_batches(digest_partial, batch_format="pandas")
+               .materialize())
+    if digests.count() <= driver_limit:
+        d = (digests.to_pandas()
+             .drop_duplicates(["source", "h1", "h2"])
+             .groupby("source", as_index=False).size()
+             .rename(columns={"size": "n_distinct"}))
+    else:
+        d = (digests.groupby("bucket")
+             .map_groups(bucket_distinct, batch_format="pandas")
+             .to_pandas()
+             .groupby("source", as_index=False)
+             .agg(n_distinct=("n_distinct", "sum")))
+
+    counts = (_docs(sf_dir, columns=("source",), rows_per_block=4096)
+              .map_batches(lambda b: b.groupby("source", as_index=False)
+                           .size().rename(columns={"size": "n_docs"}),
+                           batch_format="pandas")
+              .to_pandas()
+              .groupby("source", as_index=False)
+              .agg(n_docs=("n_docs", "sum")))
+    df = counts.merge(d, on="source").sort_values("source")
+    df = df.reset_index(drop=True)
+    for c in ("n_docs", "n_distinct"):
+        df[c] = df[c].astype("int64")
+    df["dup_rate"] = (1 - df["n_distinct"] / df["n_docs"]).round(6)
+    return df[["source", "n_docs", "n_distinct", "dup_rate"]]

@@ -2241,3 +2241,62 @@ def inactive_customers(sf_dir: str, date_lo: str = "1995-01-01",
                                                  batch_format="pandas")
                .to_pandas())
     return _finalize(per_nat)
+
+
+def forecast_revenue(sf_dir: str, date_lo: str = "1995-01-01",
+                     date_hi: str = "1996-01-01",
+                     disc_lo_c4: int = 500, disc_hi_c4: int = 700,
+                     max_qty: int = 24):
+    """TPC-H Q6-shaped revenue-change forecast: the discount revenue
+    ``Σ l_extendedprice · l_discount`` over lineitems shipped in
+    [date_lo, date_hi) with a discount in [5%, 7%] and quantity under
+    24 — the what-if aggregate of removing small-order discounts.
+
+    Exactness: each factor rounds to its native fixed-point grid
+    FIRST (price → cents, discount → 1e-4) so the per-row product is
+    an exact int64 in 1e-6 currency units and the sum is
+    order-independent — the :func:`pricing_summary` c4 idiom, one
+    step wider.  The discount window filters on the SAME rounded
+    integer on both sides (a raw float BETWEEN would hinge on
+    representation noise).
+
+    Distributed plan: one pruned scan, filter + two-column product
+    inside each batch, constant-size (revenue, count) partials — no
+    exchange at any point."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+
+    part_schema = pa.schema([("revenue_c6", pa.int64()),
+                             ("n_items", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        ship = b["l_shipdate"]
+        disc_c4 = np.floor(
+            b["l_discount"].to_numpy() * 10_000 + 0.5).astype(np.int64)
+        keep = ((ship >= lo) & (ship < hi)).to_numpy()
+        keep &= (disc_c4 >= disc_lo_c4) & (disc_c4 <= disc_hi_c4)
+        keep &= b["l_quantity"].to_numpy() < max_qty
+        price_c2 = np.floor(
+            b["l_extendedprice"].to_numpy()[keep] * 100 + 0.5
+        ).astype(np.int64)
+        rev = int((price_c2 * disc_c4[keep]).sum())
+        return pa.table({"revenue_c6": [rev],
+                         "n_items": [int(keep.sum())]},
+                        schema=part_schema)
+
+    p = (ds.map_batches(partial, batch_format="pandas")
+         .to_pandas())
+    return pd.DataFrame({
+        "revenue_c6": pd.Series([int(p["revenue_c6"].sum())],
+                                dtype="int64"),
+        "n_items": pd.Series([int(p["n_items"].sum())], dtype="int64"),
+    })

@@ -117,6 +117,11 @@ class TestDedup:
         for fn in (zipf_fit, ttr_by_source, ngram_novelty):
             pd.testing.assert_frame_equal(fn(sf), fn(sf, driver_limit=0))
 
+        from ragflow_ray.ops.dedup import source_dup_rate
+
+        pd.testing.assert_frame_equal(
+            source_dup_rate(sf), source_dup_rate(sf, driver_limit=0))
+
     def test_join_shape_branches_agree(self):
         """broadcast_limit=0 forces the union + coarse-bucket
         co-partition fallbacks of the semi-join and anti-join ops;
