@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": textstats.ngram_novelty,
         "char_entropy": curation.char_entropy,
         "label_coherence": ann.label_coherence,
+        "label_affinity": ann.label_affinity,
         # --- embedding clustering (fixture-oracled iterative k-means) ---
         "kmeans_clusters": cluster.kmeans_clusters,
         "semdedup": cluster.semdedup,
@@ -750,6 +751,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT label::BIGINT AS label, COUNT(*)::BIGINT AS n_vecs,
                    round(AVG(cos), 6) AS mean_cos, MIN(cos) AS min_cos
             FROM cosv GROUP BY 1 ORDER BY 1
+        """,
+        # pairwise label-centroid cosines (upper triangle); centroids
+        # share label_coherence's micro-scaled-integer form
+        "label_affinity": """
+            WITH dims AS (SELECT UNNEST(range(1, 65)) AS d),
+            x AS (SELECT label, dims.d,
+                         CAST(FLOOR(CAST(e.embedding[dims.d] AS DOUBLE)
+                                    * 1000000 + 0.5) AS BIGINT) AS v6
+                  FROM embeddings e CROSS JOIN dims),
+            cent AS (SELECT label, d,
+                            SUM(v6)::DOUBLE / (COUNT(*) * 1000000.0) AS c
+                     FROM x GROUP BY 1, 2),
+            p AS (SELECT a.label AS label_a, b.label AS label_b,
+                         SUM(a.c * b.c) AS dot,
+                         SUM(a.c * a.c) AS na, SUM(b.c * b.c) AS nb
+                  FROM cent a JOIN cent b ON a.d = b.d
+                                         AND a.label < b.label
+                  GROUP BY 1, 2)
+            SELECT label_a::BIGINT AS label_a, label_b::BIGINT AS label_b,
+                   round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+            FROM p ORDER BY 1, 2
         """,
         # CCNet-style LM filter: per-doc cross-entropy under the corpus
         # MLE bigram model (round-6 absorbs float association/ulp)

@@ -218,6 +218,7 @@ def run_bench() -> dict:
         "inactive_customers": relational.inactive_customers,
         "forecast_revenue": relational.forecast_revenue,
         "source_dup_rate": dedup.source_dup_rate,
+        "label_affinity": ann.label_affinity,
         "hybrid_topk": textstats.hybrid_topk,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "gopher_repetition_flags": curation.gopher_repetition_flags,

@@ -589,36 +589,15 @@ def pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
     return _merge_partials(_reduce_topk(partials, k).to_pandas(), k)
 
 
-def label_coherence(sf_dir: str):
-    """Intra-label embedding coherence: per label, the mean and min
-    cosine of each member vector to its label centroid — the cluster-
-    quality / label-noise diagnostic run before using labels as
-    training strata (a noisy label shows a low mean and a long
-    negative min tail).
-
-    Exactness contract: the centroid is the micro-scaled INTEGER mean
-    (:func:`label_vector_sums` form — ``Σ round(x·1e6)`` per dim over
-    the label, divided by ``n·1e6`` as float64), so both sides derive
-    a bit-identical centroid under any summation order; each member's
-    cosine to it rounds to 9 decimals, and the per-label mean of those
-    rounds to 6 (the ann.py float-association idiom).
-
-    Distributed plan, two passes over ONE materialized narrow read:
-    pass 1 emits per-batch (label × dim) integer partial sums → one
-    narrow combine level → labels×dim driver finalize (labels are
-    strata: bounded); the tiny centroid matrix ships in the task
-    closure of pass 2, which emits per-batch (label, Σcos, min cos, n)
-    partials — constant-size per batch — combined the same way.  No
-    all-to-all at any point."""
-    import numpy as np
-    import pyarrow as pa
-
-    from ..sources.readers import read_parquet_clean
-
-    ds = read_parquet_clean(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
-    ).materialize()
-
+def _label_centroids(ds):
+    """Micro-scaled-integer label centroids over an (embedding, label)
+    Dataset — Σ round(x·1e6) per (label, dim) through per-batch
+    partials + one narrow combine level, finalized on the driver
+    (labels are strata: bounded).  The integer sums make the float64
+    centroid bit-identical under any summation order — the exactness
+    anchor :func:`label_coherence` and :func:`label_affinity` share
+    with their SQL oracles.  Returns (labels, label→row index,
+    centroid matrix)."""
     sum_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
                             ("s", pa.int64()), ("n", pa.int64())])
 
@@ -661,6 +640,72 @@ def label_coherence(sf_dir: str):
         g = g.sort_values("dim")
         cents[idx[int(lab)]] = (g["s"].to_numpy().astype(np.float64)
                                 / (g["n"].to_numpy() * 1_000_000.0))
+    return labels, idx, cents
+
+
+def label_affinity(sf_dir: str):
+    """Pairwise label-centroid cosine matrix (upper triangle,
+    label_a < label_b) — the confusable-label diagnostic run next to
+    :func:`label_coherence`: two labels whose centroids sit close are
+    candidates for merging or for stratified-split leakage review.
+
+    ONE pass builds the shared micro-scaled-integer centroids
+    (:func:`_label_centroids`); the k×k cosine matrix is a driver-side
+    matmul over the labels-sized centroid matrix (k bounded — never
+    data-sized).  Cosines round to 6 decimals (the ann.py float
+    idiom)."""
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+    labels, _, cents = _label_centroids(ds)
+    cnorm = np.sqrt((cents * cents).sum(axis=1))
+    rows_a, rows_b, coss = [], [], []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            # per-pair dot in the SQL's per-dim-sum order class;
+            # round-6 absorbs association
+            c = float(np.dot(cents[i], cents[j]) / (cnorm[i] * cnorm[j]))
+            rows_a.append(int(labels[i]))
+            rows_b.append(int(labels[j]))
+            coss.append(round(c, 6))
+    return pd.DataFrame({
+        "label_a": pd.Series(rows_a, dtype="int64"),
+        "label_b": pd.Series(rows_b, dtype="int64"),
+        "cos": pd.Series(coss, dtype="float64"),
+    })
+
+
+def label_coherence(sf_dir: str):
+    """Intra-label embedding coherence: per label, the mean and min
+    cosine of each member vector to its label centroid — the cluster-
+    quality / label-noise diagnostic run before using labels as
+    training strata (a noisy label shows a low mean and a long
+    negative min tail).
+
+    Exactness contract: the centroid is the micro-scaled INTEGER mean
+    (:func:`label_vector_sums` form — ``Σ round(x·1e6)`` per dim over
+    the label, divided by ``n·1e6`` as float64), so both sides derive
+    a bit-identical centroid under any summation order; each member's
+    cosine to it rounds to 9 decimals, and the per-label mean of those
+    rounds to 6 (the ann.py float-association idiom).
+
+    Distributed plan, two passes over ONE materialized narrow read:
+    pass 1 emits per-batch (label × dim) integer partial sums → one
+    narrow combine level → labels×dim driver finalize (labels are
+    strata: bounded); the tiny centroid matrix ships in the task
+    closure of pass 2, which emits per-batch (label, Σcos, min cos, n)
+    partials — constant-size per batch — combined the same way.  No
+    all-to-all at any point."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    ).materialize()
+    labels, idx, cents = _label_centroids(ds)
     cnorm = np.sqrt((cents * cents).sum(axis=1))
 
     cos_schema = pa.schema([("label", pa.int64()),
