@@ -136,10 +136,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_by_source": textstats.ttr_by_source,
         "ngram_novelty": textstats.ngram_novelty,
         "char_entropy": curation.char_entropy,
+        "length_rank_cdf": textstats.length_rank_cdf,
         "label_coherence": ann.label_coherence,
         "label_affinity": ann.label_affinity,
         # --- embedding clustering (fixture-oracled iterative k-means) ---
         "kmeans_clusters": cluster.kmeans_clusters,
+        "embedding_covariance": cluster.embedding_covariance,
         "semdedup": cluster.semdedup,
         "raptor_tree": cluster.raptor_tree,
         # --- similarity search ---
@@ -173,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_order_priority": relational.late_order_priority,
         "inactive_customers": relational.inactive_customers,
         "forecast_revenue": relational.forecast_revenue,
+        "daily_revenue_ma7": relational.daily_revenue_ma7,
+        "shipping_priority": relational.shipping_priority,
         "source_dup_rate": dedup.source_dup_rate,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
@@ -1503,6 +1507,74 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)
                   BETWEEN 500 AND 700
               AND l_quantity < 24
+        """,
+        # daily revenue + trailing 7-row moving average; integer-cent
+        # window sums, ONE division rounded to 6 on both sides
+        "daily_revenue_ma7": """
+            WITH d AS (
+                SELECT DATE_DIFF('day', DATE '1970-01-01',
+                                 o_orderdate)::BIGINT AS day,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                AS BIGINT))::BIGINT AS rev_c2,
+                       COUNT(*)::BIGINT AS n_orders
+                FROM orders GROUP BY 1)
+            SELECT day, n_orders, rev_c2,
+                   round(CAST(SUM(rev_c2) OVER w AS DOUBLE)
+                         / (100.0 * COUNT(*) OVER w), 6) AS ma7
+            FROM d
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY day
+        """,
+        # TPC-H Q3-shaped top-k: revenue on the forecast_revenue
+        # fixed-point grid (cents x 1e-4 discount units), orderkey ties
+        "shipping_priority": """
+            WITH o AS (
+                SELECT o_orderkey, o_orderdate FROM orders
+                WHERE o_orderdate < TIMESTAMP '1995-06-15'
+                  AND o_custkey IN (SELECT c_custkey FROM customer
+                                    WHERE c_mktsegment = 'BUILDING')),
+            l AS (
+                SELECT l_orderkey,
+                       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)
+                           * (10000 - CAST(FLOOR(l_discount * 10000
+                                                 + 0.5) AS BIGINT)))
+                           AS rev_c6
+                FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-15'
+                GROUP BY 1)
+            SELECT o.o_orderkey::BIGINT AS o_orderkey,
+                   CAST(l.rev_c6 AS BIGINT) AS rev_c6, o.o_orderdate
+            FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+            ORDER BY rev_c6 DESC, o_orderkey LIMIT 10
+        """,
+        # exact global length rank (RANK()-1 = strictly-smaller count,
+        # the empirical-CDF numerator) per document
+        "length_rank_cdf": """
+            SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+                   (RANK() OVER (ORDER BY n_chars) - 1)::BIGINT
+                       AS n_smaller
+            FROM documents ORDER BY doc_id
+        """,
+        # covariance-matrix integer numerators n*Sxy - Sx*Sy over
+        # milli-scaled components (upper triangle, 0-based dims)
+        "embedding_covariance": """
+            WITH dims AS (SELECT UNNEST(range(1, 65)) AS d),
+            x AS (SELECT vec_id, dims.d AS d,
+                         CAST(FLOOR(CAST(e.embedding[dims.d] AS DOUBLE)
+                                    * 1000 + 0.5) AS BIGINT) AS v
+                  FROM embeddings e CROSS JOIN dims),
+            p AS (SELECT a.d AS di, b.d AS dj, SUM(a.v * b.v) AS sxy,
+                         COUNT(*) AS n
+                  FROM x a JOIN x b ON a.vec_id = b.vec_id
+                                   AND a.d <= b.d
+                  GROUP BY 1, 2),
+            s AS (SELECT d, SUM(v) AS sx FROM x GROUP BY 1)
+            SELECT (p.di - 1)::BIGINT AS i, (p.dj - 1)::BIGINT AS j,
+                   CAST(p.n * p.sxy - sa.sx * sb.sx AS BIGINT)
+                       AS cov_num
+            FROM p JOIN s sa ON sa.d = p.di JOIN s sb ON sb.d = p.dj
+            ORDER BY 1, 2
         """,
         # per-source exact-dup scorecard: distinct md5(text) vs docs
         "source_dup_rate": """

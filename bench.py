@@ -226,6 +226,10 @@ def run_bench() -> dict:
         "c4_line_filter": curation.c4_line_filter,
         "winnow_fingerprints": lambda d: len(dedup.winnow_fingerprints(d)),
         "winnow_overlap_pairs": lambda d: len(dedup.winnow_overlap_pairs(d)),
+        "length_rank_cdf": lambda d: textstats.length_rank_cdf(d).count(),
+        "embedding_covariance": cluster.embedding_covariance,
+        "daily_revenue_ma7": relational.daily_revenue_ma7,
+        "shipping_priority": relational.shipping_priority,
     }
     for name, fn in bench_queries.items():
         try:

@@ -384,3 +384,92 @@ def raptor_tree(
     for c in ("vec_id", "l0", "l1", "leaf_size"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def embedding_covariance(sf_dir: str, scale: int = 1000):
+    """Exact covariance (second-moment) matrix of the embedding column
+    — the upper triangle as integer numerators
+
+        ``cov_num[i, j] = n·Σ(v_i·v_j) − Σv_i · Σv_j``
+
+    over milli-scaled integer components ``v = round(x·1000)`` (the
+    population covariance of the quantized vectors is
+    ``cov_num / n²``; returning the integer numerator keeps the oracle
+    comparison float-free, the :func:`label_vector_sums` convention one
+    moment higher).  The matrix feeds PCA / whitening / feature-drift
+    diagnostics over an embedding corpus.
+
+    Distributed plan: ONE streaming pass; each batch stacks its rows
+    into a ``(b, d)`` matrix, quantizes, and emits the ``d(d+1)/2``
+    upper-triangle Gram entries (``Vᵀ·V`` — a single int64 matmul)
+    plus the ``d`` component sums and a count, all under one
+    ``(i, j, s)`` schema — constant ``O(d²)`` rows per batch, never
+    data-sized.  One narrow combine level shrinks the partials; the
+    driver finalizes with PYTHON-int products (no intermediate
+    overflow).  Nothing shuffles.
+
+    int64 envelope (documented, not silent): per-batch Gram entries
+    are ≤ b·scale² ≈ 4e9, combine sums ≤ n·scale² — safe past 1e12
+    rows; the EMITTED ``cov_num ≤ n²·scale²`` caps the exact-integer
+    output at ~3e6 rows with unit-range embeddings.  Beyond that,
+    lower ``scale`` (the statistic is then covariance of the coarser
+    quantization — still exact for what it names)."""
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    part_schema = pa.schema(
+        [("i", pa.int64()), ("j", pa.int64()), ("s", pa.int64())]
+    )
+
+    def gram_partial(b: pd.DataFrame) -> pa.Table:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        v = np.floor(mat * scale + 0.5).astype(np.int64)
+        d = v.shape[1]
+        gram = v.T @ v  # int64 accumulate, b·scale² bounded
+        iu, ju = np.triu_indices(d)
+        rows_i = np.concatenate(
+            [iu, np.arange(d, dtype=np.int64), [-1]])
+        rows_j = np.concatenate(
+            [np.full(d, -1, dtype=np.int64), [-1]], dtype=np.int64)
+        rows_j = np.concatenate([ju, rows_j])
+        s = np.concatenate(
+            [gram[iu, ju], v.sum(axis=0),
+             np.array([len(v)], dtype=np.int64)])
+        return pa.table(
+            {"i": rows_i.astype(np.int64), "j": rows_j.astype(np.int64),
+             "s": s.astype(np.int64)},
+            schema=part_schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["i", "j"], as_index=False, sort=False).agg(
+            s=("s", "sum"))
+        return pa.table(
+            {"i": g["i"].to_numpy().astype(np.int64),
+             "j": g["j"].to_numpy().astype(np.int64),
+             "s": g["s"].to_numpy().astype(np.int64)},
+            schema=part_schema)
+
+    sums = (
+        ds.map_batches(gram_partial, batch_format="pandas",
+                       batch_size=4096)
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["i", "j"], as_index=False).agg(s=("s", "sum"))
+    )
+    n = int(sums.loc[(sums["i"] == -1) & (sums["j"] == -1), "s"].iloc[0])
+    sx = {int(r["i"]): int(r["s"])
+          for _, r in sums[(sums["j"] == -1) & (sums["i"] >= 0)].iterrows()}
+    tri = sums[(sums["i"] >= 0) & (sums["j"] >= 0)].sort_values(
+        ["i", "j"]).reset_index(drop=True)
+    cov_num = [
+        n * int(s) - sx[int(i)] * sx[int(j)]
+        for i, j, s in zip(tri["i"], tri["j"], tri["s"])
+    ]
+    return pd.DataFrame({
+        "i": tri["i"].astype("int64"),
+        "j": tri["j"].astype("int64"),
+        "cov_num": pd.Series(cov_num, dtype="int64"),
+    })

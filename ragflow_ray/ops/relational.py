@@ -2300,3 +2300,278 @@ def forecast_revenue(sf_dir: str, date_lo: str = "1995-01-01",
                                 dtype="int64"),
         "n_items": pd.Series([int(p["n_items"].sum())], dtype="int64"),
     })
+
+
+def daily_revenue_ma7(sf_dir: str):
+    """Daily order revenue with a trailing 7-row moving average — the
+    time-series smoothing read a revenue dashboard runs over the order
+    stream (``AVG() OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND
+    CURRENT ROW)`` over the per-day aggregate).
+
+    Exactness: revenue sums in integer cents (the
+    :func:`pricing_summary` idiom); the window is ROWS-based over the
+    PRESENT days so both sides window the same sequence; the moving
+    average is ONE division of the exact integer window sum —
+    ``win_rev_c2 / (100·win_days)`` — rounded to 6, identical on both
+    sides.
+
+    Distributed shape: per-batch ``(day → rev_c2, n)`` partials → one
+    narrow combine level → a driver table bounded by CALENDAR DAYS
+    (never order count) where pandas' C rolling kernel applies the
+    window.  The order stream never shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    day_us = np.int64(86_400_000_000)
+    part_schema = pa.schema([("day", pa.int64()), ("rev_c2", pa.int64()),
+                             ("n_orders", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        us = b["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype("int64")
+        g = (pd.DataFrame({"day": us // day_us,
+                           "rev_c2": _cents(b["o_totalprice"])})
+             .groupby("day", as_index=False)
+             .agg(rev_c2=("rev_c2", "sum"), n_orders=("rev_c2", "size")))
+        return pa.table({"day": g["day"].to_numpy().astype(np.int64),
+                         "rev_c2": g["rev_c2"].to_numpy().astype(np.int64),
+                         "n_orders": g["n_orders"].to_numpy().astype(
+                             np.int64)},
+                        schema=part_schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("day", as_index=False, sort=False).agg(
+            rev_c2=("rev_c2", "sum"), n_orders=("n_orders", "sum"))
+        return pa.table({"day": g["day"].to_numpy().astype(np.int64),
+                         "rev_c2": g["rev_c2"].to_numpy().astype(np.int64),
+                         "n_orders": g["n_orders"].to_numpy().astype(
+                             np.int64)},
+                        schema=part_schema)
+
+    days = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("day", as_index=False)
+        .agg(rev_c2=("rev_c2", "sum"), n_orders=("n_orders", "sum"))
+        .sort_values("day").reset_index(drop=True)
+    )
+    win_rev = days["rev_c2"].rolling(7, min_periods=1).sum().astype("int64")
+    win_n = days["rev_c2"].rolling(7, min_periods=1).count().astype("int64")
+    return pd.DataFrame({
+        "day": days["day"].astype("int64"),
+        "n_orders": days["n_orders"].astype("int64"),
+        "rev_c2": days["rev_c2"].astype("int64"),
+        "ma7": (win_rev.to_numpy().astype("float64")
+                / (100.0 * win_n.to_numpy())).round(6),
+    })
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      date: str = "1995-06-15", k: int = 10,
+                      broadcast_limit: int = 5_000_000,
+                      n_buckets: int = 256):
+    """TPC-H Q3-shaped shipping-priority report: the ``k``
+    highest-revenue orders from ``segment`` customers placed before
+    ``date`` with lineitems still shipping after it, where revenue is
+    ``Σ l_extendedprice·(1−l_discount)`` over the late lineitems.
+
+    Exactness: each factor rounds to its native fixed-point grid first
+    (price → cents, discount → 1e-4), so per-lineitem revenue is an
+    exact int64 in 1e-6 currency units (the :func:`forecast_revenue`
+    grid) and per-order sums are order-independent; ties break on
+    orderkey.
+
+    Size-adaptive plan on the qualifying-orders count (the
+    :func:`late_order_priority` gate).  The segment's custkey set is
+    customer-table-sized and broadcasts in both branches:
+
+    * ≤ ``broadcast_limit`` window orders → their (orderkey,
+      orderdate) broadcast as sorted int64 arrays; ONE lineitem pass
+      emits per-batch per-order revenue partials for hits only
+      (bounded by qualifying orders per batch) → one narrow combine
+      level → driver merge + top-k.
+    * above the limit → lineitem revenue partials and order rows union
+      on a common schema and co-partition in ONE coarse
+      orderkey-bucket exchange (the union+groupby replacement for
+      ``Dataset.join``); each bucket joins, sums per order, and emits
+      only its LOCAL top-k — the driver merges ``n_buckets × k``
+      rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    cut = pd.Timestamp(date)
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"])
+
+    def c_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], pa.scalar(segment)))
+
+    ckeys = np.sort(
+        cust.map_batches(c_filter, batch_format="pyarrow")
+        .to_pandas()["c_custkey"].to_numpy().astype(np.int64))
+    ckeys_ref = ray.put(ckeys)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(b: pd.DataFrame) -> pd.DataFrame:
+        ck = ray.get(ckeys_ref)
+        keep = (b["o_orderdate"] < cut).to_numpy()
+        oc = b["o_custkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(ck, oc)
+        hit = pos < len(ck)
+        hit[hit] = ck[pos[hit]] == oc[hit]
+        keep &= hit
+        out = b.loc[keep, ["o_orderkey", "o_orderdate"]].copy()
+        out["o_orderkey"] = out["o_orderkey"].astype("int64")
+        return out
+
+    win = orders.map_batches(o_filter, batch_format="pandas").materialize()
+    n_win = win.count()
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    rev_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("rev_c6", pa.int64())])
+
+    def _rev_c6(b: pd.DataFrame, keep: np.ndarray) -> np.ndarray:
+        price_c2 = np.floor(
+            b["l_extendedprice"].to_numpy()[keep] * 100 + 0.5
+        ).astype(np.int64)
+        disc_c4 = np.floor(
+            b["l_discount"].to_numpy()[keep] * 10_000 + 0.5
+        ).astype(np.int64)
+        return price_c2 * (10_000 - disc_c4)
+
+    def _finalize(per_order: pd.DataFrame, odate: pd.DataFrame
+                  ) -> pd.DataFrame:
+        top = (per_order.groupby("o_orderkey", as_index=False)
+               .agg(rev_c6=("rev_c6", "sum"))
+               .sort_values(["rev_c6", "o_orderkey"],
+                            ascending=[False, True])
+               .head(k)
+               .merge(odate, on="o_orderkey", how="left")
+               .reset_index(drop=True))
+        top["o_orderkey"] = top["o_orderkey"].astype("int64")
+        top["rev_c6"] = top["rev_c6"].astype("int64")
+        return top[["o_orderkey", "rev_c6", "o_orderdate"]]
+
+    if n_win <= broadcast_limit:
+        odf = win.to_pandas().sort_values("o_orderkey")
+        okeys = odf["o_orderkey"].to_numpy().astype(np.int64)
+        okeys_ref = ray.put(okeys)
+
+        def l_partial(b: pd.DataFrame) -> pa.Table:
+            ok = ray.get(okeys_ref)
+            lk = b["l_orderkey"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(ok, lk)
+            keep = pos < len(ok)
+            keep[keep] = ok[pos[keep]] == lk[keep]
+            keep &= (b["l_shipdate"] > cut).to_numpy()
+            g = (pd.DataFrame({"o_orderkey": lk[keep],
+                               "rev_c6": _rev_c6(b, keep)})
+                 .groupby("o_orderkey", as_index=False)
+                 .agg(rev_c6=("rev_c6", "sum")))
+            return pa.table(
+                {"o_orderkey": g["o_orderkey"].to_numpy().astype(np.int64),
+                 "rev_c6": g["rev_c6"].to_numpy().astype(np.int64)},
+                schema=rev_schema)
+
+        def l_combine(b: pd.DataFrame) -> pa.Table:
+            g = b.groupby("o_orderkey", as_index=False, sort=False).agg(
+                rev_c6=("rev_c6", "sum"))
+            return pa.table(
+                {"o_orderkey": g["o_orderkey"].to_numpy().astype(np.int64),
+                 "rev_c6": g["rev_c6"].to_numpy().astype(np.int64)},
+                schema=rev_schema)
+
+        per_order = (
+            lineitem.map_batches(l_partial, batch_format="pandas",
+                                 batch_size=4096)
+            .map_batches(l_combine, batch_format="pandas",
+                         batch_size=65536)
+            .to_pandas())
+        return _finalize(per_order, odf)
+
+    # over-budget branch: union + coarse orderkey-bucket co-partition
+    union_schema = pa.schema([
+        ("bucket", pa.int64()), ("o_orderkey", pa.int64()),
+        ("rev_c6", pa.int64()), ("odate_us", pa.int64()),
+        ("is_order", pa.int64())])
+
+    def o_rows(b: pd.DataFrame) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"bucket": ok % n_buckets, "o_orderkey": ok,
+             "rev_c6": np.zeros(len(ok), dtype=np.int64),
+             "odate_us": b["o_orderdate"].to_numpy().astype(
+                 "datetime64[us]").astype("int64"),
+             "is_order": np.ones(len(ok), dtype=np.int64)},
+            schema=union_schema)
+
+    def l_rows(b: pd.DataFrame) -> pa.Table:
+        keep = (b["l_shipdate"] > cut).to_numpy()
+        g = (pd.DataFrame(
+            {"o_orderkey": b["l_orderkey"].to_numpy().astype(
+                np.int64)[keep],
+             "rev_c6": _rev_c6(b, keep)})
+             .groupby("o_orderkey", as_index=False)
+             .agg(rev_c6=("rev_c6", "sum")))
+        ok = g["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"bucket": ok % n_buckets, "o_orderkey": ok,
+             "rev_c6": g["rev_c6"].to_numpy().astype(np.int64),
+             "odate_us": np.zeros(len(ok), dtype=np.int64),
+             "is_order": np.zeros(len(ok), dtype=np.int64)},
+            schema=union_schema)
+
+    both = (win.map_batches(o_rows, batch_format="pandas")
+            .union(lineitem.map_batches(l_rows, batch_format="pandas",
+                                        batch_size=4096)))
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        is_o = group["is_order"].to_numpy() == 1
+        okeys = group.loc[is_o, "o_orderkey"]
+        odates = group.loc[is_o, "odate_us"]
+        rev = group.loc[~is_o, ["o_orderkey", "rev_c6"]]
+        per = (rev[rev["o_orderkey"].isin(set(okeys))]
+               .groupby("o_orderkey", as_index=False)
+               .agg(rev_c6=("rev_c6", "sum"))
+               .sort_values(["rev_c6", "o_orderkey"],
+                            ascending=[False, True]).head(k))
+        per = per.merge(
+            pd.DataFrame({"o_orderkey": okeys.to_numpy(),
+                          "odate_us": odates.to_numpy()}),
+            on="o_orderkey", how="left")
+        out = pd.DataFrame({
+            "o_orderkey": per["o_orderkey"].astype("int64"),
+            "rev_c6": per["rev_c6"].astype("int64"),
+            "odate_us": per["odate_us"].astype("int64")})
+        return out
+
+    cand = (both.groupby("bucket")
+            .map_groups(bucket_topk, batch_format="pandas")
+            .to_pandas())
+    cand = (cand.sort_values(["rev_c6", "o_orderkey"],
+                             ascending=[False, True]).head(k)
+            .reset_index(drop=True))
+    cand["o_orderdate"] = cand["odate_us"].astype("datetime64[us]")
+    cand["o_orderkey"] = cand["o_orderkey"].astype("int64")
+    cand["rev_c6"] = cand["rev_c6"].astype("int64")
+    return cand[["o_orderkey", "rev_c6", "o_orderdate"]]

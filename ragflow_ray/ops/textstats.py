@@ -1623,3 +1623,78 @@ def ngram_novelty(sf_dir: str, n: int = 8, n_buckets: int = 1024,
         df[c] = df[c].astype("int64")
     df["novelty"] = (df["n_novel"] / df["n_grams"]).round(6)
     return df[["doc_id", "n_grams", "n_novel", "novelty"]]
+
+
+def length_rank_cdf(sf_dir: str):
+    """Per-doc exact global length rank: for every document,
+    ``n_smaller`` = how many corpus docs have STRICTLY smaller
+    ``n_chars`` — ``RANK() − 1``, the integer numerator of the exact
+    empirical CDF (the length-percentile feature curation recipes
+    normalize against), computed WITHOUT a global sort.
+
+    Distributed plan, two passes over one materialized two-column
+    read: pass 1 emits per-batch ``(n_chars → count)`` histogram
+    partials (distinct lengths are bounded by the MAX doc length, not
+    the corpus size) → one narrow combine level → the driver cumsums
+    the sorted histogram into a strictly-less table and broadcasts it
+    as two sorted int64 numpy arrays (``ray.put``, zero-copy per
+    worker); pass 2 maps each doc through ``np.searchsorted``.  No
+    all-to-all; the only exchanged rows are histogram partials."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).materialize()
+
+    hist_schema = pa.schema([("n_chars", pa.int64()), ("n", pa.int64())])
+
+    def hist_partial(b: pd.DataFrame) -> pa.Table:
+        vals, cnts = np.unique(
+            b["n_chars"].to_numpy().astype(np.int64), return_counts=True)
+        return pa.table(
+            {"n_chars": vals, "n": cnts.astype(np.int64)},
+            schema=hist_schema)
+
+    def hist_combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("n_chars", as_index=False, sort=False).agg(
+            n=("n", "sum"))
+        return pa.table(
+            {"n_chars": g["n_chars"].to_numpy().astype(np.int64),
+             "n": g["n"].to_numpy().astype(np.int64)},
+            schema=hist_schema)
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas",
+                       batch_size=4096)
+        .map_batches(hist_combine, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("n_chars", as_index=False).agg(n=("n", "sum"))
+        .sort_values("n_chars").reset_index(drop=True)
+    )
+    values = hist["n_chars"].to_numpy().astype(np.int64)
+    below = np.concatenate(
+        [[0], np.cumsum(hist["n"].to_numpy().astype(np.int64))[:-1]])
+    values_ref = ray.put(values)
+    below_ref = ray.put(below)
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_chars", pa.int64()),
+                            ("n_smaller", pa.int64())])
+
+    def rank_map(b: pd.DataFrame) -> pa.Table:
+        vals = ray.get(values_ref)
+        cum = ray.get(below_ref)
+        x = b["n_chars"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(vals, x)  # exact: every x is in vals
+        return pa.table(
+            {"doc_id": b["doc_id"].to_numpy().astype(np.int64),
+             "n_chars": x,
+             "n_smaller": cum[pos]},
+            schema=out_schema)
+
+    return ds.map_batches(rank_map, batch_format="pandas",
+                          batch_size=4096)

@@ -136,6 +136,22 @@ class TestDedup:
         for fn in (late_order_priority, inactive_customers):
             pd.testing.assert_frame_equal(fn(sf), fn(sf, broadcast_limit=0))
 
+    def test_shipping_priority_branches_agree(self):
+        """broadcast_limit=0 forces the union + coarse orderkey-bucket
+        co-partition fallback of the Q3-shaped top-k; the default
+        gates into the broadcast-orderkeys path — identical frames
+        either way, at both bucket widths."""
+        import pandas as pd
+
+        from ragflow_ray.ops.relational import shipping_priority
+
+        sf = "/root/testdata/sf0.001"
+        base = shipping_priority(sf)
+        pd.testing.assert_frame_equal(
+            base, shipping_priority(sf, broadcast_limit=0))
+        pd.testing.assert_frame_equal(
+            base, shipping_priority(sf, broadcast_limit=0, n_buckets=7))
+
     def test_pmi_collocations_branches_agree(self):
         """driver_limit=0 forces the distributed recount + marginal
         reduce + broadcast scoring; the default gates into the driver

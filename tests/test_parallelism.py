@@ -49,6 +49,8 @@ SWEEP = ",".join([
     "event_spike_days",
     "top_docs_per_source",
     "ann_range_search",
+    "shipping_priority",
+    "length_rank_cdf",
 ])
 
 
