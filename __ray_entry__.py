@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": textstats.ngram_novelty,
         "char_entropy": curation.char_entropy,
         "length_rank_cdf": textstats.length_rank_cdf,
+        "source_vocab_jaccard": textstats.source_vocab_jaccard,
         "label_coherence": ann.label_coherence,
         "label_affinity": ann.label_affinity,
         # --- embedding clustering (fixture-oracled iterative k-means) ---
@@ -176,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": relational.inactive_customers,
         "forecast_revenue": relational.forecast_revenue,
         "daily_revenue_ma7": relational.daily_revenue_ma7,
+        "event_trend": relational.event_trend,
         "shipping_priority": relational.shipping_priority,
         "source_dup_rate": dedup.source_dup_rate,
         "purchase_attribution": relational.purchase_attribution,
@@ -1574,6 +1576,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.n * p.sxy - sa.sx * sb.sx AS BIGINT)
                        AS cov_num
             FROM p JOIN s sa ON sa.d = p.di JOIN s sb ON sb.d = p.dj
+            ORDER BY 1, 2
+        """,
+        # per-event-type OLS slope of daily count vs epoch day as
+        # exact integer moments (event_spike_days arithmetic, 1st order)
+        "event_trend": """
+            WITH c AS (
+                SELECT event_type,
+                       DATE_DIFF('day', DATE '1970-01-01', ts)::BIGINT
+                           AS day,
+                       COUNT(*)::BIGINT AS n_events
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, COUNT(*)::BIGINT AS n_days,
+                   SUM(n_events)::BIGINT AS n_events,
+                   CAST(COUNT(*) * SUM(day * n_events)
+                        - SUM(day) * SUM(n_events) AS BIGINT) AS slope_num,
+                   CAST(COUNT(*) * SUM(day * day)
+                        - SUM(day) * SUM(day) AS BIGINT) AS slope_den,
+                   round(CAST(COUNT(*) * SUM(day * n_events)
+                              - SUM(day) * SUM(n_events) AS DOUBLE)
+                         / CAST(COUNT(*) * SUM(day * day)
+                                - SUM(day) * SUM(day) AS DOUBLE), 9)
+                       AS slope
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        # pairwise source-vocabulary Jaccard over distinct [a-z]+ words
+        "source_vocab_jaccard": """
+            WITH t AS (SELECT source,
+                              unnest(regexp_extract_all(lower(text),
+                                                        '[a-z]+')) AS tok
+                       FROM documents),
+            w AS (SELECT DISTINCT source, tok FROM t),
+            v AS (SELECT source, COUNT(*)::BIGINT AS nv FROM w GROUP BY 1),
+            i AS (SELECT a.source AS source_a, b.source AS source_b,
+                         COUNT(*)::BIGINT AS n_inter
+                  FROM w a JOIN w b ON a.tok = b.tok
+                                   AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT va.source AS source_a, vb.source AS source_b,
+                   COALESCE(i.n_inter, 0)::BIGINT AS n_inter,
+                   (va.nv + vb.nv - COALESCE(i.n_inter, 0))::BIGINT
+                       AS n_union,
+                   round(COALESCE(i.n_inter, 0)::DOUBLE
+                         / (va.nv + vb.nv - COALESCE(i.n_inter, 0)), 6)
+                       AS jaccard
+            FROM v va JOIN v vb ON va.source < vb.source
+            LEFT JOIN i ON i.source_a = va.source
+                       AND i.source_b = vb.source
             ORDER BY 1, 2
         """,
         # per-source exact-dup scorecard: distinct md5(text) vs docs

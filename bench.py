@@ -230,6 +230,8 @@ def run_bench() -> dict:
         "embedding_covariance": cluster.embedding_covariance,
         "daily_revenue_ma7": relational.daily_revenue_ma7,
         "shipping_priority": relational.shipping_priority,
+        "event_trend": relational.event_trend,
+        "source_vocab_jaccard": textstats.source_vocab_jaccard,
     }
     for name, fn in bench_queries.items():
         try:

@@ -2575,3 +2575,84 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     cand["o_orderkey"] = cand["o_orderkey"].astype("int64")
     cand["rev_c6"] = cand["rev_c6"].astype("int64")
     return cand[["o_orderkey", "rev_c6", "o_orderdate"]]
+
+
+def event_trend(sf_dir: str):
+    """Per-event-type volume trend: the exact ordinary-least-squares
+    slope of daily event count against the epoch day, as INTEGER
+    numerator / denominator
+
+        ``slope_num = n·Σ(day·cnt) − Σday·Σcnt``
+        ``slope_den = n·Σ(day²)   − (Σday)²``
+
+    over the type's active days (slope = num/den events/day) — the
+    drift monitor a pipeline runs to catch a decaying or runaway
+    event stream.  Integer moments make the comparison float-free
+    (the :func:`event_spike_days` arithmetic, first-order); the one
+    emitted float is ``slope`` = round(num/den, 9), a single division
+    on both sides.
+
+    Distributed shape: per-batch (event_type, day) count partials →
+    one narrow combine level → a driver table bounded by
+    types × days; the moment sums run in PYTHON ints (no int64
+    overflow cliff at 1e9-count days).  The event stream never
+    shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    day_us = np.int64(86_400_000_000)
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("day", pa.int64()), ("n_events", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = (pd.DataFrame({"event_type": b["event_type"],
+                           "day": us // day_us})
+             .groupby(["event_type", "day"], as_index=False)
+             .size().rename(columns={"size": "n_events"}))
+        return pa.table(
+            {"event_type": g["event_type"].astype(str),
+             "day": g["day"].to_numpy().astype(np.int64),
+             "n_events": g["n_events"].to_numpy().astype(np.int64)},
+            schema=part_schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("n_events", "sum"))
+        return pa.table(
+            {"event_type": g["event_type"].astype(str),
+             "day": g["day"].to_numpy().astype(np.int64),
+             "n_events": g["n_events"].to_numpy().astype(np.int64)},
+            schema=part_schema)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("n_events", "sum"))
+    )
+    rows = []
+    for etype, g in counts.groupby("event_type"):
+        days = [int(x) for x in g["day"]]
+        cnts = [int(x) for x in g["n_events"]]
+        n = len(days)
+        sx, sy = sum(days), sum(cnts)
+        sxy = sum(d * c for d, c in zip(days, cnts))
+        sxx = sum(d * d for d in days)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        rows.append((str(etype), n, sy, num, den,
+                     round(num / den, 9) if den else 0.0))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_days", "n_events",
+                       "slope_num", "slope_den", "slope"]
+    ).sort_values("event_type").reset_index(drop=True)
+    for c in ("n_days", "n_events", "slope_num", "slope_den"):
+        out[c] = out[c].astype("int64")
+    return out

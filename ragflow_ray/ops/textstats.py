@@ -1698,3 +1698,117 @@ def length_rank_cdf(sf_dir: str):
 
     return ds.map_batches(rank_map, batch_format="pandas",
                           batch_size=4096)
+
+
+def source_vocab_jaccard(sf_dir: str, n_buckets: int = 1024,
+                         max_sources: int = 63):
+    """Pairwise vocabulary Jaccard between sources — for every source
+    pair, the exact |Va ∩ Vb| / |Va ∪ Vb| over each source's DISTINCT
+    lowercase ``[a-z]+`` word set (the :func:`vocab_topk` token
+    convention): the domain-overlap diagnostic run before choosing
+    mixture weights (two sources with near-identical vocabularies are
+    one domain, not two).
+
+    Distributed plan (the :func:`ngram_novelty` digest-bucket shape,
+    reduced one level further): docs explode to per-batch-distinct
+    (token-digest, source-bit) rows — md5 as two int64 columns, text
+    never shuffles — under a 1024-way coarse digest bucket; the bucket
+    walk ORs each token run's bits into a per-token source BITMASK and
+    emits only a (mask → token count) histogram per bucket (bounded by
+    distinct masks, never vocab size); the driver sums histograms and
+    reads every pairwise intersection / union off the mask histogram
+    with numpy.  ONE exchange; the pair matrix never touches data.
+
+    Envelope (documented, not silent): bitmasks hold ≤ ``max_sources``
+    (63) sources in an int64 — beyond that the mask column would need
+    widening to fixed-size binary; this op asserts the bound rather
+    than silently truncating."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from .curation import _docs
+
+    word_re = re.compile(r"[a-z]+")
+
+    src_partial = (_docs(sf_dir, columns=("source",), rows_per_block=4096)
+                   .map_batches(
+                       lambda b: pd.DataFrame(
+                           {"source": pd.unique(b["source"])}),
+                       batch_format="pandas")
+                   .to_pandas())
+    sources = sorted(src_partial["source"].unique())
+    if len(sources) > max_sources:
+        raise ValueError(
+            f"{len(sources)} sources exceed the {max_sources}-bit int64 "
+            "mask envelope; widen the mask column to fixed-size binary")
+    bit = {s: i for i, s in enumerate(sources)}
+
+    exp_schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                            ("mask", pa.int64()), ("bucket", pa.int64())])
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        seen: dict[tuple, int] = {}
+        for src, text in zip(b["source"].to_numpy(), b["text"].to_numpy()):
+            sbit = 1 << bit[src]
+            for w in set(word_re.findall(str(text).lower())):
+                d = hashlib.md5(w.encode()).digest()
+                key = (d[:8], d[8:])
+                seen[key] = seen.get(key, 0) | sbit
+        h1 = np.asarray(
+            [int.from_bytes(k[0], "big", signed=True) for k in seen],
+            dtype=np.int64)
+        return pa.table(
+            {"h1": h1,
+             "h2": np.asarray(
+                 [int.from_bytes(k[1], "big", signed=True) for k in seen],
+                 dtype=np.int64),
+             "mask": np.asarray(list(seen.values()), dtype=np.int64),
+             "bucket": h1 % n_buckets},
+            schema=exp_schema)
+
+    hist_schema = pa.schema([("mask", pa.int64()), ("n", pa.int64())])
+
+    def bucket_hist(group: pd.DataFrame) -> pa.Table:
+        if not len(group):
+            return pa.table({"mask": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())},
+                            schema=hist_schema)
+        g = group.sort_values(["h1", "h2"], kind="mergesort")
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        # every copy of a digest lands here: the run OR is the token's
+        # full source mask (reduceat: one C pass, no per-run Python)
+        starts = np.flatnonzero(new)
+        masks = np.bitwise_or.reduceat(g["mask"].to_numpy(), starts)
+        vals, cnts = np.unique(masks, return_counts=True)
+        return pa.table({"mask": vals.astype(np.int64),
+                         "n": cnts.astype(np.int64)},
+                        schema=hist_schema)
+
+    hist = (_docs(sf_dir, columns=("source", "text"), rows_per_block=256)
+            .map_batches(explode, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(bucket_hist, batch_format="pandas")
+            .to_pandas()
+            .groupby("mask", as_index=False).agg(n=("n", "sum")))
+    masks = hist["mask"].to_numpy().astype(np.int64)
+    counts = hist["n"].to_numpy().astype(np.int64)
+    has = np.stack([(masks >> i) & 1 for i in range(len(sources))])
+    nv = (has * counts).sum(axis=1)  # per-source vocab sizes
+    rows = []
+    for a in range(len(sources)):
+        for bdx in range(a + 1, len(sources)):
+            inter = int(counts[(has[a] & has[bdx]) == 1].sum())
+            union = int(nv[a] + nv[bdx] - inter)
+            rows.append((sources[a], sources[bdx], inter, union,
+                         round(inter / union, 6) if union else 0.0))
+    out = pd.DataFrame(rows, columns=["source_a", "source_b", "n_inter",
+                                      "n_union", "jaccard"])
+    for c in ("n_inter", "n_union"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -51,6 +51,7 @@ SWEEP = ",".join([
     "ann_range_search",
     "shipping_priority",
     "length_rank_cdf",
+    "source_vocab_jaccard",
 ])
 
 
