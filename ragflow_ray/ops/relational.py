@@ -2545,7 +2545,12 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
             .union(lineitem.map_batches(l_rows, batch_format="pandas",
                                         batch_size=4096)))
 
+    _warn = _skew_warn()
+
     def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        from ..state.skewmon import observe_group
+
+        observe_group("shipping_priority.bucket", len(group), _warn)
         is_o = group["is_order"].to_numpy() == 1
         okeys = group.loc[is_o, "o_orderkey"]
         odates = group.loc[is_o, "odate_us"]

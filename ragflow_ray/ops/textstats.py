@@ -1578,7 +1578,13 @@ def ngram_novelty(sf_dir: str, n: int = 8, n_buckets: int = 1024,
     nov_schema = pa.schema([("doc_id", pa.int64()), ("n_novel", pa.int64()),
                             ("n_grams", pa.int64())])
 
+    from ..state.skewmon import warn_rows as _skew_warn
+    _warn = _skew_warn()
+
     def bucket_novel(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("ngram_novelty.bucket", len(group), _warn)
         if not len(group):
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_novel": pa.array([], pa.int64()),
@@ -1770,7 +1776,13 @@ def source_vocab_jaccard(sf_dir: str, n_buckets: int = 1024,
 
     hist_schema = pa.schema([("mask", pa.int64()), ("n", pa.int64())])
 
+    from ..state.skewmon import warn_rows as _skew_warn
+    _warn = _skew_warn()
+
     def bucket_hist(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("source_vocab_jaccard.bucket", len(group), _warn)
         if not len(group):
             return pa.table({"mask": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())},

@@ -1563,3 +1563,129 @@ class TestPqTopk:
             for q in df["q_vec_id"].unique()
         )
         assert hits >= 3  # at least 3 of the 5 queries recall themselves
+
+
+class TestNewRelationalRandomPin:
+    """Random-content pins for the round-5 additions: the engine and
+    the driver oracle SQL must agree on arbitrary generated tables,
+    not just the shared testdata (guards against content-specific
+    luck in the fixed corpora)."""
+
+    @staticmethod
+    def _views(con, d):
+        import glob
+        import os
+
+        for f in glob.glob(str(d) + "/*.parquet"):
+            t = os.path.basename(f)[:-8]
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')")
+
+    @pytest.mark.parametrize("seed", [3, 11, 29])
+    def test_daily_revenue_ma7_random(self, tmp_path, seed):
+        import duckdb
+
+        import __ray_entry__ as e
+        from ragflow_ray.ops.relational import daily_revenue_ma7
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 400))
+        day = 86_400_000_000
+        base = 9_000 * day
+        ts = base + rng.integers(0, 30, n) * day + rng.integers(
+            0, day, n)  # intra-day jitter: truncation must agree
+        t = pa.table({
+            "o_orderdate": pa.array(ts.astype("int64"),
+                                    pa.timestamp("us")),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1.0, 90_000.0, n), 2),
+                pa.float64()),
+        })
+        d = tmp_path / f"ma7-{seed}"
+        d.mkdir()
+        pq.write_table(t, d / "orders.parquet")
+        got = daily_revenue_ma7(str(d))
+        con = duckdb.connect()
+        self._views(con, d)
+        want = con.sql(e.oracle_sql()["daily_revenue_ma7"]).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    @pytest.mark.parametrize("seed", [5, 17, 41])
+    def test_event_trend_random(self, tmp_path, seed):
+        import duckdb
+
+        import __ray_entry__ as e
+        from ragflow_ray.ops.relational import event_trend
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(10, 800))
+        day = 86_400_000_000
+        ts = 15_000 * day + rng.integers(0, 60 * day, n)
+        t = pa.table({
+            "event_type": pa.array(
+                rng.choice(["click", "view", "buy", "err"], n)),
+            "ts": pa.array(ts.astype("int64"), pa.timestamp("us")),
+        })
+        d = tmp_path / f"tr-{seed}"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        got = event_trend(str(d))
+        con = duckdb.connect()
+        self._views(con, d)
+        want = con.sql(e.oracle_sql()["event_trend"]).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    @pytest.mark.parametrize("seed", [7, 23])
+    def test_shipping_priority_random(self, tmp_path, seed):
+        """Both plan branches vs the oracle on random 3-table content
+        (orphan lineitems, non-BUILDING customers, boundary dates
+        included by construction)."""
+        import duckdb
+
+        import __ray_entry__ as e
+        from ragflow_ray.ops.relational import shipping_priority
+
+        rng = np.random.default_rng(seed)
+        n_cust, n_ord, n_li = 40, 200, 900
+        day = 86_400_000_000
+        cut = pd.Timestamp("1995-06-15").value // 1000  # us
+        cust = pa.table({
+            "c_custkey": pa.array(np.arange(1, n_cust + 1,
+                                            dtype="int64")),
+            "c_mktsegment": pa.array(rng.choice(
+                ["BUILDING", "MACHINERY", "HOUSEHOLD"], n_cust)),
+        })
+        ots = cut + rng.integers(-90, 90, n_ord) * day
+        orders = pa.table({
+            "o_orderkey": pa.array(np.arange(1, n_ord + 1,
+                                             dtype="int64")),
+            "o_custkey": pa.array(rng.integers(
+                1, n_cust + 1, n_ord).astype("int64")),
+            "o_orderdate": pa.array(ots.astype("int64"),
+                                    pa.timestamp("us")),
+        })
+        lts = cut + rng.integers(-60, 120, n_li) * day
+        li = pa.table({
+            # orderkeys past n_ord are orphans the join must drop
+            "l_orderkey": pa.array(rng.integers(
+                1, n_ord + 20, n_li).astype("int64")),
+            "l_shipdate": pa.array(lts.astype("int64"),
+                                   pa.timestamp("us")),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(10.0, 80_000.0, n_li), 2),
+                pa.float64()),
+            "l_discount": pa.array(
+                np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+                pa.float64()),
+        })
+        d = tmp_path / f"q3-{seed}"
+        d.mkdir()
+        pq.write_table(cust, d / "customer.parquet")
+        pq.write_table(orders, d / "orders.parquet")
+        pq.write_table(li, d / "lineitem.parquet")
+        con = duckdb.connect()
+        self._views(con, d)
+        want = con.sql(e.oracle_sql()["shipping_priority"]).df()
+        for limit in (5_000_000, 0):
+            got = shipping_priority(str(d), broadcast_limit=limit)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)

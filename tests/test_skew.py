@@ -212,3 +212,20 @@ def test_skew_monitor_silent_below_threshold(tmp_path, monkeypatch):
     sf_dir, _df = _plant_corpus(tmp_path, n_hot_clicks=20_000, seed=17)
     events_range_join(sf_dir, hot_key_threshold=10_000_000)
     assert skewmon.snapshot() == {}
+
+
+def test_skew_monitor_covers_shipping_priority(monkeypatch):
+    """The Q3 co-partition fallback's orderkey-bucket walk must report
+    over-threshold groups under the same ledger contract as the range
+    join (r4 verdict task 7 applied to new exchanges)."""
+    from ragflow_ray.ops.relational import shipping_priority
+    from ragflow_ray.state import skewmon
+
+    skewmon.reset()
+    monkeypatch.setenv("RAGFLOW_RAY_GROUP_WARN_ROWS", "1")
+    base = shipping_priority("/root/testdata/sf0.001")
+    got = shipping_priority("/root/testdata/sf0.001", broadcast_limit=0)
+    pd.testing.assert_frame_equal(got, base)
+    ledger = skewmon.snapshot()
+    assert "shipping_priority.bucket" in ledger, ledger
+    assert ledger["shipping_priority.bucket"]["groups_over"] >= 1
