@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup": dedup.passage_dedup,
         "winnow_fingerprints": dedup.winnow_fingerprints,
         "winnow_overlap_pairs": dedup.winnow_overlap_pairs,
+        "levenshtein_near_dups": dedup.levenshtein_near_dups,
         "segment_dedup_clean": lambda d: dedup.segment_dedup_clean(d).to_pandas(),
         "substring_dedup": lambda d: dedup.substring_dedup(d).to_pandas(),
         # --- corpus curation ---
@@ -621,6 +622,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
                    n_shared
             FROM p WHERE n_shared >= 2 ORDER BY doc_a, doc_b
+        """,
+        # byte-level edit distance (DuckDB levenshtein edits UTF-8
+        # bytes; the engine diffs the encoded bytes to match) over the
+        # winnow candidate pairs, capped at 256 on both sides
+        "levenshtein_near_dups": f"""
+            WITH {_WINNOW_FPS_CTE},
+            gate AS (
+                SELECT fp FROM fps GROUP BY fp
+                HAVING COUNT(*) BETWEEN 2 AND 64
+            ),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*)::BIGINT AS n_shared
+                FROM fps a JOIN fps b USING (fp) JOIN gate USING (fp)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT p.doc_a::BIGINT AS doc_a, p.doc_b::BIGINT AS doc_b,
+                   LEAST(levenshtein(da.text, db.text), 256)::BIGINT
+                       AS lev_dist
+            FROM p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+            WHERE p.n_shared >= 2 ORDER BY doc_a, doc_b
         """,
         # word = split(' ') segment; ties break on the word ascending
         "vocab_topk": """

@@ -2295,3 +2295,124 @@ def source_dup_rate(sf_dir: str, n_buckets: int = 1024,
         df[c] = df[c].astype("int64")
     df["dup_rate"] = (1 - df["n_distinct"] / df["n_docs"]).round(6)
     return df[["source", "n_docs", "n_distinct", "dup_rate"]]
+
+
+# -- edit-distance verification over winnow candidates ---------------------
+
+LEV_CAP = 256  # distances at or above the cap report the cap itself
+
+
+def _lev_bytes(a: np.ndarray, b: np.ndarray, cap: int = LEV_CAP) -> int:
+    """Exact Levenshtein distance between two uint8 arrays, capped at
+    ``cap`` (a distance >= cap returns cap) — BYTE semantics, matching
+    DuckDB's ``levenshtein`` (which edits UTF-8 bytes, not codepoints).
+
+    Classic two-row DP with the horizontal dependency resolved by the
+    running-min transform, so each row is pure numpy:
+
+        new[j] = min(m[j], new[j-1] + 1)   with  new[0] = i
+               = j + cummin(m[t] - t)[j]   over  t <= j
+
+    O(len(a)) vectorized rows; rows whose minimum reaches ``cap``
+    terminate early (the per-row DP minimum is non-decreasing)."""
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return min(max(n, m), cap)
+    if abs(n - m) >= cap:
+        return cap
+    idx = np.arange(m + 1, dtype=np.int32)
+    prev = idx.copy()
+    m2 = np.empty(m + 1, dtype=np.int32)
+    for i in range(1, n + 1):
+        cost = (b != a[i - 1]).astype(np.int32)
+        m2[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + cost, out=m2[1:])
+        new = np.minimum.accumulate(m2 - idx) + idx
+        if int(new.min()) >= cap:
+            return cap
+        prev, m2 = new, prev
+    return int(min(prev[-1], cap))
+
+
+def levenshtein_near_dups(sf_dir: str, kgram: int = WINNOW_K,
+                          window: int = WINNOW_W,
+                          df_cap: int = WINNOW_DF_CAP,
+                          min_shared: int = WINNOW_MIN_SHARED,
+                          cap: int = LEV_CAP):
+    """Character-level edit distance for every winnow candidate pair:
+    (doc_a, doc_b, lev_dist) where the candidates are exactly
+    :func:`winnow_overlap_pairs`' output and ``lev_dist`` is the
+    byte-level Levenshtein distance capped at ``cap`` — the
+    post-filter a near-dup pipeline runs when "same passage" evidence
+    needs tightening into "same text modulo small edits" (the one
+    dedup family where order of edits, not bag-of-grams, decides).
+
+    Oracled directly against DuckDB's ``levenshtein()`` (byte
+    semantics on both sides; the engine diffs the UTF-8 encoding).
+
+    Scale contract: the pair universe is duplicated-content-sized
+    (the winnow df-gate bounds each fingerprint's fan-out at
+    ``df_cap``); texts for pair members broadcast ONCE via
+    ``ray.put`` keyed by doc_id — corpus text never shuffles and
+    never lands on the driver.  The DP kernel is O(len_a) numpy rows
+    per pair with an early cap exit, spread over the pool by
+    repartitioning the pair list."""
+    import pyarrow as pa
+    import ray
+
+    pairs = winnow_overlap_pairs(sf_dir, kgram=kgram, window=window,
+                                 df_cap=df_cap, min_shared=min_shared)
+    out_cols = ("doc_a", "doc_b", "lev_dist")
+    if pairs.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in out_cols})
+
+    need = np.union1d(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
+    need_ref = ray.put(set(int(x) for x in need))
+
+    def grab(b: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(need_ref)
+        keep = b["doc_id"].isin(ids)
+        return b[keep][["doc_id", "text"]]
+
+    texts = (_docs(sf_dir, rows_per_block=4096)
+             .map_batches(grab, batch_format="pandas")
+             .to_pandas())
+    text_ref = ray.put(dict(zip(texts["doc_id"].astype(int),
+                                texts["text"])))
+
+    import ray.data as rd
+
+    out_schema = pa.schema([(c, pa.int64()) for c in out_cols])
+
+    def dist_batch(b: pd.DataFrame) -> pa.Table:
+        tmap = ray.get(text_ref)
+        enc = {}
+
+        def _enc(did: int) -> np.ndarray:
+            arr = enc.get(did)
+            if arr is None:
+                arr = np.frombuffer(
+                    tmap[did].encode("utf-8"), dtype=np.uint8)
+                enc[did] = arr
+            return arr
+
+        da = b["doc_a"].to_numpy()
+        db = b["doc_b"].to_numpy()
+        dist = np.fromiter(
+            (_lev_bytes(_enc(int(x)), _enc(int(y)), cap)
+             for x, y in zip(da, db)),
+            dtype=np.int64, count=len(da))
+        return pa.table({"doc_a": da.astype(np.int64),
+                         "doc_b": db.astype(np.int64),
+                         "lev_dist": dist}, schema=out_schema)
+
+    n_blocks = max(1, min(64, len(pairs) // 8))
+    df = (rd.from_pandas(pairs[["doc_a", "doc_b"]])
+          .repartition(n_blocks)
+          .map_batches(dist_batch, batch_format="pandas")
+          .to_pandas()
+          .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    for c in out_cols:
+        df[c] = df[c].astype("int64")
+    return df[list(out_cols)]

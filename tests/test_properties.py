@@ -158,3 +158,46 @@ class TestJsonSplitterTranscriptions:
         assert split_json_like_spec(obj, budget) == parse_json(
             json.dumps(obj, ensure_ascii=False), budget
         )
+
+
+class TestLevenshteinKernel:
+    """ops.dedup._lev_bytes vs an independent classic DP and vs
+    DuckDB's levenshtein() (byte semantics on unicode input)."""
+
+    @staticmethod
+    def _ref(a: bytes, b: bytes) -> int:
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            nd = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                nd[j] = min(dp[j] + 1, nd[j - 1] + 1,
+                            dp[j - 1] + (a[i - 1] != b[j - 1]))
+            dp = nd
+        return dp[len(b)]
+
+    @given(st.binary(max_size=40), st.binary(max_size=40),
+           st.integers(min_value=1, max_value=300))
+    @settings(max_examples=150, deadline=None)
+    def test_matches_reference_dp(self, a, b, cap):
+        import numpy as np
+
+        from ragflow_ray.ops.dedup import _lev_bytes
+
+        got = _lev_bytes(np.frombuffer(a, dtype=np.uint8),
+                         np.frombuffer(b, dtype=np.uint8), cap)
+        assert got == min(self._ref(a, b), cap)
+
+    @given(st.text(max_size=24), st.text(max_size=24))
+    @settings(max_examples=40, deadline=None)
+    def test_byte_semantics_match_duckdb(self, s, t):
+        import duckdb
+        import numpy as np
+
+        from ragflow_ray.ops.dedup import _lev_bytes
+
+        got = _lev_bytes(
+            np.frombuffer(s.encode("utf-8"), dtype=np.uint8),
+            np.frombuffer(t.encode("utf-8"), dtype=np.uint8), 1 << 30)
+        want = duckdb.execute(
+            "SELECT levenshtein(?, ?)", [s, t]).fetchone()[0]
+        assert got == want
