@@ -2370,10 +2370,14 @@ def levenshtein_near_dups(sf_dir: str, kgram: int = WINNOW_K,
     need = np.union1d(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
     need_ref = ray.put(set(int(x) for x in need))
 
-    def grab(b: pd.DataFrame) -> pd.DataFrame:
+    grab_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def grab(b: pd.DataFrame) -> pa.Table:
         ids = ray.get(need_ref)
-        keep = b["doc_id"].isin(ids)
-        return b[keep][["doc_id", "text"]]
+        kept = b[b["doc_id"].isin(ids)]
+        return pa.table({"doc_id": kept["doc_id"].to_numpy(np.int64),
+                         "text": kept["text"].astype(str).tolist()},
+                        schema=grab_schema)
 
     texts = (_docs(sf_dir, rows_per_block=4096)
              .map_batches(grab, batch_format="pandas")
