@@ -180,6 +180,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_ma7": relational.daily_revenue_ma7,
         "event_trend": relational.event_trend,
         "shipping_priority": relational.shipping_priority,
+        "top_supplier": relational.top_supplier,
+        "returned_item_revenue": relational.returned_item_revenue,
+        "small_qty_revenue": relational.small_qty_revenue,
+        "market_share": relational.market_share,
         "source_dup_rate": dedup.source_dup_rate,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
@@ -1555,6 +1559,93 @@ def oracle_sql() -> dict[str, str]:
         """,
         # TPC-H Q3-shaped top-k: revenue on the forecast_revenue
         # fixed-point grid (cents x 1e-4 discount units), orderkey ties
+        # TPC-H Q15-shaped: every supplier attaining the max windowed
+        # revenue (ties), on the regional_revenue c4 grid
+        "top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey AS s_suppkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                      * 10000 + 0.5) AS BIGINT))
+                           AS total_rev_c4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1)
+            SELECT r.s_suppkey::BIGINT AS s_suppkey, s_name,
+                   total_rev_c4::BIGINT AS total_rev_c4
+            FROM r JOIN supplier USING (s_suppkey)
+            WHERE total_rev_c4 = (SELECT MAX(total_rev_c4) FROM r)
+            ORDER BY s_suppkey
+        """,
+        # TPC-H Q10-shaped: top-20 customers by returned-item revenue
+        # in a quarter; ties break on c_custkey ascending
+        "returned_item_revenue": """
+            WITH cr AS (
+                SELECT o_custkey AS c_custkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                      * 10000 + 0.5) AS BIGINT))
+                           AS revenue_c4
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1995-07-01'
+                  AND o_orderdate < TIMESTAMP '1995-10-01'
+                GROUP BY 1)
+            SELECT c_custkey::BIGINT AS c_custkey, c_name, n_name,
+                   revenue_c4::BIGINT AS revenue_c4
+            FROM cr JOIN customer USING (c_custkey)
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
+        """,
+        # TPC-H Q17-shaped correlated aggregate: the inner per-part
+        # AVG folds to the exact integer predicate 5*qty*n < sum_qty
+        # (quantities are integer-valued on both sides)
+        "small_qty_revenue": """
+            WITH bl AS (
+                SELECT l_partkey,
+                       CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS price_c2
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#4'),
+            st AS (SELECT l_partkey, SUM(qty) AS sum_qty,
+                          COUNT(*) AS n
+                   FROM bl GROUP BY 1)
+            SELECT COALESCE(SUM(price_c2), 0)::BIGINT AS total_price_c2,
+                   COUNT(*)::BIGINT AS n_items,
+                   round(COALESCE(SUM(price_c2), 0) / 700.0, 6)
+                       AS avg_yearly
+            FROM bl JOIN st USING (l_partkey)
+            WHERE 5 * bl.qty * st.n < st.sum_qty
+        """,
+        # TPC-H Q8-shaped market share: NATION_2's fraction of PROMO
+        # revenue in ASIA's market per order-year; one double division
+        # of two exact int64 sums, rounded to 6 on both sides
+        "market_share": """
+            WITH o AS (
+                SELECT o_orderkey, year(o_orderdate)::BIGINT AS o_year
+                FROM orders JOIN customer ON c_custkey = o_custkey
+                JOIN nation ON n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'ASIA'
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'),
+            l AS (
+                SELECT l_orderkey,
+                       CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                  * 10000 + 0.5) AS BIGINT) AS rev_c4,
+                       CASE WHEN n2.n_name = 'NATION_2' THEN 1 ELSE 0 END
+                           AS is_nat
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation n2 ON n2.n_nationkey = s_nationkey
+                WHERE p_type = 'PROMO')
+            SELECT o_year, SUM(rev_c4)::BIGINT AS total_c4,
+                   SUM(rev_c4 * is_nat)::BIGINT AS nation_c4,
+                   round(CAST(SUM(rev_c4 * is_nat) AS DOUBLE)
+                         / SUM(rev_c4), 6) AS mkt_share
+            FROM o JOIN l ON l_orderkey = o_orderkey
+            GROUP BY o_year ORDER BY o_year
+        """,
         "shipping_priority": """
             WITH o AS (
                 SELECT o_orderkey, o_orderdate FROM orders

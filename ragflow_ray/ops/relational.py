@@ -2661,3 +2661,540 @@ def event_trend(sf_dir: str):
     for c in ("n_days", "n_events", "slope_num", "slope_den"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def top_supplier(sf_dir: str, date_lo: str = "1996-01-01",
+                 date_hi: str = "1996-04-01",
+                 driver_limit: int = 2_000_000):
+    """TPC-H Q15-shaped top supplier: total discounted revenue per
+    supplier over lineitems shipped in [date_lo, date_hi), returning
+    every supplier that attains the maximum (ties included, the Q15
+    view semantics).
+
+    Exactness: revenue is integer c4 (price × (1−discount) in 1e-4
+    units, per-element rounded — the :func:`regional_revenue` grid)
+    so the max and its ties are exact under any summation order.
+
+    Distributed shape: one pruned lineitem scan → per-batch
+    (suppkey → rev_c4) partials → one narrow combine level → a
+    driver table bounded by the SUPPLIER table (10k × SF rows, never
+    lineitem count); above ``driver_limit`` distinct suppliers the
+    final fold runs as a distributed Sum aggregate instead.  The
+    supplier dimension joins on the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.readers import read_parquet_clean
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    part_schema = pa.schema([("s_suppkey", pa.int64()),
+                             ("rev_c4", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        keep = (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+        b = b[keep.to_numpy()]
+        g = (pd.DataFrame({
+                "s_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                "rev_c4": _cents(
+                    b["l_extendedprice"] * (1.0 - b["l_discount"]),
+                    10_000).to_numpy()})
+             .groupby("s_suppkey", as_index=False)["rev_c4"].sum())
+        return pa.table({"s_suppkey": g["s_suppkey"].to_numpy(np.int64),
+                         "rev_c4": g["rev_c4"].to_numpy(np.int64)},
+                        schema=part_schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("s_suppkey", as_index=False, sort=False)[
+            "rev_c4"].sum()
+        return pa.table({"s_suppkey": g["s_suppkey"].to_numpy(np.int64),
+                         "rev_c4": g["rev_c4"].to_numpy(np.int64)},
+                        schema=part_schema)
+
+    partials = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"])
+        .map_batches(partial, batch_format="pandas", batch_size=4096)
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .materialize())
+    if partials.count() <= driver_limit:
+        rev = (partials.to_pandas()
+               .groupby("s_suppkey", as_index=False)["rev_c4"].sum())
+    else:  # supplier cardinality beyond the driver budget
+        from ray.data.aggregate import Sum
+
+        rev = (partials.groupby("s_suppkey")
+               .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+               .to_pandas())
+    empty = pd.DataFrame({
+        "s_suppkey": pd.Series([], dtype="int64"),
+        "s_name": pd.Series([], dtype=object),
+        "total_rev_c4": pd.Series([], dtype="int64")})
+    if rev.empty:
+        return empty
+    top = rev[rev["rev_c4"] == rev["rev_c4"].max()]
+    names = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(names, on="s_suppkey")
+    out = out.rename(columns={"rev_c4": "total_rev_c4"})
+    out = out.sort_values("s_suppkey").reset_index(drop=True)
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_rev_c4"] = out["total_rev_c4"].astype("int64")
+    return out[["s_suppkey", "s_name", "total_rev_c4"]]
+
+
+def returned_item_revenue(sf_dir: str, date_lo: str = "1995-07-01",
+                          date_hi: str = "1995-10-01", k: int = 20,
+                          broadcast_limit: int = 5_000_000,
+                          n_buckets: int = 256):
+    """TPC-H Q10-shaped returned-item report: the ``k`` customers who
+    lost the most revenue to returned items (``l_returnflag = 'R'``)
+    on orders placed in [date_lo, date_hi), with name and nation.
+
+    Revenue is integer c4 (the :func:`regional_revenue` grid); ties
+    break on ``c_custkey`` ascending so top-``k`` is deterministic.
+
+    Join plan: orders is filtered AT THE READ to the quarter and,
+    when the filtered side fits ``broadcast_limit``, ships ONCE as an
+    orderkey → custkey dict (``ray.put``) — lineitem then streams in
+    a single pass emitting (custkey, rev_c4) partials, one narrow
+    combine level, and a driver top-k over the customer-bounded
+    table.  Above the limit both facts project to a common schema and
+    co-partition in ONE hash exchange on orderkey (the
+    :func:`regional_revenue` union idiom) with per-batch revenue
+    pre-aggregation so only (orderkey, rev_c4) partial rows move.
+    customer and nation are dimension-sized driver reads."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    filt = orders.map_batches(o_prep, batch_format="pyarrow").materialize()
+    n_orders = filt.count()
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+
+    def li_rev(b: pd.DataFrame) -> pd.DataFrame:
+        """returned lineitems → per-orderkey revenue partials"""
+        b = b[(b["l_returnflag"] == "R").to_numpy()]
+        return (pd.DataFrame({
+                    "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                    "rev_c4": _cents(
+                        b["l_extendedprice"] * (1.0 - b["l_discount"]),
+                        10_000).to_numpy()})
+                .groupby("l_orderkey", as_index=False)["rev_c4"].sum())
+
+    def finalize(cust_rev: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "c_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "revenue_c4": pd.Series([], dtype="int64")})
+        if cust_rev.empty:
+            return empty
+        g = cust_rev.groupby("c_custkey", as_index=False)["rev_c4"].sum()
+        g = (g.sort_values(["rev_c4", "c_custkey"],
+                           ascending=[False, True]).head(k))
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+        nat = pq.read_table(
+            f"{sf_dir}/nation.parquet",
+            columns=["n_nationkey", "n_name"]).to_pandas()
+        out = g.merge(cust, on="c_custkey").merge(
+            nat, left_on="c_nationkey", right_on="n_nationkey")
+        out = out.rename(columns={"rev_c4": "revenue_c4"})
+        out = out.sort_values(["revenue_c4", "c_custkey"],
+                              ascending=[False, True]).reset_index(drop=True)
+        out["c_custkey"] = out["c_custkey"].astype("int64")
+        out["revenue_c4"] = out["revenue_c4"].astype("int64")
+        return out[["c_custkey", "c_name", "n_name", "revenue_c4"]]
+
+    if n_orders == 0:
+        return finalize(pd.DataFrame())
+
+    if n_orders <= broadcast_limit:
+        odf = filt.to_pandas()
+        omap_ref = ray.put(dict(zip(odf["o_orderkey"].astype(int),
+                                    odf["o_custkey"].astype(int))))
+
+        def li_cust(b: pd.DataFrame) -> pd.DataFrame:
+            omap = ray.get(omap_ref)
+            part = li_rev(b)
+            ck = np.fromiter(
+                (omap.get(int(x), -1) for x in part["l_orderkey"]),
+                dtype=np.int64, count=len(part))
+            part = part[ck >= 0]
+            return (pd.DataFrame({"c_custkey": ck[ck >= 0],
+                                  "rev_c4": part["rev_c4"].to_numpy()})
+                    .groupby("c_custkey", as_index=False)["rev_c4"].sum())
+
+        cust_rev = (lineitem.map_batches(li_cust, batch_format="pandas")
+                    .to_pandas())
+        return finalize(cust_rev)
+
+    # co-partition branch: one hash exchange on orderkey
+    common = pa.schema([("key", pa.int64()), ("side", pa.int8()),
+                        ("val", pa.int64())])
+
+    def o_side(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_orderkey"],
+                         "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "val": pc.cast(t["o_custkey"], pa.int64())},
+                        schema=common)
+
+    def l_side(b: pd.DataFrame) -> pa.Table:
+        part = li_rev(b)
+        return pa.table({"key": pa.array(part["l_orderkey"].to_numpy()),
+                         "side": pa.array(np.ones(len(part), np.int8)),
+                         "val": pa.array(part["rev_c4"].to_numpy())},
+                        schema=common)
+
+    out_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("rev_c4", pa.int64())])
+
+    def join_group(group: pd.DataFrame) -> pa.Table:
+        ords = group[group["side"] == 0]
+        lis = group[group["side"] == 1]
+        if ords.empty or lis.empty:
+            return out_schema.empty_table()
+        return pa.table({"c_custkey": [int(ords["val"].iloc[0])],
+                         "rev_c4": [int(lis["val"].sum())]},
+                        schema=out_schema)
+
+    from ray.data.aggregate import Sum
+
+    uni = (filt.map_batches(o_side, batch_format="pyarrow")
+           .union(lineitem.map_batches(l_side, batch_format="pandas")))
+    agg = (uni.groupby("key").map_groups(join_group, batch_format="pandas")
+           .groupby("c_custkey")
+           .aggregate(Sum("rev_c4", alias_name="rev_c4")))
+    return finalize(agg.to_pandas())
+
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#4"):
+    """TPC-H Q17-shaped small-quantity revenue probe: total extended
+    price (and its /7 "average yearly" reading) of ``brand`` lineitems
+    whose quantity is below 20% of that PART's average quantity — the
+    correlated-aggregate shape (an inner per-part AVG feeding the
+    outer filter) that a one-pass engine cannot express.
+
+    Exactness: ``l_quantity`` is integer-valued, so the correlated
+    predicate ``qty < 0.2·(sum/n)`` folds to the exact integer test
+    ``5·qty·n < sum`` — no float threshold on either side; prices sum
+    in integer cents and ``avg_yearly`` is ONE division rounded to 6.
+
+    Distributed shape: the pruned lineitem read (4 columns, brand
+    partkeys broadcast as a set) is materialized ONCE and shared by
+    both passes — pass 1 reduces to per-part (Σqty, n) partials
+    (bounded by the brand's PART rows, never lineitem count), pass 2
+    broadcasts that small table as sorted numpy arrays and filters +
+    sums in one stream.  No shuffle at any point."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    pk = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_keys = np.sort(
+        pk.loc[pk["p_brand"] == brand, "p_partkey"].to_numpy(np.int64))
+    keys_ref = ray.put(brand_keys)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    filt_schema = pa.schema([("l_partkey", pa.int64()),
+                             ("qty", pa.int64()),
+                             ("price_c2", pa.int64())])
+
+    def keep_brand(b: pd.DataFrame) -> pa.Table:
+        keys = ray.get(keys_ref)
+        pkey = b["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, pkey)
+        pos[pos >= len(keys)] = 0
+        hit = len(keys) > 0
+        keep = (keys[pos] == pkey) if hit else np.zeros(len(pkey), bool)
+        b = b[keep]
+        return pa.table(
+            {"l_partkey": b["l_partkey"].to_numpy(np.int64),
+             "qty": np.floor(b["l_quantity"].to_numpy() + 0.5).astype(
+                 np.int64),
+             "price_c2": _cents(b["l_extendedprice"]).to_numpy()},
+            schema=filt_schema)
+
+    brand_li = li.map_batches(
+        keep_brand, batch_format="pandas", batch_size=8192).materialize()
+
+    stat_schema = pa.schema([("l_partkey", pa.int64()),
+                             ("sum_qty", pa.int64()), ("n", pa.int64())])
+
+    def qty_partial(b: pd.DataFrame) -> pa.Table:
+        g = (b.groupby("l_partkey", as_index=False)
+             .agg(sum_qty=("qty", "sum"), n=("qty", "size")))
+        return pa.table({"l_partkey": g["l_partkey"].to_numpy(np.int64),
+                         "sum_qty": g["sum_qty"].to_numpy(np.int64),
+                         "n": g["n"].to_numpy(np.int64)},
+                        schema=stat_schema)
+
+    stats = (brand_li.map_batches(qty_partial, batch_format="pandas",
+                                  batch_size=65536)
+             .to_pandas())
+    zero = pd.DataFrame({
+        "total_price_c2": pd.Series([0], dtype="int64"),
+        "n_items": pd.Series([0], dtype="int64"),
+        "avg_yearly": pd.Series([0.0], dtype="float64")})
+    if stats.empty:  # no lineitem carries the brand's parts
+        return zero
+    stats = (stats.groupby("l_partkey", as_index=False)
+             .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
+    skeys = stats["l_partkey"].to_numpy(np.int64)
+    order = np.argsort(skeys)
+    stat_ref = ray.put((skeys[order],
+                        stats["sum_qty"].to_numpy(np.int64)[order],
+                        stats["n"].to_numpy(np.int64)[order]))
+
+    out_schema = pa.schema([("price_c2", pa.int64()),
+                            ("n_items", pa.int64())])
+
+    def below_avg(b: pd.DataFrame) -> pa.Table:
+        keys, sq, nn = ray.get(stat_ref)
+        pkey = b["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, pkey)  # every pkey is present
+        qty = b["qty"].to_numpy(np.int64)
+        keep = 5 * qty * nn[pos] < sq[pos]
+        return pa.table(
+            {"price_c2": [int(b["price_c2"].to_numpy()[keep].sum())],
+             "n_items": [int(keep.sum())]}, schema=out_schema)
+
+    p = brand_li.map_batches(below_avg, batch_format="pandas",
+                             batch_size=65536).to_pandas()
+    if p.empty:
+        return zero
+    total_c2 = int(p["price_c2"].sum())
+    return pd.DataFrame({
+        "total_price_c2": pd.Series([total_c2], dtype="int64"),
+        "n_items": pd.Series([int(p["n_items"].sum())], dtype="int64"),
+        "avg_yearly": pd.Series([round(total_c2 / 700.0, 6)],
+                                dtype="float64")})
+
+
+def market_share(sf_dir: str, region: str = "ASIA",
+                 nation: str = "NATION_2", p_type: str = "PROMO",
+                 date_lo: str = "1995-01-01", date_hi: str = "1997-01-01",
+                 broadcast_limit: int = 5_000_000):
+    """TPC-H Q8-shaped market share: per order-year, the fraction of
+    ``p_type``-part revenue in ``region``'s market supplied by
+    ``nation`` — the two-sided dimension probe (customer side fixes
+    the market, supplier side fixes the share) layered on the
+    orders ⋈ lineitem fact edge.
+
+    Exactness: revenue is integer c4 per element; ``mkt_share`` is
+    ONE double division of two exact int64 sums, rounded to 6 —
+    identical on both sides.
+
+    Join plan (the :func:`regional_revenue` discipline):
+
+    * part → ``p_type`` partkeys, customer → in-region custkeys,
+      supplier → suppkey ∈ ``nation`` flag: three dimension
+      broadcasts (``ray.put`` sorted numpy / sets), never a shuffle;
+    * orders filters to the window + region at the read and, under
+      ``broadcast_limit``, ships as an orderkey → year dict while
+      lineitem streams ONCE emitting (year, is_nation, rev_c4)
+      partials — constant-size per batch;
+    * above the limit the two facts union on a common schema and
+      co-partition in ONE hash exchange on orderkey, with the same
+      per-batch pre-aggregation so only (orderkey, year|rev) rows
+      move."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    region_keys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    region_nations = set(
+        nat.loc[nat["n_regionkey"].isin(region_keys), "n_nationkey"])
+    nation_keys = set(nat.loc[nat["n_name"] == nation, "n_nationkey"])
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    mkt_cust = set(
+        cust.loc[cust["c_nationkey"].isin(region_nations), "c_custkey"]
+        .astype(int))
+    cust_ref = ray.put(mkt_cust)
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat_supp_ref = ray.put(set(
+        supp.loc[supp["s_nationkey"].isin(nation_keys), "s_suppkey"]
+        .astype(int)))
+
+    pk = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_type"]).to_pandas()
+    type_keys = np.sort(
+        pk.loc[pk["p_type"] == p_type, "p_partkey"].to_numpy(np.int64))
+    part_ref = ray.put(type_keys)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+        ck = t["o_custkey"].to_numpy()
+        cs = ray.get(cust_ref)
+        keep = np.fromiter((int(c) in cs for c in ck), dtype=bool,
+                           count=len(ck))
+        year = pc.year(t["o_orderdate"]).to_numpy().astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"].to_numpy()[keep],
+                         "o_year": year[keep]})
+
+    filt = orders.map_batches(o_prep, batch_format="pyarrow").materialize()
+    n_orders = filt.count()
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def li_part(b: pd.DataFrame) -> pd.DataFrame:
+        """type-filtered lineitems → (l_orderkey, is_nat, rev_c4)
+        per-orderkey partials"""
+        keys = ray.get(part_ref)
+        pkey = b["l_partkey"].to_numpy(np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, pkey)
+            pos[pos >= len(keys)] = 0
+            keep = keys[pos] == pkey
+        else:
+            keep = np.zeros(len(pkey), bool)
+        b = b[keep]
+        ns = ray.get(nat_supp_ref)
+        is_nat = np.fromiter(
+            (int(s) in ns for s in b["l_suppkey"]), dtype=np.int64,
+            count=len(b))
+        return (pd.DataFrame({
+                    "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                    "is_nat": is_nat,
+                    "rev_c4": _cents(
+                        b["l_extendedprice"] * (1.0 - b["l_discount"]),
+                        10_000).to_numpy()})
+                .groupby(["l_orderkey", "is_nat"], as_index=False)[
+                    "rev_c4"].sum())
+
+    def finalize(parts: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "o_year": pd.Series([], dtype="int64"),
+            "total_c4": pd.Series([], dtype="int64"),
+            "nation_c4": pd.Series([], dtype="int64"),
+            "mkt_share": pd.Series([], dtype="float64")})
+        if parts.empty:
+            return empty
+        g = parts.groupby("o_year").agg(
+            total_c4=("rev_c4", "sum"),
+            nation_c4=("nat_c4", "sum")).reset_index()
+        g = g.sort_values("o_year").reset_index(drop=True)
+        for c in ("o_year", "total_c4", "nation_c4"):
+            g[c] = g[c].astype("int64")
+        g["mkt_share"] = (g["nation_c4"].to_numpy().astype("float64")
+                          / g["total_c4"].to_numpy()).round(6)
+        return g[["o_year", "total_c4", "nation_c4", "mkt_share"]]
+
+    if n_orders == 0:
+        return finalize(pd.DataFrame())
+
+    if n_orders <= broadcast_limit:
+        odf = filt.to_pandas()
+        omap_ref = ray.put(dict(zip(odf["o_orderkey"].astype(int),
+                                    odf["o_year"].astype(int))))
+
+        def li_year(b: pd.DataFrame) -> pd.DataFrame:
+            omap = ray.get(omap_ref)
+            part = li_part(b)
+            yr = np.fromiter(
+                (omap.get(int(x), -1) for x in part["l_orderkey"]),
+                dtype=np.int64, count=len(part))
+            part = part[yr >= 0]
+            rev = part["rev_c4"].to_numpy()
+            return (pd.DataFrame({
+                        "o_year": yr[yr >= 0],
+                        "rev_c4": rev,
+                        "nat_c4": rev * part["is_nat"].to_numpy()})
+                    .groupby("o_year", as_index=False)[
+                        ["rev_c4", "nat_c4"]].sum())
+
+        parts = (lineitem.map_batches(li_year, batch_format="pandas")
+                 .to_pandas())
+        return finalize(parts)
+
+    # co-partition branch: one hash exchange on orderkey
+    common = pa.schema([("key", pa.int64()), ("side", pa.int8()),
+                        ("a", pa.int64()), ("b", pa.int64())])
+
+    def o_side(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_orderkey"],
+                         "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "a": pc.cast(t["o_year"], pa.int64()),
+                         "b": pa.array(np.zeros(t.num_rows, np.int64))},
+                        schema=common)
+
+    def l_side(b: pd.DataFrame) -> pa.Table:
+        part = li_part(b)
+        rev = part["rev_c4"].to_numpy(np.int64)
+        return pa.table({"key": pa.array(part["l_orderkey"].to_numpy()),
+                         "side": pa.array(np.ones(len(part), np.int8)),
+                         "a": pa.array(rev),
+                         "b": pa.array(rev * part["is_nat"].to_numpy())},
+                        schema=common)
+
+    grp_schema = pa.schema([("o_year", pa.int64()), ("rev_c4", pa.int64()),
+                            ("nat_c4", pa.int64())])
+
+    def join_group(group: pd.DataFrame) -> pa.Table:
+        ords = group[group["side"] == 0]
+        lis = group[group["side"] == 1]
+        if ords.empty or lis.empty:
+            return grp_schema.empty_table()
+        return pa.table({"o_year": [int(ords["a"].iloc[0])],
+                         "rev_c4": [int(lis["a"].sum())],
+                         "nat_c4": [int(lis["b"].sum())]},
+                        schema=grp_schema)
+
+    uni = (filt.map_batches(o_side, batch_format="pyarrow")
+           .union(lineitem.map_batches(l_side, batch_format="pandas")))
+    parts = (uni.groupby("key")
+             .map_groups(join_group, batch_format="pandas")
+             .to_pandas())
+    return finalize(parts)

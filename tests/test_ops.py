@@ -152,6 +152,38 @@ class TestDedup:
         pd.testing.assert_frame_equal(
             base, shipping_priority(sf, broadcast_limit=0, n_buckets=7))
 
+    def test_q8_q10_q15_branches_agree(self):
+        """broadcast_limit=0 forces the union + orderkey co-partition
+        fallbacks of the Q8-shaped market share and the Q10-shaped
+        returned-item report; driver_limit=0 forces the distributed
+        Sum fold of the Q15-shaped top supplier — identical frames
+        either way."""
+        import pandas as pd
+
+        from ragflow_ray.ops.relational import (market_share,
+                                                returned_item_revenue,
+                                                top_supplier)
+
+        sf = "/root/testdata/sf0.001"
+        for fn in (market_share, returned_item_revenue):
+            pd.testing.assert_frame_equal(fn(sf), fn(sf, broadcast_limit=0))
+        pd.testing.assert_frame_equal(
+            top_supplier(sf), top_supplier(sf, driver_limit=0))
+
+    def test_small_qty_revenue_empty_brand(self):
+        """A brand no part carries yields the typed zero row (the
+        SQL COALESCE shape), not a column-less frame."""
+        import pandas as pd
+
+        from ragflow_ray.ops.relational import small_qty_revenue
+
+        out = small_qty_revenue("/root/testdata/sf0.001",
+                                brand="Brand#none")
+        assert list(out.columns) == ["total_price_c2", "n_items",
+                                     "avg_yearly"]
+        assert out["total_price_c2"].iloc[0] == 0
+        assert out["n_items"].iloc[0] == 0
+
     def test_pmi_collocations_branches_agree(self):
         """driver_limit=0 forces the distributed recount + marginal
         reduce + broadcast scoring; the default gates into the driver
