@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": curation.char_entropy,
         "length_rank_cdf": textstats.length_rank_cdf,
         "source_vocab_jaccard": textstats.source_vocab_jaccard,
+        "source_js_divergence": textstats.source_js_divergence,
         "label_coherence": ann.label_coherence,
         "label_affinity": ann.label_affinity,
         # --- embedding clustering (fixture-oracled iterative k-means) ---
@@ -1740,6 +1741,41 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN i ON i.source_a = va.source
                        AND i.source_b = vb.source
             ORDER BY 1, 2
+        """,
+        # pairwise Jensen-Shannon divergence between source unigram
+        # distributions; x·ln x := 0 at zero, ONE round-6 per pair
+        # (absorbs summation association / libm ulp)
+        "source_js_divergence": """
+            WITH w AS (SELECT source,
+                              unnest(regexp_extract_all(lower(text),
+                                                        '[a-z]+')) AS word
+                       FROM documents),
+            c AS (SELECT source, word, COUNT(*)::BIGINT AS n
+                  FROM w GROUP BY 1, 2),
+            tot AS (SELECT source, SUM(n)::DOUBLE AS N FROM c GROUP BY 1),
+            srcs AS (SELECT DISTINCT source FROM c),
+            pairs AS (SELECT a.source AS sa, b.source AS sb
+                      FROM srcs a JOIN srcs b ON a.source < b.source),
+            u AS (SELECT p.sa, p.sb, c.word
+                  FROM pairs p JOIN c ON c.source IN (p.sa, p.sb)
+                  GROUP BY 1, 2, 3),
+            j AS (SELECT u.sa, u.sb,
+                         COALESCE(ca.n, 0) / ta.N AS pa,
+                         COALESCE(cb.n, 0) / tb.N AS pb
+                  FROM u
+                  JOIN tot ta ON ta.source = u.sa
+                  JOIN tot tb ON tb.source = u.sb
+                  LEFT JOIN c ca ON ca.source = u.sa AND ca.word = u.word
+                  LEFT JOIN c cb ON cb.source = u.sb AND cb.word = u.word)
+            SELECT sa AS source_a, sb AS source_b,
+                   round(SUM(
+                       CASE WHEN pa + pb > 0
+                            THEN -((pa + pb) / 2) * ln((pa + pb) / 2)
+                            ELSE 0 END
+                       + (CASE WHEN pa > 0 THEN pa * ln(pa) ELSE 0 END
+                          + CASE WHEN pb > 0 THEN pb * ln(pb) ELSE 0 END)
+                         / 2), 6) AS jsd
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # per-source exact-dup scorecard: distinct md5(text) vs docs
         "source_dup_rate": """

@@ -1824,3 +1824,147 @@ def source_vocab_jaccard(sf_dir: str, n_buckets: int = 1024,
     for c in ("n_inter", "n_union"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def source_js_divergence(sf_dir: str, driver_limit: int = 2_000_000,
+                         n_buckets: int = 256):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the mixture-design read a curator takes before
+    weighting sources (near-zero JSD flags redundant sources, high
+    JSD flags distribution shift), over lowercase ``[a-z]+`` words
+    (the :func:`ttr_by_source` convention).
+
+    ``JSD(a,b) = Σ_w [ −m·ln m + (p_a·ln p_a + p_b·ln p_b)/2 ]`` with
+    ``m = (p_a + p_b)/2`` and ``x·ln x := 0`` at zero — per-WORD
+    additive, which is what makes the distributed path exact.  The
+    one float per pair rounds to 6 (absorbs summation association
+    and libm ulp vs DuckDB, the char_entropy idiom).
+
+    Distributed plan: per-batch (source, word) count partials → one
+    narrow combine level → per-source totals (sources-sized,
+    broadcast).  Under ``driver_limit`` the driver finalizes the
+    dense sources × vocabulary matrix; above it the counts
+    co-partition ONCE by word-hash bucket and each bucket emits its
+    pairs-sized partial contribution rows (pairs × buckets, never
+    vocabulary) for a driver-side sum."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from .curation import _docs
+
+    word_re = re.compile(r"[a-z]+")
+    schema = pa.schema([("source", pa.string()), ("word", pa.string()),
+                        ("n", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        words = b["text"].str.lower().str.findall(word_re).explode().dropna()
+        src = b["source"].reindex(words.index)
+        g = (pd.DataFrame({"source": src.to_numpy(),
+                           "word": words.to_numpy()})
+             .groupby(["source", "word"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pa.table({"source": g["source"].astype(str).to_numpy(),
+                         "word": g["word"].astype(str).to_numpy(),
+                         "n": g["n"].to_numpy().astype("int64")},
+                        schema=schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["source", "word"], as_index=False, sort=False).agg(
+            n=("n", "sum"))
+        return pa.table({"source": g["source"].astype(str).to_numpy(),
+                         "word": g["word"].astype(str).to_numpy(),
+                         "n": g["n"].to_numpy().astype("int64")},
+                        schema=schema)
+
+    counts = (
+        _docs(sf_dir, columns=("source", "text"))
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .materialize()
+    )
+
+    # per-source token totals: sources-sized, one narrow pass
+    tot = (counts.map_batches(
+               lambda b: b.groupby("source", as_index=False)
+               .agg(N=("n", "sum")), batch_format="pandas")
+           .to_pandas()
+           .groupby("source", as_index=False).agg(N=("N", "sum")))
+    sources = sorted(tot["source"])
+    totals = dict(zip(tot["source"], tot["N"].astype(float)))
+
+    def _pair_frame(mat: "np.ndarray") -> pd.DataFrame:
+        """dense sources × vocab count matrix → pairwise JSD"""
+        sa, sb, jsd = [], [], []
+        for i in range(len(sources)):
+            pa_ = mat[i] / totals[sources[i]]
+            for j in range(i + 1, len(sources)):
+                pb_ = mat[j] / totals[sources[j]]
+                m = (pa_ + pb_) / 2.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = (-np.where(m > 0, m * np.log(m), 0.0)
+                         + (np.where(pa_ > 0, pa_ * np.log(pa_), 0.0)
+                            + np.where(pb_ > 0, pb_ * np.log(pb_), 0.0))
+                         / 2.0)
+                sa.append(sources[i])
+                sb.append(sources[j])
+                jsd.append(round(float(t.sum()), 6))
+        return pd.DataFrame({"source_a": sa, "source_b": sb,
+                             "jsd": np.asarray(jsd, dtype=np.float64)})
+
+    if counts.count() <= driver_limit:
+        c = (counts.to_pandas()
+             .groupby(["source", "word"], as_index=False).agg(n=("n", "sum")))
+        piv = (c.pivot_table(index="source", columns="word", values="n",
+                             fill_value=0, aggfunc="sum")
+               .reindex(sources).to_numpy(dtype=np.float64))
+        return _pair_frame(piv)
+
+    # distributed fallback: co-partition the counts ONCE by word-hash
+    # bucket; each bucket's pivot is union-vocab-local and emits only
+    # pairs-sized partial sums
+    tot_ref = ray.put(totals)
+    src_ref = ray.put(sources)
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t["word"].to_pylist(), dtype=object))
+        return t.append_column(
+            "wbkt", pa.array((h % n_buckets).astype(np.int64)))
+
+    part_schema = pa.schema([("source_a", pa.string()),
+                             ("source_b", pa.string()),
+                             ("part", pa.float64())])
+
+    def bucket_contrib(g: pd.DataFrame) -> pa.Table:
+        srcs = ray.get(src_ref)
+        tots = ray.get(tot_ref)
+        g = g.groupby(["source", "word"], as_index=False).agg(n=("n", "sum"))
+        piv = (g.pivot_table(index="source", columns="word", values="n",
+                             fill_value=0, aggfunc="sum")
+               .reindex(srcs, fill_value=0).to_numpy(dtype=np.float64))
+        sa, sb, parts = [], [], []
+        for i in range(len(srcs)):
+            pa_ = piv[i] / tots[srcs[i]]
+            for j in range(i + 1, len(srcs)):
+                pb_ = piv[j] / tots[srcs[j]]
+                m = (pa_ + pb_) / 2.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = (-np.where(m > 0, m * np.log(m), 0.0)
+                         + (np.where(pa_ > 0, pa_ * np.log(pa_), 0.0)
+                            + np.where(pb_ > 0, pb_ * np.log(pb_), 0.0))
+                         / 2.0)
+                sa.append(srcs[i])
+                sb.append(srcs[j])
+                parts.append(float(t.sum()))
+        return pa.table({"source_a": sa, "source_b": sb,
+                         "part": np.asarray(parts, dtype=np.float64)},
+                        schema=part_schema)
+
+    df = (counts.map_batches(with_bucket, batch_format="pyarrow")
+          .groupby("wbkt").map_groups(bucket_contrib, batch_format="pandas")
+          .to_pandas()
+          .groupby(["source_a", "source_b"], as_index=False)
+          .agg(jsd=("part", "sum")))
+    df["jsd"] = df["jsd"].round(6)
+    return df.sort_values(["source_a", "source_b"]).reset_index(drop=True)

@@ -152,6 +152,22 @@ class TestDedup:
         pd.testing.assert_frame_equal(
             base, shipping_priority(sf, broadcast_limit=0, n_buckets=7))
 
+    def test_source_js_divergence_branches_agree(self):
+        """driver_limit=0 forces the word-bucket co-partition with
+        pairs-sized per-bucket partial sums; the default finalizes the
+        dense sources × vocab matrix on the driver — identical round-6
+        frames either way, at both bucket widths."""
+        import pandas as pd
+
+        from ragflow_ray.ops.textstats import source_js_divergence
+
+        sf = "/root/testdata/sf0.001"
+        base = source_js_divergence(sf)
+        pd.testing.assert_frame_equal(
+            base, source_js_divergence(sf, driver_limit=0))
+        pd.testing.assert_frame_equal(
+            base, source_js_divergence(sf, driver_limit=0, n_buckets=7))
+
     def test_q8_q10_q15_branches_agree(self):
         """broadcast_limit=0 forces the union + orderkey co-partition
         fallbacks of the Q8-shaped market share and the Q10-shaped
