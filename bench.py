@@ -232,6 +232,13 @@ def run_bench() -> dict:
         "shipping_priority": relational.shipping_priority,
         "event_trend": relational.event_trend,
         "source_vocab_jaccard": textstats.source_vocab_jaccard,
+        "source_js_divergence": textstats.source_js_divergence,
+        "levenshtein_near_dups": lambda d: len(
+            dedup.levenshtein_near_dups(d)),
+        "top_supplier": relational.top_supplier,
+        "returned_item_revenue": relational.returned_item_revenue,
+        "small_qty_revenue": relational.small_qty_revenue,
+        "market_share": relational.market_share,
     }
     for name, fn in bench_queries.items():
         try:
