@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_revenue": relational.returned_item_revenue,
         "small_qty_revenue": relational.small_qty_revenue,
         "market_share": relational.market_share,
+        "customer_rfm": relational.customer_rfm,
         "source_dup_rate": dedup.source_dup_rate,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
@@ -1617,6 +1618,38 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_yearly
             FROM bl JOIN st USING (l_partkey)
             WHERE 5 * bl.qty * st.n < st.sum_qty
+        """,
+        # RFM quartiles: integer metrics, row_number ranks with a
+        # custkey tie-break, closed-form 1 + ((rank-1)*4) // n edges
+        "customer_rfm": """
+            WITH s AS (
+                SELECT o_custkey AS c_custkey,
+                       MAX(DATE_DIFF('day', DATE '1970-01-01',
+                                     o_orderdate))::BIGINT AS last_day,
+                       COUNT(*)::BIGINT AS n_orders,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                AS BIGINT))::BIGINT AS total_c2
+                FROM orders GROUP BY 1),
+            r AS (
+                SELECT *,
+                       row_number() OVER (ORDER BY last_day DESC,
+                                          c_custkey) AS rr,
+                       row_number() OVER (ORDER BY n_orders DESC,
+                                          c_custkey) AS fr,
+                       row_number() OVER (ORDER BY total_c2 DESC,
+                                          c_custkey) AS mr,
+                       COUNT(*) OVER () AS n
+                FROM s),
+            q AS (
+                SELECT c_custkey, last_day, n_orders, total_c2,
+                       (1 + ((rr - 1) * 4) // n)::BIGINT AS r_q,
+                       (1 + ((fr - 1) * 4) // n)::BIGINT AS f_q,
+                       (1 + ((mr - 1) * 4) // n)::BIGINT AS m_q
+                FROM r)
+            SELECT c_custkey::BIGINT AS c_custkey, last_day, n_orders,
+                   total_c2, r_q, f_q, m_q,
+                   (100 * r_q + 10 * f_q + m_q)::BIGINT AS rfm_code
+            FROM q ORDER BY c_custkey
         """,
         # TPC-H Q8-shaped market share: NATION_2's fraction of PROMO
         # revenue in ASIA's market per order-year; one double division

@@ -239,6 +239,7 @@ def run_bench() -> dict:
         "returned_item_revenue": relational.returned_item_revenue,
         "small_qty_revenue": relational.small_qty_revenue,
         "market_share": relational.market_share,
+        "customer_rfm": lambda d: len(relational.customer_rfm(d)),
     }
     for name, fn in bench_queries.items():
         try:

@@ -3198,3 +3198,100 @@ def market_share(sf_dir: str, region: str = "ASIA",
              .map_groups(join_group, batch_format="pandas")
              .to_pandas())
     return finalize(parts)
+
+
+def customer_rfm(sf_dir: str, driver_limit: int = 2_000_000):
+    """RFM segmentation over the order stream: per ordering customer,
+    recency (epoch day of the latest order), frequency (order count)
+    and monetary (total cents), each ranked into quartiles — the
+    classic marketing cut a warehouse materializes as a customer
+    dimension.
+
+    Exactness: all three metrics are exact integers; ranks are
+    ``row_number`` with a ``c_custkey`` tie-break (never a float
+    percentile), and the quartile is the closed-form integer
+    ``1 + ((rank − 1) · 4) // n`` — identical arithmetic in SQL, so
+    quartile edges cannot drift.  ``rfm_code = 100·r + 10·f + m``.
+
+    Distributed shape: per-batch (custkey → max-day, count, Σcents)
+    partials → one narrow combine level → a driver table bounded by
+    the CUSTOMER dimension (150k × SF rows, never order count);
+    above ``driver_limit`` the fold runs as distributed
+    Max/Sum/Count aggregates first.  Ranking is three argsorts over
+    the customer-bounded table."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import read_parquet_clean
+
+    day_us = np.int64(86_400_000_000)
+    part_schema = pa.schema([("c_custkey", pa.int64()),
+                             ("last_day", pa.int64()),
+                             ("n_orders", pa.int64()),
+                             ("total_c2", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        us = b["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype("int64")
+        g = (pd.DataFrame({"c_custkey": b["o_custkey"].to_numpy(np.int64),
+                           "day": us // day_us,
+                           "c2": _cents(b["o_totalprice"])})
+             .groupby("c_custkey", as_index=False)
+             .agg(last_day=("day", "max"), n_orders=("day", "size"),
+                  total_c2=("c2", "sum")))
+        return pa.table({c: g[c].to_numpy(np.int64)
+                         for c in part_schema.names}, schema=part_schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = (b.groupby("c_custkey", as_index=False, sort=False)
+             .agg(last_day=("last_day", "max"),
+                  n_orders=("n_orders", "sum"),
+                  total_c2=("total_c2", "sum")))
+        return pa.table({c: g[c].to_numpy(np.int64)
+                         for c in part_schema.names}, schema=part_schema)
+
+    partials = (
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate",
+                                    "o_totalprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=4096)
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .materialize())
+    if partials.count() <= driver_limit:
+        s = (partials.to_pandas()
+             .groupby("c_custkey", as_index=False)
+             .agg(last_day=("last_day", "max"),
+                  n_orders=("n_orders", "sum"),
+                  total_c2=("total_c2", "sum")))
+    else:
+        from ray.data.aggregate import Max, Sum
+
+        s = (partials.groupby("c_custkey")
+             .aggregate(Max("last_day", alias_name="last_day"),
+                        Sum("n_orders", alias_name="n_orders"),
+                        Sum("total_c2", alias_name="total_c2"))
+             .to_pandas())
+    if s.empty:
+        cols = ["c_custkey", "last_day", "n_orders", "total_c2",
+                "r_q", "f_q", "m_q", "rfm_code"]
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    s = s.sort_values("c_custkey").reset_index(drop=True)
+    n = len(s)
+    ck = s["c_custkey"].to_numpy(np.int64)
+
+    def quartile(metric: np.ndarray) -> np.ndarray:
+        # row_number over (metric DESC, custkey ASC) via lexsort
+        order = np.lexsort((ck, -metric))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(1, n + 1)
+        return 1 + ((rank - 1) * 4) // n
+
+    s["r_q"] = quartile(s["last_day"].to_numpy(np.int64))
+    s["f_q"] = quartile(s["n_orders"].to_numpy(np.int64))
+    s["m_q"] = quartile(s["total_c2"].to_numpy(np.int64))
+    s["rfm_code"] = 100 * s["r_q"] + 10 * s["f_q"] + s["m_q"]
+    for c in s.columns:
+        s[c] = s[c].astype("int64")
+    return s[["c_custkey", "last_day", "n_orders", "total_c2",
+              "r_q", "f_q", "m_q", "rfm_code"]]

@@ -186,6 +186,11 @@ class TestDedup:
         pd.testing.assert_frame_equal(
             top_supplier(sf), top_supplier(sf, driver_limit=0))
 
+        from ragflow_ray.ops.relational import customer_rfm
+
+        pd.testing.assert_frame_equal(
+            customer_rfm(sf), customer_rfm(sf, driver_limit=0))
+
     def test_small_qty_revenue_empty_brand(self):
         """A brand no part carries yields the typed zero row (the
         SQL COALESCE shape), not a column-less frame."""
