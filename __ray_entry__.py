@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition_flags": curation.gopher_repetition_flags,
         "c4_line_filter": curation.c4_line_filter,
         "source_overlap_matrix": dedup.source_overlap_matrix,
+        "split_leakage": dedup.split_leakage,
         "curate_and_pack": curation.curate_and_pack,
         "per_source_cap": curation.per_source_cap,
         "top_docs_per_source": curation.top_docs_per_source,
@@ -2084,6 +2085,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # cross-source contamination: distinct shared 8-grams per
         # source pair (md5 digests on both sides, same equality)
+        # cross-split 8-gram leakage; the split label re-derives from
+        # md5(text) exactly as stratified_split assigns it
+        "split_leakage": """
+            WITH base AS (
+                SELECT CASE WHEN CAST(('0x' || substr(md5(text), 1, 8))
+                                      AS BIGINT) % 1000 < 900
+                            THEN 'train'
+                            WHEN CAST(('0x' || substr(md5(text), 1, 8))
+                                      AS BIGINT) % 1000 < 950
+                            THEN 'val' ELSE 'test' END AS split,
+                       string_split(text, ' ') AS ws
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT split, g FROM (
+                    SELECT split,
+                           unnest(CASE WHEN len(ws) < 8
+                                  THEN [md5(array_to_string(ws, ' '))]
+                                  ELSE list_distinct(list_transform(
+                                       range(len(ws) - 7),
+                                       i -> md5(array_to_string(
+                                            list_slice(ws, i + 1, i + 8), ' '))))
+                                  END) AS g
+                    FROM base)
+            )
+            SELECT a.split AS split_a, b.split AS split_b,
+                   COUNT(*)::BIGINT AS n_shared_grams
+            FROM sh a JOIN sh b ON a.g = b.g AND a.split < b.split
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "source_overlap_matrix": """
             WITH base AS (
                 SELECT source, string_split(text, ' ') AS ws FROM documents

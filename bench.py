@@ -240,6 +240,7 @@ def run_bench() -> dict:
         "small_qty_revenue": relational.small_qty_revenue,
         "market_share": relational.market_share,
         "customer_rfm": lambda d: len(relational.customer_rfm(d)),
+        "split_leakage": dedup.split_leakage,
     }
     for name, fn in bench_queries.items():
         try:

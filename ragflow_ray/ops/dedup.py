@@ -2145,18 +2145,32 @@ def source_overlap_matrix(sf_dir: str, n: int = OVERLAP_NGRAM):
     vectorized, and only the constant-size per-bucket pair counts
     reach a driver-side final sum.  Pair blowup per gram is bounded by
     S(S-1)/2 (sources, not docs)."""
+    return _gram_label_matrix(
+        sf_dir, lambda b: b["source"].astype(str).tolist(), n,
+        ("source_a", "source_b", "n_shared_grams"))
+
+
+def _gram_label_matrix(sf_dir: str, label_of, n: int,
+                       out_cols: tuple[str, str, str]):
+    """Shared kernel for the gram-contamination matrices: distinct
+    word ``n``-grams per doc tagged with ``label_of(batch)``'s label,
+    one coarse digest-bucket exchange, per-bucket (label_a < label_b)
+    pair counts, driver-side sum.  See :func:`source_overlap_matrix`
+    for the scale argument (pair blowup bounded by labels², never
+    docs)."""
     import hashlib as _hashlib
 
     import pyarrow as pa
 
+    col_a, col_b, col_n = out_cols
     part_schema = pa.schema(
         [("bucket", pa.int64()), ("hi", pa.int64()), ("lo", pa.int64()),
-         ("source", pa.string())]
+         ("label", pa.string())]
     )
 
     def grams(batch: pd.DataFrame) -> pa.Table:
-        rows_b, rows_hi, rows_lo, rows_src = [], [], [], []
-        for text, src in zip(batch["text"], batch["source"]):
+        rows_b, rows_hi, rows_lo, rows_lab = [], [], [], []
+        for text, lab in zip(batch["text"], label_of(batch)):
             words = text.split(" ")
             if len(words) < n:
                 gs = {" ".join(words)}
@@ -2170,35 +2184,34 @@ def source_overlap_matrix(sf_dir: str, n: int = OVERLAP_NGRAM):
                 rows_b.append((hi & 0x7FFFFFFF) % _OVL_BUCKETS)
                 rows_hi.append(hi)
                 rows_lo.append(lo)
-                rows_src.append(src)
+                rows_lab.append(lab)
         return pa.table(
             {"bucket": pa.array(rows_b, type=pa.int64()),
              "hi": pa.array(rows_hi, type=pa.int64()),
              "lo": pa.array(rows_lo, type=pa.int64()),
-             "source": pa.array(rows_src, type=pa.string())},
+             "label": pa.array(rows_lab, type=pa.string())},
             schema=part_schema,
         )
 
     pair_schema = pa.schema(
-        [("source_a", pa.string()), ("source_b", pa.string()),
-         ("n", pa.int64())]
+        [(col_a, pa.string()), (col_b, pa.string()), ("n", pa.int64())]
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pa.Table:
-        d = group.drop_duplicates(["hi", "lo", "source"])
+        d = group.drop_duplicates(["hi", "lo", "label"])
         m = d.merge(d, on=["hi", "lo"], suffixes=("_a", "_b"))
-        m = m[m["source_a"] < m["source_b"]]
+        m = m[m["label_a"] < m["label_b"]]
         if m.empty:
             return pair_schema.empty_table()
-        cnt = m.groupby(["source_a", "source_b"], as_index=False).size()
+        cnt = m.groupby(["label_a", "label_b"], as_index=False).size()
         return pa.table(
-            {"source_a": cnt["source_a"].astype(str).to_numpy(),
-             "source_b": cnt["source_b"].astype(str).to_numpy(),
+            {col_a: cnt["label_a"].astype(str).to_numpy(),
+             col_b: cnt["label_b"].astype(str).to_numpy(),
              "n": cnt["size"].to_numpy().astype("int64")},
             schema=pair_schema,
         )
 
-    # the per-bucket pair counts are ≤ S²/2 rows per bucket (sources,
+    # the per-bucket pair counts are ≤ L²/2 rows per bucket (labels,
     # not docs) — the final sum is driver-side, no second all-to-all
     df = (
         _docs(sf_dir, columns=("doc_id", "text", "source"))
@@ -2206,12 +2219,39 @@ def source_overlap_matrix(sf_dir: str, n: int = OVERLAP_NGRAM):
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
-        .groupby(["source_a", "source_b"], as_index=False)
-        .agg(n_shared_grams=("n", "sum"))
-        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+        .groupby([col_a, col_b], as_index=False)
+        .agg(**{col_n: ("n", "sum")})
+        .sort_values([col_a, col_b]).reset_index(drop=True)
     )
-    df["n_shared_grams"] = df["n_shared_grams"].astype("int64")
+    df[col_n] = df[col_n].astype("int64")
     return df
+
+
+def split_leakage(sf_dir: str, n: int = OVERLAP_NGRAM):
+    """Cross-SPLIT contamination: for every train/val/test split pair,
+    the number of DISTINCT word ``n``-grams occurring in documents of
+    both — the leakage audit run after :func:`curation.
+    stratified_split` assigns splits.  Exact-duplicate leakage is zero
+    BY CONSTRUCTION (the split key is the content hash); this measures
+    the near-duplicate leakage that construction cannot prevent, on
+    the same 8-gram convention as benchmark decontamination.
+
+    Same single-exchange kernel as :func:`source_overlap_matrix`
+    (labels² pair bound, here 3 labels); the split label re-derives
+    per doc from ``md5(text)`` exactly as the split op does."""
+    from .curation import SPLIT_MOD, SPLIT_TRAIN_LT, SPLIT_VAL_LT
+
+    def label_of(batch: pd.DataFrame) -> list[str]:
+        labs = []
+        for t in batch["text"]:
+            bkt = int(hashlib.md5(t.encode()).hexdigest()[:8],
+                      16) % SPLIT_MOD
+            labs.append("train" if bkt < SPLIT_TRAIN_LT
+                        else "val" if bkt < SPLIT_VAL_LT else "test")
+        return labs
+
+    return _gram_label_matrix(
+        sf_dir, label_of, n, ("split_a", "split_b", "n_shared_grams"))
 
 
 def source_dup_rate(sf_dir: str, n_buckets: int = 1024,
