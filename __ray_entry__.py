@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.lsh_topk,
         "ann_pq_topk": ann.pq_topk,
         "ann_range_search": ann.range_search,
+        "ann_recall": ann.ann_recall,
         "label_vector_sums": ann.label_vector_sums,
         # --- multimodal plumbing ---
         "media_meta": media_meta,
@@ -333,7 +334,7 @@ _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/fixt
 def oracle_sql() -> dict[str, str]:
     from ragflow_ray.ops import curation as curation_mod
 
-    return {
+    oracles = {
         "token_stats": f"""
             SELECT lang,
                    COUNT(*)::BIGINT AS n_docs,
@@ -2349,6 +2350,26 @@ def oracle_sql() -> dict[str, str]:
         **_template_oracles(),
         **_tokenize_oracles(),
     }
+    # recall@k of the approximate ANN variants against the brute-force
+    # ground truth — composed from the three component oracles so the
+    # eval can never drift from what it evaluates
+    oracles["ann_recall"] = f"""
+        WITH brute AS ({oracles["ann_topk"]}),
+        ivf AS ({oracles["ann_ivf_topk"]}),
+        lsh AS ({oracles["ann_lsh_topk"]})
+        SELECT b.q_vec_id::BIGINT AS q_vec_id,
+               COUNT(i.vec_id)::BIGINT AS ivf_hits,
+               round(COUNT(i.vec_id) / 10.0, 6) AS ivf_recall,
+               COUNT(l.vec_id)::BIGINT AS lsh_hits,
+               round(COUNT(l.vec_id) / 10.0, 6) AS lsh_recall
+        FROM brute b
+        LEFT JOIN ivf i ON i.q_vec_id = b.q_vec_id
+                       AND i.vec_id = b.vec_id
+        LEFT JOIN lsh l ON l.q_vec_id = b.q_vec_id
+                       AND l.vec_id = b.vec_id
+        GROUP BY 1 ORDER BY 1
+    """
+    return oracles
 
 
 def _tokenize_oracles() -> dict[str, str]:

@@ -744,3 +744,39 @@ def label_coherence(sf_dir: str):
         "min_cos": parts["min_cos"].astype("float64"),
     })
     return out[["label", "n_vecs", "mean_cos", "min_cos"]]
+
+
+def ann_recall(sf_dir: str, k: int = 10, n_queries: int = 5,
+               concurrency=None):
+    """Recall@``k`` of the approximate ANN variants against the exact
+    brute-force ground truth — the acceptance gate an index rollout
+    runs before swapping retrieval backends (IVF probes trade recall
+    for fan-in; LSH buckets trade it for hashing).
+
+    Composition op: the three component searches are this module's
+    own distributed queries (each already oracled); the driver-side
+    merge is bounded at ``n_queries × k`` rows regardless of corpus
+    size.  ``*_hits`` is the exact intersection size per query id;
+    ``*_recall`` is ONE division rounded to 6."""
+    brute = brute_force_topk(sf_dir, k=k, n_queries=n_queries,
+                             concurrency=concurrency)
+    ivf = ivf_topk(sf_dir, k=k, n_queries=n_queries,
+                   concurrency=concurrency)
+    lsh = lsh_topk(sf_dir, k=k, n_queries=n_queries,
+                   concurrency=concurrency)
+
+    def hits(approx: pd.DataFrame) -> pd.Series:
+        m = brute.merge(approx[["q_vec_id", "vec_id"]],
+                        on=["q_vec_id", "vec_id"], how="inner")
+        return m.groupby("q_vec_id").size()
+
+    qids = sorted(brute["q_vec_id"].unique())
+    ih = hits(ivf).reindex(qids, fill_value=0).astype("int64")
+    lh = hits(lsh).reindex(qids, fill_value=0).astype("int64")
+    return pd.DataFrame({
+        "q_vec_id": pd.Series(qids, dtype="int64"),
+        "ivf_hits": ih.to_numpy(),
+        "ivf_recall": (ih.to_numpy() / float(k)).round(6),
+        "lsh_hits": lh.to_numpy(),
+        "lsh_recall": (lh.to_numpy() / float(k)).round(6),
+    })
