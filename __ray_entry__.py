@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": relational.small_qty_revenue,
         "market_share": relational.market_share,
         "customer_rfm": relational.customer_rfm,
+        "late_events": relational.late_events,
         "source_dup_rate": dedup.source_dup_rate,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
@@ -1620,6 +1621,24 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_yearly
             FROM bl JOIN st USING (l_partkey)
             WHERE 5 * bl.qty * st.n < st.sum_qty
+        """,
+        # out-of-order arrival audit: running max in event_id order
+        # per type (int64 microseconds), one round-6 division
+        "late_events": """
+            WITH x AS (
+                SELECT event_type, ts,
+                       MAX(ts) OVER (PARTITION BY event_type
+                                     ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS pm
+                FROM events)
+            SELECT event_type, COUNT(*)::BIGINT AS n_events,
+                   SUM(CASE WHEN pm IS NOT NULL AND ts < pm
+                            THEN 1 ELSE 0 END)::BIGINT AS n_late,
+                   round(SUM(CASE WHEN pm IS NOT NULL AND ts < pm
+                                  THEN 1 ELSE 0 END)::DOUBLE
+                         / COUNT(*), 6) AS late_frac
+            FROM x GROUP BY 1 ORDER BY 1
         """,
         # RFM quartiles: integer metrics, row_number ranks with a
         # custkey tie-break, closed-form 1 + ((rank-1)*4) // n edges

@@ -241,6 +241,8 @@ def run_bench() -> dict:
         "market_share": relational.market_share,
         "customer_rfm": lambda d: len(relational.customer_rfm(d)),
         "split_leakage": dedup.split_leakage,
+        "ann_recall": lambda d: ann.ann_recall(d, concurrency=pool),
+        "late_events": relational.late_events,
     }
     for name, fn in bench_queries.items():
         try:

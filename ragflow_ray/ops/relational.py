@@ -3295,3 +3295,132 @@ def customer_rfm(sf_dir: str, driver_limit: int = 2_000_000):
         s[c] = s[c].astype("int64")
     return s[["c_custkey", "last_day", "n_orders", "total_c2",
               "r_q", "f_q", "m_q", "rfm_code"]]
+
+
+def late_events(sf_dir: str, bucket: int = 65536,
+                broadcast_limit: int = 2_000_000):
+    """Out-of-order-arrival audit over the event stream: per event
+    type, how many events carry a timestamp EARLIER than some
+    already-ingested event of the same type (ingest order =
+    ``event_id``) — the watermark-quality read a streaming pipeline
+    takes before trusting event-time windows.
+
+    The interesting distributed part is a global RUNNING MAX in
+    ``event_id`` order (Ray Data has no scan operator) — the
+    :func:`curation.pack_sequences` prefix discipline applied to a
+    max semigroup:
+
+    1. one streaming pass reduces per-(bucket, type) ts-maxima
+       (bucket = ``event_id // bucket`` — ordered, skew-free ranges);
+    2. the driver exclusive-prefix-maxes the bucket maxima per type
+       (driver table is buckets × types, never event count) and
+       broadcasts the offsets;
+    3. one bounded ``groupby(bucket)`` pass sorts each bucket by
+       event_id, takes the shifted cummax per type, folds in the
+       broadcast prefix, and emits per-type (n, late) partials.
+
+    Under ``broadcast_limit`` events the whole scan is one driver
+    pass (the count-gated fast path).  ``late_frac`` is ONE division
+    rounded to 6; timestamps compare as int64 microseconds on both
+    sides."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    NEG = np.int64(-(2 ** 62))
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "event_type": b["event_type"].astype(str),
+            "ts": b["ts"].to_numpy().astype("datetime64[us]")
+                 .astype("int64"),
+        })
+
+    ev = (read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "ts"])
+          .map_batches(prep, batch_format="pandas", batch_size=65536)
+          .materialize())
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_type").reset_index(drop=True)
+        for c in ("n_events", "n_late"):
+            g[c] = g[c].astype("int64")
+        g["late_frac"] = (g["n_late"].to_numpy().astype("float64")
+                          / g["n_events"].to_numpy()).round(6)
+        return g[["event_type", "n_events", "n_late", "late_frac"]]
+
+    def scan_frame(df: pd.DataFrame,
+                   prefix: dict | None = None) -> pd.DataFrame:
+        """sorted-scan late counts per type; ``prefix`` maps type →
+        max ts of all STRICTLY EARLIER buckets."""
+        df = df.sort_values("event_id")
+        out_t, out_n, out_l = [], [], []
+        for t, d in df.groupby("event_type", sort=False):
+            ts = d["ts"].to_numpy()
+            prev = np.concatenate(
+                [[NEG], np.maximum.accumulate(ts)[:-1]])
+            if prefix is not None:
+                prev = np.maximum(prev, prefix.get(t, NEG))
+            out_t.append(t)
+            out_n.append(len(ts))
+            out_l.append(int((ts < prev).sum()))
+        return pd.DataFrame({"event_type": out_t, "n_events": out_n,
+                             "n_late": out_l})
+
+    if ev.count() <= broadcast_limit:
+        df = ev.to_pandas()
+        if df.empty:
+            return finalize(pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_late": pd.Series([], dtype="int64")}))
+        return finalize(scan_frame(df))
+
+    # distributed path: bucket maxima → driver prefix-max → bucketed
+    # scan with broadcast offsets
+    def bmax(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.assign(bucket=b["event_id"] // bucket)
+             .groupby(["bucket", "event_type"], as_index=False)
+             .agg(mx=("ts", "max")))
+        return g
+
+    bm = (ev.map_batches(bmax, batch_format="pandas", batch_size=65536)
+          .to_pandas()
+          .groupby(["bucket", "event_type"], as_index=False)
+          .agg(mx=("mx", "max"))
+          .sort_values(["event_type", "bucket"]))
+    # exclusive prefix-max per type over ordered buckets
+    prefixes: dict[int, dict[str, int]] = {}
+    for t, d in bm.groupby("event_type", sort=False):
+        run = NEG
+        for bkt, mx in zip(d["bucket"], d["mx"]):
+            prefixes.setdefault(int(bkt), {})[t] = int(run)
+            run = max(run, int(mx))
+    pref_ref = ray.put(prefixes)
+
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("n_events", pa.int64()),
+                             ("n_late", pa.int64())])
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        return t.append_column(
+            "bucket", pa.array(eid // bucket, type=pa.int64()))
+
+    def bucket_scan(g: pd.DataFrame) -> pa.Table:
+        pref = ray.get(pref_ref).get(int(g["bucket"].iloc[0]), {})
+        out = scan_frame(g, prefix=pref)
+        return pa.table({"event_type": out["event_type"].tolist(),
+                         "n_events": out["n_events"].to_numpy(np.int64),
+                         "n_late": out["n_late"].to_numpy(np.int64)},
+                        schema=part_schema)
+
+    df = (ev.map_batches(with_bucket, batch_format="pyarrow")
+          .groupby("bucket").map_groups(bucket_scan, batch_format="pandas")
+          .to_pandas()
+          .groupby("event_type", as_index=False)
+          .agg(n_events=("n_events", "sum"), n_late=("n_late", "sum")))
+    return finalize(df)

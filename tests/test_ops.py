@@ -152,6 +152,57 @@ class TestDedup:
         pd.testing.assert_frame_equal(
             base, shipping_priority(sf, broadcast_limit=0, n_buckets=7))
 
+    def test_late_events_planted_out_of_order(self, tmp_path):
+        """The sf corpora are ingest-ordered (late_frac 0 everywhere),
+        so plant a shuffled stream and pin nonzero late counts against
+        a DuckDB window recomputation, on both the driver fast path
+        and the distributed prefix-max path at an odd bucket width."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ragflow_ray.ops.relational import late_events
+
+        rng = np.random.RandomState(7)
+        n = 5000
+        ts = (np.int64(1_600_000_000_000_000)
+              + rng.permutation(n).astype("int64") * 1_000_000)
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": rng.randint(0, 50, n).astype("int64"),
+            "event_type": np.where(rng.rand(n) < 0.5, "view", "click"),
+            "value": np.zeros(n),
+            "props": ["{}"] * n,
+        })
+        pq.write_table(pa.Table.from_pandas(df),
+                       str(tmp_path / "events.parquet"))
+
+        want = duckdb.sql(f"""
+            WITH x AS (
+                SELECT event_type, ts,
+                       MAX(ts) OVER (PARTITION BY event_type
+                                     ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS pm
+                FROM read_parquet('{tmp_path}/events.parquet'))
+            SELECT event_type, COUNT(*)::BIGINT AS n_events,
+                   SUM(CASE WHEN pm IS NOT NULL AND ts < pm
+                            THEN 1 ELSE 0 END)::BIGINT AS n_late,
+                   round(SUM(CASE WHEN pm IS NOT NULL AND ts < pm
+                                  THEN 1 ELSE 0 END)::DOUBLE
+                         / COUNT(*), 6) AS late_frac
+            FROM x GROUP BY 1 ORDER BY 1
+        """).df()
+        assert (want["n_late"] > 0).all()  # the plant actually plants
+
+        got = late_events(str(tmp_path))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        dist = late_events(str(tmp_path), broadcast_limit=0, bucket=97)
+        pd.testing.assert_frame_equal(dist, want, check_dtype=False)
+
     def test_source_js_divergence_branches_agree(self):
         """driver_limit=0 forces the word-bucket co-partition with
         pairs-sized per-bucket partial sums; the default finalizes the
