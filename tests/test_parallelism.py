@@ -52,6 +52,8 @@ SWEEP = ",".join([
     "shipping_priority",
     "length_rank_cdf",
     "source_vocab_jaccard",
+    "split_leakage",
+    "market_share",
 ])
 
 
