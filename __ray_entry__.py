@@ -189,6 +189,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": relational.market_share,
         "customer_rfm": relational.customer_rfm,
         "late_events": relational.late_events,
+        "volume_shipping": relational.volume_shipping,
+        "nation_part_revenue": relational.nation_part_revenue,
+        "promo_revenue_share": relational.promo_revenue_share,
+        "customer_order_distribution":
+            relational.customer_order_distribution,
+        "large_volume_customers": relational.large_volume_customers,
+        "disjunctive_revenue": relational.disjunctive_revenue,
         "source_dup_rate": dedup.source_dup_rate,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
@@ -1700,6 +1707,110 @@ def oracle_sql() -> dict[str, str]:
                          / SUM(rev_c4), 6) AS mkt_share
             FROM o JOIN l ON l_orderkey = o_orderkey
             GROUP BY o_year ORDER BY o_year
+        """,
+        # TPC-H Q7-shaped: cross-nation revenue per ship-year, both
+        # directions, c4 grid
+        "volume_shipping": """
+            WITH sn AS (
+                SELECT s_suppkey, n_name AS supp_nation
+                FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                WHERE n_name IN ('NATION_1', 'NATION_3')),
+            cn AS (
+                SELECT c_custkey, n_name AS cust_nation
+                FROM customer JOIN nation ON n_nationkey = c_nationkey
+                WHERE n_name IN ('NATION_1', 'NATION_3'))
+            SELECT supp_nation, cust_nation,
+                   year(l_shipdate)::BIGINT AS l_year,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                  * 10000 + 0.5) AS BIGINT))::BIGINT
+                       AS revenue_c4
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            JOIN sn ON s_suppkey = l_suppkey
+            JOIN cn ON c_custkey = o_custkey
+            WHERE supp_nation <> cust_nation
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # TPC-H Q9-shaped: 'red'-part revenue by supplier nation and
+        # order year (no partsupp leg in this corpus)
+        "nation_part_revenue": """
+            SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                  * 10000 + 0.5) AS BIGINT))::BIGINT
+                       AS revenue_c4
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # TPC-H Q14-shaped: PROMO revenue share per ship-month; one
+        # double division of two exact int64 sums, rounded to 6
+        "promo_revenue_share": """
+            WITH l AS (
+                SELECT (year(l_shipdate) * 100
+                        + month(l_shipdate))::BIGINT AS ship_month,
+                       CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                  * 10000 + 0.5) AS BIGINT) AS rev_c4,
+                       CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END
+                           AS is_promo
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01')
+            SELECT ship_month,
+                   SUM(rev_c4 * is_promo)::BIGINT AS promo_c4,
+                   SUM(rev_c4)::BIGINT AS total_c4,
+                   round(100.0 * SUM(rev_c4 * is_promo) / SUM(rev_c4), 6)
+                       AS promo_share
+            FROM l GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q13-shaped: orders-per-customer histogram including
+        # the zero bucket (LEFT-join semantics)
+        "customer_order_distribution": """
+            WITH c AS (
+                SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+                FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                GROUP BY 1)
+            SELECT c_count::BIGINT AS c_count,
+                   COUNT(*)::BIGINT AS custdist
+            FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+        """,
+        # TPC-H Q18-shaped: orders whose lineitem quantity total
+        # exceeds 250, top-100 by total price (c2 grid, orderkey ties)
+        "large_volume_customers": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                           AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                       > 250)
+            SELECT c_custkey::BIGINT AS c_custkey, c_name,
+                   o_orderkey::BIGINT AS o_orderkey, o_orderdate,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS o_totalprice_c2,
+                   sum_qty::BIGINT AS sum_qty
+            FROM q JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice_c2 DESC, o_orderkey LIMIT 100
+        """,
+        # TPC-H Q19-shaped OR-of-ANDs probe: three brand × size ×
+        # quantity conjunctions, single exact c4 revenue row
+        "disjunctive_revenue": """
+            SELECT COALESCE(SUM(CAST(FLOOR(l_extendedprice
+                                           * (1 - l_discount) * 10000
+                                           + 0.5) AS BIGINT)),
+                            0)::BIGINT AS revenue_c4,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "shipping_priority": """
             WITH o AS (

@@ -243,6 +243,13 @@ def run_bench() -> dict:
         "split_leakage": dedup.split_leakage,
         "ann_recall": lambda d: ann.ann_recall(d, concurrency=pool),
         "late_events": relational.late_events,
+        "volume_shipping": relational.volume_shipping,
+        "nation_part_revenue": relational.nation_part_revenue,
+        "promo_revenue_share": relational.promo_revenue_share,
+        "customer_order_distribution":
+            relational.customer_order_distribution,
+        "large_volume_customers": relational.large_volume_customers,
+        "disjunctive_revenue": relational.disjunctive_revenue,
     }
     for name, fn in bench_queries.items():
         try:

@@ -3424,3 +3424,745 @@ def late_events(sf_dir: str, bucket: int = 65536,
           .groupby("event_type", as_index=False)
           .agg(n_events=("n_events", "sum"), n_late=("n_late", "sum")))
     return finalize(df)
+
+
+def _attach_order_attr(filt_orders, li_partials, n_orders: int,
+                       broadcast_limit: int, n_buckets: int = 256,
+                       tag: str = "order_attach"):
+    """Attach ONE int64 orders attribute to per-orderkey lineitem
+    partial rows — the orders ⋈ lineitem fact edge shared by the
+    Q7/Q9-shaped reports (:func:`volume_shipping`,
+    :func:`nation_part_revenue`).
+
+    ``filt_orders`` holds (key, attr) int64 rows, already filtered and
+    materialized (``n_orders`` is its count); ``li_partials`` holds
+    (key, a, b) int64 rows, pre-aggregated per batch so only
+    constant-size partials move.  Returns a Dataset of (attr, a, b)
+    rows with INNER-join semantics (partials whose key has no order
+    row drop).
+
+    ≤ ``broadcast_limit`` orders → the map ships ONCE (``ray.put``
+    sorted numpy + ``np.searchsorted``); no shuffle at any point.
+    Above it, both sides project to a common schema, union, and
+    co-partition in ONE coarse orderkey-bucket exchange (the
+    established ``Dataset.join`` replacement); per-bucket joins are
+    vectorized searchsorted walks that report group sizes to the skew
+    ledger."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    out_schema = pa.schema([("attr", pa.int64()), ("a", pa.int64()),
+                            ("b", pa.int64())])
+
+    if n_orders <= broadcast_limit:
+        odf = filt_orders.to_pandas()
+        okeys = odf["key"].to_numpy(np.int64) if len(odf) else \
+            np.empty(0, np.int64)
+        order = np.argsort(okeys)
+        map_ref = ray.put((okeys[order],
+                           odf["attr"].to_numpy(np.int64)[order]
+                           if len(odf) else np.empty(0, np.int64)))
+
+        def attach(b: pd.DataFrame) -> pa.Table:
+            keys, attrs = ray.get(map_ref)
+            k = b["key"].to_numpy(np.int64)
+            if len(keys) == 0 or len(k) == 0:
+                return out_schema.empty_table()
+            pos = np.searchsorted(keys, k)
+            pos[pos >= len(keys)] = 0
+            hit = keys[pos] == k
+            return pa.table({"attr": attrs[pos[hit]],
+                             "a": b["a"].to_numpy(np.int64)[hit],
+                             "b": b["b"].to_numpy(np.int64)[hit]},
+                            schema=out_schema)
+
+        return li_partials.map_batches(attach, batch_format="pandas",
+                                       batch_size=65536)
+
+    common = pa.schema([("bucket", pa.int64()), ("key", pa.int64()),
+                        ("side", pa.int8()), ("a", pa.int64()),
+                        ("b", pa.int64())])
+    MIX = np.int64(-7046029254386353131)
+
+    def _bucket(k: np.ndarray) -> np.ndarray:
+        return ((k * MIX) >> np.int64(40)) % np.int64(n_buckets)
+
+    def o_side(b: pd.DataFrame) -> pa.Table:
+        k = b["key"].to_numpy(np.int64)
+        return pa.table({"bucket": _bucket(k), "key": k,
+                         "side": np.zeros(len(k), np.int8),
+                         "a": b["attr"].to_numpy(np.int64),
+                         "b": np.zeros(len(k), np.int64)}, schema=common)
+
+    def l_side(b: pd.DataFrame) -> pa.Table:
+        k = b["key"].to_numpy(np.int64)
+        return pa.table({"bucket": _bucket(k), "key": k,
+                         "side": np.ones(len(k), np.int8),
+                         "a": b["a"].to_numpy(np.int64),
+                         "b": b["b"].to_numpy(np.int64)}, schema=common)
+
+    _warn = _skew_warn()
+
+    def join_bucket(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group(f"{tag}.bucket", len(group), _warn)
+        side = group["side"].to_numpy()
+        ords = group[side == 0]
+        lis = group[side == 1]
+        if ords.empty or lis.empty:
+            return out_schema.empty_table()
+        okeys = ords["key"].to_numpy(np.int64)
+        order = np.argsort(okeys)
+        okeys = okeys[order]
+        attrs = ords["a"].to_numpy(np.int64)[order]
+        k = lis["key"].to_numpy(np.int64)
+        pos = np.searchsorted(okeys, k)
+        pos[pos >= len(okeys)] = 0
+        hit = okeys[pos] == k
+        return pa.table({"attr": attrs[pos[hit]],
+                         "a": lis["a"].to_numpy(np.int64)[hit],
+                         "b": lis["b"].to_numpy(np.int64)[hit]},
+                        schema=out_schema)
+
+    uni = (filt_orders.map_batches(o_side, batch_format="pandas")
+           .union(li_partials.map_batches(l_side, batch_format="pandas")))
+    return uni.groupby("bucket").map_groups(join_bucket,
+                                            batch_format="pandas")
+
+
+def volume_shipping(sf_dir: str, nation1: str = "NATION_1",
+                    nation2: str = "NATION_3",
+                    date_lo: str = "1995-01-01",
+                    date_hi: str = "1997-01-01",
+                    broadcast_limit: int = 5_000_000):
+    """TPC-H Q7-shaped volume shipping: discounted revenue flowing
+    between two nations per ship-year — supplier in one nation,
+    customer in the other, BOTH directions reported.
+
+    Exactness: revenue is integer c4 per element (the
+    :func:`regional_revenue` grid), so per-(pair, year) sums are exact
+    under any order.
+
+    Distributed shape: supplier and customer are dimension broadcasts
+    (suppkey/custkey → nation code); orders filters to the two
+    customer nations at the read and the orderkey → customer-code map
+    attaches to per-batch lineitem partials via
+    :func:`_attach_order_attr` (count-gated broadcast, union
+    co-partition fallback).  The lineitem side pre-aggregates to
+    (orderkey, supp_code·10⁴ + ship_year) partials so only
+    constant-size rows ever move; the final fold is pairs × years —
+    driver-bounded regardless of corpus size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    code_of = {}  # nationkey -> 1 (nation1) / 2 (nation2)
+    for key, name in zip(nat["n_nationkey"], nat["n_name"]):
+        if name == nation1:
+            code_of[int(key)] = 1
+        elif name == nation2:
+            code_of[int(key)] = 2
+    names = {1: nation1, 2: nation2}
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    scode = supp["s_nationkey"].map(
+        lambda k: code_of.get(int(k), 0)).to_numpy(np.int64)
+    skeys = supp["s_suppkey"].to_numpy(np.int64)
+    keep = scode > 0
+    order = np.argsort(skeys[keep])
+    supp_ref = ray.put((skeys[keep][order], scode[keep][order]))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ccode = cust["c_nationkey"].map(
+        lambda k: code_of.get(int(k), 0)).to_numpy(np.int64)
+    ckeys = cust["c_custkey"].to_numpy(np.int64)
+    keep = ccode > 0
+    order = np.argsort(ckeys[keep])
+    cust_ref = ray.put((ckeys[keep][order], ccode[keep][order]))
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+
+    okv_schema = pa.schema([("key", pa.int64()), ("attr", pa.int64())])
+
+    def o_prep(b: pd.DataFrame) -> pa.Table:
+        keys, codes = ray.get(cust_ref)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        if len(keys) == 0:
+            return okv_schema.empty_table()
+        pos = np.searchsorted(keys, ck)
+        pos[pos >= len(keys)] = 0
+        hit = keys[pos] == ck
+        return pa.table(
+            {"key": b["o_orderkey"].to_numpy(np.int64)[hit],
+             "attr": codes[pos[hit]]}, schema=okv_schema)
+
+    filt = orders.map_batches(o_prep, batch_format="pandas",
+                              batch_size=8192).materialize()
+    n_orders = filt.count()
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+
+    part_schema = pa.schema([("key", pa.int64()), ("a", pa.int64()),
+                             ("b", pa.int64())])
+
+    def li_partial(b: pd.DataFrame) -> pa.Table:
+        m = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)).to_numpy()
+        b = b[m]
+        keys, codes = ray.get(supp_ref)
+        sk = b["l_suppkey"].to_numpy(np.int64)
+        if len(keys) == 0 or len(sk) == 0:
+            return part_schema.empty_table()
+        pos = np.searchsorted(keys, sk)
+        pos[pos >= len(keys)] = 0
+        hit = keys[pos] == sk
+        b = b[hit]
+        packed = (codes[pos[hit]] * 10_000
+                  + b["l_shipdate"].dt.year.to_numpy(np.int64))
+        g = (pd.DataFrame({
+                "key": b["l_orderkey"].to_numpy(np.int64),
+                "a": packed,
+                "b": _cents(b["l_extendedprice"] * (1.0 - b["l_discount"]),
+                            10_000).to_numpy()})
+             .groupby(["key", "a"], as_index=False)["b"].sum())
+        return pa.table({"key": g["key"].to_numpy(np.int64),
+                         "a": g["a"].to_numpy(np.int64),
+                         "b": g["b"].to_numpy(np.int64)},
+                        schema=part_schema)
+
+    partials = lineitem.map_batches(li_partial, batch_format="pandas",
+                                    batch_size=8192)
+    joined = _attach_order_attr(filt, partials, n_orders, broadcast_limit,
+                                tag="volume_shipping")
+
+    fold_schema = pa.schema([("supp_code", pa.int64()),
+                             ("cust_code", pa.int64()),
+                             ("l_year", pa.int64()),
+                             ("revenue_c4", pa.int64())])
+
+    def fold(b: pd.DataFrame) -> pa.Table:
+        sc = b["a"].to_numpy(np.int64) // 10_000
+        yr = b["a"].to_numpy(np.int64) % 10_000
+        cc = b["attr"].to_numpy(np.int64)
+        keep = sc != cc  # cross-nation flows only
+        g = (pd.DataFrame({"supp_code": sc[keep], "cust_code": cc[keep],
+                           "l_year": yr[keep],
+                           "revenue_c4": b["b"].to_numpy(np.int64)[keep]})
+             .groupby(["supp_code", "cust_code", "l_year"],
+                      as_index=False)["revenue_c4"].sum())
+        return pa.table({c: g[c].to_numpy(np.int64) for c in
+                         ("supp_code", "cust_code", "l_year",
+                          "revenue_c4")}, schema=fold_schema)
+
+    df = joined.map_batches(fold, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+    empty = pd.DataFrame({
+        "supp_nation": pd.Series([], dtype=object),
+        "cust_nation": pd.Series([], dtype=object),
+        "l_year": pd.Series([], dtype="int64"),
+        "revenue_c4": pd.Series([], dtype="int64")})
+    if df.empty:
+        return empty
+    g = (df.groupby(["supp_code", "cust_code", "l_year"], as_index=False)
+         ["revenue_c4"].sum())
+    g["supp_nation"] = g["supp_code"].map(names)
+    g["cust_nation"] = g["cust_code"].map(names)
+    g = g.sort_values(["supp_nation", "cust_nation", "l_year"]
+                      ).reset_index(drop=True)
+    g["l_year"] = g["l_year"].astype("int64")
+    g["revenue_c4"] = g["revenue_c4"].astype("int64")
+    return g[["supp_nation", "cust_nation", "l_year", "revenue_c4"]]
+
+
+def nation_part_revenue(sf_dir: str, token: str = "red",
+                        broadcast_limit: int = 5_000_000):
+    """TPC-H Q9-shaped product-line revenue: discounted revenue from
+    parts whose name contains ``token``, grouped by the SUPPLIER's
+    nation and the order year (the profit report without the
+    partsupp supply-cost leg — that table is not in this corpus).
+
+    Distributed shape: part (token partkeys) and supplier
+    (suppkey → nationkey) are dimension broadcasts; the order year
+    attaches to per-batch (orderkey, nationkey) lineitem partials via
+    :func:`_attach_order_attr` — orders here are UNFILTERED, so at
+    scale the union co-partition branch is the expected path and the
+    count gate only short-circuits small corpora.  The final fold is
+    nations × years, driver-bounded."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    pk = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_name"]).to_pandas()
+    tok_keys = np.sort(pk.loc[
+        pk["p_name"].str.contains(token, regex=False),
+        "p_partkey"].to_numpy(np.int64))
+    part_ref = ray.put(tok_keys)
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    skeys = supp["s_suppkey"].to_numpy(np.int64)
+    order = np.argsort(skeys)
+    supp_ref = ray.put((skeys[order],
+                        supp["s_nationkey"].to_numpy(np.int64)[order]))
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+
+    okv_schema = pa.schema([("key", pa.int64()), ("attr", pa.int64())])
+
+    def o_prep(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {"key": b["o_orderkey"].to_numpy(np.int64),
+             "attr": b["o_orderdate"].dt.year.to_numpy(np.int64)},
+            schema=okv_schema)
+
+    filt = orders.map_batches(o_prep, batch_format="pandas",
+                              batch_size=8192).materialize()
+    n_orders = filt.count()
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    part_schema = pa.schema([("key", pa.int64()), ("a", pa.int64()),
+                             ("b", pa.int64())])
+
+    def li_partial(b: pd.DataFrame) -> pa.Table:
+        keys = ray.get(part_ref)
+        pkey = b["l_partkey"].to_numpy(np.int64)
+        if len(keys) == 0 or len(pkey) == 0:
+            return part_schema.empty_table()
+        pos = np.searchsorted(keys, pkey)
+        pos[pos >= len(keys)] = 0
+        b = b[keys[pos] == pkey]
+        skeys, snat = ray.get(supp_ref)
+        sk = b["l_suppkey"].to_numpy(np.int64)
+        spos = np.searchsorted(skeys, sk)
+        spos[spos >= len(skeys)] = 0
+        g = (pd.DataFrame({
+                "key": b["l_orderkey"].to_numpy(np.int64),
+                "a": snat[spos],
+                "b": _cents(b["l_extendedprice"] * (1.0 - b["l_discount"]),
+                            10_000).to_numpy()})
+             .groupby(["key", "a"], as_index=False)["b"].sum())
+        return pa.table({"key": g["key"].to_numpy(np.int64),
+                         "a": g["a"].to_numpy(np.int64),
+                         "b": g["b"].to_numpy(np.int64)},
+                        schema=part_schema)
+
+    partials = lineitem.map_batches(li_partial, batch_format="pandas",
+                                    batch_size=8192)
+    joined = _attach_order_attr(filt, partials, n_orders, broadcast_limit,
+                                tag="nation_part_revenue")
+
+    fold_schema = pa.schema([("n_nationkey", pa.int64()),
+                             ("o_year", pa.int64()),
+                             ("revenue_c4", pa.int64())])
+
+    def fold(b: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({"n_nationkey": b["a"].to_numpy(np.int64),
+                           "o_year": b["attr"].to_numpy(np.int64),
+                           "revenue_c4": b["b"].to_numpy(np.int64)})
+             .groupby(["n_nationkey", "o_year"], as_index=False)
+             ["revenue_c4"].sum())
+        return pa.table({c: g[c].to_numpy(np.int64) for c in
+                         ("n_nationkey", "o_year", "revenue_c4")},
+                        schema=fold_schema)
+
+    df = joined.map_batches(fold, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+    empty = pd.DataFrame({
+        "n_name": pd.Series([], dtype=object),
+        "o_year": pd.Series([], dtype="int64"),
+        "revenue_c4": pd.Series([], dtype="int64")})
+    if df.empty:
+        return empty
+    g = (df.groupby(["n_nationkey", "o_year"], as_index=False)
+         ["revenue_c4"].sum())
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nat["n_nationkey"] = nat["n_nationkey"].astype("int64")
+    g = g.merge(nat, on="n_nationkey")
+    g = g.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+    g["o_year"] = g["o_year"].astype("int64")
+    g["revenue_c4"] = g["revenue_c4"].astype("int64")
+    return g[["n_name", "o_year", "revenue_c4"]]
+
+
+def promo_revenue_share(sf_dir: str, p_type: str = "PROMO",
+                        date_lo: str = "1996-01-01",
+                        date_hi: str = "1997-01-01"):
+    """TPC-H Q14-shaped promotion effect: per ship-month in the
+    window, the share of discounted revenue carried by ``p_type``
+    parts — 100 · promo / total, ONE double division of two exact
+    int64 c4 sums rounded to 6.
+
+    Distributed shape: the promo partkey set is a dimension broadcast
+    (``ray.put`` sorted numpy + searchsorted — never a shuffle); the
+    pruned lineitem scan reduces per batch to (ship_month, promo_c4,
+    total_c4) partials, a months-bounded table the driver folds.  No
+    exchange of any kind."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    pk = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_type"]).to_pandas()
+    promo_keys = np.sort(
+        pk.loc[pk["p_type"] == p_type, "p_partkey"].to_numpy(np.int64))
+    promo_ref = ray.put(promo_keys)
+
+    part_schema = pa.schema([("ship_month", pa.int64()),
+                             ("promo_c4", pa.int64()),
+                             ("total_c4", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        m = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)).to_numpy()
+        b = b[m]
+        if b.empty:
+            return part_schema.empty_table()
+        keys = ray.get(promo_ref)
+        pkey = b["l_partkey"].to_numpy(np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, pkey)
+            pos[pos >= len(keys)] = 0
+            is_promo = (keys[pos] == pkey).astype(np.int64)
+        else:
+            is_promo = np.zeros(len(pkey), np.int64)
+        rev = _cents(b["l_extendedprice"] * (1.0 - b["l_discount"]),
+                     10_000).to_numpy()
+        month = (b["l_shipdate"].dt.year.to_numpy(np.int64) * 100
+                 + b["l_shipdate"].dt.month.to_numpy(np.int64))
+        g = (pd.DataFrame({"ship_month": month,
+                           "promo_c4": rev * is_promo, "total_c4": rev})
+             .groupby("ship_month", as_index=False).sum())
+        return pa.table({c: g[c].to_numpy(np.int64) for c in
+                         ("ship_month", "promo_c4", "total_c4")},
+                        schema=part_schema)
+
+    df = (read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"])
+          .map_batches(partial, batch_format="pandas", batch_size=8192)
+          .to_pandas())
+    empty = pd.DataFrame({
+        "ship_month": pd.Series([], dtype="int64"),
+        "promo_c4": pd.Series([], dtype="int64"),
+        "total_c4": pd.Series([], dtype="int64"),
+        "promo_share": pd.Series([], dtype="float64")})
+    if df.empty:
+        return empty
+    g = df.groupby("ship_month", as_index=False).sum()
+    g = g.sort_values("ship_month").reset_index(drop=True)
+    for c in ("ship_month", "promo_c4", "total_c4"):
+        g[c] = g[c].astype("int64")
+    g["promo_share"] = (100.0 * g["promo_c4"].to_numpy()
+                        / g["total_c4"].to_numpy()).round(6)
+    return g[["ship_month", "promo_c4", "total_c4", "promo_share"]]
+
+
+def customer_order_distribution(sf_dir: str,
+                                driver_limit: int = 2_000_000):
+    """TPC-H Q13-shaped order-count distribution: how many customers
+    placed exactly ``c_count`` orders, INCLUDING the zero bucket (the
+    LEFT-join semantics — customers with no orders).
+
+    Distributed shape: the orders scan reduces per batch to
+    (custkey, n) partials and one narrow combine level; the
+    customer-bounded table folds on the driver under ``driver_limit``
+    and as a distributed Sum groupby + per-batch histogram partials
+    above it.  The zero bucket is pure arithmetic: total customers
+    (parquet footer count, no scan) minus customers seen in orders."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from ..sources.readers import read_parquet_clean
+
+    part_schema = pa.schema([("c_custkey", pa.int64()),
+                             ("n", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = (b.groupby("o_custkey", as_index=False)
+             .agg(n=("o_custkey", "size")))
+        return pa.table({"c_custkey": g["o_custkey"].to_numpy(np.int64),
+                         "n": g["n"].to_numpy(np.int64)},
+                        schema=part_schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("c_custkey", as_index=False, sort=False)["n"].sum()
+        return pa.table({"c_custkey": g["c_custkey"].to_numpy(np.int64),
+                         "n": g["n"].to_numpy(np.int64)},
+                        schema=part_schema)
+
+    partials = (read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+                .map_batches(partial, batch_format="pandas",
+                             batch_size=65536)
+                .map_batches(combine, batch_format="pandas",
+                             batch_size=65536)
+                .materialize())
+
+    n_custs_total = pads.dataset(
+        f"{sf_dir}/customer.parquet").count_rows()
+
+    if partials.count() <= driver_limit:
+        per_cust = (partials.to_pandas()
+                    .groupby("c_custkey", as_index=False)["n"].sum())
+        hist = (per_cust.groupby("n", as_index=False)
+                .agg(custdist=("n", "size"))
+                .rename(columns={"n": "c_count"}))
+        n_with_orders = len(per_cust)
+    else:  # customer cardinality beyond the driver budget
+        from ray.data.aggregate import Count, Sum
+
+        agg = (partials.groupby("c_custkey")
+               .aggregate(Sum("n", alias_name="c_count")))
+
+        hist_schema = pa.schema([("c_count", pa.int64()),
+                                 ("custdist", pa.int64())])
+
+        def hist_partial(b: pd.DataFrame) -> pa.Table:
+            g = (b.groupby("c_count", as_index=False)
+                 .agg(custdist=("c_count", "size")))
+            return pa.table(
+                {"c_count": g["c_count"].to_numpy(np.int64),
+                 "custdist": g["custdist"].to_numpy(np.int64)},
+                schema=hist_schema)
+
+        hist = (agg.map_batches(hist_partial, batch_format="pandas",
+                                batch_size=65536)
+                .to_pandas()
+                .groupby("c_count", as_index=False)["custdist"].sum())
+        n_with_orders = int(hist["custdist"].sum())
+
+    n_zero = n_custs_total - n_with_orders
+    if n_zero > 0:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"c_count": [0], "custdist": [n_zero]})], ignore_index=True)
+    hist = (hist.sort_values(["custdist", "c_count"],
+                             ascending=[False, False])
+            .reset_index(drop=True))
+    hist["c_count"] = hist["c_count"].astype("int64")
+    hist["custdist"] = hist["custdist"].astype("int64")
+    return hist[["c_count", "custdist"]]
+
+
+def large_volume_customers(sf_dir: str, qty_threshold: int = 250,
+                           k: int = 100,
+                           driver_limit: int = 2_000_000):
+    """TPC-H Q18-shaped large-volume customers: the orders whose
+    total lineitem quantity exceeds ``qty_threshold``, with customer
+    name, order date, and total price — top ``k`` by total price
+    (ties break on orderkey ascending).
+
+    Exactness: quantities are integer-valued, so per-order sums and
+    the threshold test are exact int64; ``o_totalprice`` reports as
+    integer cents.
+
+    Distributed shape: lineitem reduces per batch to (orderkey, qty)
+    partials + one combine level (order-bounded, never lineitem
+    count); the per-order fold runs on the driver under
+    ``driver_limit`` and as a distributed Sum groupby with the
+    threshold filter applied per batch above it.  The surviving "hot"
+    orderkeys — rare by construction — broadcast back once and ONE
+    pruned orders pass fetches their rows; customer is a
+    dimension-sized driver read."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    part_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("qty", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "qty": np.floor(b["l_quantity"].to_numpy() + 0.5)
+                       .astype(np.int64)})
+             .groupby("l_orderkey", as_index=False)["qty"].sum())
+        return pa.table({"l_orderkey": g["l_orderkey"].to_numpy(np.int64),
+                         "qty": g["qty"].to_numpy(np.int64)},
+                        schema=part_schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("l_orderkey", as_index=False, sort=False)[
+            "qty"].sum()
+        return pa.table({"l_orderkey": g["l_orderkey"].to_numpy(np.int64),
+                         "qty": g["qty"].to_numpy(np.int64)},
+                        schema=part_schema)
+
+    partials = (read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                                   columns=["l_orderkey", "l_quantity"])
+                .map_batches(partial, batch_format="pandas",
+                             batch_size=8192)
+                .map_batches(combine, batch_format="pandas",
+                             batch_size=65536)
+                .materialize())
+
+    if partials.count() <= driver_limit:
+        sums = (partials.to_pandas()
+                .groupby("l_orderkey", as_index=False)["qty"].sum())
+        big = sums[sums["qty"] > qty_threshold]
+    else:  # order cardinality beyond the driver budget
+        from ray.data.aggregate import Sum
+
+        agg = (partials.groupby("l_orderkey")
+               .aggregate(Sum("qty", alias_name="qty")))
+
+        def over(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.greater(t["qty"],
+                                       pa.scalar(qty_threshold)))
+
+        big = agg.map_batches(over, batch_format="pyarrow").to_pandas()
+
+    empty = pd.DataFrame({
+        "c_custkey": pd.Series([], dtype="int64"),
+        "c_name": pd.Series([], dtype=object),
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_totalprice_c2": pd.Series([], dtype="int64"),
+        "sum_qty": pd.Series([], dtype="int64")})
+    if big.empty:
+        return empty
+
+    hot = np.sort(big["l_orderkey"].to_numpy(np.int64))
+    hot_ref = ray.put(hot)
+
+    fetch_schema = pa.schema([("o_orderkey", pa.int64()),
+                              ("o_custkey", pa.int64()),
+                              ("o_orderdate", pa.timestamp("us")),
+                              ("o_totalprice_c2", pa.int64())])
+
+    def fetch(b: pd.DataFrame) -> pa.Table:
+        keys = ray.get(hot_ref)
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, ok)
+        pos[pos >= len(keys)] = 0
+        b = b[keys[pos] == ok]
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+             "o_custkey": b["o_custkey"].to_numpy(np.int64),
+             "o_orderdate": pa.array(
+                 b["o_orderdate"].to_numpy().astype("datetime64[us]")),
+             "o_totalprice_c2": _cents(b["o_totalprice"]).to_numpy()},
+            schema=fetch_schema)
+
+    odf = (read_parquet_clean(
+              f"{sf_dir}/orders.parquet",
+              columns=["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice"])
+           .map_batches(fetch, batch_format="pandas", batch_size=8192)
+           .to_pandas())
+    if odf.empty:
+        return empty
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    cust["c_custkey"] = cust["c_custkey"].astype("int64")
+    out = (odf.merge(big.rename(columns={"l_orderkey": "o_orderkey",
+                                         "qty": "sum_qty"}),
+                     on="o_orderkey")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey"))
+    out = (out.sort_values(["o_totalprice_c2", "o_orderkey"],
+                           ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    for c in ("c_custkey", "o_orderkey", "o_totalprice_c2", "sum_qty"):
+        out[c] = out[c].astype("int64")
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    return out[["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice_c2", "sum_qty"]]
+
+
+# the Q19 disjunction: (brand, max size, qty lo, qty hi) conjunctions
+_Q19_TERMS = (("Brand#12", 5, 1, 11),
+              ("Brand#23", 10, 10, 20),
+              ("Brand#7", 15, 20, 30))
+
+
+def disjunctive_revenue(sf_dir: str, terms=_Q19_TERMS):
+    """TPC-H Q19-shaped disjunctive predicate probe: total discounted
+    revenue (and item count) of lineitems matching ANY of the
+    brand × size-range × quantity-range conjunctions in ``terms`` —
+    the OR-of-ANDs shape that defeats naive predicate pushdown.
+
+    Distributed shape: part ships ONCE as (sorted partkey, brand id,
+    size) numpy columns; each lineitem batch evaluates the whole
+    disjunction vectorized and emits a single (rev_c4, n) row — no
+    shuffle, driver folds a partials-count-bounded table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    brand_id = {b: i + 1 for i, (b, _, _, _) in enumerate(terms)}
+    pk = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand", "p_size"]
+                       ).to_pandas()
+    keys = pk["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    bid = pk["p_brand"].map(lambda b: brand_id.get(b, 0)).to_numpy(
+        np.int64)[order]
+    size = pk["p_size"].to_numpy(np.int64)[order]
+    part_ref = ray.put((keys[order], bid, size))
+
+    out_schema = pa.schema([("revenue_c4", pa.int64()),
+                            ("n_items", pa.int64())])
+
+    def probe(b: pd.DataFrame) -> pa.Table:
+        keys, bid, size = ray.get(part_ref)
+        pkey = b["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, pkey)  # FK: every partkey present
+        qty = np.floor(b["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        keep = np.zeros(len(pkey), bool)
+        for i, (_, max_size, qlo, qhi) in enumerate(terms):
+            keep |= ((bid[pos] == i + 1) & (size[pos] >= 1)
+                     & (size[pos] <= max_size)
+                     & (qty >= qlo) & (qty <= qhi))
+        rev = _cents(b["l_extendedprice"][keep]
+                     * (1.0 - b["l_discount"][keep]), 10_000).to_numpy()
+        return pa.table({"revenue_c4": [int(rev.sum())],
+                         "n_items": [int(keep.sum())]},
+                        schema=out_schema)
+
+    df = (read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"])
+          .map_batches(probe, batch_format="pandas", batch_size=8192)
+          .to_pandas())
+    return pd.DataFrame({
+        "revenue_c4": pd.Series([int(df["revenue_c4"].sum())],
+                                dtype="int64"),
+        "n_items": pd.Series([int(df["n_items"].sum())], dtype="int64")})

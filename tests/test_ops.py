@@ -242,6 +242,25 @@ class TestDedup:
         pd.testing.assert_frame_equal(
             customer_rfm(sf), customer_rfm(sf, driver_limit=0))
 
+    def test_q7_q9_q13_q18_branches_agree(self):
+        """broadcast_limit=0 forces the shared _attach_order_attr
+        union + coarse orderkey-bucket co-partition under the
+        Q7-shaped volume-shipping and Q9-shaped nation-part reports;
+        driver_limit=0 forces the distributed Sum folds of the
+        Q13-shaped order-count histogram and the Q18-shaped
+        large-volume filter — identical frames either way."""
+        import pandas as pd
+
+        from ragflow_ray.ops.relational import (
+            customer_order_distribution, large_volume_customers,
+            nation_part_revenue, volume_shipping)
+
+        sf = "/root/testdata/sf0.001"
+        for fn in (volume_shipping, nation_part_revenue):
+            pd.testing.assert_frame_equal(fn(sf), fn(sf, broadcast_limit=0))
+        for fn in (customer_order_distribution, large_volume_customers):
+            pd.testing.assert_frame_equal(fn(sf), fn(sf, driver_limit=0))
+
     def test_small_qty_revenue_empty_brand(self):
         """A brand no part carries yields the typed zero row (the
         SQL COALESCE shape), not a column-less frame."""

@@ -54,6 +54,8 @@ SWEEP = ",".join([
     "source_vocab_jaccard",
     "split_leakage",
     "market_share",
+    "volume_shipping",
+    "customer_order_distribution",
 ])
 
 
