@@ -164,6 +164,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ],
         "media_frame_sample": lambda d: multimodal.media_frame_sample(d).to_pandas(),
         "media_phash_dedup": multimodal.media_phash_dedup,
+        # real-codec paths: actual PNG / WAV containers decoded by the
+        # from-scratch decoders inside the actor pool, digest-oracled
+        "image_png_pool": lambda d: multimodal.image_png_pool(d).to_pandas()[
+            ["doc_id", "out_h", "out_w", "resized_sum"]
+        ],
+        "audio_wav_frames": lambda d: multimodal.audio_wav_frames(d).to_pandas(),
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -971,6 +977,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 17::BIGINT AS n_frames,
                    list_sum(list_transform(range(17), j ->
                        db[(j*63) % 32 + 1]))::BIGINT AS frame_sum
+            FROM b ORDER BY doc_id
+        """,
+        # REAL-codec oracles: the engine builds actual PNG / WAV
+        # containers whose pixels / samples derive from a prefixed text
+        # digest, decodes them with the from-scratch decoders
+        # (parsers/pngdec.py, parsers/wavdec.py), and the SQL below
+        # recomputes the decoded-content summaries from the same digest
+        # — lossless codecs, so equality is exact
+        "image_png_pool": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFPNG1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 4::BIGINT AS out_h, 4::BIGINT AS out_w,
+                   list_sum(list_transform(range(48), k ->
+                       (db[((k//12)*48 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                       ) // 4))::BIGINT AS resized_sum
+            FROM b ORDER BY doc_id
+        """,
+        "audio_wav_frames": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFWAV1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 17::BIGINT AS n_frames,
+                   list_sum(list_transform(range(17), j ->
+                       (db[(j*63) % 32 + 1] - 128) * 256))::BIGINT AS frame_sum
             FROM b ORDER BY doc_id
         """,
         # sketch-family oracles: expected values precomputed by an

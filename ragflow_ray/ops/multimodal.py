@@ -2,21 +2,25 @@
 
 The engine treats image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages
-(decode / feature-extract / resize / frame-sample).  Baseline JPEG —
-the codec of the embedded PDF figures — decodes for REAL through the
-from-scratch ``parsers/jpegdec`` implementation; other codecs need
-libraries absent from this container, so for them the decode kernel
-is STUBBED: ``decode_image``/``decode_audio`` raise
+(decode / feature-extract / resize / frame-sample).  Three real
+from-scratch codecs back the decode kernels: baseline JPEG (the codec
+of the embedded PDF figures, ``parsers/jpegdec``), PNG
+(``parsers/pngdec``) and RIFF/WAVE PCM (``parsers/wavdec``).  Codecs
+beyond those (JPEG 2000, MP3, …) need libraries absent from this
+container, so for them ``decode_image``/``decode_audio`` raise
 ``NotImplementedError`` unless a deterministic fake decoder is
 requested.  The Ray-side plumbing (schema, batch sizing for wide
-rows, actor signature, output layout) is real and tested either way,
-and the oracled queries pin the fake path so results stay
-SQL-checkable.
+rows, actor signature, output layout) is real and tested either way.
 
 ``media_payloads``/``media_features`` synthesize deterministic binary
 payloads from the documents table and run the feature actor over them,
 giving the multimodal path a DuckDB-checkable oracle (payload size,
-md5 digest).
+md5 digest).  ``image_png_pool`` / ``audio_wav_frames`` go further:
+they synthesize REAL PNG / WAV containers whose pixel / sample content
+derives from the text's sha256 digest, run the actual decoders inside
+the actor pool, and emit integer summaries DuckDB recomputes from the
+same digest — so the real decode paths, not just the plumbing, are
+oracle-checked end-to-end.
 """
 
 from __future__ import annotations
@@ -37,12 +41,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     Real path: baseline JPEG decodes through the from-scratch
     ``parsers/jpegdec`` implementation (ITU-T T.81 sequential Huffman
     — the codec of the embedded DCTDecode figures pdfbytes surfaces),
-    and pdfbytes' ``RFRAW1`` container (Flate/unfiltered 8-bit
-    DeviceGray/DeviceRGB image XObjects) reshapes directly.  Other
-    codecs (PNG, JPEG 2000, …) need libraries absent from this
+    PNG through the from-scratch ``parsers/pngdec`` (RFC 2083 inflate
+    + unfilter), and pdfbytes' ``RFRAW1`` container (Flate/unfiltered
+    8-bit DeviceGray/DeviceRGB image XObjects) reshapes directly.
+    Codecs beyond those (JPEG 2000, …) need libraries absent from this
     container — STUB.  With ``fake=True`` returns a deterministic 8×8
     gray image derived from the payload digest (stable across
-    processes), which is what the oracled queries pin.
+    processes), which is what the fake-path oracled queries pin.
     """
     if not fake:
         if bytes(payload[:2]) == b"\xff\xd8":
@@ -59,18 +64,37 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             ncomp = b[15]
             arr = np.frombuffer(b[16:], dtype=np.uint8).reshape(h, w, ncomp)
             return np.repeat(arr, 3, axis=2) if ncomp == 1 else arr.copy()
+        if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+            from ..parsers.pngdec import decode_png
+
+            return decode_png(bytes(payload))
         raise NotImplementedError(
-            "non-JPEG image codecs unavailable in this environment")
+            "image codecs beyond JPEG/PNG unavailable in this environment")
     digest = hashlib.sha256(payload).digest()
     arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return arr.reshape(8, 8, 3).copy()
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an audio payload to a float32 waveform — STUB (see
-    :func:`decode_image`)."""
+    """Decode an audio payload to a mono float32 waveform.
+
+    Real path: RIFF/WAVE PCM and IEEE-float decode through the
+    from-scratch ``parsers/wavdec`` implementation (multi-channel
+    streams downmix by channel mean); compressed codecs (MP3, AAC,
+    μ-law, …) need libraries absent from this container — STUB.
+    ``fake=True`` returns the deterministic digest-derived waveform
+    the fake-path oracled queries pin.
+    """
     if not fake:
-        raise NotImplementedError("audio codecs unavailable in this environment")
+        if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
+            from ..parsers.wavdec import decode_wav
+
+            frames, _rate = decode_wav(bytes(payload))
+            if frames.shape[1] == 1:
+                return frames[:, 0]
+            return frames.mean(axis=1, dtype=np.float64).astype(np.float32)
+        raise NotImplementedError(
+            "audio codecs beyond RIFF/WAVE unavailable in this environment")
     digest = hashlib.sha256(payload).digest()
     raw = np.frombuffer((digest * 32)[:1024], dtype=np.uint8)
     return (raw.astype(np.float32) - 127.5) / 127.5
@@ -194,9 +218,14 @@ class AudioFrameSampleStage:
     """Actor-pool frame sampler: decode waveform → strided sample →
     summary columns (the video-frame-sampling shape, 1-D)."""
 
-    def __init__(self, stride: int = 63, fake_decode: bool = True):
+    def __init__(self, stride: int = 63, fake_decode: bool = True,
+                 denorm: str = "u8"):
         self.stride = stride
         self.fake_decode = fake_decode
+        # "u8" undoes the fake decoder's (x-127.5)/127.5 normalization;
+        # "i16" undoes wavdec's PCM16 v/32768 (exact in float32, so the
+        # recovered ints equal the encoded samples bit-for-bit)
+        self.denorm = denorm
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         counts, sums = [], []
@@ -205,7 +234,10 @@ class AudioFrameSampleStage:
             sampled = wave[:: self.stride]
             counts.append(len(sampled))
             # undo the float normalization for an integer-exact summary
-            raw = np.floor(sampled * 127.5 + 127.5 + 0.5).astype(np.int64)
+            if self.denorm == "i16":
+                raw = np.round(sampled.astype(np.float64) * 32768.0).astype(np.int64)
+            else:
+                raw = np.floor(sampled * 127.5 + 127.5 + 0.5).astype(np.int64)
             sums.append(int(raw.sum()))
         return pd.DataFrame(
             {
@@ -273,3 +305,85 @@ def media_phash_dedup(sf_dir: str, concurrency=None):
     for c in ("keeper_doc_id", "n_members"):
         df[c] = df[c].astype("int64")
     return df[["keeper_doc_id", "n_members"]]
+
+
+# ---------------------------------------------------------------------------
+# real-codec oracle queries: synthesize actual PNG / WAV containers from
+# digest bytes, decode them with the from-scratch decoders inside the actor
+# pool, and emit integer summaries DuckDB recomputes from the same digest
+# ---------------------------------------------------------------------------
+
+def _digest_bytes(text: str, prefix: bytes) -> bytes:
+    return hashlib.sha256(prefix + text.encode()).digest()
+
+
+def png_payloads(sf_dir: str):
+    """One REAL 8x8 RGB PNG per document, pixels = sha256('RFPNG1:'+text)
+    digest tiled to 192 bytes (the same derivation the fake image path
+    uses, so the existing SQL digest expansion recomputes the pixels)."""
+    import ray.data as rd
+
+    from ..parsers.pngdec import encode_png_rgb
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for t in batch["text"]:
+            d = _digest_bytes(t, b"RFPNG1:")
+            img = np.frombuffer((d * 6)[: 8 * 8 * 3], dtype=np.uint8).reshape(8, 8, 3)
+            payloads.append(encode_png_rgb(img))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+def image_png_pool(sf_dir: str, concurrency=None):
+    """REAL PNG decode, oracle-checked: encode → actor-pool
+    ``decode_png`` → 4×4 mean-pool → ``resized_sum`` that DuckDB
+    recomputes from the digest bytes (pixel-exact because PNG is
+    lossless).  This pins the whole real image path — container build,
+    from-scratch inflate+unfilter decode, pool kernel — not just the
+    Ray plumbing."""
+    out = png_payloads(sf_dir).map_batches(
+        ImageResizeStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"fake_decode": False},
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")
+
+
+def wav_payloads(sf_dir: str, n_samples: int = 1024):
+    """One REAL mono PCM16 RIFF/WAVE per document; sample[i] =
+    (db[i % 32] - 128) * 256 over the sha256('RFWAV1:'+text) digest
+    bytes — every value sits on the int16 grid, so the float32 decode
+    (v / 32768) is exact and SQL can recompute strided sums."""
+    import ray.data as rd
+
+    from ..parsers.wavdec import encode_wav_pcm16
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = np.arange(n_samples) % 32
+        payloads = []
+        for t in batch["text"]:
+            db = np.frombuffer(_digest_bytes(t, b"RFWAV1:"), dtype=np.uint8)
+            samples = ((db[idx].astype(np.int32) - 128) * 256).astype(np.int16)
+            payloads.append(encode_wav_pcm16(samples, sample_rate=16000))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+def audio_wav_frames(sf_dir: str, stride: int = 63, concurrency=None):
+    """REAL WAV decode, oracle-checked: encode PCM16 → actor-pool
+    ``decode_wav`` → stride-63 frame sample → integer de-normalized
+    ``frame_sum`` that DuckDB recomputes from the digest bytes."""
+    out = wav_payloads(sf_dir).map_batches(
+        AudioFrameSampleStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"stride": stride, "fake_decode": False,
+                               "denorm": "i16"},
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")

@@ -116,11 +116,20 @@ class TestDecodeImageIntegration:
         assert out.shape == (16, 16, 3)
         assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
 
-    def test_decode_image_non_jpeg_still_stubbed(self):
+    def test_decode_image_real_path_png(self):
+        from ragflow_ray.ops.multimodal import decode_image
+        from ragflow_ray.parsers.pngdec import encode_png_rgb
+
+        img = _img(11, 9, seed=7)
+        out = decode_image(encode_png_rgb(img), fake=False)
+        assert (out == img).all()
+
+    def test_decode_image_unknown_codec_still_stubbed(self):
         from ragflow_ray.ops.multimodal import decode_image
 
+        # JPEG 2000 signature box: out of the implemented subset
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG\r\n\x1a\n....", fake=False)
+            decode_image(b"\x00\x00\x00\x0cjP  \r\n\x87\n....", fake=False)
 
     def test_phash_stage_over_ingested_pdf_figure(self, ray_session):
         """Real-pixel path end-to-end: a full baseline JPEG embedded

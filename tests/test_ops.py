@@ -319,6 +319,26 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_audio(b"payload")
 
+    def test_decode_audio_real_wav_mono(self):
+        from ragflow_ray.ops.multimodal import decode_audio
+        from ragflow_ray.parsers.wavdec import encode_wav_pcm16
+
+        v = np.array([-32768, -256, 0, 256, 32512], dtype=np.int16)
+        wave = decode_audio(encode_wav_pcm16(v), fake=False)
+        assert wave.dtype == np.float32 and wave.shape == (5,)
+        assert (np.round(wave.astype(np.float64) * 32768).astype(np.int64)
+                == v.astype(np.int64)).all()
+
+    def test_decode_audio_real_wav_stereo_downmix(self):
+        from ragflow_ray.ops.multimodal import decode_audio
+        from ragflow_ray.parsers.wavdec import encode_wav_pcm16
+
+        s = np.array([[100, 300], [-200, 200]], dtype=np.int16)
+        wave = decode_audio(encode_wav_pcm16(s), fake=False)
+        assert wave.shape == (2,)
+        got = np.round(wave.astype(np.float64) * 32768 * 2).astype(np.int64)
+        assert (got == s.astype(np.int64).sum(axis=1)).all()
+
     def test_fake_decode_deterministic(self):
         from ragflow_ray.ops.multimodal import decode_image
 
