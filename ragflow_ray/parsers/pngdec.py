@@ -14,9 +14,8 @@ this container).
 Scope (documented): bit depth 8 for all five color types (gray,
 RGB, palette, gray+alpha, RGBA) plus bit depths 1/2/4 for grayscale
 and palette; 16-bit samples are truncated to their high byte (what
-common readers render); alpha composites over white.  Out of scope —
-Adam7 interlace — raises :class:`UnsupportedPng` so callers can
-degrade to the digest stand-in.
+common readers render); alpha composites over white; Adam7 interlace
+(seven sub-image passes scattered onto the output grid, spec §8.2).
 
 The unfilter loop is per-row Python (rows are sequentially dependent
 by construction) with numpy vectorization inside each row for Sub /
@@ -125,6 +124,21 @@ def _unpack_bits(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
     return vals[:, :w]
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _rows_to_samples(rows: np.ndarray, w: int, nsamp: int, depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes → (h, w, nsamp) raw sample values."""
+    h = rows.shape[0]
+    if depth < 8:
+        return _unpack_bits(rows, w * nsamp, depth).reshape(h, w, nsamp)
+    if depth == 16:
+        return rows.reshape(h, w, nsamp, 2)[..., 0]  # high byte
+    return rows.reshape(h, w, nsamp)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → HxWx3 uint8 RGB (alpha composited over white)."""
     data = bytes(data)
@@ -148,8 +162,8 @@ def decode_png(data: bytes) -> np.ndarray:
         raise BadPng("zero dimension")
     if comp != 0 or filt != 0:
         raise BadPng("unknown compression/filter method")
-    if interlace == 1:
-        raise UnsupportedPng("Adam7 interlace")
+    if interlace not in (0, 1):
+        raise UnsupportedPng(f"interlace method {interlace}")
     if ctype_i not in _NSAMP:
         raise BadPng(f"color type {ctype_i}")
     if depth not in (1, 2, 4, 8, 16) or (depth < 8 and ctype_i not in (0, 3)) \
@@ -163,19 +177,27 @@ def decode_png(data: bytes) -> np.ndarray:
         raise BadPng(f"IDAT inflate failed: {e}") from e
 
     nsamp = _NSAMP[ctype_i]
-    rowbits = w * nsamp * depth
-    rowbytes = (rowbits + 7) // 8
     bpp = max(1, nsamp * depth // 8)
-    rows = _unfilter(raw, h, rowbytes, bpp)
-
-    if depth < 8:
-        samples = _unpack_bits(rows, w * nsamp, depth).reshape(h, w, nsamp)
-        if ctype_i == 0:  # scale to full 8-bit range (spec sample scaling)
-            samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
-    elif depth == 16:
-        samples = rows.reshape(h, w, nsamp, 2)[..., 0]  # high byte
+    if interlace == 0:
+        rowbytes = (w * nsamp * depth + 7) // 8
+        samples = _rows_to_samples(_unfilter(raw, h, rowbytes, bpp), w, nsamp, depth)
     else:
-        samples = rows.reshape(h, w, nsamp)
+        # Adam7: each pass is an independently filtered sub-image,
+        # scattered onto the output grid by its (start, step) lattice
+        samples = np.zeros((h, w, nsamp), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw == 0 or ph == 0:
+                continue
+            prowbytes = (pw * nsamp * depth + 7) // 8
+            need = ph * (prowbytes + 1)
+            sub = _unfilter(raw[off:off + need], ph, prowbytes, bpp)
+            off += need
+            samples[y0::ys, x0::xs] = _rows_to_samples(sub, pw, nsamp, depth)
+    if depth < 8 and ctype_i == 0:  # scale to full 8-bit range (spec sample scaling)
+        samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
 
     if ctype_i == 3:
         if plte is None or len(plte) % 3:

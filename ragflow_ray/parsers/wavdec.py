@@ -13,11 +13,13 @@ plain public-format parsing and is implemented here because no audio
 library exists in this container.
 
 Scope (documented): WAVE_FORMAT_PCM (1) at 8/16/24/32 bits,
-WAVE_FORMAT_IEEE_FLOAT (3) at 32/64 bits, and WAVE_FORMAT_EXTENSIBLE
-(0xFFFE) wrapping either subformat; any channel count; chunk walk
-tolerates extra chunks (LIST, fact, cue) and odd-size padding.  Out
-of scope — ADPCM, μ-law/A-law, GSM — raises :class:`UnsupportedWav`
-so callers can degrade to the digest stand-in.
+WAVE_FORMAT_IEEE_FLOAT (3) at 32/64 bits, WAVE_FORMAT_ALAW (6) and
+WAVE_FORMAT_MULAW (7) per ITU-T G.711 (table-driven segment expansion,
+decoded to the conventional 13/14-bit linear values shifted to the
+16-bit grid), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping any of
+those; any channel count; chunk walk tolerates extra chunks (LIST,
+fact, cue) and odd-size padding.  Out of scope — ADPCM, GSM — raises
+:class:`UnsupportedWav` so callers can degrade to the digest stand-in.
 
 All sample conversion is vectorized numpy over the raw data chunk;
 nothing walks samples in Python.
@@ -45,7 +47,34 @@ class BadWav(ValueError):
 
 _PCM = 1
 _IEEE_FLOAT = 3
+_ALAW = 6
+_MULAW = 7
 _EXTENSIBLE = 0xFFFE
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry byte → 16-bit-linear lookup tables for ITU-T G.711
+    A-law and μ-law (segment/mantissa expansion per the spec tables;
+    the expansion lands directly on the 16-bit grid — A-law spans
+    ±32256 with byte 0x55 → −8, μ-law spans ±32124 with byte 0xFF
+    → 0, the values every common decoder table pins)."""
+    b = np.arange(256, dtype=np.int64)
+    # A-law: toggle the even bits, then expand segment/quantization;
+    # sign bit SET (after the toggle) encodes positive
+    a = b ^ 0x55
+    seg, mant = (a >> 4) & 0x7, a & 0xF
+    mag = np.where(seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (seg - 1).clip(0))
+    alaw = np.where(a & 0x80, mag, -mag)
+    # μ-law: stored complemented; bias 0x84 rides through the shift;
+    # sign bit SET (after the complement) encodes negative
+    u = ~b & 0xFF
+    seg, mant = (u >> 4) & 0x7, u & 0xF
+    mag = (((mant << 3) + 0x84) << seg) - 0x84
+    mulaw = np.where(u & 0x80, -mag, mag)
+    return alaw.astype(np.int32), mulaw.astype(np.int32)
+
+
+_ALAW_TABLE, _MULAW_TABLE = _g711_tables()
 
 # first 2 bytes of the 16-byte SubFormat GUID carry the format tag
 # (the remainder is the fixed ksmedia.h base GUID)
@@ -111,6 +140,11 @@ def _decode_samples(raw: bytes, tag: int, bits: int) -> np.ndarray:
         if bits == 64:
             return np.frombuffer(raw[: len(raw) // 8 * 8], dtype="<f8").astype(np.float32)
         raise UnsupportedWav(f"float bit depth {bits}")
+    if tag in (_ALAW, _MULAW):
+        if bits != 8:
+            raise UnsupportedWav(f"G.711 bit depth {bits}")
+        table = _ALAW_TABLE if tag == _ALAW else _MULAW_TABLE
+        return table[np.frombuffer(raw, dtype=np.uint8)].astype(np.float32) / 32768.0
     raise UnsupportedWav(f"wave format tag {tag}")
 
 

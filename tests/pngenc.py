@@ -65,6 +65,10 @@ def _pack_row(samples: np.ndarray, depth: int) -> bytes:
     return out.tobytes()
 
 
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def encode_png(
     img: np.ndarray,
     color_type: int = 2,
@@ -73,6 +77,7 @@ def encode_png(
     palette: np.ndarray | None = None,
     trns: bytes | None = None,
     idat_split: int = 0,
+    interlace: bool = False,
 ) -> bytes:
     """Sample array → PNG bytes.
 
@@ -89,15 +94,32 @@ def encode_png(
     filters = list(filters) if filters is not None else [0, 1, 2, 3, 4]
 
     raw = bytearray()
-    prev = b"\x00" * ((w * nsamp * depth + 7) // 8)
-    for y in range(h):
-        cur = _pack_row(flat[y], depth)
-        f = filters[y % len(filters)] if depth >= 8 else 0
-        raw.append(f)
-        raw += _filter_row(cur, prev, f, bpp)
-        prev = cur
+    if interlace:
+        grid = flat.reshape(h, w, nsamp)
+        for x0, y0, xs, ys in _ADAM7:
+            sub = grid[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            sflat = sub.reshape(ph, pw * nsamp)
+            prev = b"\x00" * ((pw * nsamp * depth + 7) // 8)
+            for y in range(ph):
+                cur = _pack_row(sflat[y], depth)
+                f = filters[y % len(filters)] if depth >= 8 else 0
+                raw.append(f)
+                raw += _filter_row(cur, prev, f, bpp)
+                prev = cur
+    else:
+        prev = b"\x00" * ((w * nsamp * depth + 7) // 8)
+        for y in range(h):
+            cur = _pack_row(flat[y], depth)
+            f = filters[y % len(filters)] if depth >= 8 else 0
+            raw.append(f)
+            raw += _filter_row(cur, prev, f, bpp)
+            prev = cur
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
     comp = zlib.compress(bytes(raw), 6)
     out = _SIG + _chunk(b"IHDR", ihdr)
     if color_type == 3:

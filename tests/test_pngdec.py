@@ -120,15 +120,15 @@ class TestErrors:
         with pytest.raises(BadPng):
             decode_png(good[:40])
 
-    def test_interlace_unsupported(self):
+    def test_interlace_flag_on_sequential_stream_rejected(self):
+        # flipping the flag without re-laying-out passes must fail
+        # cleanly (the pass layout needs more bytes than one image)
         good = bytearray(encode_png(_rgb(8, 8), color_type=2))
-        # IHDR payload starts at 16; interlace flag is its last byte
         good[16 + 12] = 1
         import struct as _s
         import zlib as _z
-        crc = _z.crc32(bytes(good[12:16 + 13]))
-        good[29:33] = _s.pack(">I", crc)
-        with pytest.raises(UnsupportedPng):
+        good[29:33] = _s.pack(">I", _z.crc32(bytes(good[12:16 + 13])))
+        with pytest.raises(BadPng):
             decode_png(bytes(good))
 
     def test_palette_missing_plte(self):
@@ -147,3 +147,59 @@ class TestErrors:
         idx = np.full((2, 2), 5, dtype=np.uint8)
         with pytest.raises(BadPng):
             decode_png(encode_png(idx, color_type=3, palette=pal))
+
+
+class TestAdam7:
+    def test_interlaced_rgb_exact(self):
+        img = _rgb(16, 16, seed=20)
+        out = decode_png(encode_png(img, color_type=2, interlace=True))
+        assert (out == img).all()
+
+    def test_interlaced_odd_dims(self):
+        # 13x9: several passes have ragged sub-image sizes
+        img = _rgb(13, 9, seed=21)
+        out = decode_png(encode_png(img, color_type=2, interlace=True))
+        assert (out == img).all()
+
+    def test_interlaced_tiny(self):
+        # 2x3: passes 1,4,6 have content; most are empty
+        img = _rgb(2, 3, seed=22)
+        out = decode_png(encode_png(img, color_type=2, interlace=True))
+        assert (out == img).all()
+
+    def test_interlaced_single_pixel(self):
+        img = np.array([[[1, 2, 3]]], dtype=np.uint8)
+        out = decode_png(encode_png(img, color_type=2, interlace=True))
+        assert (out == img).all()
+
+    def test_interlaced_with_filters(self):
+        img = _rgb(24, 17, seed=23)
+        out = decode_png(encode_png(img, color_type=2, interlace=True,
+                                    filters=[4, 3, 2, 1]))
+        assert (out == img).all()
+
+    def test_interlaced_gray_low_depth(self):
+        g = (np.arange(15 * 11).reshape(15, 11) % 4).astype(np.uint8)
+        out = decode_png(encode_png(g, color_type=0, depth=2, interlace=True))
+        assert (out[..., 0] == g.astype(int) * 255 // 3).all()
+
+    def test_interlaced_palette(self):
+        pal = np.array([[9, 9, 9], [1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+        idx = (np.arange(10 * 10).reshape(10, 10) % 3).astype(np.uint8)
+        out = decode_png(encode_png(idx, color_type=3, palette=pal, interlace=True))
+        assert (out == pal[idx]).all()
+
+    def test_interlaced_rgba(self):
+        img = np.dstack([_rgb(9, 12, seed=24),
+                         np.full((9, 12), 255, dtype=np.uint8)])
+        out = decode_png(encode_png(img, color_type=6, interlace=True))
+        assert (out == img[..., :3]).all()
+
+    def test_unknown_interlace_method(self):
+        good = bytearray(encode_png(_rgb(8, 8), color_type=2))
+        good[16 + 12] = 2
+        import struct as _s
+        import zlib as _z
+        good[29:33] = _s.pack(">I", _z.crc32(bytes(good[12:16 + 13])))
+        with pytest.raises(UnsupportedPng):
+            decode_png(bytes(good))

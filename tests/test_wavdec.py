@@ -122,3 +122,56 @@ class TestErrors:
         good[i:i + 2] = (12).to_bytes(2, "little")
         with pytest.raises(UnsupportedWav):
             decode_wav(bytes(good))
+
+
+class TestG711:
+    """ITU-T G.711 A-law/μ-law: every one of the 512 table entries is
+    cross-checked against the stdlib audioop implementation (an
+    independent C decoder), plus spec-pinned known answers and
+    roundtrips through real WAVE containers."""
+
+    def test_tables_match_audioop(self):
+        audioop = pytest.importorskip("audioop")
+        from ragflow_ray.parsers.wavdec import _ALAW_TABLE, _MULAW_TABLE
+
+        all_bytes = bytes(range(256))
+        ref_a = np.frombuffer(audioop.alaw2lin(all_bytes, 2), dtype="<i2")
+        ref_u = np.frombuffer(audioop.ulaw2lin(all_bytes, 2), dtype="<i2")
+        assert (_ALAW_TABLE == ref_a.astype(np.int32)).all()
+        assert (_MULAW_TABLE == ref_u.astype(np.int32)).all()
+
+    def test_known_answers(self):
+        from ragflow_ray.parsers.wavdec import _ALAW_TABLE, _MULAW_TABLE
+
+        assert _ALAW_TABLE[0x55] == -8          # A-law "digital zero"
+        assert _ALAW_TABLE[0xAA] == 32256       # positive full scale
+        assert _MULAW_TABLE[0xFF] == 0          # μ-law zero
+        assert _MULAW_TABLE[0x00] == -32124     # negative full scale
+        assert _MULAW_TABLE[0x80] == 32124      # positive full scale
+
+    @pytest.mark.parametrize("law", ["alaw", "mulaw"])
+    def test_wav_roundtrip_within_quantization(self, law):
+        from tests.wavenc import encode_wav_g711
+
+        rs = np.random.RandomState(11)
+        x = rs.rand(400) * 1.9 - 0.95
+        wav, rate = decode_wav(encode_wav_g711(x, law))
+        assert rate == 8000 and wav.shape == (400, 1)
+        # top-segment step is 1024/32768; nearest-value encode halves it
+        assert np.abs(wav[:, 0] - x).max() <= 513 / 32768
+
+    def test_g711_stereo(self):
+        from tests.wavenc import encode_wav_g711
+
+        x = _sig(100, ch=2, seed=12)
+        wav, _ = decode_wav(encode_wav_g711(x, "mulaw"))
+        assert wav.shape == (100, 2)
+
+    def test_g711_bad_bit_depth(self):
+        from tests.wavenc import encode_wav_g711
+
+        raw = bytearray(encode_wav_g711(_sig(10)[:, 0], "alaw"))
+        i = raw.index(b"fmt ") + 8 + 14
+        raw[i:i + 2] = (16).to_bytes(2, "little")
+        with pytest.raises(UnsupportedWav):
+            decode_wav(bytes(raw))

@@ -71,3 +71,28 @@ def encode_wav(
     chunks.append(b"data" + struct.pack("<I", len(raw)) + raw)
     body = b"WAVE" + b"".join(chunks)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_g711(x: np.ndarray, law: str) -> bytes:
+    """float samples in [-1, 1) → G.711 bytes, by nearest-decoded-value
+    quantization against the decoder's own table (an optimal encoder,
+    written independently of any segment-search reference code)."""
+    from ragflow_ray.parsers.wavdec import _ALAW_TABLE, _MULAW_TABLE
+
+    table = _ALAW_TABLE if law == "alaw" else _MULAW_TABLE
+    v = np.round(np.asarray(x, dtype=np.float64).reshape(-1) * 32768.0)
+    return np.abs(table[None, :] - v[:, None]).argmin(axis=1).astype(np.uint8).tobytes()
+
+
+def encode_wav_g711(x: np.ndarray, law: str, sample_rate: int = 8000) -> bytes:
+    """float samples (1-D or (frames, channels)) → G.711 WAVE bytes."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    raw = encode_g711(x, law)
+    tag = 6 if law == "alaw" else 7
+    fmt = struct.pack("<HHIIHH", tag, nch, sample_rate, sample_rate * nch, nch, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
