@@ -3,8 +3,9 @@
 The engine treats image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages
 (decode / feature-extract / resize / frame-sample).  Three real
-from-scratch codecs back the decode kernels: baseline JPEG (the codec
-of the embedded PDF figures, ``parsers/jpegdec``), PNG
+from-scratch codecs back the decode kernels: JPEG — baseline and
+progressive — (the codec of the embedded PDF figures,
+``parsers/jpegdec``), PNG
 (``parsers/pngdec``) and RIFF/WAVE PCM (``parsers/wavdec``).  Codecs
 beyond those (JPEG 2000, MP3, …) need libraries absent from this
 container, so for them ``decode_image``/``decode_audio`` raise
@@ -38,9 +39,10 @@ MAGIC = b"RFIMG1:"
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 array.
 
-    Real path: baseline JPEG decodes through the from-scratch
-    ``parsers/jpegdec`` implementation (ITU-T T.81 sequential Huffman
-    — the codec of the embedded DCTDecode figures pdfbytes surfaces),
+    Real path: JPEG (baseline and progressive) decodes through the
+    from-scratch ``parsers/jpegdec`` implementation (ITU-T T.81
+    sequential + Annex-G progressive Huffman — the codec of the
+    embedded DCTDecode figures pdfbytes surfaces),
     PNG through the from-scratch ``parsers/pngdec`` (RFC 2083 inflate
     + unfilter), and pdfbytes' ``RFRAW1`` container (Flate/unfiltered
     8-bit DeviceGray/DeviceRGB image XObjects) reshapes directly.
@@ -78,10 +80,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an audio payload to a mono float32 waveform.
 
-    Real path: RIFF/WAVE PCM and IEEE-float decode through the
-    from-scratch ``parsers/wavdec`` implementation (multi-channel
-    streams downmix by channel mean); compressed codecs (MP3, AAC,
-    μ-law, …) need libraries absent from this container — STUB.
+    Real path: RIFF/WAVE PCM, IEEE-float and G.711 A-law/μ-law decode
+    through the from-scratch ``parsers/wavdec`` implementation
+    (multi-channel streams downmix by channel mean); compressed codecs
+    (MP3, AAC, …) need libraries absent from this container — STUB.
     ``fake=True`` returns the deterministic digest-derived waveform
     the fake-path oracled queries pin.
     """

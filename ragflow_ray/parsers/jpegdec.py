@@ -1,20 +1,25 @@
-"""From-scratch baseline JPEG (SOF0/SOF1) decoder.
+"""From-scratch JPEG decoder (baseline, extended-sequential and
+progressive Huffman).
 
-Implements the sequential-DCT Huffman path of the public JPEG spec
-(ITU-T T.81 / ISO 10918-1): marker parse → DQT/DHT/SOF/SOS → entropy
-decode (DC prediction, AC run-length, byte unstuffing, RSTn restarts)
-→ dequantize → 8×8 IDCT → chroma upsampling → JFIF YCbCr→RGB.  This
-gives the multimodal stages REAL pixel content for the embedded
-DCTDecode figures that parsers/pdfbytes.py surfaces (the reference
-rasterizes figures via pdfplumber, deepdoc/parser/pdf_parser.py:
-856-866; no codec library exists in this container, hence this
-module).
+Implements the DCT Huffman paths of the public JPEG spec (ITU-T T.81
+/ ISO 10918-1): marker parse → DQT/DHT/SOF/SOS → entropy decode (DC
+prediction, AC run-length, byte unstuffing, RSTn restarts) →
+dequantize → 8×8 IDCT → chroma upsampling → JFIF YCbCr→RGB.  The
+progressive path (SOF2) runs the full multi-scan protocol: spectral
+selection, successive approximation (DC/AC first + refinement scans
+per Annex G, incl. EOB-run decoding and the G.1.2.3 correction-bit
+walk), inter-scan DHT/DQT/DRI redefinition, non-interleaved
+single-component block geometry.  This gives the multimodal stages
+REAL pixel content for the embedded DCTDecode figures that
+parsers/pdfbytes.py surfaces (the reference rasterizes figures via
+pdfplumber, deepdoc/parser/pdf_parser.py:856-866; no codec library
+exists in this container, hence this module).
 
-Scope (documented): baseline + extended-sequential Huffman (SOF0/1),
-8-bit precision, grayscale and 3-component YCbCr, sampling factors
-1-4, 8/16-bit quant tables, restart intervals.  Out of scope —
-progressive (SOF2), arithmetic coding, 12-bit, CMYK — raises
-``UnsupportedJpeg`` so callers can degrade to the digest stand-in.
+Scope (documented): SOF0/1/2, 8-bit precision, grayscale and
+3-component YCbCr, sampling factors 1-4, 8/16-bit quant tables,
+restart intervals.  Out of scope — arithmetic coding, 12-bit,
+hierarchical, CMYK — raises ``UnsupportedJpeg`` so callers can
+degrade to the digest stand-in.
 
 Per-pixel work is numpy (vectorized IDCT over all blocks at once,
 array upsampling); only the entropy decode walks bits in Python,
@@ -146,15 +151,43 @@ def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
     return [bytes(x) for x in intervals], n
 
 
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    j = 0
+    while j < len(seg):
+        pq, tq = seg[j] >> 4, seg[j] & 15
+        j += 1
+        if pq == 0:
+            tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8)
+            j += 64
+        else:
+            tbl = np.frombuffer(seg[j : j + 128], dtype=">u2")
+            j += 128
+        qt[tq] = tbl.astype(np.int64)
+
+
+def _parse_dht(seg: bytes, huff: dict) -> None:
+    j = 0
+    while j < len(seg):
+        tc, th = seg[j] >> 4, seg[j] & 15
+        counts = list(seg[j + 1 : j + 17])
+        nsym = sum(counts)
+        syms = seg[j + 17 : j + 17 + nsym]
+        huff[(tc, th)] = _HuffTable(counts, syms)
+        j += 17 + nsym
+
+
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     """Decode ``data`` to an H×W×3 uint8 RGB array (grayscale images
-    replicate their single channel)."""
+    replicate their single channel).  Handles sequential (SOF0/1) and
+    progressive (SOF2) Huffman streams; the name predates the
+    progressive support and is kept for its call sites."""
     if data[:2] != b"\xff\xd8":
         raise BadJpeg("missing SOI")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     dri = 0
     frame = None  # (H, W, comps) ; comps = [(cid, h, v, tq)]
+    progressive = False
     i = 2
     n = len(data)
     while i < n:
@@ -170,28 +203,10 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
         seg = data[i + 4 : i + 2 + seglen]
         if marker == 0xDB:  # DQT
-            j = 0
-            while j < len(seg):
-                pq, tq = seg[j] >> 4, seg[j] & 15
-                j += 1
-                if pq == 0:
-                    tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8)
-                    j += 64
-                else:
-                    tbl = np.frombuffer(seg[j : j + 128],
-                                        dtype=">u2")
-                    j += 128
-                qt[tq] = tbl.astype(np.int64)
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
-            j = 0
-            while j < len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 15
-                counts = list(seg[j + 1 : j + 17])
-                nsym = sum(counts)
-                syms = seg[j + 17 : j + 17 + nsym]
-                huff[(tc, th)] = _HuffTable(counts, syms)
-                j += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            _parse_dht(seg, huff)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec = seg[0]
             if prec != 8:
                 raise UnsupportedJpeg(f"{prec}-bit precision")
@@ -204,7 +219,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedJpeg(f"SOF{marker - 0xC0} coding process")
         elif marker == 0xDD:  # DRI
@@ -212,6 +228,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise BadJpeg("SOS before SOF")
+            if progressive:
+                return _decode_progressive(data, i, frame, qt, huff, dri)
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -315,6 +333,267 @@ def _decode_scan(data, start, frame, scan, qt, huff, dri):
         y = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=2)
     y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+def _geometry(frame):
+    """Shared frame-geometry derivation → (hmax, vmax, mcux, mcuy)."""
+    H, W, comps = frame
+    if H == 0 or W == 0:
+        raise BadJpeg("zero dimension")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise BadJpeg("bad sampling factors")
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        raise UnsupportedJpeg("non-integer chroma upsampling ratio")
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _decode_progressive(data, sos_pos, frame, qt, huff, dri):
+    """Multi-scan loop from the first SOS: accumulate coefficients
+    across scans (tables and DRI may be redefined between scans),
+    reconstruct at EOI."""
+    H, W, comps = frame
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    # per component: MCU-padded block grid of zigzag coefficients
+    coef = [np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+            for (_cid, ch, cv, _tq) in comps]
+    i, n = sos_pos, len(data)
+    saw_scan = False
+    while i < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        seg = data[i + 4 : i + 2 + seglen]
+        if marker == 0xC4:
+            _parse_dht(seg, huff)
+        elif marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tds >> 4, tds & 15))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            intervals, end = _split_entropy(data, i + 2 + seglen)
+            _progressive_scan(intervals, frame, (hmax, vmax, mcux, mcuy),
+                              scan, coef, huff, dri, ss, se,
+                              ahal >> 4, ahal & 15)
+            saw_scan = True
+            i = end
+            continue
+        i += 2 + seglen
+    if not saw_scan:
+        raise BadJpeg("no SOS marker")
+    # dequantize (frame-bound table per component) and reconstruct
+    planes = []
+    for ci, (_cid, ch, cv, tq) in enumerate(comps):
+        if tq not in qt:
+            raise BadJpeg("missing quant table")
+        planes.append(_idct_grid(coef[ci] * qt[tq]))
+    return _planes_to_rgb(planes, comps, hmax, vmax, H, W)
+
+
+def _progressive_scan(intervals, frame, geom, scan, coef, huff, dri,
+                      ss, se, ah, al):
+    """One progressive scan: route to the DC/AC first/refine kernels
+    over the scan's unit sequence, honoring restart intervals."""
+    H, W, comps = frame
+    hmax, vmax, mcux, mcuy = geom
+    by_cid = {c[0]: k for k, c in enumerate(comps)}
+    if ss > se or se > 63 or al > 13:
+        raise BadJpeg("bad spectral/approximation parameters")
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise BadJpeg("DC scan with Se != 0")
+    if not is_dc and len(scan) != 1:
+        raise BadJpeg("AC scan must be single-component")
+
+    # unit sequence: interleaved → MCU walk over the padded grid;
+    # single-component → row-major walk of the component's own
+    # (non-padded) block grid (T.81 §A.2.2)
+    members = []  # (ci, dc_table|None, ac_table|None)
+    for cs, td, ta in scan:
+        if cs not in by_cid:
+            raise BadJpeg("scan references unknown component")
+        ci = by_cid[cs]
+        dc_t = ac_t = None
+        if is_dc and ah == 0:
+            if (0, td) not in huff:
+                raise BadJpeg("missing DC table")
+            dc_t = huff[(0, td)]
+        if not is_dc:
+            if (1, ta) not in huff:
+                raise BadJpeg("missing AC table")
+            ac_t = huff[(1, ta)]
+        members.append((ci, dc_t, ac_t))
+
+    units = []  # per restart-countable unit: list of (ci, by, bx)
+    if len(scan) > 1:
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            blocks = []
+            for (ci, _d, _a) in members:
+                ch, cv = comps[ci][1], comps[ci][2]
+                for v in range(cv):
+                    for hh in range(ch):
+                        blocks.append((ci, my * cv + v, mx * ch + hh))
+            units.append(blocks)
+    else:
+        ci = members[0][0]
+        ch, cv = comps[ci][1], comps[ci][2]
+        cw = -(-(W * ch) // hmax)
+        chh = -(-(H * cv) // vmax)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                units.append([(ci, by, bx)])
+
+    reader = _BitReader(intervals[0])
+    interval_idx = 0
+    preds = {m[0]: 0 for m in members}
+    eobrun = 0
+    dc_by_ci = {ci: t for ci, t, _a in members}
+    ac_t = members[0][2]
+    for u, blocks in enumerate(units):
+        if dri and u and u % dri == 0:
+            interval_idx += 1
+            if interval_idx >= len(intervals):
+                raise BadJpeg("missing restart interval")
+            reader = _BitReader(intervals[interval_idx])
+            preds = {m[0]: 0 for m in members}
+            eobrun = 0
+        for (ci, by, bx) in blocks:
+            block = coef[ci][by, bx]
+            if is_dc:
+                if ah == 0:
+                    t = reader.huff(dc_by_ci[ci])
+                    if t > 11:
+                        raise BadJpeg("bad DC size")
+                    preds[ci] += _extend(reader.read(t), t)
+                    block[0] = preds[ci] << al
+                else:
+                    if reader.read(1):
+                        block[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first_block(reader, block, ac_t, ss, se,
+                                         al, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, block, ac_t, ss, se,
+                                          al, eobrun)
+
+
+def _ac_first_block(reader, block, ac_t, ss, se, al, eobrun):
+    """G.1.2.2: first AC scan of a band — run-length + EOB runs."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read(r)
+            break
+        k += r
+        if k > se:
+            raise BadJpeg("AC run past band end")
+        block[k] = _extend(reader.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, block, ac_t, ss, se, al, eobrun):
+    """G.1.2.3: AC successive-approximation refinement — newly-
+    significant coefficients interleaved with correction bits for
+    already-nonzero history."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                val = 0  # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise BadJpeg("bad AC refinement size")
+                val = p1 if reader.read(1) else m1
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read(1) and not (block[k] & p1):
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if reader.read(1) and not (block[k] & p1):
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _idct_grid(zz: np.ndarray) -> np.ndarray:
+    """(by, bx, 64) dequantized zigzag coefficients → pixel plane
+    (by*8, bx*8), level-shifted."""
+    by, bx, _ = zz.shape
+    dez = np.zeros((by * bx, 64))
+    dez[:, _ZIGZAG] = zz.reshape(-1, 64)
+    blocks = dez.reshape(-1, 8, 8)
+    pix = np.einsum("ux,nuv,vy->nxy", _BASIS, blocks, _BASIS) + 128.0
+    return pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
+def _planes_to_rgb(planes, comps, hmax, vmax, H, W) -> np.ndarray:
+    """Upsample component planes to full resolution, crop, convert."""
+    out = []
+    for ci, (_cid, ch, cv, _tq) in enumerate(comps):
+        p = np.repeat(np.repeat(planes[ci], vmax // cv, axis=0),
+                      hmax // ch, axis=1)
+        out.append(p[:H, :W])
+    if len(out) == 1:
+        y = np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    y, cb, cr = out
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

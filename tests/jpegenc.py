@@ -248,3 +248,297 @@ def encode_jpeg(img: np.ndarray, subsample_420: bool = False,
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += entropy + b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encoder — spectral selection + successive
+# approximation, cross-block EOB runs, buffered correction bits
+# ---------------------------------------------------------------------------
+
+class _Emitter:
+    """Two-pass scan emitter: pass 1 (codes=None) collects the Huffman
+    symbol set; pass 2 writes bits with the built table."""
+
+    def __init__(self, codes=None):
+        self.syms: set[int] = set()
+        self.codes = codes
+        self.writer = _BitWriter() if codes is not None else None
+        self.chunks: list[bytes] = []
+        self.rst = 0
+
+    def symbol(self, s: int) -> None:
+        if self.codes is None:
+            self.syms.add(s)
+        else:
+            cl, code = self.codes[s]
+            self.writer.put(code, cl)
+
+    def bits(self, v: int, n: int) -> None:
+        if self.codes is not None and n:
+            self.writer.put(v, n)
+
+    def restart(self) -> None:
+        if self.codes is not None:
+            self.writer.flush()
+            self.chunks.append(bytes(self.writer.out))
+            self.chunks.append(bytes([0xFF, 0xD0 + self.rst]))
+            self.rst = (self.rst + 1) & 7
+            self.writer = _BitWriter()
+
+    def finish(self) -> bytes:
+        if self.codes is None:
+            return b""
+        self.writer.flush()
+        self.chunks.append(bytes(self.writer.out))
+        return b"".join(self.chunks)
+
+
+def _dc_first_emit(em, units, al, dri):
+    preds: dict[int, int] = {}
+    for u, blocks in enumerate(units):
+        if dri and u and u % dri == 0:
+            em.restart()
+            preds = {}
+        for ci, c in blocks:
+            v = int(c) >> al  # DC point transform: arithmetic shift
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            s, bits = _category(diff)
+            em.symbol(s)
+            em.bits(bits, s)
+
+
+def _dc_refine_emit(em, units, al, dri):
+    for u, blocks in enumerate(units):
+        if dri and u and u % dri == 0:
+            em.restart()
+        for _ci, c in blocks:
+            em.bits((int(c) >> al) & 1, 1)
+
+
+def _ac_first_emit(em, band_blocks, al, dri):
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            em.symbol(r << 4)
+            em.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for u, band in enumerate(band_blocks):
+        if dri and u and u % dri == 0:
+            flush()
+            em.restart()
+        # AC point transform: magnitude shift (toward zero)
+        vals = [(-((-int(c)) >> al) if c < 0 else int(c) >> al)
+                for c in band]
+        nz = [k for k, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for k in range(nz[-1] + 1):
+            v = vals[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                em.symbol(0xF0)
+                run -= 16
+            s, bits = _category(v)
+            em.symbol((run << 4) | s)
+            em.bits(bits, s)
+            run = 0
+        if nz[-1] < len(vals) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _ac_refine_emit(em, band_blocks, al, dri):
+    eobrun = 0
+    pending: list[int] = []  # correction bits buffered under the run
+
+    def flush():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            em.symbol(r << 4)
+            em.bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            em.bits(b, 1)
+        pending = []
+
+    for u, band in enumerate(band_blocks):
+        if dri and u and u % dri == 0:
+            flush()
+            em.restart()
+        absv = [abs(int(c)) >> al for c in band]
+        neg = [c < 0 for c in band]
+        eob = -1
+        for k, t in enumerate(absv):
+            if t == 1:
+                eob = k
+        r = 0
+        br: list[int] = []
+        k = 0
+        while k < len(absv):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                k += 1
+                continue
+            while r > 15 and k <= eob:
+                flush()
+                em.symbol(0xF0)
+                r -= 16
+                for b in br:
+                    em.bits(b, 1)
+                br = []
+            if t > 1:  # already-significant: buffer its correction bit
+                br.append(t & 1)
+                k += 1
+                continue
+            flush()
+            em.symbol((r << 4) | 1)
+            em.bits(0 if neg[k] else 1, 1)
+            for b in br:
+                em.bits(b, 1)
+            br = []
+            r = 0
+            k += 1
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_progressive_jpeg(img: np.ndarray, scans=None, dri: int = 0,
+                            subsample_420: bool = False) -> bytes:
+    """Encode as progressive (SOF2) JPEG with all-ones quant tables.
+
+    ``scans``: list of ``(comp_indices, Ss, Se, Ah, Al)``; the default
+    script exercises every kernel — interleaved DC first with
+    successive approximation, split spectral bands, AC refinement,
+    DC refinement.
+    """
+    gray = img.ndim == 2
+    H, W = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        planes = _to_ycbcr(img)
+        if subsample_420:
+            samp = [(2, 2), (1, 1), (1, 1)]
+            for ci in (1, 2):
+                p = _pad(planes[ci], 2, 2)
+                planes[ci] = p.reshape(p.shape[0] // 2, 2,
+                                       p.shape[1] // 2, 2).mean((1, 3))
+        else:
+            samp = [(1, 1)] * 3
+    ncomp = len(samp)
+    allc = list(range(ncomp))
+    if scans is None:
+        scans = ([(allc, 0, 0, 0, 1)]
+                 + [([c], 1, 5, 0, 1) for c in allc]
+                 + [([c], 6, 63, 0, 1) for c in allc]
+                 + [([c], 1, 5, 1, 0) for c in allc]
+                 + [(allc, 0, 0, 1, 0)]
+                 + [([c], 6, 63, 1, 0) for c in allc])
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+
+    coefs = []  # per comp: (by, bx, 64) zigzag ints over the padded grid
+    for ci, (ch, cv) in enumerate(samp):
+        p = _pad(planes[ci], mcuy * cv * 8, mcux * ch * 8)
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        grid = np.zeros((by, bx, 64), dtype=np.int64)
+        for yy in range(by):
+            for xx in range(bx):
+                grid[yy, xx] = _zigzagged(p[yy * 8:yy * 8 + 8,
+                                            xx * 8:xx * 8 + 8])
+        coefs.append(grid)
+
+    def scan_units(comp_list, is_dc):
+        if len(comp_list) > 1:
+            units = []
+            for mcu in range(mcux * mcuy):
+                my, mx = divmod(mcu, mcux)
+                blocks = []
+                for ci in comp_list:
+                    ch, cv = samp[ci]
+                    for v in range(cv):
+                        for hh in range(ch):
+                            blocks.append((ci, my * cv + v, mx * ch + hh))
+                units.append(blocks)
+            return units
+        ci = comp_list[0]
+        ch, cv = samp[ci]
+        bw = -(- -(-(W * ch) // hmax) // 8)
+        bh = -(- -(-(H * cv) // vmax) // 8)
+        return [[(ci, yy, xx)] for yy in range(bh) for xx in range(bw)]
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = bytes([8]) + struct.pack(">HH", H, W) + bytes([ncomp])
+    for ci, (ch, cv) in enumerate(samp):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+
+    for comp_list, ss, se, ah, al in scans:
+        is_dc = ss == 0
+        units = scan_units(comp_list, is_dc)
+
+        def run(em):
+            if is_dc:
+                flat = [[(ci, coefs[ci][by, bx, 0]) for ci, by, bx in u]
+                        for u in units]
+                if ah == 0:
+                    _dc_first_emit(em, flat, al, dri)
+                else:
+                    _dc_refine_emit(em, flat, al, dri)
+            else:
+                bands = [coefs[u[0][0]][u[0][1], u[0][2], ss:se + 1]
+                         for u in units]
+                if ah == 0:
+                    _ac_first_emit(em, bands, al, dri)
+                else:
+                    _ac_refine_emit(em, bands, al, dri)
+
+        collector = _Emitter()
+        run(collector)
+        entropy = b""
+        table_needed = bool(collector.syms)
+        if table_needed:
+            counts, symbytes, codes = _make_table(collector.syms)
+            tc = 0 if is_dc else 1
+            dht = bytes([(tc << 4) | 0]) + bytes(counts) + symbytes
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+            emitter = _Emitter(codes)
+        else:  # DC refinement: raw bits only, no Huffman table
+            emitter = _Emitter({})
+        run(emitter)
+        entropy = emitter.finish()
+
+        sos = bytes([len(comp_list)])
+        for ci in comp_list:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += entropy
+    return bytes(out + b"\xff\xd9")

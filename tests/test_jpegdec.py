@@ -91,12 +91,22 @@ class TestRoundtrip:
 
 
 class TestRejects:
-    def test_progressive_rejected(self):
+    def test_baseline_scan_relabeled_progressive_rejected(self):
+        # a sequential scan header (Ss=0, Se=63) is illegal under the
+        # progressive protocol: flipping only the SOF marker must fail
         blob = bytearray(encode_jpeg(_img(16, 16)))
         i = blob.find(b"\xff\xc0")
-        blob[i + 1] = 0xC2  # claim progressive
-        with pytest.raises(UnsupportedJpeg):
+        blob[i + 1] = 0xC2
+        with pytest.raises(BadJpeg):
             decode_baseline_jpeg(bytes(blob))
+
+    def test_lossless_and_arithmetic_rejected(self):
+        for sof in (0xC3, 0xC9, 0xCA):
+            blob = bytearray(encode_jpeg(_img(16, 16)))
+            i = blob.find(b"\xff\xc0")
+            blob[i + 1] = sof
+            with pytest.raises(UnsupportedJpeg):
+                decode_baseline_jpeg(bytes(blob))
 
     def test_missing_soi(self):
         with pytest.raises(BadJpeg):
@@ -159,3 +169,93 @@ class TestDecodeImageIntegration:
         # uniform image: mean-pooled 4x4 is uniform too; the phash of
         # a constant block is deterministic and non-empty
         assert out["phash"].iloc[0] != ""
+
+
+class TestProgressive:
+    """SOF2 multi-scan protocol against the test-side progressive
+    encoder: spectral selection, successive approximation (DC/AC first
+    + refine), EOB runs, ZRL-in-refinement, restarts, 4:2:0."""
+
+    def _roundtrip(self, img, tol, **kw):
+        from tests.jpegenc import encode_progressive_jpeg
+
+        out = decode_baseline_jpeg(encode_progressive_jpeg(img, **kw))
+        ref = img if img.ndim == 3 else np.stack([img] * 3, axis=2)
+        assert out.shape == ref.shape
+        assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= tol
+
+    def test_uniform_exact(self):
+        self._roundtrip(np.full((16, 16, 3), (200, 100, 50), np.uint8), 2)
+
+    def test_noise_close(self):
+        self._roundtrip(_img(24, 40, seed=30), 6)
+
+    def test_grayscale(self):
+        rs = np.random.RandomState(31)
+        self._roundtrip(rs.randint(0, 256, (16, 16), dtype=np.uint8), 4)
+
+    def test_odd_dims(self):
+        self._roundtrip(_img(13, 19, seed=32), 6)
+
+    def test_restart_intervals(self):
+        self._roundtrip(_img(40, 40, seed=33), 6, dri=3)
+
+    def test_420_matches_baseline_exactly(self):
+        # chroma-averaging loss is inherent; the progressive protocol
+        # itself must add nothing: pixel-identical to the baseline path
+        from tests.jpegenc import encode_jpeg, encode_progressive_jpeg
+
+        img = _img(21, 37, seed=34)
+        a = decode_baseline_jpeg(encode_jpeg(img, subsample_420=True))
+        b = decode_baseline_jpeg(
+            encode_progressive_jpeg(img, subsample_420=True))
+        assert (a == b).all()
+
+    def test_420_restart_every_mcu(self):
+        from tests.jpegenc import encode_jpeg, encode_progressive_jpeg
+
+        img = _img(20, 20, seed=35)
+        a = decode_baseline_jpeg(encode_jpeg(img, subsample_420=True))
+        b = decode_baseline_jpeg(
+            encode_progressive_jpeg(img, subsample_420=True, dri=1))
+        assert (a == b).all()
+
+    def test_spectral_selection_only(self):
+        allc = [0, 1, 2]
+        sc = [(allc, 0, 0, 0, 0)] + [([c], 1, 63, 0, 0) for c in allc]
+        self._roundtrip(_img(16, 24, seed=36), 6, scans=sc)
+
+    def test_deep_successive_approximation(self):
+        allc = [0, 1, 2]
+        sc = ([(allc, 0, 0, 0, 3), (allc, 0, 0, 1, 2),
+               (allc, 0, 0, 1, 1), (allc, 0, 0, 1, 0)]
+              + [([c], 1, 63, 0, 3) for c in allc]
+              + [([c], 1, 63, 1, 2) for c in allc]
+              + [([c], 1, 63, 1, 1) for c in allc]
+              + [([c], 1, 63, 1, 0) for c in allc])
+        self._roundtrip(_img(24, 24, seed=37), 6, scans=sc)
+
+    def test_three_band_split(self):
+        allc = [0, 1, 2]
+        sc = ([(allc, 0, 0, 0, 1), (allc, 0, 0, 1, 0)]
+              + [([c], a, b, 0, 0) for c in allc
+                 for a, b in [(1, 2), (3, 20), (21, 63)]])
+        self._roundtrip(_img(17, 31, seed=38), 6, scans=sc)
+
+    def test_long_eob_runs(self):
+        # large uniform image: every AC band block is empty, so the
+        # encoder accumulates multi-hundred-block EOB runs
+        self._roundtrip(np.full((128, 128, 3), (5, 250, 128), np.uint8), 2)
+
+    def test_sparse_zrl_paths(self):
+        img = np.full((64, 64), 128, dtype=np.uint8)
+        img[::9, ::13] = 255
+        self._roundtrip(img, 4)
+
+    def test_decode_image_dispatch(self):
+        from ragflow_ray.ops.multimodal import decode_image
+        from tests.jpegenc import encode_progressive_jpeg
+
+        img = np.full((8, 8, 3), (10, 180, 90), dtype=np.uint8)
+        out = decode_image(encode_progressive_jpeg(img), fake=False)
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
