@@ -194,6 +194,12 @@ def run_bench() -> dict:
         "lm_cross_entropy": curation.lm_cross_entropy,
         "media_phash_dedup": lambda d: multimodal.media_phash_dedup(
             d, concurrency=pool),
+        # real-codec decode paths (from-scratch PNG / WAV decoders in
+        # the actor pool, not the digest stand-in)
+        "image_png_pool": lambda d: multimodal.image_png_pool(
+            d, concurrency=pool).count(),
+        "audio_wav_frames": lambda d: multimodal.audio_wav_frames(
+            d, concurrency=pool).count(),
         "kmeans_clusters": lambda d: cluster.kmeans_clusters(
             d, concurrency=pool),
         "semdedup": lambda d: cluster.semdedup(d, concurrency=pool),

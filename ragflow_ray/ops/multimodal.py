@@ -2,12 +2,12 @@
 
 The engine treats image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages
-(decode / feature-extract / resize / frame-sample).  Three real
+(decode / feature-extract / resize / frame-sample).  Four real
 from-scratch codecs back the decode kernels: JPEG — baseline and
 progressive — (the codec of the embedded PDF figures,
-``parsers/jpegdec``), PNG
-(``parsers/pngdec``) and RIFF/WAVE PCM (``parsers/wavdec``).  Codecs
-beyond those (JPEG 2000, MP3, …) need libraries absent from this
+``parsers/jpegdec``), PNG (``parsers/pngdec``), GIF
+(``parsers/gifdec``) and RIFF/WAVE PCM + G.711 (``parsers/wavdec``).
+Codecs beyond those (JPEG 2000, WebP, MP3, …) need libraries absent from this
 container, so for them ``decode_image``/``decode_audio`` raise
 ``NotImplementedError`` unless a deterministic fake decoder is
 requested.  The Ray-side plumbing (schema, batch sizing for wide
@@ -44,8 +44,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     sequential + Annex-G progressive Huffman — the codec of the
     embedded DCTDecode figures pdfbytes surfaces),
     PNG through the from-scratch ``parsers/pngdec`` (RFC 2083 inflate
-    + unfilter), and pdfbytes' ``RFRAW1`` container (Flate/unfiltered
-    8-bit DeviceGray/DeviceRGB image XObjects) reshapes directly.
+    + unfilter), GIF through ``parsers/gifdec`` (LSB-first LZW), and
+    pdfbytes' ``RFRAW1`` container (Flate/unfiltered 8-bit
+    DeviceGray/DeviceRGB image XObjects) reshapes directly.
     Codecs beyond those (JPEG 2000, …) need libraries absent from this
     container — STUB.  With ``fake=True`` returns a deterministic 8×8
     gray image derived from the payload digest (stable across
@@ -70,8 +71,12 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             from ..parsers.pngdec import decode_png
 
             return decode_png(bytes(payload))
+        if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+            from ..parsers.gifdec import decode_gif
+
+            return decode_gif(bytes(payload))
         raise NotImplementedError(
-            "image codecs beyond JPEG/PNG unavailable in this environment")
+            "image codecs beyond JPEG/PNG/GIF unavailable in this environment")
     digest = hashlib.sha256(payload).digest()
     arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return arr.reshape(8, 8, 3).copy()

@@ -1,0 +1,210 @@
+"""From-scratch GIF (87a/89a) decoder.
+
+Implements the still-image path of the public GIF specification
+(CompuServe GIF89a, W3C archive): header + logical screen descriptor
+→ global/local color tables → extension blocks (graphic control:
+transparency) → image descriptor → variable-width LSB-first LZW
+(clear/end codes, dictionary growth to 4096, deferred clear) →
+optional 4-pass interlace reorder → palette map → RGB.  Companion to
+``parsers/jpegdec.py`` / ``parsers/pngdec.py``: the third image codec
+behind ``ops/multimodal.decode_image``.
+
+Note the LZW here is a DIFFERENT variant from the PDF LZWDecode filter
+already implemented in ``parsers/pdfbytes.py``: GIF packs codes
+LSB-first with an image-defined minimum code size and 255-byte
+sub-block framing, PDF packs MSB-first with a fixed 8-bit alphabet
+and an early-change default.
+
+Scope (documented): first image frame of still or animated files,
+global and local color tables, interlace, transparency (composited
+over white, same convention as the PNG path), frames smaller than the
+logical screen composited onto a white canvas.  Animation beyond
+frame 1 is out of scope — later frames are ignored, not an error.
+
+The LZW decode walks codes in Python (sequentially dependent by
+construction, bounded by the compressed byte count); everything after
+the index stream is whole-image numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class BadGif(ValueError):
+    """Malformed / truncated GIF data."""
+
+
+def _subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate 255-byte-framed sub-blocks starting at ``pos``;
+    → (payload, position after the 0x00 terminator)."""
+    out = bytearray()
+    n = len(data)
+    while True:
+        if pos >= n:
+            raise BadGif("truncated sub-block chain")
+        size = data[pos]
+        pos += 1
+        if size == 0:
+            return bytes(out), pos
+        if pos + size > n:
+            raise BadGif("truncated sub-block")
+        out += data[pos:pos + size]
+        pos += size
+
+
+class _LsbReader:
+    """LSB-first bit reader over the concatenated LZW payload."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int | None:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                return None  # stream exhausted (tolerated: see KAT)
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        out = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return out
+
+
+def _lzw_decode(payload: bytes, min_code: int, npix: int) -> np.ndarray:
+    """GIF-variant LZW → uint8 index array of length ``npix``.
+
+    Tolerates a missing explicit end code once ``npix`` indices have
+    been produced (common in minimal in-the-wild files)."""
+    if not 2 <= min_code <= 11:
+        raise BadGif(f"LZW minimum code size {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+    reader = _LsbReader(payload)
+    out = bytearray()
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    prev: bytes | None = None
+    while len(out) < npix:
+        code = reader.read(width)
+        if code is None:
+            break
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or code > end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise BadGif("LZW code out of sequence")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        # widen when the NEXT assignable code would not fit
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < npix:
+        raise BadGif("LZW stream shorter than the image")
+    return np.frombuffer(bytes(out[:npix]), dtype=np.uint8)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → HxWx3 uint8 RGB of the logical screen (first
+    frame; transparency and uncovered canvas render white)."""
+    data = bytes(data)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise BadGif("missing GIF signature")
+    if len(data) < 13:
+        raise BadGif("truncated screen descriptor")
+    sw = data[6] | (data[7] << 8)
+    sh = data[8] | (data[9] << 8)
+    flags = data[10]
+    if sw == 0 or sh == 0:
+        raise BadGif("zero screen dimension")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        ngct = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos:pos + 3 * ngct], dtype=np.uint8)
+        if len(gct) < 3 * ngct:
+            raise BadGif("truncated global color table")
+        gct = gct.reshape(-1, 3)
+        pos += 3 * ngct
+
+    transparent = -1
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > n:
+                raise BadGif("truncated extension")
+            label = data[pos + 1]
+            payload, pos = _subblocks(data, pos + 2)
+            if label == 0xF9 and len(payload) >= 4:  # graphic control
+                if payload[0] & 1:
+                    transparent = payload[3]
+            continue
+        if b == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                raise BadGif("truncated image descriptor")
+            left = data[pos + 1] | (data[pos + 2] << 8)
+            top = data[pos + 3] | (data[pos + 4] << 8)
+            iw = data[pos + 5] | (data[pos + 6] << 8)
+            ih = data[pos + 7] | (data[pos + 8] << 8)
+            iflags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                nlct = 2 << (iflags & 7)
+                pal = np.frombuffer(data[pos:pos + 3 * nlct], dtype=np.uint8)
+                if len(pal) < 3 * nlct:
+                    raise BadGif("truncated local color table")
+                pal = pal.reshape(-1, 3)
+                pos += 3 * nlct
+            if pal is None:
+                raise BadGif("image without any color table")
+            if iw == 0 or ih == 0 or left + iw > sw or top + ih > sh:
+                raise BadGif("frame outside the logical screen")
+            if pos >= n:
+                raise BadGif("missing LZW minimum code size")
+            min_code = data[pos]
+            payload, pos = _subblocks(data, pos + 1)
+            idx = _lzw_decode(payload, min_code, iw * ih).reshape(ih, iw)
+            if iflags & 0x40:  # interlace: rows arrive in 4 passes
+                rows = np.concatenate(
+                    [np.arange(start, ih, step)
+                     for start, step in _INTERLACE_PASSES])
+                deinter = np.empty_like(idx)
+                deinter[rows] = idx
+                idx = deinter
+            if int(idx.max()) >= len(pal):
+                raise BadGif("palette index out of range")
+            rgb = pal[idx].astype(np.uint8)
+            if transparent >= 0:
+                rgb = np.where((idx == transparent)[..., None],
+                               np.uint8(255), rgb)
+            if (left, top, iw, ih) == (0, 0, sw, sh):
+                return np.ascontiguousarray(rgb)
+            canvas = np.full((sh, sw, 3), 255, dtype=np.uint8)
+            canvas[top:top + ih, left:left + iw] = rgb
+            return canvas
+        raise BadGif(f"unknown block 0x{b:02x}")
+    raise BadGif("no image data before trailer")
