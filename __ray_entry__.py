@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "out_h", "out_w", "resized_sum"]
         ],
         "audio_wav_frames": lambda d: multimodal.audio_wav_frames(d).to_pandas(),
+        "image_gif_pool": lambda d: multimodal.image_gif_pool(d).to_pandas()[
+            ["doc_id", "out_h", "out_w", "resized_sum"]
+        ],
+        "audio_g711_frames": lambda d: multimodal.audio_g711_frames(d).to_pandas(),
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1012,6 +1016,47 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(range(17), j ->
                        (db[(j*63) % 32 + 1] - 128) * 256))::BIGINT AS frame_sum
             FROM b ORDER BY doc_id
+        """,
+        # GIF real-decode oracle: 8x8 gray indices are the digest
+        # tiled to 64 bytes; the 4x4 mean-pool is recomputed per cell
+        # (three equal channels → factor 3)
+        "image_gif_pool": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFGIF1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 4::BIGINT AS out_h, 4::BIGINT AS out_w,
+                   (3 * list_sum(list_transform(range(16), k ->
+                       (db[((k//4)*16 + (k%4)*2)     % 32 + 1]
+                      + db[((k//4)*16 + (k%4)*2 + 1) % 32 + 1]
+                      + db[((k//4)*16 + (k%4)*2 + 8) % 32 + 1]
+                      + db[((k//4)*16 + (k%4)*2 + 9) % 32 + 1]
+                       ) // 4)))::BIGINT AS resized_sum
+            FROM b ORDER BY doc_id
+        """,
+        # G.711 mu-law real-decode oracle: the segment expansion is
+        # recomputed arithmetically per compressed byte (complement →
+        # segment/mantissa → ((mant*8+132) << seg) - 132, signed)
+        "audio_g711_frames": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFULAW1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents),
+            u AS (
+                SELECT doc_id,
+                       list_transform(range(17), j ->
+                           255 - db[(j*63) % 32 + 1]) AS uu
+                FROM b)
+            SELECT doc_id, 17::BIGINT AS n_frames,
+                   list_sum(list_transform(uu, v ->
+                       (CASE WHEN v >= 128 THEN -1 ELSE 1 END)
+                       * (((v % 16) * 8 + 132) * (1 << ((v // 16) % 8))
+                          - 132)))::BIGINT AS frame_sum
+            FROM u ORDER BY doc_id
         """,
         # sketch-family oracles: expected values precomputed by an
         # INDEPENDENT pure-Python re-derivation of the pinned specs

@@ -200,6 +200,10 @@ def run_bench() -> dict:
             d, concurrency=pool).count(),
         "audio_wav_frames": lambda d: multimodal.audio_wav_frames(
             d, concurrency=pool).count(),
+        "image_gif_pool": lambda d: multimodal.image_gif_pool(
+            d, concurrency=pool).count(),
+        "audio_g711_frames": lambda d: multimodal.audio_g711_frames(
+            d, concurrency=pool).count(),
         "kmeans_clusters": lambda d: cluster.kmeans_clusters(
             d, concurrency=pool),
         "semdedup": lambda d: cluster.semdedup(d, concurrency=pool),

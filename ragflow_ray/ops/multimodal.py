@@ -394,3 +394,78 @@ def audio_wav_frames(sf_dir: str, stride: int = 63, concurrency=None):
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
+
+
+def gif_payloads(sf_dir: str):
+    """One REAL 8x8 GIF per document over a 256-level gray palette,
+    indices = sha256('RFGIF1:'+text) digest tiled to 64 bytes."""
+    import ray.data as rd
+
+    from ..parsers.gifdec import encode_gif_gray
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for t in batch["text"]:
+            d = _digest_bytes(t, b"RFGIF1:")
+            idx = np.frombuffer((d * 2)[:64], dtype=np.uint8).reshape(8, 8)
+            payloads.append(encode_gif_gray(idx))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+def image_gif_pool(sf_dir: str, concurrency=None):
+    """REAL GIF decode, oracle-checked: LZW encode → actor-pool
+    ``decode_gif`` → 4×4 mean-pool → ``resized_sum`` that DuckDB
+    recomputes from the digest bytes (lossless, so equality is
+    exact; the gray palette makes all three channels equal)."""
+    out = gif_payloads(sf_dir).map_batches(
+        ImageResizeStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"fake_decode": False},
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")
+
+
+def g711_payloads(sf_dir: str, n_samples: int = 1024):
+    """One REAL μ-law RIFF/WAVE per document; compressed byte[i] =
+    db[i % 32] over the sha256('RFULAW1:'+text) digest bytes, so the
+    SQL oracle can recompute the G.711 segment expansion inline."""
+    import struct
+
+    import ray.data as rd
+
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = np.arange(n_samples) % 32
+        fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)  # MULAW mono
+        payloads = []
+        for t in batch["text"]:
+            db = np.frombuffer(_digest_bytes(t, b"RFULAW1:"), dtype=np.uint8)
+            raw = db[idx].tobytes()
+            body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(raw)) + raw)
+            payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+def audio_g711_frames(sf_dir: str, stride: int = 63, concurrency=None):
+    """REAL G.711 μ-law decode, oracle-checked: the actor pool expands
+    each compressed byte through the from-scratch table, and DuckDB
+    recomputes the segment expansion arithmetically (complement →
+    segment/mantissa → ((mant·8+132)·2^seg)−132, signed) from the
+    same digest bytes — the companded-domain math itself is pinned in
+    SQL, not just the container plumbing."""
+    out = g711_payloads(sf_dir).map_batches(
+        AudioFrameSampleStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"stride": stride, "fake_decode": False,
+                               "denorm": "i16"},
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")

@@ -208,3 +208,47 @@ def decode_gif(data: bytes) -> np.ndarray:
             return canvas
         raise BadGif(f"unknown block 0x{b:02x}")
     raise BadGif("no image data before trailer")
+
+
+def encode_gif_gray(idx: np.ndarray) -> bytes:
+    """Minimal GIF writer for in-pipeline payload synthesis
+    (oracle-checked real-decode queries; the compressing multi-feature
+    encoder that exercises the decoder's subsets is test-side,
+    ``tests/gifenc.py``): 256-level gray global palette and
+    literal-code LZW — a clear code before every 254th literal keeps
+    the dictionary below the first width bump, the classic
+    "uncompressed GIF" construction."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    out = bytearray(b"GIF89a")
+    out += bytes([w & 255, w >> 8, h & 255, h >> 8, 0x80 | 7, 0, 0])
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += bytes([0x2C, 0, 0, 0, 0,
+                  w & 255, w >> 8, h & 255, h >> 8, 0])
+    out.append(8)  # LZW minimum code size → 9-bit literal codes
+    acc = nbits = 0
+    payload = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(256)  # clear
+    for i, k in enumerate(map(int, idx.reshape(-1))):
+        if i and i % 254 == 0:
+            put(256)
+        put(k)
+    put(257)  # end
+    if nbits:
+        payload.append(acc & 0xFF)
+    for i in range(0, len(payload), 255):
+        part = payload[i:i + 255]
+        out.append(len(part))
+        out += part
+    out += bytes([0, 0x3B])
+    return bytes(out)

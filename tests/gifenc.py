@@ -2,8 +2,9 @@
 with real encoded bytes: true LZW compression (dictionary growth,
 width bumps, mid-stream clear on a full table), interlace, global and
 local color tables, transparency, sub-block framing, animation-style
-multi-frame files.  Kept out of the library on purpose (the engine
-only decodes)."""
+multi-frame files.  Kept out of the library on purpose: the
+engine only needs the literal-code gray writer
+(`gifdec.encode_gif_gray`) for payload synthesis."""
 
 from __future__ import annotations
 
