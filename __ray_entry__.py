@@ -206,6 +206,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.customer_order_distribution,
         "large_volume_customers": relational.large_volume_customers,
         "disjunctive_revenue": relational.disjunctive_revenue,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "part_value_share": relational.part_value_share,
+        "delay_bucket_priority": relational.delay_bucket_priority,
+        "supplier_count_by_part": relational.supplier_count_by_part,
+        "dominant_part_suppliers": relational.dominant_part_suppliers,
+        "sole_late_suppliers": relational.sole_late_suppliers,
+        "idle_customer_balance": relational.idle_customer_balance,
         "source_dup_rate": dedup.source_dup_rate,
         "purchase_attribution": relational.purchase_attribution,
         "user_sessions": relational.user_sessions,
@@ -1896,6 +1903,168 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # TPC-H Q2-shaped: per eligible part, the minimum unit price
+        # among region suppliers with the lowest suppkey breaking
+        # ties — the argmin packs into one int64 MIN (unit_c2 * 2^21
+        # + suppkey), decomposed after the aggregate
+        "min_cost_supplier": """
+            WITH rs AS (
+                SELECT s_suppkey, s_name,
+                       CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)
+                           AS s_acctbal_c2
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'),
+            ep AS (
+                SELECT p_partkey, p_brand FROM part
+                WHERE p_size % 5 = 0),
+            u AS (
+                SELECT l_partkey AS p_partkey,
+                       MIN(CAST(FLOOR(l_extendedprice * 100
+                                      / l_quantity + 0.5) AS BIGINT)
+                           * 2097152 + l_suppkey) AS packed
+                FROM lineitem
+                JOIN rs ON l_suppkey = s_suppkey
+                JOIN ep ON l_partkey = p_partkey
+                GROUP BY 1)
+            SELECT u.p_partkey::BIGINT AS p_partkey, ep.p_brand,
+                   (packed // 2097152)::BIGINT AS min_unit_c2,
+                   (packed % 2097152)::BIGINT AS s_suppkey,
+                   rs.s_name, rs.s_acctbal_c2::BIGINT AS s_acctbal_c2
+            FROM u JOIN ep ON u.p_partkey = ep.p_partkey
+            JOIN rs ON packed % 2097152 = rs.s_suppkey
+            ORDER BY s_acctbal_c2 DESC, p_partkey LIMIT 100
+        """,
+        # TPC-H Q11-shaped: per-part value from one nation's
+        # suppliers, HAVING value > total/1000 kept in integers
+        "part_value_share": """
+            WITH v AS (
+                SELECT l_partkey AS p_partkey,
+                       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)
+                           * (10000 - CAST(FLOOR(l_discount * 10000
+                                                 + 0.5) AS BIGINT)))
+                           AS value_c6
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY 1)
+            SELECT p_partkey::BIGINT AS p_partkey,
+                   value_c6::BIGINT AS value_c6
+            FROM v
+            WHERE value_c6 * 1000 > (SELECT SUM(value_c6) FROM v)
+            ORDER BY value_c6 DESC, p_partkey
+        """,
+        # TPC-H Q12-shaped: shipping-delay buckets x critical /
+        # non-critical order priority counts (no l_shipmode in this
+        # corpus; the delay bucket is the mode stand-in)
+        "delay_bucket_priority": """
+            SELECT LEAST(GREATEST(
+                       (epoch_us(l_shipdate)
+                        - epoch_us(o_orderdate))
+                       // (30 * 86400000000), 0), 3)::BIGINT
+                       AS delay_bucket,
+                   SUM(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS n_critical,
+                   SUM(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END)::BIGINT AS n_other
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q16-shaped: distinct suppliers per part class,
+        # excluding one brand / one type / low-balance suppliers
+        "supplier_count_by_part": """
+            SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+                   COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND s_acctbal >= 600.0
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # TPC-H Q20-shaped: suppliers of one nation who shipped more
+        # than 2x the per-supplier average quantity of some part
+        "dominant_part_suppliers": """
+            WITH pairs AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                           AS qty
+                FROM lineitem GROUP BY 1, 2),
+            tot AS (
+                SELECT l_partkey, SUM(qty) AS total_qty,
+                       COUNT(*) AS ns
+                FROM pairs GROUP BY 1)
+            SELECT s_suppkey::BIGINT AS s_suppkey, s_name,
+                   COUNT(*)::BIGINT AS n_parts_dominated
+            FROM pairs
+            JOIN tot ON pairs.l_partkey = tot.l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE qty * ns > 2 * total_qty AND n_name = 'NATION_19'
+            GROUP BY 1, 2 ORDER BY s_suppkey
+        """,
+        # TPC-H Q21-shaped: over finished multi-supplier orders, the
+        # suppliers who were the SOLE late shipper (ship > order date
+        # + 45 days), counted per supplier
+        "sole_late_suppliers": """
+            WITH ls AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(epoch_us(l_shipdate)) AS ship_us
+                FROM lineitem GROUP BY 1, 2),
+            j AS (
+                SELECT l_orderkey, l_suppkey,
+                       CASE WHEN ship_us > epoch_us(o_orderdate)
+                                 + 45 * 86400000000::BIGINT
+                            THEN 1 ELSE 0 END AS late
+                FROM ls JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'),
+            per AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp,
+                       SUM(late) AS n_late
+                FROM j GROUP BY 1)
+            SELECT l_suppkey::BIGINT AS s_suppkey, s_name,
+                   COUNT(*)::BIGINT AS numwait
+            FROM j
+            JOIN per ON j.l_orderkey = per.l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE j.late = 1 AND per.n_supp >= 2 AND per.n_late = 1
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey LIMIT 100
+        """,
+        # TPC-H Q22-shaped: per segment, never-ordered customers
+        # above the positive-balance average of the segment set; the
+        # compare stays in integers (acctbal_c2 * n > sum_c2)
+        "idle_customer_balance": """
+            WITH pos AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(FLOOR(c_acctbal * 100 + 0.5)
+                                AS BIGINT)) AS sum_c2
+                FROM customer
+                WHERE c_mktsegment IN ('BUILDING', 'MACHINERY',
+                                       'FURNITURE')
+                  AND c_acctbal > 0.0)
+            SELECT c_mktsegment, COUNT(*)::BIGINT AS n_custs,
+                   SUM(CAST(FLOOR(c_acctbal * 100 + 0.5)
+                            AS BIGINT))::BIGINT AS total_acctbal_c2
+            FROM customer, pos
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY',
+                                   'FURNITURE')
+              AND CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                  * pos.n > pos.sum_c2
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >=
+                                    TIMESTAMP '1999-01-01')
+            GROUP BY 1 ORDER BY 1
         """,
         "shipping_priority": """
             WITH o AS (

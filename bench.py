@@ -260,6 +260,13 @@ def run_bench() -> dict:
             relational.customer_order_distribution,
         "large_volume_customers": relational.large_volume_customers,
         "disjunctive_revenue": relational.disjunctive_revenue,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "part_value_share": relational.part_value_share,
+        "delay_bucket_priority": relational.delay_bucket_priority,
+        "supplier_count_by_part": relational.supplier_count_by_part,
+        "dominant_part_suppliers": relational.dominant_part_suppliers,
+        "sole_late_suppliers": relational.sole_late_suppliers,
+        "idle_customer_balance": relational.idle_customer_balance,
     }
     for name, fn in bench_queries.items():
         try:

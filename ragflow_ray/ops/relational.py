@@ -4166,3 +4166,850 @@ def disjunctive_revenue(sf_dir: str, terms=_Q19_TERMS):
         "revenue_c4": pd.Series([int(df["revenue_c4"].sum())],
                                 dtype="int64"),
         "n_items": pd.Series([int(df["n_items"].sum())], dtype="int64")})
+
+
+def min_cost_supplier(sf_dir: str, region: str = "ASIA",
+                      size_multiple: int = 5, k: int = 100):
+    """TPC-H Q2-shaped minimum-cost supplier: for every part whose
+    size is a multiple of ``size_multiple``, the cheapest unit price
+    (``floor(l_extendedprice·100 / l_quantity + 0.5)``, an exact
+    double→int grid both engines compute identically) offered by a
+    supplier in ``region``, with the lowest-keyed supplier breaking
+    unit-price ties — the correlated-MIN subquery shape, top-``k`` by
+    supplier account balance then partkey.
+
+    Distributed shape: supplier→nation→region and the eligible-part
+    attrs are dimension broadcasts (sorted numpy + ``searchsorted``);
+    the pruned lineitem scan reduces per batch to per-part LEXICOGRAPHIC
+    minima — ``unit_c2·2^21 + suppkey`` packs (min unit, then min
+    suppkey) into ONE int64 ``min`` that combines associatively, so
+    the argmin survives partial aggregation without a second pass —
+    then a narrow combine level and a parts-bounded driver merge.
+    The fact table never shuffles.  The 2^21 pack bounds suppkey at
+    ~2M; a fleet-scale supplier table would widen the pack to a
+    two-int64 struct min (runtime-guarded here)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    PACK = np.int64(1) << 21
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet").to_pandas()
+    nkeys = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nkeys = nkeys.loc[nkeys["r_name"] == region, "n_nationkey"]
+    sup = sup[sup["s_nationkey"].isin(set(nkeys.tolist()))]
+    if len(sup) and int(sup["s_suppkey"].max()) >= int(PACK):
+        raise ValueError("suppkey exceeds the 2^21 argmin pack; widen "
+                         "to a struct min for this catalog size")
+    skeys = np.sort(sup["s_suppkey"].to_numpy(np.int64))
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part[part["p_size"] % size_multiple == 0]
+    pkeys = np.sort(part["p_partkey"].to_numpy(np.int64))
+
+    skeys_ref, pkeys_ref = ray.put(skeys), ray.put(pkeys)
+
+    min_schema = pa.schema([("p_partkey", pa.int64()),
+                            ("packed", pa.int64())])
+
+    def _member(sorted_keys: np.ndarray, v: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sorted_keys, v)
+        hit = pos < len(sorted_keys)
+        hit[hit] = sorted_keys[pos[hit]] == v[hit]
+        return hit
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        sk, pk = ray.get(skeys_ref), ray.get(pkeys_ref)
+        lp = b["l_partkey"].to_numpy(np.int64)
+        ls = b["l_suppkey"].to_numpy(np.int64)
+        keep = _member(pk, lp) & _member(sk, ls)
+        if not keep.any():
+            return min_schema.empty_table()
+        unit_c2 = np.floor(
+            b["l_extendedprice"].to_numpy()[keep] * 100
+            / b["l_quantity"].to_numpy()[keep] + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"p_partkey": lp[keep],
+                           "packed": unit_c2 * PACK + ls[keep]})
+             .groupby("p_partkey", as_index=False).agg(
+                 packed=("packed", "min")))
+        return pa.table({"p_partkey": g["p_partkey"].to_numpy(np.int64),
+                         "packed": g["packed"].to_numpy(np.int64)},
+                        schema=min_schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("p_partkey", as_index=False).agg(
+            packed=("packed", "min"))
+        return pa.table({"p_partkey": g["p_partkey"].to_numpy(np.int64),
+                         "packed": g["packed"].to_numpy(np.int64)},
+                        schema=min_schema)
+
+    df = (read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice"])
+          .map_batches(partial, batch_format="pandas", batch_size=8192)
+          .map_batches(combine, batch_format="pandas", batch_size=65536)
+          .to_pandas())
+    cols = ["p_partkey", "p_brand", "min_unit_c2", "s_suppkey",
+            "s_name", "s_acctbal_c2"]
+    if df.empty:
+        return pd.DataFrame({
+            "p_partkey": pd.Series([], dtype="int64"),
+            "p_brand": pd.Series([], dtype="object"),
+            "min_unit_c2": pd.Series([], dtype="int64"),
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "s_acctbal_c2": pd.Series([], dtype="int64")})
+    g = df.groupby("p_partkey", as_index=False).agg(
+        packed=("packed", "min"))
+    g["min_unit_c2"] = (g["packed"] // PACK).astype("int64")
+    g["s_suppkey"] = (g["packed"] % PACK).astype("int64")
+    sup = sup.copy()
+    sup["s_acctbal_c2"] = _cents(sup["s_acctbal"])
+    out = (g.merge(part[["p_partkey", "p_brand"]], on="p_partkey")
+           .merge(sup[["s_suppkey", "s_name", "s_acctbal_c2"]],
+                  on="s_suppkey")
+           .sort_values(["s_acctbal_c2", "p_partkey"],
+                        ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    for c in ("p_partkey", "min_unit_c2", "s_suppkey", "s_acctbal_c2"):
+        out[c] = out[c].astype("int64")
+    return out[cols]
+
+
+def part_value_share(sf_dir: str, nation: str = "NATION_3",
+                     share_den: int = 1000):
+    """TPC-H Q11-shaped value concentration: per part, the discounted
+    revenue (exact c6 grid) contributed by suppliers of ``nation``,
+    keeping the parts whose value exceeds 1/``share_den`` of the
+    nation's total — the HAVING-over-scalar-subquery shape, with the
+    threshold compare kept in integers (``value_c6 · share_den >
+    total_c6``) so no float division can flip a boundary row.
+
+    Distributed shape: the nation's suppkey set broadcasts (sorted
+    numpy); the lineitem scan reduces per batch to per-part c6 sums →
+    narrow combine → parts-bounded driver merge where the scalar total
+    and the HAVING filter are a vectorized compare.  No exchange."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk = set(nat.loc[nat["n_name"] == nation, "n_nationkey"].tolist())
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    skeys = np.sort(
+        sup.loc[sup["s_nationkey"].isin(nk), "s_suppkey"]
+        .to_numpy(np.int64))
+    skeys_ref = ray.put(skeys)
+
+    val_schema = pa.schema([("p_partkey", pa.int64()),
+                            ("value_c6", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        sk = ray.get(skeys_ref)
+        ls = b["l_suppkey"].to_numpy(np.int64)
+        pos = np.searchsorted(sk, ls)
+        keep = pos < len(sk)
+        keep[keep] = sk[pos[keep]] == ls[keep]
+        if not keep.any():
+            return val_schema.empty_table()
+        price_c2 = np.floor(
+            b["l_extendedprice"].to_numpy()[keep] * 100 + 0.5
+        ).astype(np.int64)
+        disc_c4 = np.floor(
+            b["l_discount"].to_numpy()[keep] * 10_000 + 0.5
+        ).astype(np.int64)
+        g = (pd.DataFrame(
+                {"p_partkey": b["l_partkey"].to_numpy(np.int64)[keep],
+                 "value_c6": price_c2 * (10_000 - disc_c4)})
+             .groupby("p_partkey", as_index=False).agg(
+                 value_c6=("value_c6", "sum")))
+        return pa.table({"p_partkey": g["p_partkey"].to_numpy(np.int64),
+                         "value_c6": g["value_c6"].to_numpy(np.int64)},
+                        schema=val_schema)
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("p_partkey", as_index=False).agg(
+            value_c6=("value_c6", "sum"))
+        return pa.table({"p_partkey": g["p_partkey"].to_numpy(np.int64),
+                         "value_c6": g["value_c6"].to_numpy(np.int64)},
+                        schema=val_schema)
+
+    df = (read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"])
+          .map_batches(partial, batch_format="pandas", batch_size=8192)
+          .map_batches(combine, batch_format="pandas", batch_size=65536)
+          .to_pandas())
+    if df.empty:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "value_c6": pd.Series([], dtype="int64")})
+    g = df.groupby("p_partkey", as_index=False).agg(
+        value_c6=("value_c6", "sum"))
+    total = int(g["value_c6"].sum())
+    g = g[g["value_c6"].to_numpy() * share_den > total]
+    g = (g.sort_values(["value_c6", "p_partkey"],
+                       ascending=[False, True]).reset_index(drop=True))
+    for c in ("p_partkey", "value_c6"):
+        g[c] = g[c].astype("int64")
+    return g[["p_partkey", "value_c6"]]
+
+
+def delay_bucket_priority(sf_dir: str, date_lo: str = "1996-01-01",
+                          date_hi: str = "1997-01-01",
+                          bucket_days: int = 30, max_bucket: int = 3,
+                          broadcast_limit: int = 2_000_000):
+    """TPC-H Q12-shaped shipping-delay audit: lineitems of orders
+    placed in [date_lo, date_hi) bucket by shipping delay
+    (``min(delay_days // bucket_days, max_bucket)``, the ship-mode
+    stand-in — this corpus carries no ``l_shipmode``), and each bucket
+    counts critical (1-URGENT / 2-HIGH) vs non-critical order
+    priorities — Q12's CASE-sum pair.
+
+    Size-adaptive on the windowed orders count (the
+    :func:`late_order_priority` gate):
+
+    * ≤ ``broadcast_limit`` → (orderkey, orderdate_us, is_critical)
+      broadcast as sorted numpy; ONE lineitem pass emits per-batch
+      (bucket, high, low) count partials — a ≤``max_bucket``+1-row
+      table the driver folds.  No exchange.
+    * above → order rows and per-batch lineitem rows union on a
+      common schema into ONE coarse orderkey-bucket exchange; each
+      bucket joins vectorized and emits the same bounded partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    day_us = np.int64(86_400_000_000)
+    crit = ("1-URGENT", "2-HIGH")
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+
+    win = orders.map_batches(o_filter, batch_format="pyarrow").materialize()
+    n_win = win.count()
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+
+    cnt_schema = pa.schema([("delay_bucket", pa.int64()),
+                            ("n_critical", pa.int64()),
+                            ("n_other", pa.int64())])
+
+    def _bucket_counts(delay_us: np.ndarray, is_crit: np.ndarray
+                       ) -> pa.Table:
+        bucket = np.minimum(delay_us // (bucket_days * day_us),
+                            max_bucket)
+        bucket = np.maximum(bucket, 0)
+        g = (pd.DataFrame({"delay_bucket": bucket,
+                           "n_critical": is_crit.astype(np.int64),
+                           "n_other": (~is_crit).astype(np.int64)})
+             .groupby("delay_bucket", as_index=False).sum())
+        return pa.table(
+            {"delay_bucket": g["delay_bucket"].to_numpy(np.int64),
+             "n_critical": g["n_critical"].to_numpy(np.int64),
+             "n_other": g["n_other"].to_numpy(np.int64)},
+            schema=cnt_schema)
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "delay_bucket": pd.Series([], dtype="int64"),
+                "n_critical": pd.Series([], dtype="int64"),
+                "n_other": pd.Series([], dtype="int64")})
+        g = (df.groupby("delay_bucket", as_index=False).sum()
+             .sort_values("delay_bucket").reset_index(drop=True))
+        for c in ("delay_bucket", "n_critical", "n_other"):
+            g[c] = g[c].astype("int64")
+        return g[["delay_bucket", "n_critical", "n_other"]]
+
+    if n_win <= broadcast_limit:
+        odf = win.to_pandas().sort_values("o_orderkey")
+        okeys = odf["o_orderkey"].to_numpy(np.int64)
+        odates = odf["o_orderdate"].astype("int64").to_numpy()
+        ocrit = odf["o_orderpriority"].isin(crit).to_numpy()
+        refs = ray.put((okeys, odates, ocrit))
+
+        def l_partial(b: pd.DataFrame) -> pa.Table:
+            ok, od, oc = ray.get(refs)
+            lk = b["l_orderkey"].to_numpy(np.int64)
+            pos = np.searchsorted(ok, lk)
+            hit = pos < len(ok)
+            hit[hit] = ok[pos[hit]] == lk[hit]
+            if not hit.any():
+                return cnt_schema.empty_table()
+            pos = pos[hit]
+            ship = b["l_shipdate"].astype("int64").to_numpy()[hit]
+            return _bucket_counts(ship - od[pos], oc[pos])
+
+        df = (lineitem.map_batches(l_partial, batch_format="pandas",
+                                   batch_size=8192)
+              .to_pandas())
+        return _finalize(df)
+
+    u_schema = pa.schema([("okey", pa.int64()), ("kind", pa.int64()),
+                          ("v", pa.int64()), ("is_crit", pa.int64()),
+                          ("bucket", pa.int64())])
+
+    def o_rows(b: pd.DataFrame) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        return pa.table(
+            {"okey": ok, "kind": np.zeros(len(b), dtype=np.int64),
+             "v": b["o_orderdate"].astype("int64").to_numpy(),
+             "is_crit": b["o_orderpriority"].isin(crit)
+             .to_numpy().astype(np.int64),
+             "bucket": ok % 1024}, schema=u_schema)
+
+    def l_rows(b: pd.DataFrame) -> pa.Table:
+        lk = b["l_orderkey"].to_numpy(np.int64)
+        return pa.table(
+            {"okey": lk, "kind": np.ones(len(b), dtype=np.int64),
+             "v": b["l_shipdate"].astype("int64").to_numpy(),
+             "is_crit": np.zeros(len(b), dtype=np.int64),
+             "bucket": lk % 1024}, schema=u_schema)
+
+    _warn = _skew_warn()
+
+    def bucket_join(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("delay_bucket_priority.bucket", len(group), _warn)
+        o = (group.loc[group["kind"] == 0, ["okey", "v", "is_crit"]]
+             .rename(columns={"v": "odate"}))
+        li = (group.loc[group["kind"] == 1, ["okey", "v"]]
+              .rename(columns={"v": "ship"}))
+        m = li.merge(o, on="okey", how="inner")
+        if m.empty:
+            return cnt_schema.empty_table()
+        return _bucket_counts(
+            m["ship"].to_numpy() - m["odate"].to_numpy(),
+            m["is_crit"].to_numpy() == 1)
+
+    both = (win.map_batches(o_rows, batch_format="pandas")
+            .union(lineitem.map_batches(l_rows, batch_format="pandas",
+                                        batch_size=8192)))
+    df = (both.groupby("bucket").map_groups(bucket_join,
+                                            batch_format="pandas")
+          .to_pandas())
+    return _finalize(df)
+
+
+def supplier_count_by_part(sf_dir: str, min_acctbal: float = 600.0,
+                           excl_brand: str = "Brand#5",
+                           excl_type: str = "PROMO",
+                           driver_limit: int = 2_000_000,
+                           n_buckets: int = 1024):
+    """TPC-H Q16-shaped supplier diversity: per (p_brand, p_type,
+    p_size), how many DISTINCT suppliers shipped that part class —
+    excluding one brand, one type, and suppliers below
+    ``min_acctbal`` (the complaints-filter stand-in).
+
+    Distributed shape: the supplier/part filters broadcast (sorted
+    numpy); the lineitem scan collapses per batch to DISTINCT
+    (partkey, suppkey) pairs — bounded by the catalog cross-section,
+    never lineitem count.  Under ``driver_limit`` deduped pairs the
+    driver maps partkey→attrs and counts distinct suppliers per
+    class; above it ONE coarse partkey-bucket exchange dedups
+    pair-exactly first (every copy of a partkey co-locates), buckets
+    map attrs locally, and the driver dedups the (class, suppkey)
+    remainder — bounded by classes × suppliers, a second fleet-scale
+    exchange documented as the scale path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    skeys = np.sort(
+        sup.loc[sup["s_acctbal"] >= min_acctbal, "s_suppkey"]
+        .to_numpy(np.int64))
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = part[(part["p_brand"] != excl_brand)
+                & (part["p_type"] != excl_type)]
+    pkeys = np.sort(part["p_partkey"].to_numpy(np.int64))
+    refs = ray.put((skeys, pkeys))
+
+    pair_schema = pa.schema([("p_partkey", pa.int64()),
+                             ("s_suppkey", pa.int64())])
+
+    def pairs_partial(b: pd.DataFrame) -> pa.Table:
+        sk, pk = ray.get(refs)
+        lp = b["l_partkey"].to_numpy(np.int64)
+        ls = b["l_suppkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pk, lp)
+        keep = pos < len(pk)
+        keep[keep] = pk[pos[keep]] == lp[keep]
+        pos = np.searchsorted(sk, ls)
+        hit = pos < len(sk)
+        hit[hit] = sk[pos[hit]] == ls[hit]
+        keep &= hit
+        d = (pd.DataFrame({"p_partkey": lp[keep],
+                           "s_suppkey": ls[keep]})
+             .drop_duplicates())
+        return pa.table({"p_partkey": d["p_partkey"].to_numpy(np.int64),
+                         "s_suppkey": d["s_suppkey"].to_numpy(np.int64)},
+                        schema=pair_schema)
+
+    pairs = (read_parquet_clean(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_suppkey"])
+             .map_batches(pairs_partial, batch_format="pandas",
+                          batch_size=8192)
+             .materialize())
+
+    attrs = part.set_index("p_partkey")[["p_brand", "p_type", "p_size"]]
+
+    def _finalize(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.drop_duplicates()
+        g = (d.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+             .agg(supplier_cnt=("s_suppkey", "nunique")))
+        g = (g.sort_values(
+                ["supplier_cnt", "p_brand", "p_type", "p_size"],
+                ascending=[False, True, True, True])
+             .reset_index(drop=True))
+        g["p_size"] = g["p_size"].astype("int64")
+        g["supplier_cnt"] = g["supplier_cnt"].astype("int64")
+        return g[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+
+    if pairs.count() <= driver_limit:
+        d = pairs.to_pandas().drop_duplicates()
+        d = d.join(attrs, on="p_partkey")
+        return _finalize(d[["p_brand", "p_type", "p_size", "s_suppkey"]])
+
+    bucket_schema = pa.schema([("bucket", pa.int64()),
+                               ("p_partkey", pa.int64()),
+                               ("s_suppkey", pa.int64())])
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy()
+        return pa.table({"bucket": pk % n_buckets,
+                         "p_partkey": pk,
+                         "s_suppkey": t["s_suppkey"].to_numpy()},
+                        schema=bucket_schema)
+
+    attrs_ref = ray.put(attrs)
+    cls_schema = pa.schema([("p_brand", pa.string()),
+                            ("p_type", pa.string()),
+                            ("p_size", pa.int64()),
+                            ("s_suppkey", pa.int64())])
+    _warn = _skew_warn()
+
+    def bucket_classes(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("supplier_count_by_part.bucket", len(group), _warn)
+        a = ray.get(attrs_ref)
+        d = (group[["p_partkey", "s_suppkey"]].drop_duplicates()
+             .join(a, on="p_partkey"))
+        d = d[["p_brand", "p_type", "p_size", "s_suppkey"]].drop_duplicates()
+        return pa.table({"p_brand": d["p_brand"].astype(str),
+                         "p_type": d["p_type"].astype(str),
+                         "p_size": d["p_size"].to_numpy(np.int64),
+                         "s_suppkey": d["s_suppkey"].to_numpy(np.int64)},
+                        schema=cls_schema)
+
+    d = (pairs.map_batches(with_bucket, batch_format="pyarrow")
+         .groupby("bucket").map_groups(bucket_classes,
+                                       batch_format="pandas")
+         .to_pandas())
+    return _finalize(d)
+
+
+def dominant_part_suppliers(sf_dir: str, nation: str = "NATION_19",
+                            avg_multiple: int = 2,
+                            n_buckets: int = 1024):
+    """TPC-H Q20-shaped dominant-supplier probe: suppliers of
+    ``nation`` who shipped MORE THAN ``avg_multiple``× the
+    per-supplier average quantity of some part
+    (``qty(s,p)·n_suppliers(p) > avg_multiple·qty(·,p)``, integers on
+    the rounded-qty grid — a share threshold would dilute as the
+    supplier catalog grows with scale; the above-average form is
+    SF-stable) — Q20's excess-availability EXISTS restated over
+    shipped volume — with how many parts each dominates.
+
+    Distributed shape: per-batch (partkey, suppkey) qty partials →
+    ONE coarse partkey-bucket exchange co-locating every row of a
+    part, so each bucket computes part totals AND the dominance flags
+    vectorized and emits per-supplier dominated-part count partials;
+    the driver folds a suppliers-bounded table and broadcasts nothing
+    but the nation's supplier dimension."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.readers import read_parquet_clean
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk = set(nat.loc[nat["n_name"] == nation, "n_nationkey"].tolist())
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name", "s_nationkey"]
+                        ).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nk)]
+
+    qty_schema = pa.schema([("bucket", pa.int64()),
+                            ("p_partkey", pa.int64()),
+                            ("s_suppkey", pa.int64()),
+                            ("qty", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame(
+                {"p_partkey": b["l_partkey"].to_numpy(np.int64),
+                 "s_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                 "qty": np.floor(b["l_quantity"].to_numpy() + 0.5)
+                 .astype(np.int64)})
+             .groupby(["p_partkey", "s_suppkey"], as_index=False)
+             .agg(qty=("qty", "sum")))
+        pk = g["p_partkey"].to_numpy(np.int64)
+        return pa.table({"bucket": pk % n_buckets, "p_partkey": pk,
+                         "s_suppkey": g["s_suppkey"].to_numpy(np.int64),
+                         "qty": g["qty"].to_numpy(np.int64)},
+                        schema=qty_schema)
+
+    dom_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("n_parts_dominated", pa.int64())])
+    _warn = _skew_warn()
+
+    def bucket_dominance(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("dominant_part_suppliers.bucket", len(group), _warn)
+        g = (group.groupby(["p_partkey", "s_suppkey"], as_index=False)
+             .agg(qty=("qty", "sum")))
+        tot = g.groupby("p_partkey")["qty"].transform("sum")
+        ns = g.groupby("p_partkey")["qty"].transform("size")
+        dom = g[g["qty"].to_numpy() * ns.to_numpy()
+                > avg_multiple * tot.to_numpy()]
+        c = (dom.groupby("s_suppkey", as_index=False).size()
+             .rename(columns={"size": "n_parts_dominated"}))
+        return pa.table(
+            {"s_suppkey": c["s_suppkey"].to_numpy(np.int64),
+             "n_parts_dominated":
+                 c["n_parts_dominated"].to_numpy(np.int64)},
+            schema=dom_schema)
+
+    df = (read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity"])
+          .map_batches(partial, batch_format="pandas", batch_size=8192)
+          .groupby("bucket").map_groups(bucket_dominance,
+                                        batch_format="pandas")
+          .to_pandas())
+    if df.empty:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "n_parts_dominated": pd.Series([], dtype="int64")})
+    g = (df.groupby("s_suppkey", as_index=False)
+         .agg(n_parts_dominated=("n_parts_dominated", "sum"))
+         .merge(sup[["s_suppkey", "s_name"]], on="s_suppkey")
+         .sort_values("s_suppkey").reset_index(drop=True))
+    for c in ("s_suppkey", "n_parts_dominated"):
+        g[c] = g[c].astype("int64")
+    return g[["s_suppkey", "s_name", "n_parts_dominated"]]
+
+
+def sole_late_suppliers(sf_dir: str, grace_days: int = 45,
+                        status: str = "F", n_buckets: int = 1024,
+                        k: int = 100):
+    """TPC-H Q21-shaped waiting-supplier report: over finished
+    (``o_orderstatus = status``) multi-supplier orders, count per
+    supplier the orders where that supplier was the ONLY one whose
+    lineitem shipped more than ``grace_days`` after the order date —
+    Q21's EXISTS-other-supplier / NOT-EXISTS-other-late-supplier
+    pair, restated on the ship-date grid (this corpus carries no
+    commit/receipt dates).  Top-``k`` by count then suppkey.
+
+    Distributed shape: order rows and per-batch locally-deduped
+    (orderkey, suppkey, max_ship) lineitem partials union on a
+    common schema into ONE coarse orderkey-bucket exchange (every
+    row of an order co-locates); each bucket computes per-order
+    distinct-supplier and late-supplier counts vectorized and emits
+    per-supplier count partials — suppliers-bounded — which the
+    driver folds and joins to the supplier dimension."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.readers import read_parquet_clean
+
+    grace_us = np.int64(grace_days) * 86_400 * 1_000_000
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+
+    u_schema = pa.schema([("okey", pa.int64()), ("kind", pa.int64()),
+                          ("skey", pa.int64()), ("v", pa.int64()),
+                          ("bucket", pa.int64())])
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"])
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], pa.scalar(status)))
+        ok = t["o_orderkey"].to_numpy()
+        return pa.table(
+            {"okey": ok, "kind": np.zeros(len(ok), dtype=np.int64),
+             "skey": np.zeros(len(ok), dtype=np.int64),
+             "v": t["o_orderdate"].cast(pa.int64()).to_numpy(),
+             "bucket": ok % n_buckets}, schema=u_schema)
+
+    def l_rows(b: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame(
+                {"okey": b["l_orderkey"].to_numpy(np.int64),
+                 "skey": b["l_suppkey"].to_numpy(np.int64),
+                 "v": b["l_shipdate"].astype("int64").to_numpy()})
+             .groupby(["okey", "skey"], as_index=False)
+             .agg(v=("v", "max")))
+        ok = g["okey"].to_numpy(np.int64)
+        return pa.table(
+            {"okey": ok, "kind": np.ones(len(g), dtype=np.int64),
+             "skey": g["skey"].to_numpy(np.int64),
+             "v": g["v"].to_numpy(np.int64),
+             "bucket": ok % n_buckets}, schema=u_schema)
+
+    cnt_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("numwait", pa.int64())])
+    _warn = _skew_warn()
+
+    def bucket_waits(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("sole_late_suppliers.bucket", len(group), _warn)
+        o = group[group["kind"] == 0][["okey", "v"]]
+        li = (group[group["kind"] == 1]
+              .groupby(["okey", "skey"], as_index=False)
+              .agg(v=("v", "max")))
+        m = li.merge(o, on="okey", how="inner",
+                     suffixes=("_ship", "_odate"))
+        if m.empty:
+            return cnt_schema.empty_table()
+        m["late"] = (m["v_ship"].to_numpy()
+                     > m["v_odate"].to_numpy() + grace_us)
+        per = m.groupby("okey").agg(
+            n_supp=("skey", "size"), n_late=("late", "sum"))
+        target = per[(per["n_supp"] >= 2) & (per["n_late"] == 1)]
+        if target.empty:
+            return cnt_schema.empty_table()
+        hits = m[m["late"] & m["okey"].isin(target.index)]
+        c = (hits.groupby("skey", as_index=False).size()
+             .rename(columns={"size": "numwait"}))
+        return pa.table({"s_suppkey": c["skey"].to_numpy(np.int64),
+                         "numwait": c["numwait"].to_numpy(np.int64)},
+                        schema=cnt_schema)
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    both = (orders.map_batches(o_rows, batch_format="pyarrow")
+            .union(lineitem.map_batches(l_rows, batch_format="pandas",
+                                        batch_size=8192)))
+    df = (both.groupby("bucket").map_groups(bucket_waits,
+                                            batch_format="pandas")
+          .to_pandas())
+    if df.empty:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "numwait": pd.Series([], dtype="int64")})
+    g = (df.groupby("s_suppkey", as_index=False)
+         .agg(numwait=("numwait", "sum"))
+         .merge(sup, on="s_suppkey")
+         .sort_values(["numwait", "s_suppkey"],
+                      ascending=[False, True])
+         .head(k).reset_index(drop=True))
+    for c in ("s_suppkey", "numwait"):
+        g[c] = g[c].astype("int64")
+    return g[["s_suppkey", "s_name", "numwait"]]
+
+
+
+def idle_customer_balance(sf_dir: str,
+                          segments: tuple = ("BUILDING", "MACHINERY",
+                                             "FURNITURE"),
+                          date_lo: str = "1999-01-01",
+                          broadcast_limit: int = 5_000_000):
+    """TPC-H Q22-shaped idle-capital report: per market segment (the
+    phone-prefix stand-in), count the customers whose balance exceeds
+    the positive-balance average of the segment set AND who placed no
+    order since ``date_lo`` (Q22's seven-years-idle clause — this
+    synthetic order stream touches every customer, so "no orders
+    ever" would be vacuous), with the idle capital total — Q22's
+    scalar subquery + NOT EXISTS.  The above-average compare stays in
+    integers (``acctbal_c2 · n > sum_c2``) so no float division can
+    flip a boundary customer.
+
+    Distributed shape: the scalar (n, sum_c2) folds from per-batch
+    customer partials; the orders scan collapses to per-batch
+    DISTINCT custkeys (customers-bounded).  Under ``broadcast_limit``
+    the sorted active-custkey array broadcasts and ONE customer pass
+    anti-filters with ``searchsorted``, emitting per-segment (n,
+    sum_c2) partials; above it both sides union into ONE coarse
+    custkey-bucket exchange (the :func:`inactive_customers` shape)
+    and each bucket emits the same bounded partials."""
+    import pyarrow as pa
+    import ray
+
+    from ..sources.readers import read_parquet_clean
+
+    segset = set(segments)
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    avg_schema = pa.schema([("n", pa.int64()), ("sum_c2", pa.int64())])
+
+    def avg_partial(b: pd.DataFrame) -> pa.Table:
+        m = (b["c_mktsegment"].isin(segset)
+             & (b["c_acctbal"] > 0.0)).to_numpy()
+        c2 = _cents(b["c_acctbal"][m])
+        return pa.table({"n": [int(m.sum())], "sum_c2": [int(c2.sum())]},
+                        schema=avg_schema)
+
+    a = customer.map_batches(avg_partial, batch_format="pandas").to_pandas()
+    n_pos, sum_c2 = int(a["n"].sum()), int(a["sum_c2"].sum())
+
+    cut = pd.Timestamp(date_lo)
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    key_schema = pa.schema([("custkey", pa.int64())])
+
+    def active_partial(b: pd.DataFrame) -> pa.Table:
+        b = b[b["o_orderdate"] >= cut]
+        return pa.table(
+            {"custkey": np.unique(b["o_custkey"].to_numpy(np.int64))},
+            schema=key_schema)
+
+    def active_combine(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {"custkey": np.unique(b["custkey"].to_numpy(np.int64))},
+            schema=key_schema)
+
+    active = (orders.map_batches(active_partial, batch_format="pandas")
+              .map_batches(active_combine, batch_format="pandas",
+                           batch_size=65536)
+              .materialize())
+
+    seg_schema = pa.schema([("c_mktsegment", pa.string()),
+                            ("n_custs", pa.int64()),
+                            ("total_acctbal_c2", pa.int64())])
+
+    def _idle_partial(b: pd.DataFrame, active_keys: np.ndarray
+                      ) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(np.int64)
+        pos = np.searchsorted(active_keys, ck)
+        hit = pos < len(active_keys)
+        hit[hit] = active_keys[pos[hit]] == ck[hit]
+        c2 = _cents(b["c_acctbal"]).to_numpy()
+        keep = (b["c_mktsegment"].isin(segset).to_numpy()
+                & ~hit & (c2 * n_pos > sum_c2))
+        g = (pd.DataFrame({"c_mktsegment": b["c_mktsegment"]
+                           .to_numpy()[keep],
+                           "c2": c2[keep]})
+             .groupby("c_mktsegment", as_index=False)
+             .agg(n_custs=("c2", "size"),
+                  total_acctbal_c2=("c2", "sum")))
+        return pa.table(
+            {"c_mktsegment": g["c_mktsegment"].astype(str),
+             "n_custs": g["n_custs"].to_numpy(np.int64),
+             "total_acctbal_c2":
+                 g["total_acctbal_c2"].to_numpy(np.int64)},
+            schema=seg_schema)
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "n_custs": pd.Series([], dtype="int64"),
+                "total_acctbal_c2": pd.Series([], dtype="int64")})
+        g = (df.groupby("c_mktsegment", as_index=False)
+             .agg(n_custs=("n_custs", "sum"),
+                  total_acctbal_c2=("total_acctbal_c2", "sum"))
+             .sort_values("c_mktsegment").reset_index(drop=True))
+        for c in ("n_custs", "total_acctbal_c2"):
+            g[c] = g[c].astype("int64")
+        return g[["c_mktsegment", "n_custs", "total_acctbal_c2"]]
+
+    if active.count() <= broadcast_limit:
+        akeys = np.unique(active.to_pandas()["custkey"].to_numpy())
+        aref = ray.put(akeys)
+
+        def anti_partial(b: pd.DataFrame) -> pa.Table:
+            return _idle_partial(b, ray.get(aref))
+
+        df = (customer.map_batches(anti_partial, batch_format="pandas")
+              .to_pandas())
+        return _finalize(df)
+
+    u_schema = pa.schema([("custkey", pa.int64()), ("kind", pa.int64()),
+                          ("seg", pa.string()), ("c2", pa.int64()),
+                          ("bucket", pa.int64())])
+
+    def a_rows(b: pd.DataFrame) -> pa.Table:
+        ck = b["custkey"].to_numpy(np.int64)
+        return pa.table(
+            {"custkey": ck, "kind": np.ones(len(b), dtype=np.int64),
+             "seg": np.full(len(b), "", dtype=object),
+             "c2": np.zeros(len(b), dtype=np.int64),
+             "bucket": ck % 1024}, schema=u_schema)
+
+    def c_rows(b: pd.DataFrame) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(np.int64)
+        return pa.table(
+            {"custkey": ck, "kind": np.zeros(len(b), dtype=np.int64),
+             "seg": b["c_mktsegment"].astype(str).to_numpy(),
+             "c2": _cents(b["c_acctbal"]).to_numpy(),
+             "bucket": ck % 1024}, schema=u_schema)
+
+    _warn = _skew_warn()
+
+    def bucket_idle(group: pd.DataFrame) -> pa.Table:
+        from ..state.skewmon import observe_group
+
+        observe_group("idle_customer_balance.bucket", len(group), _warn)
+        act = set(group.loc[group["kind"] == 1, "custkey"].to_numpy())
+        c = group[group["kind"] == 0]
+        c2 = c["c2"].to_numpy()
+        keep = (c["seg"].isin(segset).to_numpy()
+                & ~c["custkey"].isin(act).to_numpy()
+                & (c2 * n_pos > sum_c2))
+        g = (pd.DataFrame({"c_mktsegment": c["seg"].to_numpy()[keep],
+                           "c2": c2[keep]})
+             .groupby("c_mktsegment", as_index=False)
+             .agg(n_custs=("c2", "size"),
+                  total_acctbal_c2=("c2", "sum")))
+        return pa.table(
+            {"c_mktsegment": g["c_mktsegment"].astype(str),
+             "n_custs": g["n_custs"].to_numpy(np.int64),
+             "total_acctbal_c2":
+                 g["total_acctbal_c2"].to_numpy(np.int64)},
+            schema=seg_schema)
+
+    both = (active.map_batches(a_rows, batch_format="pandas")
+            .union(customer.map_batches(c_rows, batch_format="pandas")))
+    df = (both.groupby("bucket").map_groups(bucket_idle,
+                                            batch_format="pandas")
+          .to_pandas())
+    return _finalize(df)

@@ -1832,3 +1832,146 @@ class TestNewRelationalRandomPin:
         for limit in (5_000_000, 0):
             got = shipping_priority(str(d), broadcast_limit=limit)
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestTpchRemainingShapes:
+    """The last four gated TPC-H shapes (Q12/Q16/Q21/Q22 stand-ins)
+    agree across their size-adaptive branches, and the ungated pair
+    (Q2/Q20) is pinned against tiny hand-derivable fixtures."""
+
+    def test_q12_q16_q22_branches_agree(self):
+        import pandas as pd
+
+        from ragflow_ray.ops.relational import (delay_bucket_priority,
+                                                idle_customer_balance,
+                                                supplier_count_by_part)
+
+        sf = "/root/testdata/sf0.001"
+        pd.testing.assert_frame_equal(
+            delay_bucket_priority(sf),
+            delay_bucket_priority(sf, broadcast_limit=0))
+        pd.testing.assert_frame_equal(
+            supplier_count_by_part(sf),
+            supplier_count_by_part(sf, driver_limit=0))
+        pd.testing.assert_frame_equal(
+            supplier_count_by_part(sf),
+            supplier_count_by_part(sf, driver_limit=0, n_buckets=7))
+        pd.testing.assert_frame_equal(
+            idle_customer_balance(sf),
+            idle_customer_balance(sf, broadcast_limit=0))
+
+    def test_q21_bucket_count_invariance(self):
+        """sole_late_suppliers is single-path (always co-partitions);
+        the bucket count must not change the frame."""
+        import pandas as pd
+
+        from ragflow_ray.ops.relational import sole_late_suppliers
+
+        sf = "/root/testdata/sf0.001"
+        pd.testing.assert_frame_equal(
+            sole_late_suppliers(sf), sole_late_suppliers(sf, n_buckets=7))
+
+    def test_q20_dominance_flag_exact(self):
+        """dominant_part_suppliers marks exactly the (part, supplier)
+        pairs whose quantity exceeds avg_multiple x the per-supplier
+        average — re-derived here in pandas from the raw table."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from ragflow_ray.ops.relational import dominant_part_suppliers
+
+        sf = "/root/testdata/sf0.001"
+        li = pq.read_table(
+            f"{sf}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity"]).to_pandas()
+        li["qty"] = np.floor(li["l_quantity"] + 0.5).astype("int64")
+        pairs = (li.groupby(["l_partkey", "l_suppkey"], as_index=False)
+                 .agg(qty=("qty", "sum")))
+        tot = pairs.groupby("l_partkey")["qty"].transform("sum")
+        ns = pairs.groupby("l_partkey")["qty"].transform("size")
+        dom = pairs[pairs["qty"] * ns > 2 * tot]
+        sup = pq.read_table(f"{sf}/supplier.parquet").to_pandas()
+        nat = pq.read_table(f"{sf}/nation.parquet").to_pandas()
+        nk = set(nat.loc[nat["n_name"] == "NATION_19",
+                         "n_nationkey"].tolist())
+        skeys = set(sup.loc[sup["s_nationkey"].isin(nk),
+                            "s_suppkey"].tolist())
+        want = (dom[dom["l_suppkey"].isin(skeys)]
+                .groupby("l_suppkey").size())
+        out = dominant_part_suppliers(sf)
+        got = dict(zip(out["s_suppkey"], out["n_parts_dominated"]))
+        assert got == {int(k): int(v) for k, v in want.items()}
+
+    def test_q2_argmin_pack_roundtrip(self):
+        """The packed lexicographic MIN decodes to (min unit price,
+        min suppkey among the argmins) — checked against a direct
+        pandas argmin on the same grid."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from ragflow_ray.ops.relational import min_cost_supplier
+
+        sf = "/root/testdata/sf0.001"
+        out = min_cost_supplier(sf)
+        assert len(out) > 0
+        li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+        li["unit_c2"] = np.floor(
+            li["l_extendedprice"] * 100 / li["l_quantity"] + 0.5
+        ).astype("int64")
+        for _, row in out.head(5).iterrows():
+            sub = li[li["l_partkey"] == row["p_partkey"]]
+            # restrict to the ASIA suppliers the query saw
+            sup = pq.read_table(f"{sf}/supplier.parquet").to_pandas()
+            nat = pq.read_table(f"{sf}/nation.parquet").to_pandas()
+            reg = pq.read_table(f"{sf}/region.parquet").to_pandas()
+            nk = nat.merge(reg, left_on="n_regionkey",
+                           right_on="r_regionkey")
+            nk = set(nk.loc[nk["r_name"] == "ASIA",
+                            "n_nationkey"].tolist())
+            sk = set(sup.loc[sup["s_nationkey"].isin(nk),
+                             "s_suppkey"].tolist())
+            sub = sub[sub["l_suppkey"].isin(sk)]
+            mn = int(sub["unit_c2"].min())
+            assert int(row["min_unit_c2"]) == mn
+            assert int(row["s_suppkey"]) == int(
+                sub.loc[sub["unit_c2"] == mn, "l_suppkey"].min())
+
+    def test_q22_integer_threshold_boundary(self):
+        """A customer whose balance equals the average exactly is NOT
+        above-average (strict >): pinned on a hand-built corpus where
+        the boundary case exists by construction."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ragflow_ray.ops.relational import idle_customer_balance
+
+        import tempfile, os
+        d = tempfile.mkdtemp(prefix="q22_")
+        cust = pa.table({
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_name": ["a", "b", "c", "d"],
+            "c_nationkey": pa.array([0, 0, 0, 0], pa.int32()),
+            # avg of positives = (10 + 20 + 30) / 3 = 20.00
+            "c_acctbal": [10.0, 20.0, 30.0, -5.0],
+            "c_mktsegment": ["BUILDING"] * 4,
+        })
+        pq.write_table(cust, os.path.join(d, "customer.parquet"))
+        orders = pa.table({
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([3], pa.int64()),
+            "o_orderstatus": ["O"],
+            "o_totalprice": [1.0],
+            "o_orderdate": pa.array([pd.Timestamp("2000-06-01")],
+                                    pa.timestamp("us")),
+            "o_orderpriority": ["1-URGENT"],
+        })
+        pq.write_table(orders, os.path.join(d, "orders.parquet"))
+        out = idle_customer_balance(d)
+        # cust 2 sits exactly ON the average -> excluded; cust 3 is
+        # above it but recently active -> excluded; no rows survive
+        assert len(out) == 0
+        out2 = idle_customer_balance(d, broadcast_limit=0)
+        pd.testing.assert_frame_equal(out, out2)
