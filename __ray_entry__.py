@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "out_h", "out_w", "resized_sum"]
         ],
         "audio_g711_frames": lambda d: multimodal.audio_g711_frames(d).to_pandas(),
+        "video_mjpeg_frames": lambda d: multimodal.video_mjpeg_frames(d).to_pandas(),
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1064,6 +1065,24 @@ def oracle_sql() -> dict[str, str]:
                        * (((v % 16) * 8 + 132) * (1 << ((v // 16) % 8))
                           - 132)))::BIGINT AS frame_sum
             FROM u ORDER BY doc_id
+        """,
+        # MJPEG-in-AVI real-decode oracle: frame j is a uniform-gray
+        # baseline JPEG at pixel value db[(5j) % 32]; uniform frames
+        # under all-ones quantization decode bit-exactly, so the
+        # stride-3 sample over 8 frames (j = 0, 3, 6) is recomputed
+        # from the digest directly
+        "video_mjpeg_frames": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFAVI1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 16::BIGINT AS width, 16::BIGINT AS height,
+                   8::BIGINT AS n_frames, 3::BIGINT AS n_sampled,
+                   list_sum(list_transform(range(3), j ->
+                       db[(5 * j * 3) % 32 + 1]))::BIGINT AS frame_sum
+            FROM b ORDER BY doc_id
         """,
         # sketch-family oracles: expected values precomputed by an
         # INDEPENDENT pure-Python re-derivation of the pinned specs

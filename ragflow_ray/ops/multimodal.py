@@ -469,3 +469,79 @@ def audio_g711_frames(sf_dir: str, stride: int = 63, concurrency=None):
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
+
+
+def avi_payloads(sf_dir: str, n_frames: int = 8, width: int = 16,
+                 height: int = 16, fps: int = 10):
+    """One REAL MJPEG-in-AVI container per document: frame ``j`` is a
+    uniform-gray baseline JPEG whose pixel value is
+    ``db[(5·j) % 32]`` over the sha256('RFAVI1:'+text) digest bytes —
+    uniform frames under all-ones quantization decode bit-exactly, so
+    the SQL oracle recomputes the decoded content from the digest."""
+    import ray.data as rd
+
+    from ..parsers.avidec import encode_avi_mjpeg, encode_jpeg_gray_uniform
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for t in batch["text"]:
+            db = _digest_bytes(t, b"RFAVI1:")
+            frames = [encode_jpeg_gray_uniform(db[(5 * j) % 32],
+                                               width, height)
+                      for j in range(n_frames)]
+            payloads.append(encode_avi_mjpeg(frames, width, height, fps))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+class VideoFrameSampleStage:
+    """Actor-pool video stage: parse the AVI container, decode every
+    ``stride``-th frame through the from-scratch JPEG decoder, emit
+    container metadata + the integer sum of sampled frame means.
+    Small ``batch_size`` is mandatory (wide binary rows, the
+    MediaFeatureStage discipline); real decoders make this the
+    canonical stateful-pool shape — codec state loads once per actor."""
+
+    def __init__(self, stride: int = 3):
+        self.stride = stride
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..parsers.avidec import decode_avi_gray_means
+
+        width, height, n_frames, n_sampled, frame_sum = [], [], [], [], []
+        for payload in batch["payload"]:
+            out = decode_avi_gray_means(bytes(payload), stride=self.stride)
+            width.append(out["width"])
+            height.append(out["height"])
+            n_frames.append(out["n_frames"])
+            n_sampled.append(len(out["frame_means"]))
+            frame_sum.append(sum(out["frame_means"]))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "width": pd.Series(width, dtype="int64"),
+            "height": pd.Series(height, dtype="int64"),
+            "n_frames": pd.Series(n_frames, dtype="int64"),
+            "n_sampled": pd.Series(n_sampled, dtype="int64"),
+            "frame_sum": pd.Series(frame_sum, dtype="int64"),
+        })
+
+
+def video_mjpeg_frames(sf_dir: str, stride: int = 3, concurrency=None):
+    """REAL video decode, oracle-checked end-to-end: synthesize an
+    MJPEG AVI per document, parse the RIFF container (idx1-driven
+    frame discovery with a sequential fallback), decode the sampled
+    frames through ``parsers/jpegdec``, and emit integer summaries
+    DuckDB recomputes from the same digest bytes — container walk,
+    entropy decode, and the sampling plan all pinned, not just the
+    Ray plumbing."""
+    out = avi_payloads(sf_dir).map_batches(
+        VideoFrameSampleStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"stride": stride},
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")
