@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ],
         "audio_g711_frames": lambda d: multimodal.audio_g711_frames(d).to_pandas(),
         "video_mjpeg_frames": lambda d: multimodal.video_mjpeg_frames(d).to_pandas(),
+        "image_bmp_pool": lambda d: multimodal.image_bmp_pool(d).to_pandas()[
+            ["doc_id", "out_h", "out_w", "resized_sum"]
+        ],
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1065,6 +1068,25 @@ def oracle_sql() -> dict[str, str]:
                        * (((v % 16) * 8 + 132) * (1 << ((v // 16) % 8))
                           - 132)))::BIGINT AS frame_sum
             FROM u ORDER BY doc_id
+        """,
+        # BMP real-decode oracle: same pixel derivation as the PNG
+        # one under the RFBMP1 prefix — uncompressed 24-bit DIB, so
+        # the 4x4 mean-pool is exactly the PNG expression
+        "image_bmp_pool": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFBMP1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 4::BIGINT AS out_h, 4::BIGINT AS out_w,
+                   list_sum(list_transform(range(48), k ->
+                       (db[((k//12)*48 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                       ) // 4))::BIGINT AS resized_sum
+            FROM b ORDER BY doc_id
         """,
         # MJPEG-in-AVI real-decode oracle: frame j is a uniform-gray
         # baseline JPEG at pixel value db[(5j) % 32]; uniform frames

@@ -75,8 +75,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             from ..parsers.gifdec import decode_gif
 
             return decode_gif(bytes(payload))
+        if bytes(payload[:2]) == b"BM":
+            from ..parsers.bmpdec import decode_bmp
+
+            return decode_bmp(bytes(payload))
         raise NotImplementedError(
-            "image codecs beyond JPEG/PNG/GIF unavailable in this environment")
+            "image codecs beyond JPEG/PNG/GIF/BMP unavailable in this "
+            "environment")
     digest = hashlib.sha256(payload).digest()
     arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return arr.reshape(8, 8, 3).copy()
@@ -542,6 +547,45 @@ def video_mjpeg_frames(sf_dir: str, stride: int = 3, concurrency=None):
     out = avi_payloads(sf_dir).map_batches(
         VideoFrameSampleStage, batch_format="pandas", batch_size=256,
         fn_constructor_kwargs={"stride": stride},
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")
+
+
+def bmp_payloads(sf_dir: str):
+    """One REAL 8x8 24-bit BMP per document, pixels =
+    sha256('RFBMP1:'+text) digest tiled to 192 bytes (the png_payloads
+    derivation under a different prefix, so the same SQL digest
+    expansion recomputes the pixels — BMP is uncompressed, equality
+    is exact)."""
+    import ray.data as rd
+
+    from ..parsers.bmpdec import encode_bmp_rgb24
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for t in batch["text"]:
+            d = _digest_bytes(t, b"RFBMP1:")
+            img = np.frombuffer((d * 6)[: 8 * 8 * 3],
+                                dtype=np.uint8).reshape(8, 8, 3)
+            payloads.append(encode_bmp_rgb24(img))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+def image_bmp_pool(sf_dir: str, concurrency=None):
+    """REAL BMP decode, oracle-checked: encode the bottom-up 24-bit
+    DIB → actor-pool ``decode_bmp`` (row flip, BGR swap, padding walk)
+    → 4×4 mean-pool → ``resized_sum`` DuckDB recomputes from the
+    digest bytes — the legacy-Office embedded-picture decode path."""
+    out = bmp_payloads(sf_dir).map_batches(
+        ImageResizeStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"fake_decode": False},
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
