@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ],
         "audio_g711_frames": lambda d: multimodal.audio_g711_frames(d).to_pandas(),
         "video_mjpeg_frames": lambda d: multimodal.video_mjpeg_frames(d).to_pandas(),
+        "audio_energy_zcr": lambda d: multimodal.audio_energy_zcr(d).to_pandas(),
         "image_bmp_pool": lambda d: multimodal.image_bmp_pool(d).to_pandas()[
             ["doc_id", "out_h", "out_w", "resized_sum"]
         ],
@@ -1068,6 +1069,40 @@ def oracle_sql() -> dict[str, str]:
                        * (((v % 16) * 8 + 132) * (1 << ((v // 16) % 8))
                           - 132)))::BIGINT AS frame_sum
             FROM u ORDER BY doc_id
+        """,
+        # windowed audio features over the real PCM16 decode: the
+        # xor-derived sample stream has period 1024 (not 32), so the
+        # eight 128-sample windows differ; energy, strict sign-flip
+        # ZCR (window-internal pairs only) and the max window energy
+        # are all integers on the PCM16 grid
+        "audio_energy_zcr": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFZCR1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       list_transform(range(1024), i ->
+                           (xor(db[i % 32 + 1], db[(i // 32) % 32 + 1])
+                            - 128) * 256) AS sm
+                FROM b),
+            e AS (
+                SELECT doc_id, sm,
+                       list_transform(range(8), j ->
+                           list_sum(list_transform(range(128), k ->
+                               sm[j*128 + k + 1] * sm[j*128 + k + 1])))
+                           AS we
+                FROM s)
+            SELECT doc_id, 8::BIGINT AS n_windows,
+                   list_sum(we)::BIGINT AS total_energy,
+                   list_sum(list_transform(range(1023), i ->
+                       CASE WHEN i % 128 <> 127
+                                 AND sm[i+1] * sm[i+2] < 0
+                            THEN 1 ELSE 0 END))::BIGINT AS total_zcr,
+                   list_max(we)::BIGINT AS max_window_energy
+            FROM e ORDER BY doc_id
         """,
         # BMP real-decode oracle: same pixel derivation as the PNG
         # one under the RFBMP1 prefix — uncompressed 24-bit DIB, so

@@ -589,3 +589,77 @@ def image_bmp_pool(sf_dir: str, concurrency=None):
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
+
+
+def zcr_payloads(sf_dir: str, n_samples: int = 1024):
+    """One REAL mono PCM16 RIFF/WAVE per document whose sample stream
+    has period ``n_samples`` (not 32): sample[i] =
+    ``(db[i % 32] XOR db[(i // 32) % 32] - 128) * 256`` over the
+    sha256('RFZCR1:'+text) digest — the plain ``i % 32`` derivation
+    would repeat every 32 samples and make every analysis window
+    identical, a degenerate oracle."""
+    from ..parsers.wavdec import encode_wav_pcm16
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        i = np.arange(n_samples)
+        payloads = []
+        for t in batch["text"]:
+            db = np.frombuffer(_digest_bytes(t, b"RFZCR1:"),
+                               dtype=np.uint8).astype(np.int32)
+            v = np.bitwise_xor(db[i % 32], db[(i // 32) % 32])
+            samples = ((v - 128) * 256).astype(np.int16)
+            payloads.append(encode_wav_pcm16(samples, sample_rate=16000))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+class AudioEnergyZcrStage:
+    """Actor-pool audio-analysis stage: decode → fixed windows →
+    per-window energy (Σ s², exact int64 on the PCM16 grid) and
+    zero-crossing count (strict sign flips between adjacent samples
+    within a window) — the speech/music discrimination features a
+    curation pipeline computes per clip, all integer so the oracle is
+    exact."""
+
+    def __init__(self, window: int = 128):
+        self.window = window
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        w = self.window
+        n_windows, tot_e, tot_z, max_e = [], [], [], []
+        for payload in batch["payload"]:
+            wave = decode_audio(bytes(payload), fake=False)
+            s = np.round(wave.astype(np.float64) * 32768.0).astype(np.int64)
+            nw = len(s) // w
+            win = s[: nw * w].reshape(nw, w)
+            energy = (win * win).sum(axis=1)
+            flips = ((win[:, :-1] * win[:, 1:]) < 0).sum(axis=1)
+            n_windows.append(nw)
+            tot_e.append(int(energy.sum()))
+            tot_z.append(int(flips.sum()))
+            max_e.append(int(energy.max()) if nw else 0)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_windows": pd.Series(n_windows, dtype="int64"),
+            "total_energy": pd.Series(tot_e, dtype="int64"),
+            "total_zcr": pd.Series(tot_z, dtype="int64"),
+            "max_window_energy": pd.Series(max_e, dtype="int64"),
+        })
+
+
+def audio_energy_zcr(sf_dir: str, window: int = 128, concurrency=None):
+    """REAL audio feature extraction, oracle-checked: PCM16 decode
+    through ``parsers/wavdec``, then windowed energy + zero-crossing
+    features whose integer values DuckDB recomputes from the digest
+    bytes — decode AND feature math pinned end-to-end."""
+    out = zcr_payloads(sf_dir).map_batches(
+        AudioEnergyZcrStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"window": window},
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")

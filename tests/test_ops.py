@@ -1975,3 +1975,41 @@ class TestTpchRemainingShapes:
         assert len(out) == 0
         out2 = idle_customer_balance(d, broadcast_limit=0)
         pd.testing.assert_frame_equal(out, out2)
+
+
+class TestAudioEnergyZcr:
+    """The windowed energy/ZCR feature math, pinned on hand-built
+    waveforms through the REAL encode→decode path."""
+
+    def _run(self, samples, window):
+        import pandas as pd
+
+        from ragflow_ray.ops.multimodal import AudioEnergyZcrStage
+        from ragflow_ray.parsers.wavdec import encode_wav_pcm16
+
+        import numpy as np
+        blob = encode_wav_pcm16(np.asarray(samples, dtype=np.int16),
+                                sample_rate=16000)
+        stage = AudioEnergyZcrStage(window=window)
+        out = stage(pd.DataFrame({"doc_id": [1], "payload": [blob]}))
+        return out.iloc[0]
+
+    def test_hand_computed_window(self):
+        # two windows of 4: [3, -3, 3, -3] and [0, 5, -5, 0]
+        r = self._run([3, -3, 3, -3, 0, 5, -5, 0], window=4)
+        assert r["n_windows"] == 2
+        assert r["total_energy"] == 4 * 9 + 2 * 25
+        # flips: w0 has 3 strict sign changes; w1 only 5*-5 (zeros
+        # never flip under the strict-product rule)
+        assert r["total_zcr"] == 3 + 1
+        assert r["max_window_energy"] == 50
+
+    def test_boundary_pair_not_counted(self):
+        # sign change exactly AT the window boundary must not count
+        r = self._run([1, 1, -1, -1], window=2)
+        assert r["total_zcr"] == 0
+
+    def test_trailing_partial_window_dropped(self):
+        r = self._run([2, 2, 2, 2, 9], window=2)
+        assert r["n_windows"] == 2
+        assert r["total_energy"] == 16  # the lone 9 never enters
