@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_bmp_pool": lambda d: multimodal.image_bmp_pool(d).to_pandas()[
             ["doc_id", "out_h", "out_w", "resized_sum"]
         ],
+        "image_tiff_pool": lambda d: multimodal.image_tiff_pool(d).to_pandas()[
+            ["doc_id", "out_h", "out_w", "resized_sum"]
+        ],
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1112,6 +1115,24 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_transform(range(32), i ->
                            CAST(('0x' || substr(sha256('RFBMP1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 4::BIGINT AS out_h, 4::BIGINT AS out_w,
+                   list_sum(list_transform(range(48), k ->
+                       (db[((k//12)*48 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                       ) // 4))::BIGINT AS resized_sum
+            FROM b ORDER BY doc_id
+        """,
+        # TIFF real-decode oracle: same derivation as PNG/BMP under
+        # the RFTIF1 prefix (uncompressed, exact)
+        "image_tiff_pool": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFTIF1:' || text),
                                                 i*2+1, 2)) AS BIGINT)) AS db
                 FROM documents)
             SELECT doc_id, 4::BIGINT AS out_h, 4::BIGINT AS out_w,

@@ -79,9 +79,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             from ..parsers.bmpdec import decode_bmp
 
             return decode_bmp(bytes(payload))
+        if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+            from ..parsers.tiffdec import decode_tiff
+
+            return decode_tiff(bytes(payload))
         raise NotImplementedError(
-            "image codecs beyond JPEG/PNG/GIF/BMP unavailable in this "
-            "environment")
+            "image codecs beyond JPEG/PNG/GIF/BMP/TIFF unavailable in "
+            "this environment")
     digest = hashlib.sha256(payload).digest()
     arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return arr.reshape(8, 8, 3).copy()
@@ -660,6 +664,41 @@ def audio_energy_zcr(sf_dir: str, window: int = 128, concurrency=None):
     out = zcr_payloads(sf_dir).map_batches(
         AudioEnergyZcrStage, batch_format="pandas", batch_size=256,
         fn_constructor_kwargs={"window": window},
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")
+
+
+def tiff_payloads(sf_dir: str):
+    """One REAL 8x8 RGB TIFF per document — the png_payloads pixel
+    derivation under the RFTIF1 prefix (uncompressed single strip, so
+    decode equality is exact and the SQL expansion is shared)."""
+    from ..parsers.tiffdec import encode_tiff_rgb8
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for t in batch["text"]:
+            d = _digest_bytes(t, b"RFTIF1:")
+            img = np.frombuffer((d * 6)[: 8 * 8 * 3],
+                                dtype=np.uint8).reshape(8, 8, 3)
+            payloads.append(encode_tiff_rgb8(img))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+def image_tiff_pool(sf_dir: str, concurrency=None):
+    """REAL TIFF decode, oracle-checked: single-strip RGB encode →
+    actor-pool ``decode_tiff`` (IFD walk, strip reassembly) → 4×4
+    mean-pool → ``resized_sum`` DuckDB recomputes from the digest —
+    the scanned-page-sidecar decode path."""
+    out = tiff_payloads(sf_dir).map_batches(
+        ImageResizeStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"fake_decode": False},
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
