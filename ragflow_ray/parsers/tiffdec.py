@@ -13,7 +13,13 @@ embeddings).  Implemented from the public TIFF 6.0 specification:
   8-bit), 3 (palette, 16-bit color map entries per the spec)
 * 1/4/8-bit grayscale and palette sample depths
 
-Out of scope (raised explicitly): LZW/CCITT/JPEG compression, tiles,
+* LZW compression (5) — the TIFF variant: MSB-first bit packing,
+  9-bit initial codes, EARLY code-width change (one code before the
+  table fills, unlike GIF), ClearCode 256 / EOI 257 — and the
+  horizontal-differencing predictor (tag 317, value 2) usually
+  paired with it
+
+Out of scope (raised explicitly): CCITT/JPEG compression, tiles,
 planar configuration 2, multi-IFD pages beyond the first.
 
 ``encode_tiff_rgb8`` writes a canonical single-strip uncompressed RGB
@@ -92,6 +98,62 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+def _unlzw(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW decompression for one strip (spec §13):
+    MSB-first code packing and the early code-width bump at table
+    sizes 510/1022/2046 (one before GIF, and one more for the
+    decoder's one-entry lag behind the encoder)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    i, n = 0, len(data)
+    while len(out) < expected:
+        while nbits < width:
+            if i >= n:
+                raise BadTiff("LZW strip ended before expected output")
+            acc = (acc << 8) | data[i]
+            nbits += 8
+            i += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise BadTiff("LZW code out of range")
+        out += entry
+        prev = entry
+        # early change: the decoder's table is one entry behind the
+        # encoder's, so it widens one entry earlier still — at table
+        # size 2^width - 2 (510/1022/2046), matching §13's convention
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise BadTiff("LZW strip shorter than declared")
+    return bytes(out[:expected])
+
+
 def _read_ifd(data: bytes, e: str):
     (ifd_off,) = struct.unpack(e + "I", data[4:8])
     if ifd_off + 2 > len(data):
@@ -153,8 +215,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
     counts = tags.get(279)
     if offsets is None or counts is None:
         raise BadTiff("missing strip offsets/counts")
-    if comp not in (1, 32773):
-        raise UnsupportedTiff(f"compression {comp} (only none/PackBits)")
+    if comp not in (1, 5, 32773):
+        raise UnsupportedTiff(
+            f"compression {comp} (only none/LZW/PackBits)")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise UnsupportedTiff(f"predictor {predictor}")
+    if predictor == 2 and (photo == 2 and any(b != 8 for b in bps[:3])
+                           or photo != 2 and bps[0] != 8):
+        raise UnsupportedTiff("predictor 2 requires 8-bit samples")
     if 322 in tags or 323 in tags:
         raise UnsupportedTiff("tiled TIFF")
     if one(284, 1) != 1:
@@ -184,6 +253,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise BadTiff("strip out of range")
         if comp == 32773:
             strip = _unpackbits(strip, row_bytes * nrows)
+        elif comp == 5:
+            strip = _unlzw(strip, row_bytes * nrows)
         elif len(strip) < row_bytes * nrows:
             raise BadTiff("strip shorter than its rows")
         raster += strip[: row_bytes * nrows]
@@ -191,6 +262,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if remaining > 0:
         raise BadTiff("strips cover fewer rows than ImageLength")
     raw = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, row_bytes)
+    if predictor == 2:
+        # horizontal differencing: cumulative sum per sample channel
+        nch = spp if photo == 2 else 1
+        px = raw[:, : w * nch].reshape(h, w, nch)
+        raw2 = np.cumsum(px.astype(np.int64), axis=1) % 256
+        raw = raw2.astype(np.uint8).reshape(h, w * nch)
+        row_bytes = w * nch
 
     if photo == 2:
         rgb = raw[:, : w * spp].reshape(h, w, spp)[:, :, :3]

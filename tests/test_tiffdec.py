@@ -150,11 +150,11 @@ class TestRejections:
         with pytest.raises(BadTiff):
             decode_tiff(b"PK\x03\x04....")
 
-    def test_lzw_unsupported(self):
+    def test_jpeg_compression_unsupported(self):
         g = np.zeros((2, 2), dtype=np.uint8)
         blob = _be_gray(g).replace(
             struct.pack(">HHI", 259, 3, 1) + struct.pack(">HH", 1, 0),
-            struct.pack(">HHI", 259, 3, 1) + struct.pack(">HH", 5, 0))
+            struct.pack(">HHI", 259, 3, 1) + struct.pack(">HH", 6, 0))
         with pytest.raises(UnsupportedTiff):
             decode_tiff(blob)
 
@@ -162,3 +162,120 @@ class TestRejections:
         g = np.zeros((4, 4), dtype=np.uint8)
         with pytest.raises(BadTiff):
             decode_tiff(_be_gray(g)[:20])
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (test-side): MSB-first packing,
+    early code-width change at next_code == 2^width - 1, table reset
+    at 4094 — the handshake the decoder must match exactly."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code, width = 258, 9
+    put(CLEAR, width)
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            put(CLEAR, width)
+            table = fresh()
+            next_code, width = 258, 9
+        cur = bytes([byte])
+    if cur:
+        put(table[cur], width)
+    put(EOI, width)
+    if nbits:
+        put(0, 8 - nbits)
+    return bytes(out)
+
+
+def _le_tiff(w, h, pix, comp=1, predictor=1, photo=2, spp=3):
+    def sv(v):
+        return struct.pack("<HH", v, 0)
+
+    def lv(v):
+        return struct.pack("<I", v)
+
+    bps_off = 8 + len(pix)
+    ifd_off = bps_off + 6
+    ents = [(256, 4, 1, lv(w)), (257, 4, 1, lv(h)),
+            (258, 3, 3, lv(bps_off)), (259, 3, 1, sv(comp)),
+            (262, 3, 1, sv(photo)), (273, 4, 1, lv(8)),
+            (277, 3, 1, sv(spp)), (278, 4, 1, lv(h)),
+            (279, 4, 1, lv(len(pix)))]
+    if predictor != 1:
+        ents.append((317, 3, 1, sv(predictor)))
+    ents.sort()
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off)) + pix
+    out += struct.pack("<HHH", 8, 8, 8)
+    out += struct.pack("<H", len(ents))
+    for tag, typ, cnt, val in ents:
+        out += struct.pack("<HHI", tag, typ, cnt) + val
+    out += struct.pack("<I", 0)
+    return bytes(out)
+
+
+class TestLzw:
+    def test_roundtrip_crosses_width_boundaries(self):
+        # enough distinct bigrams to push the table past 511 and 1023
+        rng = np.random.default_rng(7)
+        h, w = 40, 40
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        pix = _lzw_encode(img.tobytes())
+        out = decode_tiff(_le_tiff(w, h, pix, comp=5))
+        assert (out == img).all()
+
+    def test_repetitive_data_compresses_and_roundtrips(self):
+        img = np.tile(np.arange(8, dtype=np.uint8), (16, 6)).reshape(
+            16, 16, 3)
+        raw = img.tobytes()
+        pix = _lzw_encode(raw)
+        assert len(pix) < len(raw)
+        out = decode_tiff(_le_tiff(16, 16, pix, comp=5))
+        assert (out == img).all()
+
+    def test_lzw_with_horizontal_predictor(self):
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        diff = img.astype(np.int64).copy()
+        diff[:, 1:] = (img[:, 1:].astype(np.int64)
+                       - img[:, :-1].astype(np.int64)) % 256
+        pix = _lzw_encode(diff.astype(np.uint8).tobytes())
+        out = decode_tiff(_le_tiff(7, 5, pix, comp=5, predictor=2))
+        assert (out == img).all()
+
+    def test_predictor_on_uncompressed_gray(self):
+        g = np.array([[10, 5, 250, 3]], dtype=np.uint8)
+        # stored differences; cumsum mod 256 must recover the row
+        diff = np.array([[10, 251, 245, 9]], dtype=np.uint8)
+        out = decode_tiff(_le_tiff(4, 1, diff.tobytes(), comp=1,
+                                   predictor=2, photo=1, spp=1))
+        assert (out[0, :, 0] == g[0]).all()
+
+    def test_truncated_lzw_raises(self):
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        pix = _lzw_encode(img.tobytes())
+        with pytest.raises(BadTiff):
+            decode_tiff(_le_tiff(4, 4, pix[: len(pix) // 2], comp=5))
