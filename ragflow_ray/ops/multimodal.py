@@ -480,6 +480,9 @@ def audio_g711_frames(sf_dir: str, stride: int = 63, concurrency=None):
     return out.sort("doc_id")
 
 
+_UNIFORM_JPEG_MEMO: dict = {}
+
+
 def avi_payloads(sf_dir: str, n_frames: int = 8, width: int = 16,
                  height: int = 16, fps: int = 10):
     """One REAL MJPEG-in-AVI container per document: frame ``j`` is a
@@ -493,12 +496,21 @@ def avi_payloads(sf_dir: str, n_frames: int = 8, width: int = 16,
     from ..sources.readers import read_parquet_clean
 
     def build(batch: pd.DataFrame) -> pd.DataFrame:
+        # a uniform frame has only 256 possible pixel values: the
+        # worker-process memo turns the per-doc JPEG encodes into
+        # dict lookups (the repo's module-level-cache idiom)
+        memo = _UNIFORM_JPEG_MEMO.setdefault((width, height), {})
         payloads = []
         for t in batch["text"]:
             db = _digest_bytes(t, b"RFAVI1:")
-            frames = [encode_jpeg_gray_uniform(db[(5 * j) % 32],
-                                               width, height)
-                      for j in range(n_frames)]
+            frames = []
+            for j in range(n_frames):
+                v = db[(5 * j) % 32]
+                f = memo.get(v)
+                if f is None:
+                    f = memo[v] = encode_jpeg_gray_uniform(
+                        v, width, height)
+                frames.append(f)
             payloads.append(encode_avi_mjpeg(frames, width, height, fps))
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "payload": payloads})
