@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ],
         "audio_g711_frames": lambda d: multimodal.audio_g711_frames(d).to_pandas(),
         "video_mjpeg_frames": lambda d: multimodal.video_mjpeg_frames(d).to_pandas(),
+        "video_gif_frames": lambda d: multimodal.video_gif_frames(d).to_pandas(),
         "audio_energy_zcr": lambda d: multimodal.audio_energy_zcr(d).to_pandas(),
         "image_bmp_pool": lambda d: multimodal.image_bmp_pool(d).to_pandas()[
             ["doc_id", "out_h", "out_w", "resized_sum"]
@@ -1160,6 +1161,22 @@ def oracle_sql() -> dict[str, str]:
                    8::BIGINT AS n_frames, 3::BIGINT AS n_sampled,
                    list_sum(list_transform(range(3), j ->
                        db[(5 * j * 3) % 32 + 1]))::BIGINT AS frame_sum
+            FROM b ORDER BY doc_id
+        """,
+        # animated-GIF real-decode oracle: 6 full-canvas uniform
+        # frames at gray index db[(3j) % 32], GCE delay 10+j cs;
+        # stride-2 sample -> j in (0, 2, 4); total delay = sum(10+j)
+        "video_gif_frames": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFGIFA1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 6::BIGINT AS n_frames, 3::BIGINT AS n_sampled,
+                   list_sum(list_transform(range(3), j ->
+                       db[(3 * j * 2) % 32 + 1]))::BIGINT AS frame_sum,
+                   75::BIGINT AS delay_total_cs
             FROM b ORDER BY doc_id
         """,
         # sketch-family oracles: expected values precomputed by an

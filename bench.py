@@ -206,6 +206,8 @@ def run_bench() -> dict:
             d, concurrency=pool).count(),
         "video_mjpeg_frames": lambda d: multimodal.video_mjpeg_frames(
             d, concurrency=pool).count(),
+        "video_gif_frames": lambda d: multimodal.video_gif_frames(
+            d, concurrency=pool).count(),
         "image_bmp_pool": lambda d: multimodal.image_bmp_pool(
             d, concurrency=pool).count(),
         "audio_energy_zcr": lambda d: multimodal.audio_energy_zcr(

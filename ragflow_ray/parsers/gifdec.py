@@ -15,11 +15,13 @@ LSB-first with an image-defined minimum code size and 255-byte
 sub-block framing, PDF packs MSB-first with a fixed 8-bit alphabet
 and an early-change default.
 
-Scope (documented): first image frame of still or animated files,
-global and local color tables, interlace, transparency (composited
-over white, same convention as the PNG path), frames smaller than the
-logical screen composited onto a white canvas.  Animation beyond
-frame 1 is out of scope — later frames are ignored, not an error.
+Scope (documented): full frame walk of still AND animated files via
+``decode_gif_frames`` — GCE disposal methods 0–3, per-frame delays,
+the NETSCAPE loop count, global and local color tables, interlace,
+transparency (composited over the persistent canvas; the uncovered
+canvas is white, same convention as the PNG path), frames smaller
+than the logical screen composited in place.  ``decode_gif`` keeps
+its original first-frame contract for the still-image call sites.
 
 The LZW decode walks codes in Python (sequentially dependent by
 construction, bounded by the compressed byte count); everything after
@@ -127,6 +129,23 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes → HxWx3 uint8 RGB of the logical screen (first
     frame; transparency and uncovered canvas render white)."""
+    _meta, frames = decode_gif_frames(data, max_frames=1)
+    return frames[0]
+
+
+def decode_gif_frames(data: bytes, max_frames: int | None = None
+                      ) -> tuple[dict, list[np.ndarray]]:
+    """Full animated-GIF walk → ({"width", "height", "n_frames",
+    "delay_total_cs", "loop_count"}, composited RGB frames).
+
+    Each returned frame is the logical screen AS DISPLAYED at that
+    step: frames composite onto a persistent canvas (transparent
+    pixels show what is underneath), then the frame's disposal method
+    runs — 0/1 leave, 2 restore the background (white, the module's
+    canvas convention), 3 restore the pre-frame canvas.  Delays and
+    the NETSCAPE loop count come from the graphic-control /
+    application extensions; ``max_frames`` stops the walk early (the
+    still-image path decodes exactly one frame)."""
     data = bytes(data)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise BadGif("missing GIF signature")
@@ -148,6 +167,12 @@ def decode_gif(data: bytes) -> np.ndarray:
         pos += 3 * ngct
 
     transparent = -1
+    disposal = 0
+    delay_cs = 0
+    delay_total = 0
+    loop_count = -1
+    canvas = np.full((sh, sw, 3), 255, dtype=np.uint8)
+    frames: list[np.ndarray] = []
     n = len(data)
     while pos < n:
         b = data[pos]
@@ -159,8 +184,13 @@ def decode_gif(data: bytes) -> np.ndarray:
             label = data[pos + 1]
             payload, pos = _subblocks(data, pos + 2)
             if label == 0xF9 and len(payload) >= 4:  # graphic control
-                if payload[0] & 1:
-                    transparent = payload[3]
+                disposal = (payload[0] >> 2) & 7
+                delay_cs = payload[1] | (payload[2] << 8)
+                transparent = payload[3] if payload[0] & 1 else -1
+            elif (label == 0xFF and len(payload) >= 14
+                  and payload[:11] == b"NETSCAPE2.0"
+                  and payload[11] == 1):
+                loop_count = payload[12] | (payload[13] << 8)
             continue
         if b == 0x2C:  # image descriptor
             if pos + 10 > n:
@@ -198,31 +228,40 @@ def decode_gif(data: bytes) -> np.ndarray:
             if int(idx.max()) >= len(pal):
                 raise BadGif("palette index out of range")
             rgb = pal[idx].astype(np.uint8)
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[top:top + ih, left:left + iw]
             if transparent >= 0:
-                rgb = np.where((idx == transparent)[..., None],
-                               np.uint8(255), rgb)
-            if (left, top, iw, ih) == (0, 0, sw, sh):
-                return np.ascontiguousarray(rgb)
-            canvas = np.full((sh, sw, 3), 255, dtype=np.uint8)
-            canvas[top:top + ih, left:left + iw] = rgb
-            return canvas
+                keep = (idx == transparent)[..., None]
+                region[...] = np.where(keep, region, rgb)
+            else:
+                region[...] = rgb
+            frames.append(canvas.copy())
+            delay_total += delay_cs
+            if disposal == 2:
+                canvas[top:top + ih, left:left + iw] = 255
+            elif disposal == 3:
+                canvas = before
+            transparent, disposal, delay_cs = -1, 0, 0
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+            continue
         raise BadGif(f"unknown block 0x{b:02x}")
-    raise BadGif("no image data before trailer")
+    if not frames:
+        raise BadGif("no image data before trailer")
+    meta = {"width": sw, "height": sh, "n_frames": len(frames),
+            "delay_total_cs": delay_total, "loop_count": loop_count}
+    return meta, frames
 
 
-def encode_gif_gray(idx: np.ndarray) -> bytes:
-    """Minimal GIF writer for in-pipeline payload synthesis
-    (oracle-checked real-decode queries; the compressing multi-feature
-    encoder that exercises the decoder's subsets is test-side,
-    ``tests/gifenc.py``): 256-level gray global palette and
-    literal-code LZW — a clear code before every 254th literal keeps
-    the dictionary below the first width bump, the classic
-    "uncompressed GIF" construction."""
-    idx = np.asarray(idx, dtype=np.uint8)
+def _gray_image_block(idx: np.ndarray, delay_cs: int | None = None
+                      ) -> bytes:
+    """One image block (optional GCE with ``delay_cs``) in the
+    literal-code "uncompressed GIF" LZW construction."""
     h, w = idx.shape
-    out = bytearray(b"GIF89a")
-    out += bytes([w & 255, w >> 8, h & 255, h >> 8, 0x80 | 7, 0, 0])
-    out += bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray()
+    if delay_cs is not None:
+        out += bytes([0x21, 0xF9, 4, 0, delay_cs & 255,
+                      delay_cs >> 8, 0, 0])
     out += bytes([0x2C, 0, 0, 0, 0,
                   w & 255, w >> 8, h & 255, h >> 8, 0])
     out.append(8)  # LZW minimum code size → 9-bit literal codes
@@ -250,5 +289,44 @@ def encode_gif_gray(idx: np.ndarray) -> bytes:
         part = payload[i:i + 255]
         out.append(len(part))
         out += part
-    out += bytes([0, 0x3B])
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif_gray_animation(frames: list[np.ndarray],
+                              delays_cs: list[int]) -> bytes:
+    """Animated GIF over the 256-level gray palette: one full-canvas
+    image block per frame, each with a GCE carrying its delay (no
+    transparency, disposal 0) — the payload form of the oracled
+    animated-decode query."""
+    if not frames or len(frames) != len(delays_cs):
+        raise ValueError("frames/delays mismatch")
+    h, w = np.asarray(frames[0]).shape
+    out = bytearray(b"GIF89a")
+    out += bytes([w & 255, w >> 8, h & 255, h >> 8, 0x80 | 7, 0, 0])
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    for idx, d in zip(frames, delays_cs):
+        idx = np.asarray(idx, dtype=np.uint8)
+        if idx.shape != (h, w):
+            raise ValueError("all frames must fill the canvas")
+        out += _gray_image_block(idx, delay_cs=d)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def encode_gif_gray(idx: np.ndarray) -> bytes:
+    """Minimal GIF writer for in-pipeline payload synthesis
+    (oracle-checked real-decode queries; the compressing multi-feature
+    encoder that exercises the decoder's subsets is test-side,
+    ``tests/gifenc.py``): 256-level gray global palette and
+    literal-code LZW — a clear code before every 254th literal keeps
+    the dictionary below the first width bump, the classic
+    "uncompressed GIF" construction."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    out = bytearray(b"GIF89a")
+    out += bytes([w & 255, w >> 8, h & 255, h >> 8, 0x80 | 7, 0, 0])
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += _gray_image_block(idx)
+    out.append(0x3B)
     return bytes(out)

@@ -147,3 +147,98 @@ class TestDecodeImageIntegration:
         pal, idx = _pal(16, 24), _idx(9, 9, 16, 25)
         out = decode_image(encode_gif(idx, pal), fake=False)
         assert (out == pal[idx]).all()
+
+
+class TestAnimation:
+    """Full frame walk: disposal methods, delays, loop count."""
+
+    def _anim(self, vals=(5, 100, 200), delays=(10, 20, 30)):
+        import numpy as np
+
+        from ragflow_ray.parsers.gifdec import encode_gif_gray_animation
+
+        frames = [np.full((4, 4), v, dtype=np.uint8) for v in vals]
+        return encode_gif_gray_animation(frames, list(delays))
+
+    def test_all_frames_and_delays(self):
+        from ragflow_ray.parsers.gifdec import decode_gif_frames
+
+        meta, frames = decode_gif_frames(self._anim())
+        assert meta["n_frames"] == 3
+        assert meta["delay_total_cs"] == 60
+        assert [int(f[0, 0, 0]) for f in frames] == [5, 100, 200]
+
+    def test_decode_gif_still_returns_first_frame(self):
+        from ragflow_ray.parsers.gifdec import decode_gif
+
+        assert int(decode_gif(self._anim())[0, 0, 0]) == 5
+
+    def test_max_frames_stops_early(self):
+        from ragflow_ray.parsers.gifdec import decode_gif_frames
+
+        meta, frames = decode_gif_frames(self._anim(), max_frames=2)
+        assert meta["n_frames"] == 2
+
+    def test_disposal_2_restores_background(self):
+        """A small patch with disposal 2 shows in its own frame but
+        the next frame sees white underneath."""
+        import numpy as np
+
+        from ragflow_ray.parsers.gifdec import (_gray_image_block,
+                                                decode_gif_frames)
+
+        out = bytearray(b"GIF89a")
+        out += bytes([4, 0, 4, 0, 0x80 | 7, 0, 0])
+        out += bytes(v for i in range(256) for v in (i, i, i))
+        # frame 1: 2x2 patch at (1,1), value 9, disposal 2
+        out += bytes([0x21, 0xF9, 4, 2 << 2, 0, 0, 0, 0])
+        patch = bytes([0x2C, 1, 0, 1, 0, 2, 0, 2, 0, 0])
+        blk = _gray_image_block(np.full((2, 2), 9, dtype=np.uint8))
+        out += patch + blk[10:]  # reuse the LZW body, custom descriptor
+        # frame 2: transparent 1x1 at (0,0) (reveals the canvas state)
+        out += bytes([0x21, 0xF9, 4, 1, 0, 0, 7, 0])  # transp idx 7
+        tiny = bytes([0x2C, 0, 0, 0, 0, 1, 0, 1, 0, 0])
+        blk2 = _gray_image_block(np.full((1, 1), 7, dtype=np.uint8))
+        out += tiny + blk2[10:]
+        out.append(0x3B)
+        _, frames = decode_gif_frames(bytes(out))
+        assert int(frames[0][1, 1, 0]) == 9      # patch visible
+        assert int(frames[1][1, 1, 0]) == 255    # disposal 2 cleared
+        assert int(frames[1][0, 0, 0]) == 255    # transparent = canvas
+
+    def test_disposal_3_restores_previous(self):
+        import numpy as np
+
+        from ragflow_ray.parsers.gifdec import (_gray_image_block,
+                                                decode_gif_frames)
+
+        out = bytearray(b"GIF89a")
+        out += bytes([2, 0, 2, 0, 0x80 | 7, 0, 0])
+        out += bytes(v for i in range(256) for v in (i, i, i))
+        full = bytes([0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0])
+        # frame 1: full canvas value 50 (disposal 0 - persists)
+        out += full + _gray_image_block(
+            np.full((2, 2), 50, dtype=np.uint8))[10:]
+        # frame 2: full canvas value 99, disposal 3 (restore previous)
+        out += bytes([0x21, 0xF9, 4, 3 << 2, 0, 0, 0, 0])
+        out += full + _gray_image_block(
+            np.full((2, 2), 99, dtype=np.uint8))[10:]
+        # frame 3: transparent full canvas -> shows restored 50
+        out += bytes([0x21, 0xF9, 4, 1, 0, 0, 7, 0])
+        out += full + _gray_image_block(
+            np.full((2, 2), 7, dtype=np.uint8))[10:]
+        out.append(0x3B)
+        _, frames = decode_gif_frames(bytes(out))
+        assert int(frames[1][0, 0, 0]) == 99
+        assert int(frames[2][0, 0, 0]) == 50
+
+    def test_netscape_loop_count(self):
+        from ragflow_ray.parsers.gifdec import decode_gif_frames
+
+        blob = bytearray(self._anim())
+        ext = (bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+               + bytes([3, 1, 7, 0, 0]))
+        pos = 13 + 768  # after header + screen descriptor + GCT
+        blob[pos:pos] = ext
+        meta, _ = decode_gif_frames(bytes(blob))
+        assert meta["loop_count"] == 7
