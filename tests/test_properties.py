@@ -201,3 +201,76 @@ class TestLevenshteinKernel:
         want = duckdb.execute(
             "SELECT levenshtein(?, ?)", [s, t]).fetchone()[0]
         assert got == want
+
+
+class TestCodecRoundtripProperties:
+    """Property roundtrips for the session-7 codecs: any image/sample
+    content must survive encode → from-scratch decode bit-exactly
+    (all four containers are lossless in these forms)."""
+
+    @given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+    @settings(max_examples=25, deadline=None)
+    def test_bmp24_roundtrip(self, w, h, seed):
+        import numpy as np
+
+        from ragflow_ray.parsers.bmpdec import (decode_bmp,
+                                                encode_bmp_rgb24)
+
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp_rgb24(img)) == img).all()
+
+    @given(st.integers(1, 10), st.integers(1, 10), st.integers(0, 2**32 - 1))
+    @settings(max_examples=25, deadline=None)
+    def test_tiff_rgb_roundtrip(self, w, h, seed):
+        import numpy as np
+
+        from ragflow_ray.parsers.tiffdec import (decode_tiff,
+                                                 encode_tiff_rgb8)
+
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_tiff(encode_tiff_rgb8(img)) == img).all()
+
+    @given(st.binary(min_size=0, max_size=6000))
+    @settings(max_examples=25, deadline=None)
+    def test_tiff_lzw_roundtrip(self, raw):
+        from ragflow_ray.parsers.tiffdec import _unlzw
+        from tests.test_tiffdec import _lzw_encode
+
+        assert _unlzw(_lzw_encode(raw), len(raw)) == raw
+
+    @given(st.lists(st.integers(0, 255), min_size=1, max_size=6),
+           st.integers(1, 60))
+    @settings(max_examples=25, deadline=None)
+    def test_avi_mjpeg_roundtrip(self, vals, fps):
+        from ragflow_ray.parsers.avidec import (encode_avi_mjpeg,
+                                                encode_jpeg_gray_uniform,
+                                                parse_avi_mjpeg)
+
+        frames = [encode_jpeg_gray_uniform(v) for v in vals]
+        meta, got = parse_avi_mjpeg(
+            encode_avi_mjpeg(frames, 16, 16, fps=fps))
+        assert got == frames
+        assert meta["n_frames"] == len(vals)
+        assert meta["us_per_frame"] == 1_000_000 // fps
+
+    @given(st.lists(st.integers(0, 255), min_size=1, max_size=5),
+           st.integers(0, 2**32 - 1))
+    @settings(max_examples=25, deadline=None)
+    def test_gif_animation_roundtrip(self, vals, seed):
+        import numpy as np
+
+        from ragflow_ray.parsers.gifdec import (decode_gif_frames,
+                                                encode_gif_gray_animation)
+
+        rng = np.random.default_rng(seed)
+        frames = [rng.integers(0, 256, (4, 4), dtype=np.uint8)
+                  for _ in vals]
+        delays = [int(v) for v in vals]
+        meta, out = decode_gif_frames(
+            encode_gif_gray_animation(frames, delays))
+        assert meta["n_frames"] == len(frames)
+        assert meta["delay_total_cs"] == sum(delays)
+        for f, o in zip(frames, out):
+            assert (o[:, :, 0] == f).all()
