@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tiff_pool": lambda d: multimodal.image_tiff_pool(d).to_pandas()[
             ["doc_id", "out_h", "out_w", "resized_sum"]
         ],
+        "image_mixed_pool": lambda d: multimodal.image_mixed_pool(d).to_pandas()[
+            ["doc_id", "out_h", "out_w", "resized_sum"]
+        ],
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1143,6 +1146,41 @@ def oracle_sql() -> dict[str, str]:
                       + db[((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
                       + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
                        ) // 4))::BIGINT AS resized_sum
+            FROM b ORDER BY doc_id
+        """,
+        # polyglot decode oracle: doc_id %% 4 picks the container and
+        # with it the digest prefix; PNG/BMP/TIFF share the RGB pixel
+        # expansion, GIF uses the gray-palette one (x3 channels)
+        "image_mixed_pool": """
+            WITH p AS (
+                SELECT doc_id, text,
+                       CASE doc_id % 4
+                            WHEN 0 THEN 'RFPNG1:' WHEN 1 THEN 'RFGIF1:'
+                            WHEN 2 THEN 'RFBMP1:' ELSE 'RFTIF1:'
+                       END AS pref
+                FROM documents),
+            b AS (
+                SELECT doc_id, doc_id % 4 AS kind,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256(pref || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM p)
+            SELECT doc_id, 4::BIGINT AS out_h, 4::BIGINT AS out_w,
+                   (CASE WHEN kind = 1 THEN
+                       3 * list_sum(list_transform(range(16), k ->
+                           (db[((k//4)*16 + (k%4)*2)     % 32 + 1]
+                          + db[((k//4)*16 + (k%4)*2 + 1) % 32 + 1]
+                          + db[((k//4)*16 + (k%4)*2 + 8) % 32 + 1]
+                          + db[((k//4)*16 + (k%4)*2 + 9) % 32 + 1]
+                           ) // 4))
+                    ELSE
+                       list_sum(list_transform(range(48), k ->
+                       (db[((k//12)*48 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                       ) // 4))
+                    END)::BIGINT AS resized_sum
             FROM b ORDER BY doc_id
         """,
         # MJPEG-in-AVI real-decode oracle: frame j is a uniform-gray

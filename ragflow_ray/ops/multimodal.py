@@ -784,3 +784,61 @@ def video_gif_frames(sf_dir: str, stride: int = 2, concurrency=None):
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
+
+
+def mixed_image_payloads(sf_dir: str):
+    """A POLYGLOT image column: ``doc_id % 4`` picks the container —
+    PNG, GIF, BMP or TIFF — with each type's established digest
+    derivation, so one Dataset carries four real formats and the
+    decode stage must dispatch on magic bytes per row (the shape of a
+    scraped-web image column)."""
+    from ..parsers.bmpdec import encode_bmp_rgb24
+    from ..parsers.gifdec import encode_gif_gray
+    from ..parsers.pngdec import encode_png_rgb
+    from ..parsers.tiffdec import encode_tiff_rgb8
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for doc_id, t in zip(batch["doc_id"], batch["text"]):
+            kind = int(doc_id) % 4
+            if kind == 0:
+                d = _digest_bytes(t, b"RFPNG1:")
+                img = np.frombuffer((d * 6)[: 192],
+                                    dtype=np.uint8).reshape(8, 8, 3)
+                payloads.append(encode_png_rgb(img))
+            elif kind == 1:
+                d = _digest_bytes(t, b"RFGIF1:")
+                idx = np.frombuffer((d * 2)[:64],
+                                    dtype=np.uint8).reshape(8, 8)
+                payloads.append(encode_gif_gray(idx))
+            elif kind == 2:
+                d = _digest_bytes(t, b"RFBMP1:")
+                img = np.frombuffer((d * 6)[: 192],
+                                    dtype=np.uint8).reshape(8, 8, 3)
+                payloads.append(encode_bmp_rgb24(img))
+            else:
+                d = _digest_bytes(t, b"RFTIF1:")
+                img = np.frombuffer((d * 6)[: 192],
+                                    dtype=np.uint8).reshape(8, 8, 3)
+                payloads.append(encode_tiff_rgb8(img))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+def image_mixed_pool(sf_dir: str, concurrency=None):
+    """REAL polyglot decode, oracle-checked: four container formats in
+    ONE column, the actor pool dispatching on magic bytes row by row
+    (``decode_image``'s production shape); the SQL oracle recomputes
+    each row's pooled pixels from the digest prefix its container type
+    selects."""
+    out = mixed_image_payloads(sf_dir).map_batches(
+        ImageResizeStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"fake_decode": False},
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")
