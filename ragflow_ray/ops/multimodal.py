@@ -193,24 +193,42 @@ class ImageResizeStage:
 
     Same batch-sizing discipline as :class:`MediaFeatureStage`; with a
     real codec the ``decode_image(fake=False)`` path drops in without
-    touching the Ray plumbing."""
+    touching the Ray plumbing.
 
-    def __init__(self, out_h: int = 4, out_w: int = 4, fake_decode: bool = True):
+    ``errors`` is the per-row fault policy (the ExtractStage
+    discipline applied to media): ``"raise"`` (default — the oracled
+    queries run over synthesized payloads that are valid by
+    construction, so a failure there is a bug worth aborting on) or
+    ``"skip"`` — a corrupt payload drops its row and bumps the
+    stage's ``n_decode_errors`` counter instead of killing a
+    100-TB job."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 4,
+                 fake_decode: bool = True, errors: str = "raise"):
         self.out_h, self.out_w = out_h, out_w
         self.fake_decode = fake_decode
+        self.errors = errors
+        self.n_decode_errors = 0
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sums, digests = [], []
-        for payload in batch["payload"]:
-            img = decode_image(bytes(payload), fake=self.fake_decode)
-            small = resize_image(img, self.out_h, self.out_w)
+        ids, sums, digests = [], [], []
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            try:
+                img = decode_image(bytes(payload), fake=self.fake_decode)
+                small = resize_image(img, self.out_h, self.out_w)
+            except Exception:
+                if self.errors != "skip":
+                    raise
+                self.n_decode_errors += 1
+                continue
+            ids.append(doc_id)
             sums.append(int(small.sum()))
             digests.append(hashlib.md5(small.tobytes()).hexdigest())
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"],
-                "out_h": pd.Series([self.out_h] * len(batch), dtype="int64"),
-                "out_w": pd.Series([self.out_w] * len(batch), dtype="int64"),
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "out_h": pd.Series([self.out_h] * len(ids), dtype="int64"),
+                "out_w": pd.Series([self.out_w] * len(ids), dtype="int64"),
                 "resized_sum": pd.Series(sums, dtype="int64"),
                 "resized_md5": digests,
             }

@@ -2013,3 +2013,39 @@ class TestAudioEnergyZcr:
         r = self._run([2, 2, 2, 2, 9], window=2)
         assert r["n_windows"] == 2
         assert r["total_energy"] == 16  # the lone 9 never enters
+
+
+class TestMediaFaultIsolation:
+    """errors='skip' turns a corrupt payload into a dropped row + a
+    counter, never an aborted dataset (the ExtractStage per-document
+    discipline applied to the media stages)."""
+
+    def test_resize_stage_skips_bad_payloads(self):
+        import numpy as np
+        import pandas as pd
+
+        from ragflow_ray.ops.multimodal import ImageResizeStage
+        from ragflow_ray.parsers.bmpdec import encode_bmp_rgb24
+
+        good = encode_bmp_rgb24(
+            np.full((8, 8, 3), 10, dtype=np.uint8))
+        batch = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "payload": [good, b"BMgarbage-not-a-dib", good,
+                        b"\x89PNG\r\n\x1a\n truncated"]})
+        stage = ImageResizeStage(fake_decode=False, errors="skip")
+        out = stage(batch)
+        assert list(out["doc_id"]) == [1, 3]
+        assert stage.n_decode_errors == 2
+        assert (out["resized_sum"] == 10 * 3 * 16).all()
+
+    def test_default_policy_still_raises(self):
+        import pandas as pd
+        import pytest
+
+        from ragflow_ray.ops.multimodal import ImageResizeStage
+
+        stage = ImageResizeStage(fake_decode=False)
+        with pytest.raises(Exception):
+            stage(pd.DataFrame({"doc_id": [1],
+                                "payload": [b"BMgarbage"]}))
