@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_mixed_pool": lambda d: multimodal.image_mixed_pool(d).to_pandas()[
             ["doc_id", "out_h", "out_w", "resized_sum"]
         ],
+        "image_ico_pool": lambda d: multimodal.image_ico_pool(d).to_pandas(),
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1137,6 +1138,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_transform(range(32), i ->
                            CAST(('0x' || substr(sha256('RFTIF1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 4::BIGINT AS out_h, 4::BIGINT AS out_w,
+                   list_sum(list_transform(range(48), k ->
+                       (db[((k//12)*48 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                       ) // 4))::BIGINT AS resized_sum
+            FROM b ORDER BY doc_id
+        """,
+        # favicon oracle: the ICO wraps a PNG or legacy DIB entry
+        # (doc_id parity) around the SAME 8x8 RFICO1 image, so one
+        # digest expansion covers both container forms
+        "image_ico_pool": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFICO1:' || text),
                                                 i*2+1, 2)) AS BIGINT)) AS db
                 FROM documents)
             SELECT doc_id, 4::BIGINT AS out_h, 4::BIGINT AS out_w,

@@ -860,3 +860,68 @@ def image_mixed_pool(sf_dir: str, concurrency=None):
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
+
+
+def ico_payloads(sf_dir: str):
+    """One REAL favicon per document: ``doc_id % 2`` picks a PNG-entry
+    (modern) or DIB-entry (legacy, doubled-height header + AND mask)
+    ICO, each wrapping the 8×8 image from the RFICO1 digest
+    derivation — both entry forms are lossless, one derivation serves
+    both in SQL."""
+    from ..parsers.bmpdec import encode_bmp_rgb24
+    from ..parsers.icodec import encode_ico
+    from ..parsers.pngdec import encode_png_rgb
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for doc_id, t in zip(batch["doc_id"], batch["text"]):
+            d = _digest_bytes(t, b"RFICO1:")
+            img = np.frombuffer((d * 6)[:192],
+                                dtype=np.uint8).reshape(8, 8, 3)
+            inner = (encode_png_rgb(img) if int(doc_id) % 2 == 0
+                     else encode_bmp_rgb24(img))
+            payloads.append(encode_ico([inner]))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+class IcoPoolStage:
+    """Actor-pool favicon stage: ICO directory walk → inner PNG/DIB
+    decode → mean-pool summary (the ImageResizeStage shape with the
+    container unwrap in front)."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 4):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..parsers.icodec import decode_ico
+
+        sums = []
+        for payload in batch["payload"]:
+            img = decode_ico(bytes(payload))
+            small = resize_image(img, self.out_h, self.out_w)
+            sums.append(int(small.sum()))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "out_h": pd.Series([self.out_h] * len(batch), dtype="int64"),
+            "out_w": pd.Series([self.out_w] * len(batch), dtype="int64"),
+            "resized_sum": pd.Series(sums, dtype="int64"),
+        })
+
+
+def image_ico_pool(sf_dir: str, concurrency=None):
+    """REAL favicon decode, oracle-checked: the ICO directory walk
+    selects the entry, the inner PNG or legacy DIB (doubled-height
+    header, AND mask) decodes through the existing from-scratch
+    codecs, and DuckDB recomputes the pooled pixels from the shared
+    digest derivation — both entry forms land on the same oracle."""
+    out = ico_payloads(sf_dir).map_batches(
+        IcoPoolStage, batch_format="pandas", batch_size=256,
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")
