@@ -2049,3 +2049,34 @@ class TestMediaFaultIsolation:
         with pytest.raises(Exception):
             stage(pd.DataFrame({"doc_id": [1],
                                 "payload": [b"BMgarbage"]}))
+
+
+class TestDecodeImageDispatch:
+    """decode_image routes on magic bytes across all five container
+    families and stays loud for unknown ones."""
+
+    def test_all_magics_route(self):
+        import numpy as np
+
+        from ragflow_ray.ops.multimodal import decode_image
+        from ragflow_ray.parsers.bmpdec import encode_bmp_rgb24
+        from ragflow_ray.parsers.gifdec import encode_gif_gray
+        from ragflow_ray.parsers.pngdec import encode_png_rgb
+        from ragflow_ray.parsers.tiffdec import encode_tiff_rgb8
+
+        rgb = np.random.default_rng(11).integers(
+            0, 256, (8, 8, 3), dtype=np.uint8)
+        gray = np.random.default_rng(12).integers(
+            0, 256, (8, 8), dtype=np.uint8)
+        assert (decode_image(encode_png_rgb(rgb)) == rgb).all()
+        assert (decode_image(encode_bmp_rgb24(rgb)) == rgb).all()
+        assert (decode_image(encode_tiff_rgb8(rgb)) == rgb).all()
+        assert (decode_image(encode_gif_gray(gray))[:, :, 0] == gray).all()
+
+    def test_unknown_magic_raises(self):
+        import pytest
+
+        from ragflow_ray.ops.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"RIFFxxxxWEBPVP8 ")
