@@ -156,6 +156,10 @@ def decode_gif_frames(data: bytes, max_frames: int | None = None
     flags = data[10]
     if sw == 0 or sh == 0:
         raise BadGif("zero screen dimension")
+    if sw * sh > 1 << 26:
+        # untrusted input: a 64-megapixel logical screen is outside
+        # this corpus's world; refuse before the canvas allocation
+        raise BadGif(f"implausible logical screen {sw}x{sh}")
     pos = 13
     gct = None
     if flags & 0x80:

@@ -34,12 +34,14 @@ import struct
 import numpy as np
 
 
-class UnsupportedJpeg(ValueError):
-    """Well-formed JPEG outside the baseline subset."""
-
-
 class BadJpeg(ValueError):
     """Malformed / truncated JPEG data."""
+
+
+class UnsupportedJpeg(BadJpeg):
+    """Well-formed JPEG outside the implemented subset (callers that
+    catch :class:`BadJpeg` cover both — one typed failure mode for
+    untrusted input)."""
 
 
 _ZIGZAG = np.array([
@@ -180,7 +182,20 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     """Decode ``data`` to an H×W×3 uint8 RGB array (grayscale images
     replicate their single channel).  Handles sequential (SOF0/1) and
     progressive (SOF2) Huffman streams; the name predates the
-    progressive support and is kept for its call sites."""
+    progressive support and is kept for its call sites.
+
+    Untrusted-input contract: every failure surfaces as
+    :class:`BadJpeg` — a corrupt stream must never leak a bare
+    ``struct.error`` / ``IndexError`` into a 100-TB job."""
+    try:
+        return _decode_jpeg(data)
+    except BadJpeg:
+        raise
+    except (struct.error, IndexError, ValueError) as ex:
+        raise BadJpeg(f"corrupt stream: {ex}") from ex
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise BadJpeg("missing SOI")
     qt: dict[int, np.ndarray] = {}

@@ -155,6 +155,8 @@ def _unlzw(data: bytes, expected: int) -> bytes:
 
 
 def _read_ifd(data: bytes, e: str):
+    if len(data) < 8:
+        raise BadTiff("truncated header")
     (ifd_off,) = struct.unpack(e + "I", data[4:8])
     if ifd_off + 2 > len(data):
         raise BadTiff("IFD offset out of range")
@@ -174,8 +176,12 @@ def _read_ifd(data: bytes, e: str):
             if len(raw) < size:
                 raise BadTiff(f"tag {tag} value out of range")
         if typ == 3:
+            if len(raw) < 2 * cnt:
+                raise BadTiff(f"tag {tag} SHORT array truncated")
             vals = struct.unpack(e + "H" * cnt, raw)
         elif typ == 4:
+            if len(raw) < 4 * cnt:
+                raise BadTiff(f"tag {tag} LONG array truncated")
             vals = struct.unpack(e + "I" * cnt, raw)
         elif typ == 1:
             vals = tuple(raw)
