@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "out_h", "out_w", "resized_sum"]
         ],
         "image_ico_pool": lambda d: multimodal.image_ico_pool(d).to_pandas(),
+        "tiff_multipage_pool": lambda d: multimodal.tiff_multipage_pool(d).to_pandas(),
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1147,6 +1148,26 @@ def oracle_sql() -> dict[str, str]:
                       + db[((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
                       + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
                        ) // 4))::BIGINT AS resized_sum
+            FROM b ORDER BY doc_id
+        """,
+        # multi-page TIFF oracle: page p uses the digest rotated by
+        # p bytes — db[(i+p) % 32] — through the shared 4x4 pooling
+        # expansion, summed over the 3 pages
+        "tiff_multipage_pool": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFTIFP1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 3::BIGINT AS n_pages,
+                   list_sum(list_transform(range(3), p ->
+                       list_sum(list_transform(range(48), k ->
+                       (db[(((k//12)*48 + ((k%12)//3)*6 + (k%3)) + p) % 32 + 1]
+                      + db[(((k//12)*48 + ((k%12)//3)*6 + 3 + (k%3)) + p) % 32 + 1]
+                      + db[(((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) + p) % 32 + 1]
+                      + db[(((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) + p) % 32 + 1]
+                       ) // 4))))::BIGINT AS pooled_sum
             FROM b ORDER BY doc_id
         """,
         # favicon oracle: the ICO wraps a PNG or legacy DIB entry

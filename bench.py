@@ -218,6 +218,8 @@ def run_bench() -> dict:
             d, concurrency=pool).count(),
         "image_ico_pool": lambda d: multimodal.image_ico_pool(
             d, concurrency=pool).count(),
+        "tiff_multipage_pool": lambda d: multimodal.tiff_multipage_pool(
+            d, concurrency=pool).count(),
         "kmeans_clusters": lambda d: cluster.kmeans_clusters(
             d, concurrency=pool),
         "semdedup": lambda d: cluster.semdedup(d, concurrency=pool),

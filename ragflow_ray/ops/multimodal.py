@@ -925,3 +925,65 @@ def image_ico_pool(sf_dir: str, concurrency=None):
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
+
+
+def tiff_pages_payloads(sf_dir: str, n_pages: int = 3):
+    """One REAL multi-page TIFF per document (the scanned-document
+    IFD chain): page ``p`` is the 8×8 RGB image whose pixels are the
+    sha256('RFTIFP1:'+text) digest ROTATED by ``p`` bytes, tiled to
+    192 — a one-line SQL shift of the shared expansion."""
+    from ..parsers.tiffdec import encode_tiff_rgb8_pages
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for t in batch["text"]:
+            d = _digest_bytes(t, b"RFTIFP1:")
+            pages = []
+            for p in range(n_pages):
+                rot = d[p:] + d[:p]
+                pages.append(np.frombuffer((rot * 6)[:192],
+                                           dtype=np.uint8).reshape(8, 8, 3))
+            payloads.append(encode_tiff_rgb8_pages(pages))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+class TiffPagesStage:
+    """Actor-pool multi-page stage: walk the IFD chain, mean-pool
+    every page, emit per-document page count + summed pooled sums."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 4):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..parsers.tiffdec import decode_tiff_pages
+
+        n_pages, pooled = [], []
+        for payload in batch["payload"]:
+            pages = decode_tiff_pages(bytes(payload))
+            n_pages.append(len(pages))
+            pooled.append(sum(
+                int(resize_image(pg, self.out_h, self.out_w).sum())
+                for pg in pages))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_pages": pd.Series(n_pages, dtype="int64"),
+            "pooled_sum": pd.Series(pooled, dtype="int64"),
+        })
+
+
+def tiff_multipage_pool(sf_dir: str, concurrency=None):
+    """REAL multi-page TIFF decode, oracle-checked: the IFD-chain walk
+    (next-IFD pointers, per-page strip reassembly) runs in the actor
+    pool and DuckDB recomputes every page's pooled pixels from the
+    rotated digest — the scanned-document ingestion shape."""
+    out = tiff_pages_payloads(sf_dir).map_batches(
+        TiffPagesStage, batch_format="pandas", batch_size=256,
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")

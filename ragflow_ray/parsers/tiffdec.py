@@ -77,6 +77,42 @@ def encode_tiff_rgb8(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_tiff_rgb8_pages(imgs: list[np.ndarray]) -> bytes:
+    """Multi-page variant: one uncompressed RGB IFD per image, chained
+    through the next-IFD pointers (the scanned-document layout)."""
+    if not imgs:
+        raise ValueError("no pages")
+    blobs = []
+    for img in imgs:
+        h, w, c = img.shape
+        if c != 3:
+            raise ValueError("encode_tiff_rgb8_pages wants H x W x 3")
+        blobs.append((w, h, img.tobytes()))
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    ifd_offsets = []
+    for w, h, pix in blobs:
+        pix_off = len(out)
+        out += pix
+        bps_off = len(out)
+        out += struct.pack("<HHH", 8, 8, 8)
+        ifd_offsets.append(len(out))
+        entries = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 3, bps_off),
+            (259, 3, 1, 1), (262, 3, 1, 2), (273, 4, 1, pix_off),
+            (277, 3, 1, 3), (278, 4, 1, h), (279, 4, 1, len(pix)),
+        ]
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+        out += struct.pack("<I", 0)  # patched below for non-last pages
+    struct.pack_into("<I", out, 4, ifd_offsets[0])
+    for k in range(len(ifd_offsets) - 1):
+        # the next-IFD pointer sits after this IFD's 9 entries
+        patch = ifd_offsets[k] + 2 + 12 * 9
+        struct.pack_into("<I", out, patch, ifd_offsets[k + 1])
+    return bytes(out)
+
+
 def _unpackbits(data: bytes, expected: int) -> bytes:
     """PackBits (Apple RLE) decompression for one strip."""
     out = bytearray()
@@ -158,6 +194,12 @@ def _read_ifd(data: bytes, e: str):
     if len(data) < 8:
         raise BadTiff("truncated header")
     (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    tags, _next = _read_ifd_at(data, e, ifd_off)
+    return tags
+
+
+def _read_ifd_at(data: bytes, e: str, ifd_off: int):
+    """IFD at ``ifd_off`` → (tags, next-IFD offset or 0)."""
     if ifd_off + 2 > len(data):
         raise BadTiff("IFD offset out of range")
     (n_entries,) = struct.unpack(e + "H", data[ifd_off:ifd_off + 2])
@@ -188,18 +230,46 @@ def _read_ifd(data: bytes, e: str):
         else:
             vals = raw
         tags[tag] = vals
-    return tags
+    tail = ifd_off + 2 + 12 * n_entries
+    if tail + 4 > len(data):
+        raise BadTiff("truncated next-IFD pointer")
+    (nxt,) = struct.unpack(e + "I", data[tail:tail + 4])
+    return tags, nxt
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
     """First IFD of a baseline TIFF → H×W×3 uint8 RGB."""
+    return decode_tiff_pages(data, max_pages=1)[0]
+
+
+def decode_tiff_pages(data: bytes, max_pages: int | None = None
+                      ) -> list[np.ndarray]:
+    """Walk the IFD chain — the multi-page scanned-document form —
+    decoding each page to H×W×3 RGB.  A cycle in the chain (seen in
+    corrupt files) terminates the walk rather than looping."""
     if data[:2] == b"II" and data[2:4] == b"*\x00":
         e = "<"
     elif data[:2] == b"MM" and data[2:4] == b"\x00*":
         e = ">"
     else:
         raise BadTiff("not a TIFF (bad byte-order header)")
-    tags = _read_ifd(data, e)
+    if len(data) < 8:
+        raise BadTiff("truncated header")
+    (off,) = struct.unpack(e + "I", data[4:8])
+    pages = []
+    seen = set()
+    while off and off not in seen:
+        seen.add(off)
+        tags, off = _read_ifd_at(data, e, off)
+        pages.append(_decode_ifd(data, e, tags))
+        if max_pages is not None and len(pages) >= max_pages:
+            break
+    if not pages:
+        raise BadTiff("empty IFD chain")
+    return pages
+
+
+def _decode_ifd(data: bytes, e: str, tags: dict) -> np.ndarray:
 
     def one(tag, default=None):
         v = tags.get(tag)

@@ -279,3 +279,39 @@ class TestLzw:
         pix = _lzw_encode(img.tobytes())
         with pytest.raises(BadTiff):
             decode_tiff(_le_tiff(4, 4, pix[: len(pix) // 2], comp=5))
+
+
+class TestMultiPage:
+    def test_ifd_chain_roundtrip(self):
+        from ragflow_ray.parsers.tiffdec import (decode_tiff,
+                                                 decode_tiff_pages,
+                                                 encode_tiff_rgb8_pages)
+
+        rng = np.random.default_rng(5)
+        imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                for h, w in ((8, 8), (4, 6), (3, 3))]
+        blob = encode_tiff_rgb8_pages(imgs)
+        pages = decode_tiff_pages(blob)
+        assert len(pages) == 3
+        for a, b in zip(imgs, pages):
+            assert (a == b).all()
+        # first-IFD contract unchanged, early stop honored
+        assert (decode_tiff(blob) == imgs[0]).all()
+        assert len(decode_tiff_pages(blob, max_pages=2)) == 2
+
+    def test_cyclic_chain_terminates(self):
+        from ragflow_ray.parsers.tiffdec import (decode_tiff_pages,
+                                                 encode_tiff_rgb8_pages)
+
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        blob = bytearray(encode_tiff_rgb8_pages([img, img]))
+        # point page 2's next-IFD back at page 1's IFD
+        (first,) = struct.unpack("<I", blob[4:8])
+        second = first + 2 + 12 * 9 + 4 + len(img.tobytes()) + 6
+        patch = second + 2 + 12 * 9
+        struct.pack_into("<I", blob, patch, first)
+        # the patch must have landed on page 2's (formerly 0) pointer
+        assert struct.unpack("<I", blob[patch:patch + 4]) == (first,)
+        assert struct.unpack("<H", blob[second:second + 2]) == (9,)
+        pages = decode_tiff_pages(bytes(blob))
+        assert len(pages) == 2  # the cycle stops the walk
