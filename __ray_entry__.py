@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ],
         "image_ico_pool": lambda d: multimodal.image_ico_pool(d).to_pandas(),
         "tiff_multipage_pool": lambda d: multimodal.tiff_multipage_pool(d).to_pandas(),
+        "image_pnm_pool": lambda d: multimodal.image_pnm_pool(d).to_pandas()[
+            ["doc_id", "out_h", "out_w", "resized_sum"]
+        ],
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1168,6 +1171,23 @@ def oracle_sql() -> dict[str, str]:
                       + db[(((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) + p) % 32 + 1]
                       + db[(((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) + p) % 32 + 1]
                        ) // 4))))::BIGINT AS pooled_sum
+            FROM b ORDER BY doc_id
+        """,
+        # Netpbm P6 oracle: the shared RGB expansion, RFPNM1 prefix
+        "image_pnm_pool": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFPNM1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 4::BIGINT AS out_h, 4::BIGINT AS out_w,
+                   list_sum(list_transform(range(48), k ->
+                       (db[((k//12)*48 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                       ) // 4))::BIGINT AS resized_sum
             FROM b ORDER BY doc_id
         """,
         # favicon oracle: the ICO wraps a PNG or legacy DIB entry

@@ -220,6 +220,8 @@ def run_bench() -> dict:
             d, concurrency=pool).count(),
         "tiff_multipage_pool": lambda d: multimodal.tiff_multipage_pool(
             d, concurrency=pool).count(),
+        "image_pnm_pool": lambda d: multimodal.image_pnm_pool(
+            d, concurrency=pool).count(),
         "kmeans_clusters": lambda d: cluster.kmeans_clusters(
             d, concurrency=pool),
         "semdedup": lambda d: cluster.semdedup(d, concurrency=pool),

@@ -83,6 +83,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             from ..parsers.tiffdec import decode_tiff
 
             return decode_tiff(bytes(payload))
+        if bytes(payload[:2]) in (b"P4", b"P5", b"P6"):
+            from ..parsers.pnmdec import decode_pnm
+
+            return decode_pnm(bytes(payload))
         raise NotImplementedError(
             "image codecs beyond JPEG/PNG/GIF/BMP/TIFF unavailable in "
             "this environment")
@@ -734,6 +738,9 @@ def image_tiff_pool(sf_dir: str, concurrency=None):
     return out.sort("doc_id")
 
 
+_UNIFORM_GIF_MEMO: dict = {}
+
+
 def gif_anim_payloads(sf_dir: str, n_frames: int = 6, size: int = 8):
     """One REAL animated GIF per document: frame ``j`` is the full
     ``size``×``size`` canvas filled with gray index
@@ -744,14 +751,31 @@ def gif_anim_payloads(sf_dir: str, n_frames: int = 6, size: int = 8):
     from ..sources.readers import read_parquet_clean
 
     def build(batch: pd.DataFrame) -> pd.DataFrame:
+        # uniform frames have 256 possible values: memoize the encoded
+        # image block per (value, size) in the worker process (the
+        # avi_payloads discipline) and only assemble the container
+        from ..parsers.gifdec import _gray_image_block
+
+        memo = _UNIFORM_GIF_MEMO.setdefault(size, {})
+        header = (b"GIF89a"
+                  + bytes([size & 255, size >> 8, size & 255,
+                           size >> 8, 0x80 | 7, 0, 0])
+                  + bytes(v for i in range(256) for v in (i, i, i)))
         payloads = []
         for t in batch["text"]:
             db = _digest_bytes(t, b"RFGIFA1:")
-            frames = [np.full((size, size), db[(3 * j) % 32],
-                              dtype=np.uint8)
-                      for j in range(n_frames)]
-            payloads.append(encode_gif_gray_animation(
-                frames, [10 + j for j in range(n_frames)]))
+            out = bytearray(header)
+            for j in range(n_frames):
+                v = db[(3 * j) % 32]
+                blk = memo.get(v)
+                if blk is None:
+                    blk = memo[v] = _gray_image_block(
+                        np.full((size, size), v, dtype=np.uint8))
+                d = 10 + j
+                out += bytes([0x21, 0xF9, 4, 0, d & 255, d >> 8, 0, 0])
+                out += blk
+            out.append(0x3B)
+            payloads.append(bytes(out))
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "payload": payloads})
 
@@ -984,6 +1008,39 @@ def tiff_multipage_pool(sf_dir: str, concurrency=None):
     rotated digest — the scanned-document ingestion shape."""
     out = tiff_pages_payloads(sf_dir).map_batches(
         TiffPagesStage, batch_format="pandas", batch_size=256,
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")
+
+
+def pnm_payloads(sf_dir: str):
+    """One REAL P6 PPM per document — the shared 8×8 RGB digest
+    derivation under the RFPNM1 prefix (raw raster, trivially
+    lossless)."""
+    from ..parsers.pnmdec import encode_ppm_rgb8
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for t in batch["text"]:
+            d = _digest_bytes(t, b"RFPNM1:")
+            img = np.frombuffer((d * 6)[:192],
+                                dtype=np.uint8).reshape(8, 8, 3)
+            payloads.append(encode_ppm_rgb8(img))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+def image_pnm_pool(sf_dir: str, concurrency=None):
+    """REAL Netpbm decode, oracle-checked — the scanner-pipeline
+    interchange format through the same pool/oracle shape."""
+    out = pnm_payloads(sf_dir).map_batches(
+        ImageResizeStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"fake_decode": False},
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")

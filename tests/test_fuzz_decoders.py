@@ -12,7 +12,8 @@ import random
 import pytest
 
 from ragflow_ray.parsers import (avidec, bmpdec, gifdec, icodec,
-                                 jpegdec, pngdec, tiffdec, wavdec)
+                                 jpegdec, pngdec, pnmdec, tiffdec,
+                                 wavdec)
 
 _CASES = [
     ("bmp", b"BM", bmpdec.decode_bmp, (bmpdec.BadBmp,)),
@@ -29,6 +30,7 @@ _CASES = [
      (wavdec.BadWav, wavdec.UnsupportedWav)),
     ("jpeg", b"\xff\xd8", jpegdec.decode_baseline_jpeg,
      (jpegdec.BadJpeg,)),
+    ("pnm", b"P6 ", pnmdec.decode_pnm, (pnmdec.BadPnm,)),
 ]
 
 
@@ -67,6 +69,7 @@ def test_truncations_of_valid_payloads_fail_typed(name, magic, fn, ok):
         "png": pngdec.encode_png_rgb(img),
         "wav": wavdec.encode_wav_pcm16(samples, sample_rate=8000),
         "jpeg": avidec.encode_jpeg_gray_uniform(7),
+        "pnm": pnmdec.encode_ppm_rgb8(img),
     }[name]
     if valid is None:
         pytest.skip("no big-endian encoder; the LE case covers it")
