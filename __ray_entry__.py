@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_pnm_pool": lambda d: multimodal.image_pnm_pool(d).to_pandas()[
             ["doc_id", "out_h", "out_w", "resized_sum"]
         ],
+        "mixed_phash_dedup": lambda d: multimodal.mixed_phash_dedup(d),
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1172,6 +1173,41 @@ def oracle_sql() -> dict[str, str]:
                       + db[(((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) + p) % 32 + 1]
                        ) // 4))))::BIGINT AS pooled_sum
             FROM b ORDER BY doc_id
+        """,
+        # polyglot phash-BUCKETING oracle: the 1x1 pool at 4-bit
+        # precision per channel, rebuilt from the digest each
+        # container type selects; pixel (y,x,c) of the RGB kinds is
+        # db[(y*24 + x*3 + c) % 32], the GIF gray pixel (y,x) is
+        # db[(y*8 + x) % 32] replicated across channels
+        "mixed_phash_dedup": """
+            WITH p AS (
+                SELECT doc_id, text,
+                       CASE doc_id % 4
+                            WHEN 0 THEN 'RFPNG1:' WHEN 1 THEN 'RFGIF1:'
+                            WHEN 2 THEN 'RFBMP1:' ELSE 'RFTIF1:'
+                       END AS pref
+                FROM documents),
+            b AS (
+                SELECT doc_id, doc_id % 4 AS kind,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256(pref || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM p),
+            k AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(range(3), c ->
+                           CASE WHEN kind = 1 THEN
+                               (list_sum(list_transform(range(64), j ->
+                                   db[j % 32 + 1])) // 64) // 16
+                           ELSE
+                               (list_sum(list_transform(range(64), j ->
+                                   db[((j//8)*24 + (j%8)*3 + c) % 32
+                                      + 1])) // 64) // 16
+                           END), ',') AS phash
+                FROM b)
+            SELECT MIN(doc_id)::BIGINT AS keeper_doc_id,
+                   COUNT(*)::BIGINT AS n_members
+            FROM k GROUP BY phash ORDER BY keeper_doc_id
         """,
         # Netpbm P6 oracle: the shared RGB expansion, RFPNM1 prefix
         "image_pnm_pool": """

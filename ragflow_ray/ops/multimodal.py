@@ -304,16 +304,22 @@ class ImagePHashStage:
     / slightly-edited copies collapse to one thumbnail); with the fake
     decoder it exercises the identical plan."""
 
-    def __init__(self, out_h: int = 4, out_w: int = 4, fake_decode: bool = True):
+    def __init__(self, out_h: int = 4, out_w: int = 4,
+                 fake_decode: bool = True, quant_shift: int = 0):
         self.out_h, self.out_w = out_h, out_w
         self.fake_decode = fake_decode
+        # perceptual coarseness: each pooled cell drops its low
+        # ``quant_shift`` bits, so near-identical images land in one
+        # bucket (shift 0 = the exact-thumbnail key)
+        self.quant_shift = quant_shift
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         keys = []
         for payload in batch["payload"]:
             img = decode_image(bytes(payload), fake=self.fake_decode)
             small = resize_image(img, self.out_h, self.out_w)
-            keys.append(",".join(str(int(v)) for v in small.flatten()))
+            vals = small.flatten() >> self.quant_shift
+            keys.append(",".join(str(int(v)) for v in vals))
         return pd.DataFrame({"doc_id": batch["doc_id"], "phash": keys})
 
 
@@ -1044,3 +1050,36 @@ def image_pnm_pool(sf_dir: str, concurrency=None):
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
+
+
+def mixed_phash_dedup(sf_dir: str, concurrency=None):
+    """Perceptual-key dedup OVER THE POLYGLOT COLUMN: the four-format
+    payload stream (PNG/GIF/BMP/TIFF by doc_id) runs the phash actor
+    pool — per-row magic dispatch, decode, 4×4 mean-pool key — and
+    ONE groupby with C-level Min/Count aggregates clusters identical
+    thumbnails; only keys shuffle, payloads never move after the
+    feature stage.  Oracled exactly: DuckDB rebuilds each row's key
+    string from the digest expansion its container type selects and
+    groups the same way — the full decode+dedup composition pinned,
+    across codecs, in one query."""
+    from ray.data.aggregate import Count, Min
+
+    keys = mixed_image_payloads(sf_dir).map_batches(
+        ImagePHashStage, batch_format="pandas", batch_size=256,
+        # 1x1 pool at 4-bit precision: the perceptual-BUCKETING end of
+        # the phash spectrum (media_phash_dedup keeps the exact
+        # 4x4 end) — real clusters form on this corpus
+        fn_constructor_kwargs={"fake_decode": False, "out_h": 1,
+                               "out_w": 1, "quant_shift": 4},
+        concurrency=concurrency or 2,
+    )
+    df = (
+        keys.groupby("phash")
+        .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
+                   Count(alias_name="n_members"))
+        .to_pandas()
+        .sort_values("keeper_doc_id").reset_index(drop=True)
+    )
+    for c in ("keeper_doc_id", "n_members"):
+        df[c] = df[c].astype("int64")
+    return df[["keeper_doc_id", "n_members"]]
