@@ -760,13 +760,11 @@ def gif_anim_payloads(sf_dir: str, n_frames: int = 6, size: int = 8):
         # uniform frames have 256 possible values: memoize the encoded
         # image block per (value, size) in the worker process (the
         # avi_payloads discipline) and only assemble the container
-        from ..parsers.gifdec import _gray_image_block
+        from ..parsers.gifdec import (_gray_image_block, gce_bytes,
+                                      gif_gray_header)
 
         memo = _UNIFORM_GIF_MEMO.setdefault(size, {})
-        header = (b"GIF89a"
-                  + bytes([size & 255, size >> 8, size & 255,
-                           size >> 8, 0x80 | 7, 0, 0])
-                  + bytes(v for i in range(256) for v in (i, i, i)))
+        header = gif_gray_header(size, size)
         payloads = []
         for t in batch["text"]:
             db = _digest_bytes(t, b"RFGIFA1:")
@@ -777,8 +775,7 @@ def gif_anim_payloads(sf_dir: str, n_frames: int = 6, size: int = 8):
                 if blk is None:
                     blk = memo[v] = _gray_image_block(
                         np.full((size, size), v, dtype=np.uint8))
-                d = 10 + j
-                out += bytes([0x21, 0xF9, 4, 0, d & 255, d >> 8, 0, 0])
+                out += gce_bytes(10 + j)
                 out += blk
             out.append(0x3B)
             payloads.append(bytes(out))

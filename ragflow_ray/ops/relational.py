@@ -23,6 +23,15 @@ def _cents(series: pd.Series, scale: int = 100) -> pd.Series:
     return np.floor(series * scale + 0.5).astype("int64")
 
 
+def _member(sorted_keys: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``v`` in a sorted int64 key array —
+    the broadcast-dimension lookup every filter-join here uses."""
+    pos = np.searchsorted(sorted_keys, v)
+    hit = pos < len(sorted_keys)
+    hit[hit] = sorted_keys[pos[hit]] == v[hit]
+    return hit
+
+
 def pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary over lineitem (shipped on/before
     1998-09-02), partial-aggregated per batch before the tiny final
@@ -4218,12 +4227,6 @@ def min_cost_supplier(sf_dir: str, region: str = "ASIA",
     min_schema = pa.schema([("p_partkey", pa.int64()),
                             ("packed", pa.int64())])
 
-    def _member(sorted_keys: np.ndarray, v: np.ndarray) -> np.ndarray:
-        pos = np.searchsorted(sorted_keys, v)
-        hit = pos < len(sorted_keys)
-        hit[hit] = sorted_keys[pos[hit]] == v[hit]
-        return hit
-
     def partial(b: pd.DataFrame) -> pa.Table:
         sk, pk = ray.get(skeys_ref), ray.get(pkeys_ref)
         lp = b["l_partkey"].to_numpy(np.int64)
@@ -4316,10 +4319,7 @@ def part_value_share(sf_dir: str, nation: str = "NATION_3",
 
     def partial(b: pd.DataFrame) -> pa.Table:
         sk = ray.get(skeys_ref)
-        ls = b["l_suppkey"].to_numpy(np.int64)
-        pos = np.searchsorted(sk, ls)
-        keep = pos < len(sk)
-        keep[keep] = sk[pos[keep]] == ls[keep]
+        keep = _member(sk, b["l_suppkey"].to_numpy(np.int64))
         if not keep.any():
             return val_schema.empty_table()
         price_c2 = np.floor(
@@ -4452,12 +4452,10 @@ def delay_bucket_priority(sf_dir: str, date_lo: str = "1996-01-01",
         def l_partial(b: pd.DataFrame) -> pa.Table:
             ok, od, oc = ray.get(refs)
             lk = b["l_orderkey"].to_numpy(np.int64)
-            pos = np.searchsorted(ok, lk)
-            hit = pos < len(ok)
-            hit[hit] = ok[pos[hit]] == lk[hit]
+            hit = _member(ok, lk)
             if not hit.any():
                 return cnt_schema.empty_table()
-            pos = pos[hit]
+            pos = np.searchsorted(ok, lk)[hit]
             ship = b["l_shipdate"].astype("int64").to_numpy()[hit]
             return _bucket_counts(ship - od[pos], oc[pos])
 
@@ -4560,13 +4558,7 @@ def supplier_count_by_part(sf_dir: str, min_acctbal: float = 600.0,
         sk, pk = ray.get(refs)
         lp = b["l_partkey"].to_numpy(np.int64)
         ls = b["l_suppkey"].to_numpy(np.int64)
-        pos = np.searchsorted(pk, lp)
-        keep = pos < len(pk)
-        keep[keep] = pk[pos[keep]] == lp[keep]
-        pos = np.searchsorted(sk, ls)
-        hit = pos < len(sk)
-        hit[hit] = sk[pos[hit]] == ls[hit]
-        keep &= hit
+        keep = _member(pk, lp) & _member(sk, ls)
         d = (pd.DataFrame({"p_partkey": lp[keep],
                            "s_suppkey": ls[keep]})
              .drop_duplicates())
@@ -4919,9 +4911,7 @@ def idle_customer_balance(sf_dir: str,
     def _idle_partial(b: pd.DataFrame, active_keys: np.ndarray
                       ) -> pa.Table:
         ck = b["c_custkey"].to_numpy(np.int64)
-        pos = np.searchsorted(active_keys, ck)
-        hit = pos < len(active_keys)
-        hit[hit] = active_keys[pos[hit]] == ck[hit]
+        hit = _member(active_keys, ck)
         c2 = _cents(b["c_acctbal"]).to_numpy()
         keep = (b["c_mktsegment"].isin(segset).to_numpy()
                 & ~hit & (c2 * n_pos > sum_c2))

@@ -240,7 +240,7 @@ def parse_avi_mjpeg(data: bytes) -> tuple[dict, list[bytes]]:
             # movi-relative (common) or absolute (also seen in the wild)
             for base in (movi_pos - 4 + coff, coff):
                 hdr = data[base:base + 8]
-                if (hdr[:4] == b"00dc"
+                if (len(hdr) == 8 and hdr[:4] == b"00dc"
                         and struct.unpack("<I", hdr[4:8])[0] == csize
                         and base + 8 + csize <= end):
                     frames.append(data[base + 8:base + 8 + csize])

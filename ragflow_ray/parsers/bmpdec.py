@@ -76,7 +76,7 @@ def _unrle(data: bytes, w: int, h: int, bits: int) -> np.ndarray:
                 pair = np.array([val >> 4, val & 15], dtype=np.uint8)
                 run = np.tile(pair, (cnt + 1) // 2)[:cnt]
             e = min(x + cnt, w)
-            if y < h:
+            if y < h and x < w:
                 out[y, x:e] = run[: e - x]
             x += cnt
             continue
@@ -106,7 +106,7 @@ def _unrle(data: bytes, w: int, h: int, bits: int) -> np.ndarray:
             if len(lit) < cnt:
                 raise BadBmp("truncated RLE literals")
             e = min(x + cnt, w)
-            if y < h:
+            if y < h and x < w:
                 out[y, x:e] = lit[: e - x]
             x += cnt
     return out[::-1]                          # raster is bottom-up
@@ -136,6 +136,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
     h = abs(h)
     if w <= 0 or h == 0 or w > 1 << 20 or h > 1 << 20:
         raise BadBmp(f"bad dimensions {w}x{h}")
+    if w * h > 1 << 26:
+        # untrusted input: refuse the area before ANY raster
+        # allocation (the RLE path allocates h x w up front)
+        raise BadBmp(f"implausible raster {w}x{h}")
 
     pal_pos = hdr_size
     n_pal = clr_used or (1 << bpp if bpp <= 8 else 0)

@@ -145,7 +145,10 @@ def decode_gif_frames(data: bytes, max_frames: int | None = None
     canvas convention), 3 restore the pre-frame canvas.  Delays and
     the NETSCAPE loop count come from the graphic-control /
     application extensions; ``max_frames`` stops the walk early (the
-    still-image path decodes exactly one frame)."""
+    still-image path decodes exactly one frame).  Untrusted-input
+    bounds: at most 4096 frames and 2^28 total returned pixels — a
+    tiny file declaring a large screen and thousands of 1×1 frames
+    must not accumulate hundreds of GB of canvas copies."""
     data = bytes(data)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise BadGif("missing GIF signature")
@@ -239,6 +242,9 @@ def decode_gif_frames(data: bytes, max_frames: int | None = None
                 region[...] = np.where(keep, region, rgb)
             else:
                 region[...] = rgb
+            if (len(frames) >= 4096
+                    or (len(frames) + 1) * sw * sh > 1 << 28):
+                raise BadGif("implausible animation size")
             frames.append(canvas.copy())
             delay_total += delay_cs
             if disposal == 2:
@@ -257,6 +263,22 @@ def decode_gif_frames(data: bytes, max_frames: int | None = None
     return meta, frames
 
 
+def gif_gray_header(w: int, h: int) -> bytes:
+    """GIF89a header + logical screen + 256-level gray global palette
+    — THE byte layout; every writer in the repo must come here."""
+    return (b"GIF89a"
+            + bytes([w & 255, w >> 8, h & 255, h >> 8, 0x80 | 7, 0, 0])
+            + bytes(v for i in range(256) for v in (i, i, i)))
+
+
+def gce_bytes(delay_cs: int, disposal: int = 0,
+              transparent: int | None = None) -> bytes:
+    """One graphic-control extension block."""
+    flags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+    return bytes([0x21, 0xF9, 4, flags, delay_cs & 255,
+                  delay_cs >> 8, transparent or 0, 0])
+
+
 def _gray_image_block(idx: np.ndarray, delay_cs: int | None = None
                       ) -> bytes:
     """One image block (optional GCE with ``delay_cs``) in the
@@ -264,8 +286,7 @@ def _gray_image_block(idx: np.ndarray, delay_cs: int | None = None
     h, w = idx.shape
     out = bytearray()
     if delay_cs is not None:
-        out += bytes([0x21, 0xF9, 4, 0, delay_cs & 255,
-                      delay_cs >> 8, 0, 0])
+        out += gce_bytes(delay_cs)
     out += bytes([0x2C, 0, 0, 0, 0,
                   w & 255, w >> 8, h & 255, h >> 8, 0])
     out.append(8)  # LZW minimum code size → 9-bit literal codes
@@ -306,9 +327,7 @@ def encode_gif_gray_animation(frames: list[np.ndarray],
     if not frames or len(frames) != len(delays_cs):
         raise ValueError("frames/delays mismatch")
     h, w = np.asarray(frames[0]).shape
-    out = bytearray(b"GIF89a")
-    out += bytes([w & 255, w >> 8, h & 255, h >> 8, 0x80 | 7, 0, 0])
-    out += bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(gif_gray_header(w, h))
     for idx, d in zip(frames, delays_cs):
         idx = np.asarray(idx, dtype=np.uint8)
         if idx.shape != (h, w):
@@ -328,9 +347,7 @@ def encode_gif_gray(idx: np.ndarray) -> bytes:
     "uncompressed GIF" construction."""
     idx = np.asarray(idx, dtype=np.uint8)
     h, w = idx.shape
-    out = bytearray(b"GIF89a")
-    out += bytes([w & 255, w >> 8, h & 255, h >> 8, 0x80 | 7, 0, 0])
-    out += bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(gif_gray_header(w, h))
     out += _gray_image_block(idx)
     out.append(0x3B)
     return bytes(out)

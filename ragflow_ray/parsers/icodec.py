@@ -79,9 +79,13 @@ def decode_ico(data: bytes) -> np.ndarray:
     payload = best[1]
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        from .pngdec import decode_png
+        from .pngdec import BadPng, decode_png
 
-        return decode_png(payload)
+        try:
+            return decode_png(payload)
+        except BadPng as ex:
+            # the per-decoder contract: ICO callers catch BadIco
+            raise BadIco(f"corrupt PNG entry: {ex}") from ex
 
     # DIB entry: header height covers XOR + AND; halve it and hand
     # the XOR part to the BMP decoder, then apply the AND mask
@@ -96,9 +100,12 @@ def decode_ico(data: bytes) -> np.ndarray:
         raise BadIco("bad DIB entry dimensions")
     dib = bytearray(payload)
     struct.pack_into("<i", dib, 8, h if h2 > 0 else -h)
-    from .bmpdec import decode_bmp
+    from .bmpdec import BadBmp, decode_bmp
 
-    rgb = decode_bmp(bytes(dib))
+    try:
+        rgb = decode_bmp(bytes(dib))
+    except BadBmp as ex:
+        raise BadIco(f"corrupt DIB entry: {ex}") from ex
 
     # AND mask: 1-bit rows (bottom-up like the XOR data), after the
     # pixel data; a set bit means transparent → white

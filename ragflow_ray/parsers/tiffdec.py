@@ -190,14 +190,6 @@ def _unlzw(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def _read_ifd(data: bytes, e: str):
-    if len(data) < 8:
-        raise BadTiff("truncated header")
-    (ifd_off,) = struct.unpack(e + "I", data[4:8])
-    tags, _next = _read_ifd_at(data, e, ifd_off)
-    return tags
-
-
 def _read_ifd_at(data: bytes, e: str, ifd_off: int):
     """IFD at ``ifd_off`` → (tags, next-IFD offset or 0)."""
     if ifd_off + 2 > len(data):
@@ -246,7 +238,10 @@ def decode_tiff_pages(data: bytes, max_pages: int | None = None
                       ) -> list[np.ndarray]:
     """Walk the IFD chain — the multi-page scanned-document form —
     decoding each page to H×W×3 RGB.  A cycle in the chain (seen in
-    corrupt files) terminates the walk rather than looping."""
+    corrupt files) terminates the walk rather than looping.
+    Untrusted-input bounds: at most 4096 pages and 2^28 total decoded
+    pixels — a tiny file chaining thousands of large-page IFDs over
+    shared strip data must not accumulate unbounded memory."""
     if data[:2] == b"II" and data[2:4] == b"*\x00":
         e = "<"
     elif data[:2] == b"MM" and data[2:4] == b"\x00*":
@@ -258,10 +253,15 @@ def decode_tiff_pages(data: bytes, max_pages: int | None = None
     (off,) = struct.unpack(e + "I", data[4:8])
     pages = []
     seen = set()
+    total_px = 0
     while off and off not in seen:
         seen.add(off)
         tags, off = _read_ifd_at(data, e, off)
-        pages.append(_decode_ifd(data, e, tags))
+        page = _decode_ifd(data, e, tags)
+        total_px += page.shape[0] * page.shape[1]
+        if len(pages) >= 4096 or total_px > 1 << 28:
+            raise BadTiff("implausible page chain")
+        pages.append(page)
         if max_pages is not None and len(pages) >= max_pages:
             break
     if not pages:
