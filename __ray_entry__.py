@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_pnm_pool": lambda d: multimodal.image_pnm_pool(d).to_pandas()[
             ["doc_id", "out_h", "out_w", "resized_sum"]
         ],
+        "image_tga_pool": lambda d: multimodal.image_tga_pool(d).to_pandas()[
+            ["doc_id", "out_h", "out_w", "resized_sum"]
+        ],
         "mixed_phash_dedup": lambda d: multimodal.mixed_phash_dedup(d),
         # --- relational / streaming-shaped ---
         "pricing_summary": relational.pricing_summary,
@@ -1208,6 +1211,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id)::BIGINT AS keeper_doc_id,
                    COUNT(*)::BIGINT AS n_members
             FROM k GROUP BY phash ORDER BY keeper_doc_id
+        """,
+        # TGA oracle: the shared RGB expansion, RFTGA1 prefix
+        "image_tga_pool": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFTGA1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents)
+            SELECT doc_id, 4::BIGINT AS out_h, 4::BIGINT AS out_w,
+                   list_sum(list_transform(range(48), k ->
+                       (db[((k//12)*48 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + (k%3)) % 32 + 1]
+                      + db[((k//12)*48 + 24 + ((k%12)//3)*6 + 3 + (k%3)) % 32 + 1]
+                       ) // 4))::BIGINT AS resized_sum
+            FROM b ORDER BY doc_id
         """,
         # Netpbm P6 oracle: the shared RGB expansion, RFPNM1 prefix
         "image_pnm_pool": """

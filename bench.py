@@ -222,6 +222,8 @@ def run_bench() -> dict:
             d, concurrency=pool).count(),
         "image_pnm_pool": lambda d: multimodal.image_pnm_pool(
             d, concurrency=pool).count(),
+        "image_tga_pool": lambda d: multimodal.image_tga_pool(
+            d, concurrency=pool).count(),
         "mixed_phash_dedup": lambda d: multimodal.mixed_phash_dedup(
             d, concurrency=pool),
         "kmeans_clusters": lambda d: cluster.kmeans_clusters(

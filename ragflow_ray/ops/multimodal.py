@@ -87,6 +87,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             from ..parsers.pnmdec import decode_pnm
 
             return decode_pnm(bytes(payload))
+        if len(payload) >= 18 and payload[1] in (0, 1) and (
+                payload[2] in (1, 2, 3, 9, 10, 11)):
+            # TGA has no magic; the header-shape check is the
+            # conventional sniff (id/cmap/type triple)
+            from ..parsers.tgadec import decode_tga
+
+            return decode_tga(bytes(payload))
         raise NotImplementedError(
             "image codecs beyond JPEG/PNG/GIF/BMP/TIFF unavailable in "
             "this environment")
@@ -1080,3 +1087,35 @@ def mixed_phash_dedup(sf_dir: str, concurrency=None):
     for c in ("keeper_doc_id", "n_members"):
         df[c] = df[c].astype("int64")
     return df[["keeper_doc_id", "n_members"]]
+
+
+def tga_payloads(sf_dir: str):
+    """One REAL type-2 TGA per document — the shared 8×8 RGB digest
+    derivation under the RFTGA1 prefix (uncompressed, lossless)."""
+    from ..parsers.tgadec import encode_tga_rgb24
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for t in batch["text"]:
+            d = _digest_bytes(t, b"RFTGA1:")
+            img = np.frombuffer((d * 6)[:192],
+                                dtype=np.uint8).reshape(8, 8, 3)
+            payloads.append(encode_tga_rgb24(img))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+def image_tga_pool(sf_dir: str, concurrency=None):
+    """REAL TGA decode, oracle-checked — header-shape sniff, BGR swap,
+    bottom-up flip through the shared pool/oracle shape."""
+    out = tga_payloads(sf_dir).map_batches(
+        ImageResizeStage, batch_format="pandas", batch_size=256,
+        fn_constructor_kwargs={"fake_decode": False},
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")

@@ -12,8 +12,8 @@ import random
 import pytest
 
 from ragflow_ray.parsers import (avidec, bmpdec, gifdec, icodec,
-                                 jpegdec, pngdec, pnmdec, tiffdec,
-                                 wavdec)
+                                 jpegdec, pngdec, pnmdec, tgadec,
+                                 tiffdec, wavdec)
 
 _CASES = [
     ("bmp", b"BM", bmpdec.decode_bmp, (bmpdec.BadBmp,)),
@@ -31,6 +31,7 @@ _CASES = [
     ("jpeg", b"\xff\xd8", jpegdec.decode_baseline_jpeg,
      (jpegdec.BadJpeg,)),
     ("pnm", b"P6 ", pnmdec.decode_pnm, (pnmdec.BadPnm,)),
+    ("tga", b"\x00\x00\x02", tgadec.decode_tga, (tgadec.BadTga,)),
 ]
 
 
@@ -70,6 +71,7 @@ def test_truncations_of_valid_payloads_fail_typed(name, magic, fn, ok):
         "wav": wavdec.encode_wav_pcm16(samples, sample_rate=8000),
         "jpeg": avidec.encode_jpeg_gray_uniform(7),
         "pnm": pnmdec.encode_ppm_rgb8(img),
+        "tga": tgadec.encode_tga_rgb24(img),
     }[name]
     if valid is None:
         pytest.skip("no big-endian encoder; the LE case covers it")
