@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_mjpeg_frames": lambda d: multimodal.video_mjpeg_frames(d).to_pandas(),
         "video_gif_frames": lambda d: multimodal.video_gif_frames(d).to_pandas(),
         "audio_energy_zcr": lambda d: multimodal.audio_energy_zcr(d).to_pandas(),
+        "audio_pitch_lags": lambda d: multimodal.audio_pitch_lags(d).to_pandas(),
         "image_bmp_pool": lambda d: multimodal.image_bmp_pool(d).to_pandas()[
             ["doc_id", "out_h", "out_w", "resized_sum"]
         ],
@@ -1119,6 +1120,41 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END))::BIGINT AS total_zcr,
                    list_max(we)::BIGINT AS max_window_energy
             FROM e ORDER BY doc_id
+        """,
+        # pitch-analysis oracle: per 256-sample window, the lag in
+        # [8, 32) maximizing the integer autocorrelation (ties ->
+        # smallest lag via list_position's first match), plus the
+        # summed peaks — all exact int64 on the PCM16 grid
+        "audio_pitch_lags": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(('0x' || substr(sha256('RFPIT1:' || text),
+                                                i*2+1, 2)) AS BIGINT)) AS db
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       list_transform(range(1024), i ->
+                           (xor(db[i % 32 + 1], db[(i // 32) % 32 + 1])
+                            - 128) * 256) AS sm
+                FROM b),
+            w AS (
+                SELECT doc_id,
+                       list_transform(range(4), wi ->
+                           list_transform(range(24), kk ->
+                               list_sum(list_transform(
+                                   range(256 - (kk + 8)), i ->
+                                   sm[wi*256 + i + 1]
+                                   * sm[wi*256 + i + kk + 8 + 1]))))
+                           AS rr
+                FROM s)
+            SELECT doc_id, 4::BIGINT AS n_windows,
+                   list_sum(list_transform(rr, r ->
+                       list_position(r, list_max(r)) + 7))::BIGINT
+                       AS best_lag_sum,
+                   list_sum(list_transform(rr, r ->
+                       list_max(r)))::BIGINT AS r_max_total
+            FROM w ORDER BY doc_id
         """,
         # BMP real-decode oracle: same pixel derivation as the PNG
         # one under the RFBMP1 prefix — uncompressed 24-bit DIB, so

@@ -212,6 +212,8 @@ def run_bench() -> dict:
             d, concurrency=pool).count(),
         "audio_energy_zcr": lambda d: multimodal.audio_energy_zcr(
             d, concurrency=pool).count(),
+        "audio_pitch_lags": lambda d: multimodal.audio_pitch_lags(
+            d, concurrency=pool).count(),
         "image_tiff_pool": lambda d: multimodal.image_tiff_pool(
             d, concurrency=pool).count(),
         "image_mixed_pool": lambda d: multimodal.image_mixed_pool(

@@ -1119,3 +1119,75 @@ def image_tga_pool(sf_dir: str, concurrency=None):
         concurrency=concurrency or 2,
     )
     return out.sort("doc_id")
+
+
+def pitch_payloads(sf_dir: str, n_samples: int = 1024):
+    """PCM16 payloads under the RFPIT1 prefix with the period-1024
+    xor derivation (the zcr_payloads construction — short-period
+    streams would make every analysis window's autocorrelation
+    identical)."""
+    from ..parsers.wavdec import encode_wav_pcm16
+    from ..sources.readers import read_parquet_clean
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        i = np.arange(n_samples)
+        payloads = []
+        for t in batch["text"]:
+            db = np.frombuffer(_digest_bytes(t, b"RFPIT1:"),
+                               dtype=np.uint8).astype(np.int32)
+            v = np.bitwise_xor(db[i % 32], db[(i // 32) % 32])
+            samples = ((v - 128) * 256).astype(np.int16)
+            payloads.append(encode_wav_pcm16(samples, sample_rate=16000))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "payload": payloads})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(build, batch_format="pandas")
+
+
+class AudioPitchStage:
+    """Actor-pool pitch-analysis stage: per fixed window, the lag in
+    [lag_lo, lag_hi) maximizing the raw autocorrelation
+    ``r(k) = Σ s_i · s_{i+k}`` (ties → smallest lag) — the classic
+    integer pitch detector, exact on the PCM16 grid so the oracle
+    recomputes both the winning lags and the peak values."""
+
+    def __init__(self, window: int = 256, lag_lo: int = 8,
+                 lag_hi: int = 32):
+        self.window, self.lag_lo, self.lag_hi = window, lag_lo, lag_hi
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        w, lo, hi = self.window, self.lag_lo, self.lag_hi
+        n_windows, lag_sum, r_max = [], [], []
+        for payload in batch["payload"]:
+            wave = decode_audio(bytes(payload), fake=False)
+            s = np.round(wave.astype(np.float64) * 32768.0).astype(np.int64)
+            nw = len(s) // w
+            win = s[: nw * w].reshape(nw, w)
+            rr = np.stack([
+                (win[:, : w - k] * win[:, k:]).sum(axis=1)
+                for k in range(lo, hi)
+            ], axis=1)                          # (nw, hi-lo)
+            best = rr.argmax(axis=1)            # first max = min lag
+            n_windows.append(nw)
+            lag_sum.append(int((best + lo).sum()))
+            r_max.append(int(rr.max(axis=1).sum()))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_windows": pd.Series(n_windows, dtype="int64"),
+            "best_lag_sum": pd.Series(lag_sum, dtype="int64"),
+            "r_max_total": pd.Series(r_max, dtype="int64"),
+        })
+
+
+def audio_pitch_lags(sf_dir: str, concurrency=None):
+    """REAL pitch analysis, oracle-checked: windowed integer
+    autocorrelation over the PCM16 decode, with the per-window argmax
+    lag (smallest-lag ties) and summed peak values recomputed by
+    DuckDB from the digest bytes."""
+    out = pitch_payloads(sf_dir).map_batches(
+        AudioPitchStage, batch_format="pandas", batch_size=256,
+        concurrency=concurrency or 2,
+    )
+    return out.sort("doc_id")

@@ -2080,3 +2080,46 @@ class TestDecodeImageDispatch:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"RIFFxxxxWEBPVP8 ")
+
+
+class TestAudioPitchLags:
+    """The windowed autocorrelation argmax, pinned on a hand-built
+    periodic waveform through the real encode→decode path."""
+
+    def test_planted_period_wins(self):
+        import numpy as np
+        import pandas as pd
+
+        from ragflow_ray.ops.multimodal import AudioPitchStage
+        from ragflow_ray.parsers.wavdec import encode_wav_pcm16
+
+        # strong period-12 square wave: lag 12 must maximize r(k)
+        i = np.arange(256)
+        s = np.where((i // 6) % 2 == 0, 9000, -9000).astype(np.int16)
+        blob = encode_wav_pcm16(s, sample_rate=16000)
+        stage = AudioPitchStage(window=256, lag_lo=8, lag_hi=32)
+        out = stage(pd.DataFrame({"doc_id": [1], "payload": [blob]}))
+        assert out.iloc[0]["n_windows"] == 1
+        assert out.iloc[0]["best_lag_sum"] == 12
+        # r(12) for a perfect +-A period-12 wave over the overlap
+        a = s.astype(np.int64)
+        assert out.iloc[0]["r_max_total"] == int(
+            (a[:-12] * a[12:]).sum())
+
+    def test_tie_breaks_to_smallest_lag(self):
+        import numpy as np
+        import pandas as pd
+
+        from ragflow_ray.ops.multimodal import AudioPitchStage
+        from ragflow_ray.parsers.wavdec import encode_wav_pcm16
+
+        # constant signal: every lag k has r(k) = A^2 * (256 - k),
+        # strictly decreasing in k -> smallest lag wins outright; the
+        # all-zero signal ties every lag at 0 -> argmax first = lag 8
+        z = np.zeros(256, dtype=np.int16)
+        stage = AudioPitchStage(window=256, lag_lo=8, lag_hi=32)
+        out = stage(pd.DataFrame({
+            "doc_id": [1],
+            "payload": [encode_wav_pcm16(z, sample_rate=16000)]}))
+        assert out.iloc[0]["best_lag_sum"] == 8
+        assert out.iloc[0]["r_max_total"] == 0
