@@ -368,25 +368,35 @@ def _digest_bytes(text: str, prefix: bytes) -> bytes:
     return hashlib.sha256(prefix + text.encode()).digest()
 
 
-def png_payloads(sf_dir: str):
-    """One REAL 8x8 RGB PNG per document, pixels = sha256('RFPNG1:'+text)
-    digest tiled to 192 bytes (the same derivation the fake image path
-    uses, so the existing SQL digest expansion recomputes the pixels)."""
-    import ray.data as rd
-
-    from ..parsers.pngdec import encode_png_rgb
+def _rgb_digest_payloads(sf_dir: str, prefix: bytes, encode):
+    """Shared builder for the single-image RGB codec oracles: the 8×8
+    image whose pixels are sha256(prefix+text) tiled to 192 bytes,
+    pushed through ``encode`` — one derivation, many containers, so
+    every such oracle shares the same SQL digest expansion."""
     from ..sources.readers import read_parquet_clean
 
     def build(batch: pd.DataFrame) -> pd.DataFrame:
         payloads = []
         for t in batch["text"]:
-            d = _digest_bytes(t, b"RFPNG1:")
-            img = np.frombuffer((d * 6)[: 8 * 8 * 3], dtype=np.uint8).reshape(8, 8, 3)
-            payloads.append(encode_png_rgb(img))
-        return pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
+            d = _digest_bytes(t, prefix)
+            img = np.frombuffer((d * 6)[:192],
+                                dtype=np.uint8).reshape(8, 8, 3)
+            payloads.append(encode(img))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "payload": payloads})
 
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
     return ds.map_batches(build, batch_format="pandas")
+
+
+def png_payloads(sf_dir: str):
+    """One REAL 8x8 RGB PNG per document, pixels = sha256('RFPNG1:'+text)
+    digest tiled to 192 bytes (the same derivation the fake image path
+    uses, so the existing SQL digest expansion recomputes the pixels)."""
+    from ..parsers.pngdec import encode_png_rgb
+
+    return _rgb_digest_payloads(sf_dir, b"RFPNG1:", encode_png_rgb)
 
 
 def image_png_pool(sf_dir: str, concurrency=None):
@@ -604,29 +614,11 @@ def video_mjpeg_frames(sf_dir: str, stride: int = 3, concurrency=None):
 
 
 def bmp_payloads(sf_dir: str):
-    """One REAL 8x8 24-bit BMP per document, pixels =
-    sha256('RFBMP1:'+text) digest tiled to 192 bytes (the png_payloads
-    derivation under a different prefix, so the same SQL digest
-    expansion recomputes the pixels — BMP is uncompressed, equality
-    is exact)."""
-    import ray.data as rd
-
+    """The shared RGB derivation under RFBMP1 through the BMP encoder
+    (uncompressed, exact — same SQL expansion as the PNG oracle)."""
     from ..parsers.bmpdec import encode_bmp_rgb24
-    from ..sources.readers import read_parquet_clean
 
-    def build(batch: pd.DataFrame) -> pd.DataFrame:
-        payloads = []
-        for t in batch["text"]:
-            d = _digest_bytes(t, b"RFBMP1:")
-            img = np.frombuffer((d * 6)[: 8 * 8 * 3],
-                                dtype=np.uint8).reshape(8, 8, 3)
-            payloads.append(encode_bmp_rgb24(img))
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "payload": payloads})
-
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"])
-    return ds.map_batches(build, batch_format="pandas")
+    return _rgb_digest_payloads(sf_dir, b"RFBMP1:", encode_bmp_rgb24)
 
 
 def image_bmp_pool(sf_dir: str, concurrency=None):
@@ -717,25 +709,11 @@ def audio_energy_zcr(sf_dir: str, window: int = 128, concurrency=None):
 
 
 def tiff_payloads(sf_dir: str):
-    """One REAL 8x8 RGB TIFF per document — the png_payloads pixel
-    derivation under the RFTIF1 prefix (uncompressed single strip, so
-    decode equality is exact and the SQL expansion is shared)."""
+    """The shared RGB derivation under RFTIF1 through the single-strip
+    TIFF encoder (uncompressed, exact)."""
     from ..parsers.tiffdec import encode_tiff_rgb8
-    from ..sources.readers import read_parquet_clean
 
-    def build(batch: pd.DataFrame) -> pd.DataFrame:
-        payloads = []
-        for t in batch["text"]:
-            d = _digest_bytes(t, b"RFTIF1:")
-            img = np.frombuffer((d * 6)[: 8 * 8 * 3],
-                                dtype=np.uint8).reshape(8, 8, 3)
-            payloads.append(encode_tiff_rgb8(img))
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "payload": payloads})
-
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"])
-    return ds.map_batches(build, batch_format="pandas")
+    return _rgb_digest_payloads(sf_dir, b"RFTIF1:", encode_tiff_rgb8)
 
 
 def image_tiff_pool(sf_dir: str, concurrency=None):
@@ -1024,25 +1002,11 @@ def tiff_multipage_pool(sf_dir: str, concurrency=None):
 
 
 def pnm_payloads(sf_dir: str):
-    """One REAL P6 PPM per document — the shared 8×8 RGB digest
-    derivation under the RFPNM1 prefix (raw raster, trivially
-    lossless)."""
+    """The shared RGB derivation under RFPNM1 through the P6 encoder
+    (raw raster, trivially lossless)."""
     from ..parsers.pnmdec import encode_ppm_rgb8
-    from ..sources.readers import read_parquet_clean
 
-    def build(batch: pd.DataFrame) -> pd.DataFrame:
-        payloads = []
-        for t in batch["text"]:
-            d = _digest_bytes(t, b"RFPNM1:")
-            img = np.frombuffer((d * 6)[:192],
-                                dtype=np.uint8).reshape(8, 8, 3)
-            payloads.append(encode_ppm_rgb8(img))
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "payload": payloads})
-
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"])
-    return ds.map_batches(build, batch_format="pandas")
+    return _rgb_digest_payloads(sf_dir, b"RFPNM1:", encode_ppm_rgb8)
 
 
 def image_pnm_pool(sf_dir: str, concurrency=None):
@@ -1090,24 +1054,11 @@ def mixed_phash_dedup(sf_dir: str, concurrency=None):
 
 
 def tga_payloads(sf_dir: str):
-    """One REAL type-2 TGA per document — the shared 8×8 RGB digest
-    derivation under the RFTGA1 prefix (uncompressed, lossless)."""
+    """The shared RGB derivation under RFTGA1 through the type-2 TGA
+    encoder (uncompressed, lossless)."""
     from ..parsers.tgadec import encode_tga_rgb24
-    from ..sources.readers import read_parquet_clean
 
-    def build(batch: pd.DataFrame) -> pd.DataFrame:
-        payloads = []
-        for t in batch["text"]:
-            d = _digest_bytes(t, b"RFTGA1:")
-            img = np.frombuffer((d * 6)[:192],
-                                dtype=np.uint8).reshape(8, 8, 3)
-            payloads.append(encode_tga_rgb24(img))
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "payload": payloads})
-
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"])
-    return ds.map_batches(build, batch_format="pandas")
+    return _rgb_digest_payloads(sf_dir, b"RFTGA1:", encode_tga_rgb24)
 
 
 def image_tga_pool(sf_dir: str, concurrency=None):
